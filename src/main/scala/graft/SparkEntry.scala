@@ -1,13 +1,439 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Scalars
+import graft.operators._
+
+/** Driver contract (see SURVEY.md §2.C — one entry per declared operator,
+  * with DuckDB oracle SQL wherever the semantics are ANSI-SQL-expressible).
+  *
+  * Determinism conventions shared by every query/oracle pair (FIXTURES.md):
+  *  - every result ends with ORDER BY on a unique, non-null key set;
+  *  - money aggregates accumulate in DECIMAL (order-independent) and surface
+  *    as DOUBLE; float averages/transcendentals are rounded to kill
+  *    cross-engine ulp noise;
+  *  - timestamps surface as epoch milliseconds (bigint) — the fixtures are
+  *    nanosecond-precision and ms is the grain both engines floor to
+  *    identically;
+  *  - DuckDB-side casts align integer widths with Spark output types
+  *    (year→INT, ceil/floor→BIGINT, len→INT, …).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001: the TPC-H-Q1-shaped aggregate. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.aggHash(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core relational
+    "q_scan_project"   -> (Relational.scanProject _),
+    "q_filter"         -> (Relational.filter _),
+    "q_sort_limit"     -> (Relational.sortLimit _),
+    "q_agg_hash"       -> (Relational.aggHash _),
+    "q_agg_distinct"   -> (Relational.aggDistinct _),
+    "q_agg_approx"     -> (Relational.aggApprox _),
+    "q_agg_rollup"     -> (Relational.aggRollup _),
+    "q_agg_cube"       -> (Relational.aggCube _),
+    "q_agg_gsets"      -> (Relational.aggGroupingSets _),
+    // joins
+    "q_join_inner"     -> (Relational.joinInner _),
+    "q_join_broadcast" -> (Relational.joinBroadcast _),
+    "q_join_left"      -> (Relational.joinLeft _),
+    "q_join_semi"      -> (Relational.joinSemi _),
+    "q_join_anti"      -> (Relational.joinAnti _),
+    "q_join_range"     -> (TimeOps.rangeJoin _),
+    "q_join_asof"      -> (TimeOps.asofJoin _),
+    // set ops
+    "q_union"          -> (Relational.setUnion _),
+    "q_intersect"      -> (Relational.setIntersect _),
+    "q_except"         -> (Relational.setExcept _),
+    // windows
+    "q_window_rank"    -> (Windows.windowRank _),
+    "q_window_frame"   -> (Windows.windowFrame _),
+    "q_topk_pergroup"  -> (Windows.topKPerGroup _),
+    "q_batch_split"    -> (Windows.batchSplit _),
+    // scalar functions
+    "q_str_funcs"      -> (Scalars.strFuncs _),
+    "q_date_funcs"     -> (Scalars.dateFuncs _),
+    "q_math_funcs"     -> (Scalars.mathFuncs _),
+    "q_array_map_funcs" -> (Scalars.arrayFuncs _),
+    "q_to_json"        -> (Scalars.toJson _),
+    "q_from_json"      -> (Scalars.fromJson _),
+    // event-time
+    "q_stream_tumbling" -> (TimeOps.tumbling _),
+    "q_stream_sliding"  -> (TimeOps.sliding _),
+    "q_stream_session"  -> (TimeOps.session _),
+    "q_partition_route" -> (TimeOps.partitionRoute _),
+    // dedup
+    "q_dedup_exact"    -> (Dedup.exact _),
+    "q_dedup_near"     -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "q_dedup_simhash"  -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
+    "q_dedup_ngram"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "q_dedup_embed"    -> ((s: SparkSession, d: String) => Dedup.embedCosine(s, d)),
+    // similarity search
+    "q_sim_cosine"     -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
+    "q_sim_ann"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "q_sim_centroids"  -> (Similarity.centroids _),
+    // text analysis
+    "q_text_analysis"  -> (Text.wordCount _),
+    "q_lang_id"        -> (Text.langId _),
+    "q_quality_score"  -> (Text.qualityScore _),
+    "q_token_count"    -> (Text.tokenCount _),
+    "q_fingerprint"    -> (Text.fingerprint _),
+    "q_fingerprint_rolling" -> (Text.rollingFingerprint _),
+    // multimodal
+    "q_multimodal_stats"  -> (Multimodal.stats _),
+    "q_multimodal_decode" -> (Multimodal.decodePipeline _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS INT) AS qty_int, l_returnflag AS flag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE (l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0)
+        |   OR (l_returnflag = 'R' AND l_tax IS NOT NULL AND l_shipdate >= TIMESTAMP '1999-01-01')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  COUNT(1) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(1) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(1) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(1) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(1) AS cnt
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderpriority, COUNT(1) AS line_cnt,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, COUNT(1) AS cust_cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events)
+        |SELECT a.user_id AS user_id, COUNT(1) AS pair_cnt
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.ts_ms > a.ts_ms AND b.ts_ms <= a.ts_ms + 300000
+        |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts_ms AS p_ms FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts_ms AS c_ms FROM e WHERE event_type = 'click'),
+        |j AS (SELECT p_id, user_id, p_ms, c_id, c_ms,
+        |        ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ms DESC, c_id DESC) AS rn
+        |      FROM p JOIN c ON user_id = c_user AND c_ms <= p_ms)
+        |SELECT p_id, user_id, p_ms, c_id, c_ms FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    "q_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, rnk, drnk, rn FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    CAST(RANK() OVER w AS INT) AS rnk,
+        |    CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |    CAST(ROW_NUMBER() OVER w AS INT) AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)) t
+        |WHERE rn <= 20 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT event_id, user_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        |  ROUND(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
+        |  ROUND(LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_topk_pergroup" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_batch_split" ->
+      """SELECT l_returnflag, batch_id, COUNT(1) AS rows_in_batch FROM (
+        |  SELECT l_returnflag,
+        |    CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber) - 1) / 1000) AS BIGINT) AS batch_id
+        |  FROM lineitem) t
+        |GROUP BY l_returnflag, batch_id ORDER BY l_returnflag, batch_id""".stripMargin,
+
+    "q_str_funcs" ->
+      """SELECT c_custkey, UPPER(c_name) AS name_upper, LOWER(c_mktsegment) AS seg_lower,
+        |  SUBSTRING(c_name, 1, 8) AS name_prefix,
+        |  TRIM('  ' || c_mktsegment || ' ') AS seg_trim,
+        |  CONCAT_WS('-', c_mktsegment, c_custkey) AS seg_key,
+        |  REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+        |  STRING_SPLIT(c_name, '#')[1] AS name_stem,
+        |  c_name LIKE '%1%' AS has_one,
+        |  CAST(LENGTH(c_name) AS INT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  CAST(MONTH(o_orderdate) AS INT) AS o_month,
+        |  CAST(DAY(o_orderdate) AS INT) AS o_day,
+        |  CAST(QUARTER(o_orderdate) AS INT) AS o_quarter,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+        |  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+        |  STRFTIME(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT o_orderkey,
+        |  ROUND(o_totalprice, 2) AS price_r1,
+        |  ABS(o_totalprice - 100000.0) AS abs_diff,
+        |  CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+        |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+        |  o_totalprice * o_totalprice AS price_sq,
+        |  ROUND(LN(o_totalprice), 4) AS price_ln,
+        |  ROUND(SQRT(o_totalprice), 4) AS price_sqrt,
+        |  o_orderkey % 97 AS key_mod
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_array_map_funcs" ->
+      """SELECT vec_id, CAST(LEN(embedding) AS INT) AS dim,
+        |  ROUND(list_sum(CAST(embedding[1:4] AS DOUBLE[])), 4) AS head4_sum,
+        |  ROUND(sqrt(list_sum([x * x FOR x IN CAST(embedding AS DOUBLE[])])), 4) AS l2_norm,
+        |  ROUND(list_sum([abs(x) FOR x IN CAST(embedding AS DOUBLE[])]), 4) AS l1_norm,
+        |  ROUND(list_max([abs(x) FOR x IN CAST(embedding AS DOUBLE[])]), 4) AS linf_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_to_json" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(to_json(struct_pack(l_orderkey := l_orderkey, l_linenumber := l_linenumber,
+        |    l_returnflag := l_returnflag, l_linestatus := l_linestatus)) AS VARCHAR) AS doc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |  COUNT(1) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "q_stream_sliding" ->
+      """SELECT window_start_ms, COUNT(1) AS cnt FROM (
+        |  SELECT CAST((FLOOR(epoch_ms(ts) / 1800000) - k) * 1800000 AS BIGINT) AS window_start_ms
+        |  FROM events CROSS JOIN (VALUES (0), (1)) o(k)) t
+        |GROUP BY window_start_ms ORDER BY window_start_ms""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH e AS (SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms FROM events),
+        |f AS (SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > 1800000 THEN 1
+        |                     WHEN LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |g AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id, COUNT(1) AS n_events, MIN(ts_ms) AS session_start_ms,
+        |  MAX(ts_ms) AS session_end_ms, ROUND(SUM(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_partition_route" ->
+      """SELECT event_type, COUNT(1) AS n_rows, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT user_id, event_type, event_id, ts_ms FROM (
+        |  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS blk,
+        |             string_split(text, ' ') AS tk
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, lang, blk,
+        |         unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |           FOR i IN generate_series(1, len(tk) - 2)])) AS shingle
+        |       FROM d),
+        |counts AS (SELECT doc_id, COUNT(1) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(1) AS inter
+        |          FROM sh x JOIN sh y ON x.lang = y.lang AND x.blk = y.blk
+        |            AND x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter,
+        |  ROUND(inter / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+        |FROM pairs JOIN counts ca ON pairs.a_id = ca.doc_id
+        |JOIN counts cb ON pairs.b_id = cb.doc_id
+        |WHERE ROUND(inter / (ca.n_sh + cb.n_sh - inter), 4) >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |             list_sum([a * a FOR a IN CAST(embedding AS DOUBLE[])]) AS nrm
+        |           FROM embeddings)
+        |SELECT a_id, b_id, cosine FROM (
+        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+        |    ROUND(list_sum([x.v[i] * y.v[i] FOR i IN generate_series(1, len(x.v))])
+        |      / (sqrt(x.nrm) * sqrt(y.nrm)), 4) AS cosine
+        |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id) t
+        |WHERE cosine >= 0.9 ORDER BY a_id, b_id""".stripMargin,
+
+    "q_sim_cosine" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |             list_sum([a * a FOR a IN CAST(embedding AS DOUBLE[])]) AS nrm
+        |           FROM embeddings),
+        |p AS (SELECT v AS pv, nrm AS pn FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  ROUND(list_sum([e.v[i] * p.pv[i] FOR i IN generate_series(1, len(e.v))])
+        |    / (sqrt(e.nrm) * sqrt(p.pn)), 4) AS cosine
+        |FROM e CROSS JOIN p WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "q_sim_ann" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |             list_sum([a * a FOR a IN CAST(embedding AS DOUBLE[])]) AS nrm
+        |           FROM embeddings),
+        |b AS (SELECT *, CAST((CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+        |        + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+        |        + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+        |        + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS INT) AS bucket
+        |      FROM e),
+        |p AS (SELECT bucket AS probe_bucket, v AS pv, nrm AS pn FROM b WHERE vec_id = 0)
+        |SELECT vec_id, label, bucket,
+        |  ROUND(list_sum([b.v[i] * p.pv[i] FOR i IN generate_series(1, len(b.v))])
+        |    / (sqrt(b.nrm) * sqrt(p.pn)), 4) AS cosine
+        |FROM b JOIN p ON b.bucket = p.probe_bucket WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_sim_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT label, dim, v[dim] AS x
+        |       FROM e, (SELECT unnest(generate_series(1, 64)) AS dim) d),
+        |c AS (SELECT label, dim, AVG(x) AS c FROM ex GROUP BY label, dim)
+        |SELECT label, ROUND(sqrt(SUM(c * c)), 4) AS centroid_norm, COUNT(1) AS dims
+        |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_text_analysis" ->
+      """SELECT token, COUNT(1) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |WHERE LENGTH(token) > 0 AND token NOT IN ('the','a','of','to','in','and','is')
+        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang, n_tokens, en_hits,
+        |  ROUND(CAST(en_hits AS DOUBLE) / n_tokens, 4) AS en_ratio,
+        |  ROUND(CAST(en_hits AS DOUBLE) / n_tokens, 4) >= 0.05 AS pred_en
+        |FROM (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |    CAST(len([t FOR t IN string_split(text, ' ')
+        |      IF t IN ('the','a','of','to','in','and','is')]) AS INT) AS en_hits
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, CAST(len(tk) AS INT) AS n_tokens,
+        |    ROUND(CAST(n_chars - len(tk) + 1 AS DOUBLE) / len(tk), 4) AS mean_tok_len,
+        |    ROUND(CAST(len([w FOR w IN tk IF w IN ('the','a','of','to','in','and','is')]) AS DOUBLE) / len(tk), 4) AS stop_ratio,
+        |    ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS ttr
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents) s)
+        |SELECT doc_id, n_chars, n_tokens, mean_tok_len, stop_ratio, ttr,
+        |  ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5 + ttr * 0.3 + LEAST(stop_ratio * 4.0, 1.0) * 0.2, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT) AS bpe_tokens,
+        |  CAST(LENGTH(text) AS INT) AS n_chars,
+        |  ROUND(CAST(LENGTH(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]{1,4}')), 4) AS chars_per_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(TRIM(LOWER(text))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_stats" ->
+      """SELECT lang, label, COUNT(1) AS cnt, ROUND(AVG(n_chars), 2) AS avg_chars,
+        |  ROUND(AVG(sqrt(list_sum([x * x FOR x IN CAST(embedding AS DOUBLE[])]))), 4) AS avg_norm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY lang, label ORDER BY lang, label""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT lang, COUNT(1) AS cnt,
+        |  ROUND(AVG(64 + strlen(text) % 640), 2) AS avg_width,
+        |  ROUND(AVG(64 + strlen(text) % 480), 2) AS avg_height,
+        |  CAST(MAX(strlen(text)) AS INT) AS max_bytes
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md /
+  * FIXTURES.md). Every query receives the scale-factor directory and reads
+  * only what it needs — column pruning and filter pushdown then reach the
+  * parquet scan via Catalyst.
+  */
+object Tables {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame    = t(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame    = t(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame  = t(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame  = t(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame      = t(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame    = t(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame  = t(s, dir, "lineitem")
+  def events(s: SparkSession, dir: String): DataFrame    = t(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+}
+
+/** Determinism helpers so Spark results hash-match the DuckDB oracle
+  * (FIXTURES.md "Determinism rules"): exact decimal sums surfaced as doubles,
+  * bounded rounding for float aggregates, epoch-millis instead of raw
+  * timestamps (the fixtures carry nanosecond timestamps; both engines floor
+  * identically to milliseconds).
+  */
+object Norm {
+  /** Exact money sum: decimal accumulation (associative, order-independent),
+    * surfaced as double. Matches CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    */
+  def dsum2(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Same with 4 fractional digits for derived money expressions. */
+  def dsum4(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Round a double to 4 places — hides sub-ulp cross-engine FP noise. */
+  def r4(c: Column): Column = round(c, 4)
+
+  def r2(c: Column): Column = round(c, 2)
+
+  /** Timestamp → epoch milliseconds (bigint); identical floor in DuckDB via
+    * epoch_ms(ts). Avoids all timezone / render-format divergence.
+    */
+  def ms(c: Column): Column = unix_millis(c)
+}

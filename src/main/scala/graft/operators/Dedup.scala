@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Norm, Tables}
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (north-star set: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup). All formulations are shuffle-bounded:
+  * candidate generation always goes through a blocking/bucketing key
+  * (band hash, simhash band, (lang, length-bucket) block, label block) so
+  * no O(n²) cross join ever materializes — the property that must hold at
+  * 100 TB.
+  */
+object Dedup {
+
+  private val SHINGLE = 3
+
+  /** Distinct word-level 3-gram shingles per document, with blocking key. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 100).cast("int").as("blk"),
+        split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("lang"), col("blk"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("tk")) - SHINGLE, lit(0))),
+          i => concat_ws(" ", col("tk")(i), col("tk")(i + 1), col("tk")(i + 2))
+        )).as("shingles"))
+      .filter(size(col("tk")) >= SHINGLE)
+
+  /** Exact dedup: first event per (user_id, event_type) — the streaming
+    * dropDuplicates semantics, batch-checkable as row_number()=1 with a
+    * deterministic (ts, event_id) tiebreak.
+    */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Norm.ms(col("ts")).as("ts_ms"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_ms"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** MinHash + LSH near-dup: 16 xxhash64 min-signatures over word shingles,
+    * banded 4×4; docs sharing any band hash become candidates
+    * (shuffle join on the band key — the LSH bucket-join); candidates are
+    * verified with exact shingle Jaccard ≥ threshold.
+    * Hash-dependent candidate set → no SQL oracle (driver rows-only check);
+    * the ScalaTest spec asserts containment in the exact-Jaccard pair set.
+    */
+  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val numHashes = 16
+    val bandSize = 4
+    val sigCols: Column = array((0 until numHashes).map { i =>
+      array_min(transform(col("shingles"), sh => xxhash64(lit(i), sh)))
+    }: _*)
+    val docs = shingled(s, dir)
+      .select(col("doc_id"), col("shingles"), sigCols.as("sig"))
+    val bands = docs.select(col("doc_id"),
+        posexplode(array((0 until numHashes / bandSize).map { b =>
+          xxhash64((b * bandSize until (b + 1) * bandSize)
+            .map(j => col("sig")(j)): _*)
+        }: _*)).as(Seq("band_idx", "band_hash")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", Norm.r4(col("inter") /
+        (size(col("sa")) + size(col("sb")) - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash near-dup: 64-bit token-level simhash computed entirely with
+    * higher-order functions (zero shuffle per doc, no explode); candidate
+    * pairs via 4×16-bit band buckets, verified with Hamming distance ≤ k
+    * (bit_count of xor). Hash-dependent → rows-only driver check.
+    */
+  def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      // per-bit vote: sum over tokens of +-1 by bit i of xxhash64(token)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          aggregate(col("tk"), lit(0),
+            (acc, t) => acc + when(
+              shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        ).as("votes"))
+      // pack sign bits into one 64-bit long
+      .select(col("doc_id"),
+        aggregate(sequence(lit(0), lit(63)), lit(0L),
+          (acc, i) => acc.bitwiseOR(
+            when(element_at(col("votes"), i + 1) > 0,
+              shiftleft(lit(1L), i)).otherwise(lit(0L)).cast("long")))
+          .as("simhash"))
+    val bands = docs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("band_idx", "band_key")))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Exact n-gram (word 3-gram) Jaccard near-dup within (lang,
+    * length-bucket) blocks: shingle-level shuffle join inside blocks only.
+    * Fully deterministic and SQL-expressible → real DuckDB oracle.
+    */
+  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val sh = shingled(s, dir)
+      .select(col("doc_id"), col("lang"), col("blk"),
+        explode(col("shingles")).as("shingle"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("x")
+      .join(sh.as("y"),
+        col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
+        col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .withColumn("jaccard",
+        Norm.r4(col("inter") / (col("na") + col("nb") - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding-cosine near-dup within label blocks: pairwise cosine over the
+    * 64-dim vectors, blocked on `label` so the join is equi-keyed (no cross
+    * product). Deterministic double fold → DuckDB-oracled.
+    */
+  def embedCosine(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        Norm.r4(dot(col("x.v"), col("y.v")) /
+          (sqrt(dot(col("x.v"), col("x.v"))) *
+           sqrt(dot(col("y.v"), col("y.v"))))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Norm, Tables}
+
+/** Multimodal-column plumbing (north-star component): media payloads as
+  * opaque `binary` columns with typed metadata, decoded/feature-extracted in
+  * batched per-partition passes. The real-media decode (image/audio libs)
+  * is stubbed behind [[FakeDecoder]] — deterministic so results are
+  * oracle-checkable — but the Spark-side shape (schema, binary column,
+  * partition-batched iteration, typed output) is the production path: swap
+  * the decoder body for JNI/opencv and nothing else changes.
+  */
+object Multimodal {
+
+  /** Raw media record: payload is an opaque byte blob + metadata struct. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], lang: String,
+    source: String)
+
+  /** Decoded features — what an image decode would yield. */
+  case class DecodedRow(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+    frames: Int, lang: String)
+
+  /** Deterministic stand-in for the media decoder (the container has no
+    * image/audio libs). Derives fake dimensions from payload length only —
+    * byte-identical to the SQL oracle's arithmetic.
+    */
+  object FakeDecoder {
+    def decode(r: MediaRow): DecodedRow = {
+      val n = r.payload.length
+      DecodedRow(r.doc_id, n, 64 + n % 640, 64 + n % 480, 1 + n % 16, r.lang)
+    }
+  }
+
+  /** Text + vector modalities joined in one relation, aggregated per
+    * (lang, label): the multimodal-stats query (SURVEY.md §2.C
+    * q_multimodal_stats).
+    */
+  def stats(s: SparkSession, dir: String): DataFrame = {
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("cnt"),
+        Norm.r2(avg("n_chars")).as("avg_chars"),
+        Norm.r4(avg(norm)).as("avg_norm"))
+      .orderBy("lang", "label")
+  }
+
+  /** Binary-column decode pipeline: text → binary payload (stand-in for
+    * image bytes) + metadata, then a typed per-partition batched decode
+    * (`mapPartitions` — the Scala analogue of mapInPandas: one decoder
+    * instance per partition, streaming over the batch iterator), then a
+    * relational aggregate over the extracted features.
+    */
+  def decodePipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("lang"), col("source"))
+      .as[MediaRow]
+    media
+      .mapPartitions { batch =>
+        // per-partition decoder setup would go here (model load, JNI init)
+        batch.map(FakeDecoder.decode)
+      }
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"),
+        Norm.r2(avg("width")).as("avg_width"),
+        Norm.r2(avg("height")).as("avg_height"),
+        max("n_bytes").as("max_bytes"))
+      .orderBy("lang")
+  }
+}

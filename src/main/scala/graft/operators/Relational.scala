@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Norm, Tables}
+
+/** Core relational operator surface (SURVEY.md §2.C, rows q_scan_project …
+  * q_agg_gsets, joins, set ops). Everything is declarative DataFrame code so
+  * Catalyst applies pushdown / pruning / join selection / AQE; no custom
+  * physical operators are needed at this layer.
+  *
+  * Reference grounding: the sink's users compose exactly this surface
+  * upstream of the sink (reference README.md:40-62, example
+  * HiveStreamingExample.scala:63-86); schema alignment / projection mirrors
+  * HiveSourceProvider.scala:55-58.
+  */
+object Relational {
+
+  /** Parquet scan + projection + rename + cast. Column pruning reaches the
+    * scan (ReadSchema shows only 4 columns). floor() before the int cast:
+    * Spark truncates double→int, DuckDB rounds — floor makes both exact.
+    */
+  def scanProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("int").as("qty_int"),
+        col("l_returnflag").as("flag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Compound predicate filter (AND/OR + null-safe + timestamp compare);
+    * pushed to the parquet scan as PushedFilters.
+    */
+  def filter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        (col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0) ||
+        (col("l_returnflag") === "R" && col("l_tax").isNotNull &&
+          col("l_shipdate") >= lit("1999-01-01").cast("timestamp")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Global sort + limit — planned as TakeOrderedAndProject (no full sort
+    * materialization; each partition keeps top-N, driver merges N rows).
+    */
+  def sortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** TPC-H Q1-shaped hash aggregate: scan → filter → partial agg (map-side
+    * combine) → shuffle on group keys → final agg. Money sums accumulate in
+    * decimal (exact, order-independent) and surface as double.
+    */
+  def aggHash(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Norm.dsum2(col("l_quantity")).as("sum_qty"),
+        Norm.dsum2(col("l_extendedprice")).as("sum_base_price"),
+        Norm.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        Norm.r4(avg("l_quantity")).as("avg_qty"),
+        Norm.r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct aggregation; Spark plans expand + two-phase agg. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** approx_count_distinct (HyperLogLog++) — sketch, no SQL oracle; the
+    * ScalaTest spec asserts ±5% of the exact count. Rows-only driver check.
+    */
+  def aggApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP hierarchical totals. NULLS FIRST ordering matches the oracle's
+    * explicit NULLS FIRST (DuckDB defaults to NULLS LAST).
+    */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(Norm.dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(Norm.dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** GROUPING SETS via SQL (the one shape the DataFrame API doesn't expose
+    * directly).
+    */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(1) AS cnt
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** Shuffled hash/sort-merge equi join lineitem⋈orders on the fact keys,
+    * then aggregate — join keys drive the shuffle partitioning, AQE picks
+    * the physical join.
+    */
+  def joinInner(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("line_cnt"),
+        Norm.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** Broadcast join: small dims (nation, region) are broadcast so the fact
+    * side never shuffles — the 100 TB-scale plan for star joins.
+    */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("cust_cnt"),
+        Norm.dsum2(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name")
+
+  /** Left outer join with null-extension: every customer, order count may be
+    * 0. Aggregating on the build side keeps output bounded by |customer|.
+    */
+  def joinLeft(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("order_cnt"),
+        Norm.dsum2(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_custkey")
+
+  /** Left semi: customers having at least one open order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Left anti: customers with no open order. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  // -------------------------------------------------------------- set ops
+
+  /** UNION (distinct) of two key sets. Dataset.union is UNION ALL, so the
+    * distinct is explicit — Catalyst folds it into a single aggregate.
+    */
+  def setUnion(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("custkey"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    big.union(urgent).distinct().orderBy("custkey")
+  }
+
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("custkey"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    big.intersect(urgent).orderBy("custkey")
+  }
+
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("custkey"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    big.except(urgent).orderBy("custkey")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Norm, Tables}
+
+/** Event-time operators (SURVEY.md §2.C q_stream_*, q_join_range,
+  * q_join_asof, q_partition_route). Batch-checkable analogues of the
+  * streaming semantics; the streaming forms (withWatermark + window /
+  * session_window over MemoryStream) are exercised in the ScalaTest streaming
+  * suite where no SQL oracle can run.
+  *
+  * All comparisons use epoch milliseconds: the fixture timestamps are
+  * nanosecond-precision and Spark (µs) and DuckDB (ns) floor identically to
+  * ms, so ms arithmetic is the cross-engine-stable grain.
+  */
+object TimeOps {
+
+  /** Tumbling 1-hour window aggregate via the streaming-compatible window()
+    * function (same expression works under readStream+watermark).
+    */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Norm.r2(sum("value")).as("sum_value"))
+      .select(Norm.ms(col("w.start")).as("window_start_ms"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("window_start_ms", "event_type")
+
+  /** Sliding window (1 h length, 30 min slide): each event lands in 2
+    * windows; window() expands in place (no self-join).
+    */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(Norm.ms(col("w.start")).as("window_start_ms"), col("cnt"))
+      .orderBy("window_start_ms")
+
+  /** Session windows per user, 30-minute gap — batch analogue via
+    * lag + cumulative sum of session-break flags; matches streaming
+    * session_window gap semantics (gap measured event-to-event).
+    */
+  def session(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    val gapMs = 30L * 60 * 1000
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        Norm.ms(col("ts")).as("ts_ms"))
+      .withColumn("new_session",
+        when(col("ts_ms") - lag("ts_ms", 1).over(byUser) > gapMs, 1)
+          .when(lag("ts_ms", 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_ms").as("session_start_ms"),
+        max("ts_ms").as("session_end_ms"),
+        Norm.r2(sum("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Bounded range join: pairs of events by the same user within 5 minutes
+    * (strictly later). The user_id equi-key makes this a hash/sort-merge
+    * join with a residual range predicate — NOT a cartesian product, so it
+    * scales with per-user density, not |events|².
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), Norm.ms(col("ts")).as("ts_ms"))
+    val a = e.select(col("event_id").as("a_id"), col("user_id"),
+      col("ts_ms").as("a_ms"))
+    val b = e.select(col("event_id").as("b_id"),
+      col("user_id").as("b_user"), col("ts_ms").as("b_ms"))
+    a.join(b,
+        col("user_id") === col("b_user") &&
+        col("b_ms") > col("a_ms") &&
+        col("b_ms") <= col("a_ms") + (5L * 60 * 1000))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join: for each purchase event, the latest click by the same user
+    * at-or-before the purchase. Equi-join on user + time filter, then keep
+    * the max-ts candidate per purchase via row_number. Deterministic
+    * tiebreak on click id.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Norm.ms(col("ts")).as("ts_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_ms").as("p_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts_ms").as("c_ms"))
+    val w = Window.partitionBy("p_id")
+      .orderBy(col("c_ms").desc, col("c_id").desc)
+    purchases
+      .join(clicks,
+        col("user_id") === col("c_user") && col("c_ms") <= col("p_ms"),
+        "inner")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("user_id"), col("p_ms"), col("c_id"),
+        col("c_ms"))
+      .orderBy("p_id")
+  }
+
+  /** The sink's per-row partition routing (reference
+    * HiveStreamDataWriter.scala:74-83: rows fan out to per-partition-value
+    * writers) as a batch-checkable query: rows per partition key.
+    */
+  def partitionRoute(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Norm, Tables}
+
+/** Window-function operator surface (SURVEY.md §2.C q_window_rank,
+  * q_window_frame, q_topk_pergroup, q_batch_split). One shuffle on the
+  * partition key per window spec; specs sharing (partitionBy, orderBy) reuse
+  * the same sort/exchange.
+  */
+object Windows {
+
+  /** rank / dense_rank / row_number per group. Orders carry a unique
+    * o_orderkey tiebreak so row_number is deterministic across engines.
+    */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 20)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Running sum + lag/lead with an explicit rowsBetween frame, per user over
+    * event time.
+    */
+  def windowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        Norm.r2(sum("value").over(frame)).as("running_value"),
+        Norm.r2(lag("value", 1).over(w)).as("prev_value"),
+        Norm.r2(lead("value", 1).over(w)).as("next_value"))
+      .orderBy("event_id")
+  }
+
+  /** Top-k rows per group via row_number ≤ k — the scalable formulation (one
+    * shuffle + per-partition sort; no global sort, no collect).
+    */
+  def topKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** The reference sink's `batch.size` row batching (HiveStreamDataWriter
+    * .scala:102-105, default 10000 — HiveOptions.scala:34) re-expressed as a
+    * query: batch no. = floor((row_number-1)/batch_size) within a partition
+    * stream, then rows per (partition, batch).
+    */
+  def batchSplit(s: SparkSession, dir: String): DataFrame = {
+    val batchSize = 1000
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        floor((row_number().over(w) - 1) / batchSize).as("batch_id"))
+      .groupBy("l_returnflag", "batch_id")
+      .agg(count(lit(1)).as("rows_in_batch"))
+      .orderBy("l_returnflag", "batch_id")
+  }
+}

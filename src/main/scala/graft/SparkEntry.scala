@@ -89,14 +89,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS INT) AS qty_int, l_returnflag AS flag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_int, flag""".stripMargin,
 
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
         |FROM lineitem
         |WHERE (l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0)
         |   OR (l_returnflag = 'R' AND l_tax IS NOT NULL AND l_shipdate >= TIMESTAMP '1999-01-01')
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -267,7 +267,7 @@ object SparkEntry {
 
     "q_array_map_funcs" ->
       """SELECT vec_id, CAST(LEN(embedding) AS INT) AS dim,
-        |  ROUND(list_sum(CAST(embedding[1:4] AS DOUBLE[])), 4) AS head4_sum,
+        |  ROUND(list_sum(CAST(embedding[1:4] AS DOUBLE[])), 4) + 0 AS head4_sum,
         |  ROUND(sqrt(list_sum([x * x FOR x IN CAST(embedding AS DOUBLE[])])), 4) AS l2_norm,
         |  ROUND(list_sum([abs(x) FOR x IN CAST(embedding AS DOUBLE[])]), 4) AS l1_norm,
         |  ROUND(list_max([abs(x) FOR x IN CAST(embedding AS DOUBLE[])]), 4) AS linf_norm
@@ -277,7 +277,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(to_json(struct_pack(l_orderkey := l_orderkey, l_linenumber := l_linenumber,
         |    l_returnflag := l_returnflag, l_linestatus := l_linestatus)) AS VARCHAR) AS doc
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, doc""".stripMargin,
 
     "q_from_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
@@ -355,7 +355,7 @@ object SparkEntry {
         |p AS (SELECT v AS pv, nrm AS pn FROM e WHERE vec_id = 0)
         |SELECT vec_id, label,
         |  ROUND(list_sum([e.v[i] * p.pv[i] FOR i IN generate_series(1, len(e.v))])
-        |    / (sqrt(e.nrm) * sqrt(p.pn)), 4) AS cosine
+        |    / (sqrt(e.nrm) * sqrt(p.pn)), 4) + 0 AS cosine
         |FROM e CROSS JOIN p WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
 
@@ -371,7 +371,7 @@ object SparkEntry {
         |p AS (SELECT bucket AS probe_bucket, v AS pv, nrm AS pn FROM b WHERE vec_id = 0)
         |SELECT vec_id, label, bucket,
         |  ROUND(list_sum([b.v[i] * p.pv[i] FOR i IN generate_series(1, len(b.v))])
-        |    / (sqrt(b.nrm) * sqrt(p.pn)), 4) AS cosine
+        |    / (sqrt(b.nrm) * sqrt(p.pn)), 4) + 0 AS cosine
         |FROM b JOIN p ON b.bucket = p.probe_bucket WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
 

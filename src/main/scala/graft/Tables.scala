@@ -19,7 +19,17 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = t(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = t(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = t(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame    = t(s, dir, "events")
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long (legacy conf) and rebuild
+    * a micros-precision TimestampType column via integer division — the ms
+    * grain every query compares at survives the floor identically in Spark
+    * and DuckDB.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 }
@@ -39,10 +49,19 @@ object Norm {
   /** Same with 4 fractional digits for derived money expressions. */
   def dsum4(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
-  /** Round a double to 4 places — hides sub-ulp cross-engine FP noise. */
-  def r4(c: Column): Column = round(c, 4)
+  /** Round a double to 4 places — hides sub-ulp cross-engine FP noise.
+    *
+    * Expressed as round(x*10^4)/10^4 rather than round(x, 4): Spark's
+    * round(double, d) rounds the SHORTEST decimal rendering (BigDecimal
+    * .valueOf), while DuckDB multiplies the binary value by 10^d and rounds.
+    * For doubles sitting an ulp below a .5 boundary (e.g. 343/800 =
+    * 0.42874999…, shortest repr "0.42875") the two disagree by a full final
+    * digit. Multiplying first makes both engines round the identical double
+    * at scale 0, where HALF_UP and round-half-away-from-zero coincide.
+    */
+  def r4(c: Column): Column = round(c * 10000) / 10000
 
-  def r2(c: Column): Column = round(c, 2)
+  def r2(c: Column): Column = round(c * 100) / 100
 
   /** Timestamp → epoch milliseconds (bigint); identical floor in DuckDB via
     * epoch_ms(ts). Avoids all timezone / render-format divergence.

@@ -55,7 +55,7 @@ object Scalars {
     Tables.orders(s, dir)
       .select(
         col("o_orderkey"),
-        round(col("o_totalprice"), 1).as("price_r1"),
+        Norm.r2(col("o_totalprice")).as("price_r1"),
         abs(col("o_totalprice") - 100000.0).as("abs_diff"),
         ceil(col("o_totalprice")).as("price_ceil"),
         floor(col("o_totalprice")).as("price_floor"),
@@ -97,7 +97,9 @@ object Scalars {
       .select(col("l_orderkey"), col("l_linenumber"),
         to_json(struct(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_linestatus"))).as("doc"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures; order by
+      // the full output row for a deterministic cross-engine dump.
+      .orderBy("l_orderkey", "l_linenumber", "doc")
 
   /** JSON field extraction from events.props (the inverse of the sink's A6
     * encode): props is a JSON object like {"k": 87}.

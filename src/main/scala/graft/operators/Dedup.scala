@@ -92,22 +92,22 @@ object Dedup {
     * (bit_count of xor). Hash-dependent → rows-only driver check.
     */
   def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // hash each token once, then take 64 per-bit votes with Scala-level Int
+    // shift amounts (the DSL shiftright/shiftleft signatures take Int)
+    val votes: Column = array((0 until 64).map { i =>
+      aggregate(col("h"), lit(0),
+        (acc, hv) => acc + when(
+          shiftright(hv, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }: _*)
+    // pack sign bits into one 64-bit long
+    val packed: Column = (0 until 64).map { i =>
+      when(col("votes")(i) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      // per-bit vote: sum over tokens of +-1 by bit i of xxhash64(token)
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(63)), i =>
-          aggregate(col("tk"), lit(0),
-            (acc, t) => acc + when(
-              shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        ).as("votes"))
-      // pack sign bits into one 64-bit long
-      .select(col("doc_id"),
-        aggregate(sequence(lit(0), lit(63)), lit(0L),
-          (acc, i) => acc.bitwiseOR(
-            when(element_at(col("votes"), i + 1) > 0,
-              shiftleft(lit(1L), i)).otherwise(lit(0L)).cast("long")))
-          .as("simhash"))
+        transform(split(col("text"), " "), t => xxhash64(t)).as("h"))
+      .select(col("doc_id"), votes.as("votes"))
+      .select(col("doc_id"), packed.as("simhash"))
     val bands = docs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)

@@ -26,7 +26,9 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"),
         floor(col("l_quantity")).cast("int").as("qty_int"),
         col("l_returnflag").as("flag"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures; order by
+      // every output column for a deterministic cross-engine dump.
+      .orderBy("l_orderkey", "l_linenumber", "qty_int", "flag")
 
   /** Compound predicate filter (AND/OR + null-safe + timestamp compare);
     * pushed to the parquet scan as PushedFilters.
@@ -40,7 +42,9 @@ object Relational {
           col("l_shipdate") >= lit("1999-01-01").cast("timestamp")))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_discount"), col("l_returnflag"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // full-row order: (l_orderkey, l_linenumber) alone is not unique
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag")
 
   /** Global sort + limit — planned as TakeOrderedAndProject (no full sort
     * materialization; each partition keeps top-N, driver merges N rows).

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Property checks for the hash-dependent operators that have no SQL oracle
+  * (rows-only in the driver's correctness gate) — the verification the code
+  * comments promise.
+  */
+class OperatorPropertiesSpec extends SparkSpec {
+
+  /** Exact word-3-gram Jaccard over ALL pairs of a small corpus (driver-side
+    * brute force — test-only; the operators themselves never do this).
+    */
+  private lazy val exactJaccard: Map[(Long, Long), Double] = {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= 3)
+      .map { case (id, tk) =>
+        id -> tk.sliding(3).map(_.mkString(" ")).toSet
+      }
+    (for {
+      (a, sa) <- docs
+      (b, sb) <- docs if a < b
+      inter = (sa & sb).size
+      if inter > 0
+    } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
+  }
+
+  test("minhash LSH pairs are contained in the exact-Jaccard pair set") {
+    val got = Dedup.minhashLsh(spark, sf0001, threshold = 0.4)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.nonEmpty, "LSH should surface at least one near-dup pair at sf0.001")
+    got.foreach { case ((a, b), j) =>
+      val exact = exactJaccard.getOrElse((a, b), 0.0)
+      assert(exact >= 0.4, s"pair ($a,$b) reported j=$j but exact=$exact < 0.4")
+      assert(math.abs(exact - j) < 1e-3, s"pair ($a,$b): reported $j vs exact $exact")
+    }
+  }
+
+  test("minhash LSH recall: high-similarity pairs are found") {
+    // With 32 hashes in 8 bands of 4, P(candidate) = 1-(1-j^4)^8 ≈ 0.9998
+    // at j≥0.9 — on this corpus every j≥0.9 pair must surface.
+    val strong = exactJaccard.filter(_._2 >= 0.9).keySet
+    val got = Dedup.minhashLsh(spark, sf0001, threshold = 0.4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = strong -- got
+    assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
+  }
+
+  test("simhash: near-identical docs collide, hamming is symmetric sanity") {
+    val rows = Dedup.simhash(spark, sf0001, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    rows.foreach { case (a, b, h) =>
+      assert(a < b, "pairs must be emitted with a_id < b_id")
+      assert(h >= 0 && h <= 3)
+    }
+    // every exact-duplicate text pair must have hamming 0 and be reported
+    val dupPairs = exactJaccard.filter(_._2 >= 0.999).keySet
+    val got = rows.map(t => (t._1, t._2)).toSet
+    val missedDups = dupPairs -- got
+    assert(missedDups.isEmpty, s"simhash missed exact duplicates: $missedDups")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val df = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val exact = df.select(countDistinct(col("l_partkey"))).head.getLong(0)
+    val approx = df.select(approx_count_distinct(col("l_partkey"))).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("exact dedup is idempotent") {
+    val once = Dedup.exact(spark, sf0001)
+    val cached = once.cache()
+    try {
+      val n1 = cached.count()
+      // dedup of the dedup result on the same key keeps every row
+      val again = cached
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "event_type")
+            .orderBy("ts_ms", "event_id")))
+        .filter(col("rn") === 1)
+      assert(again.count() === n1)
+    } finally cached.unpersist()
+  }
+
+  test("rolling fingerprint is stable across independent runs") {
+    val a = graft.operators.Text.rollingFingerprint(spark, sf0001).collect()
+    val b = graft.operators.Text.rollingFingerprint(spark, sf0001).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("brute-force cosine top-k dominates the ANN shortlist (recall sanity)") {
+    val exact = Similarity.cosineTopK(spark, sf0001, k = 20)
+      .select("vec_id", "cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annLsh(spark, sf0001, k = 10)
+      .select("vec_id", "cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // ANN returns true cosines for its candidates; none may exceed the best
+    // exact cosine, and every ANN hit that IS in the exact top-20 must agree
+    val bestExact = exact.values.max
+    ann.foreach { case (id, c) =>
+      assert(c <= bestExact + 1e-9)
+      exact.get(id).foreach(e => assert(math.abs(e - c) < 1e-9))
+    }
+  }
+}

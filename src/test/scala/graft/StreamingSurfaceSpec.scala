@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming operator surface the reference's users compose
+  * upstream of the sink (SURVEY §2.B) plus the streaming-only suite row of
+  * §2.C: watermark late-drop, streaming dropDuplicates, foreachBatch.
+  */
+class StreamingSurfaceSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermark: late events beyond the threshold are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k").count()
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+
+    in.addData((ts(0), "a"), (ts(5), "a"))
+    q.processAllAvailable()
+    // advance event time far past the first window + watermark → closes it
+    in.addData((ts(40), "a"))
+    q.processAllAvailable()
+    // this event is >10 min older than the max seen (10:40) → dropped
+    in.addData((ts(1), "a"))
+    q.processAllAvailable()
+    // close all windows
+    in.addData((ts(59), "flush"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_out")
+      .select(col("window.start").cast("string"), $"k", $"count").as[(String, String, Long)]
+      .collect().toSet
+    // first window has exactly the 2 on-time events; the late 10:01 event
+    // never re-opened it
+    assert(rows.contains(("2024-01-01 10:00:00", "a", 2L)))
+  }
+
+  test("streaming dropDuplicates with watermark: dupes across batches removed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val dedup = in.toDF().toDF("ts", "id")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("id")
+    val q = dedup.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    in.addData((ts(0), "x"), (ts(1), "y"), (ts(2), "x"))
+    q.processAllAvailable()
+    in.addData((ts(3), "x"), (ts(4), "z"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dd_out").select("id").as[String].collect().sorted
+    assert(ids.toSeq === Seq("x", "y", "z"))
+  }
+
+  test("foreachBatch: per-epoch batch DataFrames observed exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = in.toDS().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Int], epoch: Long) =>
+        seen.put(epoch, df.count())
+        ()
+      }
+      .start()
+    in.addData(1 to 10: _*)
+    q.processAllAvailable()
+    in.addData(11 to 30: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.values().stream().mapToLong(identity(_)).sum() === 30L)
+  }
+
+  test("session windows (streaming session_window) match the batch analogue") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "30 minutes"), $"user").count()
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // two sessions for u1 (gap 35 min between 10:10 and 10:45), one for u2
+    in.addData((ts(0), "u1"), (ts(10), "u1"), (ts(45), "u1"), (ts(5), "u2"))
+    q.processAllAvailable()
+    in.addData((Timestamp.valueOf("2024-01-01 12:00:00"), "flush"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select($"user", $"count").as[(String, Long)].collect()
+      .filter(_._1 != "flush").toSet
+    assert(rows === Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+  }
+
+  test("socket-style typed map/parse pipeline shape (reference example parity)") {
+    // HiveStreamingExample.scala:67-74 parses "id,msg" lines with a typed
+    // map + arity assert; same pipeline over a memory stream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val parsed = in.toDS().map { line =>
+      val parts = line.split(",")
+      assert(parts.length == 2)
+      (parts(0).toInt, parts(1))
+    }.toDF("id", "msg")
+    val q = parsed.writeStream.format("memory").queryName("parse_out").start()
+    in.addData("1,hello", "2,world")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("parse_out").count() === 2)
+  }
+}

@@ -1,0 +1,227 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StructField, StructType, IntegerType, StringType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.SparkSpec
+
+/** End-to-end + semantics tests for the graft-streaming sink — the coverage
+  * the reference never had (its only “tests” were two examples needing a
+  * live Hive metastore; SURVEY §5.1).
+  */
+class GraftSinkSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").toString
+
+  private def opts(path: String, extra: (String, String)*): Map[String, String] =
+    (Map("path" -> path, "db" -> "testdb", "table" -> "t") ++ extra.toMap)
+
+  test("A1 registration: format short name resolves through ServiceLoader") {
+    val sl = java.util.ServiceLoader.load(
+      classOf[org.apache.spark.sql.sources.DataSourceRegister])
+    val names = sl.iterator().asScala.map(_.shortName()).toSet
+    assert(names.contains("graft-streaming"))
+  }
+
+  test("A3 options: missing required option throws naming the key") {
+    val e = intercept[IllegalArgumentException] {
+      GraftSinkOptions.from(new CaseInsensitiveStringMap(Map("path" -> "/x").asJava))
+    }
+    assert(e.getMessage.contains("'db'"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSinkOptions.from(new CaseInsensitiveStringMap(
+        Map("path" -> "/x", "db" -> "d", "table" -> "t", "batch.size" -> "0").asJava))
+    }
+    assert(e2.getMessage.contains("batch.size"))
+  }
+
+  test("streaming e2e: memory stream rows land once, readable via manifests") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS().map(i => (i, s"name-$i")).toDF("id", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir))
+      .option("checkpointLocation", s"$dir/_cp")
+      .start()
+    in.addData(1 to 500: _*)
+    q.processAllAvailable()
+    in.addData(501 to 1000: _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = CommitLog.readCommitted(spark, s"$dir/testdb.t")
+    assert(out.count() === 1000)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === (1L to 1000L))
+  }
+
+  test("A5 partition routing: rows land under partition-value directories") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS()
+      .map(i => (i, if (i % 2 == 0) "EU" else "US", s"m$i"))
+      .toDF("id", "region", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir, "partition.columns" -> "region"))
+      .option("checkpointLocation", s"$dir/_cp")
+      .start()
+    in.addData(1 to 100: _*)
+    q.processAllAvailable()
+    q.stop()
+    val files = new CommitLog(s"$dir/testdb.t",
+      spark.sparkContext.hadoopConfiguration).committedFiles()
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("region=EU") || f.contains("region=US")))
+    val out = CommitLog.readCommitted(spark, s"$dir/testdb.t")
+    // partition columns are routed to the path, not duplicated in the JSON
+    assert(out.columns.toSet === Set("id", "msg"))
+    assert(out.count() === 100)
+  }
+
+  test("A8 exactly-once: replayed epoch commit publishes no duplicates") {
+    val dir = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(
+      opts(dir).asJava))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("msg", StringType)))
+    val write = new GraftWrite(schema, o, conf)
+    val sw = write.toStreaming
+    val factory = sw.createStreamingWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    })
+
+    def runEpoch(epoch: Long, ids: Range): WriterCommitMessage = {
+      val w = factory.createWriter(0, epoch * 100, epoch)
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(schema)
+      ids.foreach { i =>
+        val r = org.apache.spark.sql.catalyst.InternalRow(
+          i, org.apache.spark.unsafe.types.UTF8String.fromString(s"m$i"))
+        w.write(proj(r))
+      }
+      w.commit()
+    }
+
+    val m1 = runEpoch(7L, 1 to 50)
+    sw.commit(7L, Array(m1))
+    // replay the SAME epoch (task re-execution after driver failover)
+    val m2 = runEpoch(7L, 1 to 50)
+    sw.commit(7L, Array(m2))
+
+    val out = CommitLog.readCommitted(spark, s"$dir/testdb.t")
+    assert(out.count() === 50, "replayed epoch must not duplicate rows")
+    // the replay's files were physically discarded, not just hidden
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = m2.asInstanceOf[GraftCommitMessage].files
+      .filter(f => fs.exists(new org.apache.hadoop.fs.Path(f)))
+    assert(leftover.isEmpty, s"replay files not cleaned: $leftover")
+  }
+
+  test("A2 schema validation: name-set mismatch on restart is rejected") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS().map(i => (i, s"m$i")).toDF("id", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir)).option("checkpointLocation", s"$dir/_cp1").start()
+    in.addData(1, 2, 3)
+    q.processAllAvailable()
+    q.stop()
+
+    val in2 = MemoryStream[Int]
+    val q2 = in2.toDS().map(i => (i, i * 2)).toDF("id", "doubled")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir)).option("checkpointLocation", s"$dir/_cp2").start()
+    in2.addData(4)
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    assert(e.getMessage.contains("different from the schema") ||
+      Option(e.getCause).exists(_.getMessage.contains("different from the schema")))
+    q2.stop()
+  }
+
+  test("append-only: complete output mode is rejected (reference A2 gate)") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val agg = in.toDS().groupBy("value").count()
+    // the rejection surfaces when the first batch is planned (Spark requires
+    // SupportsTruncate for Complete mode, which the sink does not implement)
+    val e = intercept[Exception] {
+      val q = agg.writeStream.format("graft-streaming")
+        .outputMode("complete")
+        .options(opts(dir)).option("checkpointLocation", s"$dir/_cp").start()
+      try { in.addData(1, 2, 2); q.processAllAvailable() } finally q.stop()
+    }
+    val all = (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")).toLowerCase
+    assert(all.contains("complete") || all.contains("truncate"))
+  }
+
+  test("rate-source e2e under micro-batch trigger (reference example parity)") {
+    // mirrors RateStreamingExample.scala:63-82 (rate source → select → sink)
+    val dir = tmp()
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+      .selectExpr("value", "CAST(timestamp AS STRING) AS ts")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir))
+      .trigger(Trigger.ProcessingTime(200))
+      .option("checkpointLocation", s"$dir/_cp")
+      .start()
+    // let a few micro-batches commit
+    val deadline = System.currentTimeMillis() + 15000
+    var rows = 0L
+    while (rows == 0 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      rows = new CommitLog(s"$dir/testdb.t",
+        spark.sparkContext.hadoopConfiguration).committedFiles().size.toLong
+    }
+    q.stop()
+    val out = CommitLog.readCommitted(spark, s"$dir/testdb.t")
+    assert(out.count() > 0, "rate source rows should have been committed")
+    assert(out.columns.toSet === Set("value", "ts"))
+  }
+
+  test("batch write path: df.write lands rows through the same commit log") {
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 20).map(i => (i, s"m$i")).toDF("id", "msg")
+      .write.format("graft-streaming").mode("append").options(opts(dir)).save()
+    val out = CommitLog.readCommitted(spark, s"$dir/testdb.t")
+    assert(out.count() === 20)
+  }
+
+  test("A7 batching: batch.size/txn.per.batch rotate files deterministically") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    // batch.size=10 rows per flush, txn.per.batch=2 flushes per file → 20
+    // rows per file; 100 rows in one micro-batch (single partition) → 5 files
+    val q = in.toDS().repartition(1).map(i => (i, s"m$i")).toDF("id", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir, "batch.size" -> "10", "txn.per.batch" -> "2"))
+      .option("checkpointLocation", s"$dir/_cp")
+      .start()
+    in.addData(1 to 100: _*)
+    q.processAllAvailable()
+    q.stop()
+    val files = new CommitLog(s"$dir/testdb.t",
+      spark.sparkContext.hadoopConfiguration).committedFiles()
+    assert(files.size === 5, s"expected 5 rotated files, got ${files.size}")
+    assert(CommitLog.readCommitted(spark, s"$dir/testdb.t").count() === 100)
+  }
+}

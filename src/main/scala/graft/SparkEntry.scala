@@ -319,34 +319,40 @@ object SparkEntry {
 
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS blk,
-        |             string_split(text, ' ') AS tk
-        |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT doc_id, lang, blk,
-        |         unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-        |           FOR i IN generate_series(1, len(tk) - 2)])) AS shingle
-        |       FROM d),
-        |counts AS (SELECT doc_id, COUNT(1) AS n_sh FROM sh GROUP BY doc_id),
-        |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(1) AS inter
-        |          FROM sh x JOIN sh y ON x.lang = y.lang AND x.blk = y.blk
-        |            AND x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT a_id, b_id, inter,
-        |  ROUND(inter / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
-        |FROM pairs JOIN counts ca ON pairs.a_id = ca.doc_id
-        |JOIN counts cb ON pairs.b_id = cb.doc_id
-        |WHERE ROUND(inter / (ca.n_sh + cb.n_sh - inter), 4) >= 0.2
-        |ORDER BY a_id, b_id""".stripMargin,
+        |             list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |               FOR i IN generate_series(1, len(tk) - 2)]) AS shingles
+        |           FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk
+        |                 FROM documents) s WHERE len(tk) >= 3),
+        |sh AS (SELECT doc_id, lang, blk, unnest(shingles) AS shingle FROM d),
+        |freq AS (SELECT lang, blk, shingle, COUNT(1) AS df FROM sh GROUP BY 1, 2, 3),
+        |cold AS (SELECT sh.* FROM sh JOIN freq USING (lang, blk, shingle) WHERE df <= 25),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM cold x JOIN cold y ON x.lang = y.lang AND x.blk = y.blk
+        |           AND x.shingle = y.shingle AND x.doc_id < y.doc_id)
+        |SELECT a_id, b_id, inter, jaccard FROM (
+        |  SELECT a_id, b_id,
+        |    CAST(len(list_intersect(da.shingles, db.shingles)) AS INT) AS inter,
+        |    ROUND(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+        |      / (len(da.shingles) + len(db.shingles) - len(list_intersect(da.shingles, db.shingles))), 4) AS jaccard
+        |  FROM cand JOIN d da ON cand.a_id = da.doc_id
+        |  JOIN d db ON cand.b_id = db.doc_id) t
+        |WHERE jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_embed" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
         |             list_sum([a * a FOR a IN CAST(embedding AS DOUBLE[])]) AS nrm
-        |           FROM embeddings)
+        |           FROM embeddings),
+        |${operators.Hyperplanes.sqlBandKeysCte},
+        |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        |         FROM keys x JOIN keys y ON x.band = y.band AND x.bkey = y.bkey
+        |           AND x.vec_id < y.vec_id)
         |SELECT a_id, b_id, cosine FROM (
-        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
-        |    ROUND(list_sum([x.v[i] * y.v[i] FOR i IN generate_series(1, len(x.v))])
-        |      / (sqrt(x.nrm) * sqrt(y.nrm)), 4) AS cosine
-        |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id) t
-        |WHERE cosine >= 0.9 ORDER BY a_id, b_id""".stripMargin,
+        |  SELECT a_id, b_id,
+        |    ROUND(list_sum([ea.v[i] * eb.v[i] FOR i IN generate_series(1, len(ea.v))])
+        |      / (sqrt(ea.nrm) * sqrt(eb.nrm)), 4) + 0 AS cosine
+        |  FROM cand JOIN e ea ON cand.a_id = ea.vec_id
+        |  JOIN e eb ON cand.b_id = eb.vec_id) t
+        |WHERE cosine >= 0.3 ORDER BY a_id, b_id""".stripMargin,
 
     "q_sim_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -360,20 +366,20 @@ object SparkEntry {
         |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "q_sim_ann" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
         |             list_sum([a * a FOR a IN CAST(embedding AS DOUBLE[])]) AS nrm
         |           FROM embeddings),
-        |b AS (SELECT *, CAST((CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
-        |        + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
-        |        + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
-        |        + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS INT) AS bucket
-        |      FROM e),
-        |p AS (SELECT bucket AS probe_bucket, v AS pv, nrm AS pn FROM b WHERE vec_id = 0)
-        |SELECT vec_id, label, bucket,
-        |  ROUND(list_sum([b.v[i] * p.pv[i] FOR i IN generate_series(1, len(b.v))])
-        |    / (sqrt(b.nrm) * sqrt(p.pn)), 4) + 0 AS cosine
-        |FROM b JOIN p ON b.bucket = p.probe_bucket WHERE vec_id <> 0
-        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+        |${operators.Hyperplanes.sqlBandKeysCte},
+        |k4 AS (SELECT * FROM keys WHERE band < 4),
+        |p AS (SELECT band, bkey FROM k4 WHERE vec_id = 0),
+        |cand AS (SELECT DISTINCT k4.vec_id FROM k4 JOIN p USING (band, bkey)
+        |         WHERE k4.vec_id <> 0),
+        |pv AS (SELECT v, nrm FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |  ROUND(list_sum([e.v[i] * pv.v[i] FOR i IN generate_series(1, len(e.v))])
+        |    / (sqrt(e.nrm) * sqrt(pv.nrm)), 4) + 0 AS cosine
+        |FROM cand JOIN e ON cand.vec_id = e.vec_id CROSS JOIN pv
+        |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "q_sim_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

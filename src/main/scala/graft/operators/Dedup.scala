@@ -70,8 +70,17 @@ object Dedup {
           xxhash64((b * bandSize until (b + 1) * bandSize)
             .map(j => col("sig")(j)): _*)
         }: _*)).as(Seq("band_idx", "band_hash")))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
+    // bucket-size guard: a band bucket shared by > 100 docs (near-empty or
+    // boilerplate-dominated texts collapse to identical signatures) would
+    // contribute O(|bucket|²) candidate pairs; skip such buckets — their
+    // members overwhelmingly share OTHER, smaller buckets when genuinely
+    // similar
+    val bucketSizes = bands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bs"))
+    val capped = bands.join(bucketSizes.filter(col("bs") <= 100),
+      Seq("band_idx", "band_hash"))
+    val cand = capped.as("x")
+      .join(capped.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -132,44 +141,73 @@ object Dedup {
     * length-bucket) blocks: shingle-level shuffle join inside blocks only.
     * Fully deterministic and SQL-expressible → real DuckDB oracle.
     */
-  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val sh = shingled(s, dir)
-      .select(col("doc_id"), col("lang"), col("blk"),
-        explode(col("shingles")).as("shingle"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("x")
-      .join(sh.as("y"),
+  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2,
+      hotCap: Int = 25): DataFrame = {
+    val docs = shingled(s, dir)
+    val sh = docs.select(col("doc_id"), col("lang"), col("blk"),
+      explode(col("shingles")).as("shingle"))
+    // hot-shingle guard: a shingle present in > hotCap docs of one block
+    // (boilerplate) would alone produce O(hotCap²) candidate pairs; dropping
+    // it from CANDIDATE GENERATION (not from verification) bounds every
+    // join key's fan-out. Part of the declared semantics — the oracle
+    // applies the same cap.
+    val freq = sh.groupBy("lang", "blk", "shingle")
+      .agg(count(lit(1)).as("df"))
+    val cold = sh.join(freq.filter(col("df") <= hotCap),
+      Seq("lang", "blk", "shingle"))
+    val cand = cold.as("x")
+      .join(cold.as("y"),
         col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
         col("x.shingle") === col("y.shingle") &&
         col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
-      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // verification uses the FULL shingle sets, so the cap only affects which
+    // pairs are examined, never a reported jaccard value
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
-        Norm.r4(col("inter") / (col("na") + col("nb") - col("inter"))))
+        Norm.r4(col("inter") / (size(col("sa")) + size(col("sb")) - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
-  /** Embedding-cosine near-dup within label blocks: pairwise cosine over the
-    * 64-dim vectors, blocked on `label` so the join is equi-keyed (no cross
-    * product). Deterministic double fold → DuckDB-oracled.
+  /** Embedding-cosine near-dup via sign-LSH band blocking ([[Hyperplanes]]:
+    * 8 bands × 8 fixed ±1 hyperplanes): vectors sharing any 8-bit band key
+    * become candidates through a sparse equi-join on (band, key) — random
+    * pairs collide with p ≈ 8·2⁻⁸, so the join NEVER degenerates to a block
+    * cross-product the way label-only blocking does (the label set is
+    * bounded; at 100 TB an O(n²)-within-label join is the classic skew
+    * blowup). Candidates are verified with the exact cosine.
+    *
+    * The banding is part of the declared semantics — the oracle embeds the
+    * same hyperplane literals — so the result is deterministic and fully
+    * SQL-checkable, while recall at a given cosine follows the standard LSH
+    * curve 1-(1-p(θ)⁸)⁸.
     */
-  def embedCosine(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+  def embedCosine(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), _.cast("double")).as("v"))
+    val keys = e.select(col("vec_id"),
+      posexplode(Hyperplanes.bandKeys(col("v"))).as(Seq("band", "bkey")))
+    val cand = keys.as("x")
+      .join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
     val dot = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    e.as("x").join(e.as("y"),
-        col("x.label") === col("y.label") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-        Norm.r4(dot(col("x.v"), col("y.v")) /
-          (sqrt(dot(col("x.v"), col("x.v"))) *
-           sqrt(dot(col("y.v"), col("y.v"))))).as("cosine"))
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        Norm.r4(dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) *
+           sqrt(dot(col("vb"), col("vb"))))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("a_id", "b_id")
   }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Fixed random-hyperplane family for sign-LSH over the 64-dim embedding
+  * column, shared by the Spark operators AND the generated DuckDB oracle SQL
+  * so the banding is part of the declared (deterministic) semantics rather
+  * than an approximation the oracle can't see.
+  *
+  * 64 hyperplanes with ±1 components from a fixed-seed PRNG. Band b uses
+  * hyperplanes [8b, 8b+8): an 8-bit key, 256 buckets per band. Sign-LSH
+  * property: P(sign agrees) = 1 − θ/π per hyperplane, so cosine-similar
+  * pairs collide in some band with high probability while random pairs
+  * (θ≈π/2) match a given band with p ≈ 2⁻⁸ — the equi-join stays sparse at
+  * any scale (no O(n²) block).
+  */
+object Hyperplanes {
+
+  val Dim = 64
+  val NumPlanes = 64
+  val BitsPerBand = 8
+  val NumBands: Int = NumPlanes / BitsPerBand // 8
+
+  /** ±1 matrix [plane][dim], fixed seed → identical in oracle SQL. */
+  val W: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(20240612L)
+    Array.fill(NumPlanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** dot(v, W[h]) as a Column over an array<double> column — a zip_with +
+    * left-fold, matching DuckDB's list_sum fold order exactly.
+    */
+  def planeDot(v: Column, h: Int): Column =
+    aggregate(
+      zip_with(v, typedlit(W(h).toSeq), (x, w) => x * w),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** 8-bit key of band `b` for vector column `v`. */
+  def bandKey(v: Column, b: Int): Column =
+    (0 until BitsPerBand).map { i =>
+      when(planeDot(v, b * BitsPerBand + i) >= 0.0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** array of all band keys (index = band). */
+  def bandKeys(v: Column): Column =
+    array((0 until NumBands).map(b => bandKey(v, b)): _*)
+
+  /** DuckDB CTE fragment `(VALUES (0, [..]), ...) AS w(h, wv)` with the same
+    * matrix, for oracle SQL generation.
+    */
+  def sqlValues: String =
+    W.zipWithIndex.map { case (row, h) =>
+      s"($h, [${row.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString("(VALUES ", ", ", ") AS w(h, wv)")
+
+  /** DuckDB CTEs computing per-vector band keys from a relation
+    * `e(vec_id, label, v, nrm)`; yields `keys(vec_id, band, bkey)`.
+    */
+  def sqlBandKeysCte: String =
+    s"""planes AS (SELECT h, wv FROM ${sqlValues}),
+       |bits AS (SELECT e.vec_id, CAST(planes.h // ${BitsPerBand} AS INT) AS band,
+       |  CASE WHEN list_sum([e.v[i] * planes.wv[i] FOR i IN generate_series(1, ${Dim})]) >= 0
+       |       THEN CAST(1 << (planes.h % ${BitsPerBand}) AS INT) ELSE 0 END AS bit
+       |  FROM e CROSS JOIN planes),
+       |keys AS (SELECT vec_id, band, CAST(SUM(bit) AS INT) AS bkey FROM bits GROUP BY 1, 2)""".stripMargin
+}

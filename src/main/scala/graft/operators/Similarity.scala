@@ -9,9 +9,10 @@ import graft.{Norm, Tables}
   *   - brute-force cosine top-k: one broadcast of the probe row, a single
   *     map-side higher-order-function scan, TakeOrdered for the top-k — the
   *     exact baseline, linear in |embeddings| and embarrassingly parallel;
-  *   - sign-LSH bucketed variant: an 8-bit axis-hyperplane signature
-  *     partitions vectors into 256 buckets; the probe scans only its bucket
-  *     — the 100 TB path (scan shrinks ~256×; recall traded for scale).
+  *   - multi-table sign-LSH variant: 4 independent 8-bit random-hyperplane
+  *     signatures ([[Hyperplanes]]); the probe examines only its 4 buckets
+  *     (~n/64 of the data in expectation) — the 100 TB path, with recall
+  *     lifted by the candidate union across tables.
   */
 object Similarity {
 
@@ -40,24 +41,35 @@ object Similarity {
       .limit(k)
   }
 
-  /** Sign-LSH ANN: bucket = sign bits of the first 8 dimensions
-    * (axis-aligned random-hyperplane LSH; deterministic). Probe joins only
-    * its own bucket via an equi-join on the bucket key, then exact cosine +
-    * top-k within the bucket.
+  /** Multi-table sign-LSH ANN ([[Hyperplanes]]): 4 independent hash tables,
+    * each an 8-bit random-hyperplane signature (256 buckets). A vector is a
+    * candidate if it shares ANY table's bucket with the probe — candidate
+    * union across tables is what lifts recall from one table's ~p⁸ to
+    * 1-(1-p⁸)⁴ while each table's bucket still holds only ~n/256 vectors.
+    * Candidates are ranked by exact cosine, top-k.
+    *
+    * The bucket keys are deterministic (fixed hyperplane literals shared
+    * with the oracle SQL), so the whole query is SQL-checkable. At 100 TB
+    * the same band keys feed a bucketed table layout so the probe-side join
+    * prunes to 4 buckets per table instead of scanning.
     */
-  def annLsh(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val sig: Column = (0 until 8).map { i =>
-      when(element_at(col("v"), i + 1) >= 0.0,
-        lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+  def annLsh(s: SparkSession, dir: String, k: Int = 10, tables: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", sig)
-    val probe = e.filter(col("vec_id") === 0)
-      .select(col("bucket").as("probe_bucket"), col("v").as("probe_v"))
-    e.filter(col("vec_id") =!= 0)
-      .join(broadcast(probe), col("bucket") === col("probe_bucket"))
-      .select(col("vec_id"), col("label"), col("bucket"),
+    val keys = e.select(col("vec_id"),
+      posexplode(array((0 until tables).map(b =>
+        Hyperplanes.bandKey(col("v"), b)): _*)).as(Seq("tbl", "bkey")))
+    val probeKeys = keys.filter(col("vec_id") === 0)
+      .select(col("tbl").as("p_tbl"), col("bkey").as("p_bkey"))
+    val cand = keys.filter(col("vec_id") =!= 0)
+      .join(broadcast(probeKeys),
+        col("tbl") === col("p_tbl") && col("bkey") === col("p_bkey"))
+      .select(col("vec_id")).distinct()
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("probe_v"))
+    cand
+      .join(e, "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
         Norm.r4(cosine(col("v"), col("probe_v"))).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)

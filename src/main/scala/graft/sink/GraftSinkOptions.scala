@@ -27,10 +27,22 @@ final case class GraftSinkOptions(
     partitionColumns: Seq[String],
     batchSize: Int,
     txnPerBatch: Int,
-    autoCreatePartitions: Boolean) {
+    autoCreatePartitions: Boolean,
+    principal: Option[String] = None,
+    keytab: Option[String] = None) {
 
   /** Table root directory: `<path>/<db>.<table>` */
   def tableDir: String = s"$path/$db.$table"
+
+  /** Kerberos UGI when principal/keytab are configured (reference
+    * `HiveOptions.scala:61-75` + `HiveWriter.scala:46-54` wrap writer
+    * creation in `ugi.doAs`). Created lazily on the executor — UGI is not
+    * serializable; the login only happens where the filesystem is touched.
+    */
+  def ugi(): Option[org.apache.hadoop.security.UserGroupInformation] =
+    for (p <- principal; k <- keytab) yield
+      org.apache.hadoop.security.UserGroupInformation
+        .loginUserFromKeytabAndReturnUGI(p, k)
 }
 
 object GraftSinkOptions {
@@ -41,6 +53,8 @@ object GraftSinkOptions {
   val BATCH_SIZE = "batch.size"
   val TXN_PER_BATCH = "txn.per.batch"
   val AUTO_CREATE_PARTITIONS = "auto.create.partitions"
+  val PRINCIPAL = "principal"
+  val KEYTAB = "keytab"
 
   /** Parse + validate, with the reference's required-option error behavior
     * (`HiveOptions.scala:90-103` throws IllegalArgumentException listing the
@@ -66,6 +80,22 @@ object GraftSinkOptions {
     val partCols = Option(options.get(PARTITION_COLUMNS))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    val principal = Option(options.get(PRINCIPAL)).filter(_.nonEmpty)
+    val keytab = Option(options.get(KEYTAB)).filter(_.nonEmpty)
+    // reference behavior (HiveOptions.scala:61-75): both-or-neither, and the
+    // keytab file must exist and be readable at stream start
+    (principal, keytab) match {
+      case (Some(_), None) | (None, Some(_)) =>
+        throw new IllegalArgumentException(
+          s"Options '$PRINCIPAL' and '$KEYTAB' must be provided together")
+      case (Some(_), Some(k)) =>
+        val f = new java.io.File(k)
+        if (!f.exists() || !f.canRead) {
+          throw new IllegalArgumentException(
+            s"Keytab file '$k' does not exist or is not readable")
+        }
+      case _ =>
+    }
     GraftSinkOptions(
       path = required(PATH),
       db = required(DB),
@@ -73,6 +103,8 @@ object GraftSinkOptions {
       partitionColumns = partCols,
       batchSize = positiveInt(BATCH_SIZE, 10000),
       txnPerBatch = positiveInt(TXN_PER_BATCH, 100),
-      autoCreatePartitions = options.getBoolean(AUTO_CREATE_PARTITIONS, true))
+      autoCreatePartitions = options.getBoolean(AUTO_CREATE_PARTITIONS, true),
+      principal = principal,
+      keytab = keytab)
   }
 }

@@ -97,6 +97,12 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("batched decoder path agrees with the expression decode pipeline") {
+    val expr = graft.operators.Multimodal.decodePipeline(spark, sf0001).collect()
+    val batched = graft.operators.Multimodal.decodeBatched(spark, sf0001).collect()
+    assert(expr.toSeq === batched.toSeq)
+  }
+
   test("brute-force cosine top-k dominates the ANN shortlist (recall sanity)") {
     val exact = Similarity.cosineTopK(spark, sf0001, k = 20)
       .select("vec_id", "cosine").collect()

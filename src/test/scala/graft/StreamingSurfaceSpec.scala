@@ -104,6 +104,36 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(rows === Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
   }
 
+  test("socket source scan e2e (reference HiveStreamingExample.scala:63-66)") {
+    import spark.implicits._
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      (1 to 5).foreach(i => out.println(s"$i,msg$i"))
+      // keep the socket open long enough for the micro-batch to drain
+      Thread.sleep(8000)
+      out.close(); sock.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", port).load()
+      .as[String]
+      .map { line => val p = line.split(","); (p(0).toInt, p(1)) }
+      .toDF("id", "msg")
+      .writeStream.format("memory").queryName("socket_out").start()
+    val deadline = System.currentTimeMillis() + 15000
+    while (spark.table("socket_out").count() < 5 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(300)
+    q.stop()
+    server.close()
+    val rows = spark.table("socket_out").as[(Int, String)].collect().sortBy(_._1)
+    assert(rows.length === 5)
+    assert(rows.head === ((1, "msg1")))
+  }
+
   test("socket-style typed map/parse pipeline shape (reference example parity)") {
     // HiveStreamingExample.scala:67-74 parses "id,msg" lines with a typed
     // map + arity assert; same pipeline over a memory stream

@@ -43,6 +43,26 @@ class GraftSinkSpec extends SparkSpec {
     assert(e2.getMessage.contains("batch.size"))
   }
 
+  test("A12 kerberos options: principal without keytab, unreadable keytab rejected") {
+    val base = Map("path" -> "/x", "db" -> "d", "table" -> "t")
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSinkOptions.from(new CaseInsensitiveStringMap(
+        (base + ("principal" -> "svc@REALM")).asJava))
+    }
+    assert(e1.getMessage.contains("together"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSinkOptions.from(new CaseInsensitiveStringMap(
+        (base + ("principal" -> "svc@REALM",
+          "keytab" -> "/nonexistent/svc.keytab")).asJava))
+    }
+    assert(e2.getMessage.contains("keytab") || e2.getMessage.contains("Keytab"))
+    // a readable keytab file parses cleanly (no KDC contact at parse time)
+    val kt = java.nio.file.Files.createTempFile("svc", ".keytab")
+    val ok = GraftSinkOptions.from(new CaseInsensitiveStringMap(
+      (base + ("principal" -> "svc@REALM", "keytab" -> kt.toString)).asJava))
+    assert(ok.principal.contains("svc@REALM"))
+  }
+
   test("streaming e2e: memory stream rows land once, readable via manifests") {
     import spark.implicits._
     val dir = tmp()

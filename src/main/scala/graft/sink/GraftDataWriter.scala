@@ -65,6 +65,17 @@ final class GraftDataWriter(
     case None => tablePath.getFileSystem(conf)
   }
 
+  /** Data files go through the raw filesystem when `fs` layers client-side
+    * checksums (local fs): ChecksumFileSystem's output stream never
+    * propagates flush(), so the keep-alive heartbeat could not make bytes
+    * visible mid-epoch. On HDFS/S3A `fs` is already raw (server-side
+    * integrity) and this is an identity.
+    */
+  private lazy val dataFs: FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
   /** One open segment per partition spec (reference's per-task writer map,
     * `HiveStreamDataWriter.scala:44,82-94`).
     */
@@ -88,7 +99,7 @@ final class GraftDataWriter(
       // reused ids; visibility is governed by the manifest, not the name
       file = new Path(dir,
         f"part-e$epochId-p$partitionId%05d-t$taskId-$uid-$seq%04d.jsonl")
-      out = fs.create(file, false)
+      out = dataFs.create(file, false)
       seq += 1
       flushes = 0
       files += file.toString
@@ -138,7 +149,36 @@ final class GraftDataWriter(
     }
   }
 
-  override def write(row: InternalRow): Unit = {
+  /** A11 keep-alive analogue (reference `HiveStreamDataWriter.scala:54-61`:
+    * a per-task side thread heartbeats the open Hive transaction every 10 s
+    * so it cannot expire mid-epoch). Here the liveness concern is buffered
+    * bytes during a long epoch — the heartbeat pushes the row buffer and
+    * hflushes the stream so progress is durable/observable without waiting
+    * for the epoch commit. Off by default (`keepalive.interval.ms` = 0):
+    * epoch-scoped durability does not need it.
+    */
+  private val heartbeat =
+    if (opts.keepaliveIntervalMs <= 0) None
+    else {
+      val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-sink-keepalive"); t.setDaemon(true); t
+        })
+      ex.scheduleWithFixedDelay(() => try {
+        GraftDataWriter.this.synchronized {
+          segments.values.foreach { seg =>
+            if (seg.out != null) { seg.flush(); seg.out.hflush() }
+          }
+        }
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[graft-sink] keepalive flush failed: $t")
+      }, opts.keepaliveIntervalMs, opts.keepaliveIntervalMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      Some(ex)
+    }
+
+  override def write(row: InternalRow): Unit = synchronized {
     val dir = partDirFor(row)
     segments.getOrElseUpdate(dir, new Segment(dir)).write(row)
     rowCount += 1
@@ -148,7 +188,8 @@ final class GraftDataWriter(
     * (reference `HiveStreamDataWriter.scala:117-127` commits all in-use
     * writers and emits its commit message).
     */
-  override def commit(): WriterCommitMessage = {
+  override def commit(): WriterCommitMessage = synchronized {
+    heartbeat.foreach(_.shutdown())
     segments.values.foreach(_.close())
     GraftCommitMessage(files.toSeq, rowCount)
   }
@@ -156,12 +197,13 @@ final class GraftDataWriter(
   /** Task abort: close and delete everything this task wrote (reference
     * `HiveStreamDataWriter.scala:108-115` aborts open transactions).
     */
-  override def abort(): Unit = {
+  override def abort(): Unit = synchronized {
+    heartbeat.foreach(_.shutdown())
     segments.values.foreach { s =>
       try { if (s.out != null) s.out.close() } catch { case _: Throwable => }
     }
-    files.foreach(p => try fs.delete(new Path(p), false) catch { case _: Throwable => })
+    files.foreach(p => try dataFs.delete(new Path(p), false) catch { case _: Throwable => })
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = heartbeat.foreach(_.shutdown())
 }

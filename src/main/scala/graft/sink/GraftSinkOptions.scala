@@ -29,7 +29,8 @@ final case class GraftSinkOptions(
     txnPerBatch: Int,
     autoCreatePartitions: Boolean,
     principal: Option[String] = None,
-    keytab: Option[String] = None) {
+    keytab: Option[String] = None,
+    keepaliveIntervalMs: Long = 0L) {
 
   /** Table root directory: `<path>/<db>.<table>` */
   def tableDir: String = s"$path/$db.$table"
@@ -55,6 +56,7 @@ object GraftSinkOptions {
   val AUTO_CREATE_PARTITIONS = "auto.create.partitions"
   val PRINCIPAL = "principal"
   val KEYTAB = "keytab"
+  val KEEPALIVE_INTERVAL_MS = "keepalive.interval.ms"
 
   /** Parse + validate, with the reference's required-option error behavior
     * (`HiveOptions.scala:90-103` throws IllegalArgumentException listing the
@@ -105,6 +107,7 @@ object GraftSinkOptions {
       txnPerBatch = positiveInt(TXN_PER_BATCH, 100),
       autoCreatePartitions = options.getBoolean(AUTO_CREATE_PARTITIONS, true),
       principal = principal,
-      keytab = keytab)
+      keytab = keytab,
+      keepaliveIntervalMs = options.getLong(KEEPALIVE_INTERVAL_MS, 0L))
   }
 }

@@ -149,6 +149,37 @@ class GraftSinkSpec extends SparkSpec {
     assert(leftover.isEmpty, s"replay files not cleaned: $leftover")
   }
 
+  test("A11 keep-alive: heartbeat flushes buffered rows before any commit") {
+    val dir = tmp()
+    val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(
+      opts(dir, "batch.size" -> "1000000",
+        "keepalive.interval.ms" -> "100").asJava))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("msg", StringType)))
+    val w = new GraftDataWriter(schema, o,
+      spark.sparkContext.hadoopConfiguration, 0, 1L, 1L)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+    // enough bytes to clear the local filesystem's checksum-chunk buffering
+    (1 to 500).foreach { i =>
+      w.write(proj(org.apache.spark.sql.catalyst.InternalRow(
+        i, org.apache.spark.unsafe.types.UTF8String.fromString(s"msg-$i-" + "x" * 50))))
+    }
+    // batch.size is far away — only the heartbeat can have flushed
+    val deadline = System.currentTimeMillis() + 5000
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visibleBytes(): Long = {
+      val d = new org.apache.hadoop.fs.Path(s"$dir/testdb.t")
+      if (!fs.exists(d)) 0L
+      else fs.listStatus(d).filter(_.getPath.getName.startsWith("part-"))
+        .map(_.getLen).sum
+    }
+    while (visibleBytes() == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(visibleBytes() > 0, "heartbeat should have flushed buffered rows")
+    w.commit()
+  }
+
   test("A2 schema validation: name-set mismatch on restart is rejected") {
     import spark.implicits._
     val dir = tmp()
@@ -213,6 +244,30 @@ class GraftSinkSpec extends SparkSpec {
     val out = CommitLog.readCommitted(spark, s"$dir/testdb.t")
     assert(out.count() > 0, "rate source rows should have been committed")
     assert(out.columns.toSet === Set("value", "ts"))
+  }
+
+  test("rate-source e2e under continuous trigger (reference README.md:9)") {
+    val dir = tmp()
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+      .selectExpr("value", "CAST(timestamp AS STRING) AS ts")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir))
+      .trigger(Trigger.Continuous(500))
+      .option("checkpointLocation", s"$dir/_cp")
+      .start()
+    val deadline = System.currentTimeMillis() + 20000
+    var rows = 0L
+    while (rows == 0 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      rows = new CommitLog(s"$dir/testdb.t",
+        spark.sparkContext.hadoopConfiguration).committedFiles().size.toLong
+    }
+    q.stop()
+    val out = CommitLog.readCommitted(spark, s"$dir/testdb.t")
+    assert(out.count() > 0, "continuous mode should have committed rows")
+    // exactly-once within committed epochs: values unique
+    assert(out.select("value").distinct().count() === out.count())
   }
 
   test("batch write path: df.write lands rows through the same commit log") {

@@ -1,0 +1,22 @@
+package graft
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val interesting = Seq("q_scan_project", "q_filter", "q_agg_hash",
+      "q_join_broadcast", "q_join_inner", "q_sort_limit", "q_sim_cosine",
+      "q_dedup_embed", "q_topk_pergroup")
+    interesting.foreach { name =>
+      println(s"########## $name")
+      val df = SparkEntry.queries(name)(spark, dir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -82,7 +82,12 @@ final class GraftDataWriter(
   private final class Segment(partDir: String) {
     var file: Path = _
     var out: FSDataOutputStream = _
-    val buf = new StringBuilder(1 << 16)
+    // 64 KiB row buffers are recycled across tasks/epochs through the
+    // executor-singleton pool — the reference's writer-reuse pattern
+    // (CachedHiveWriters) applied to the resource that is actually
+    // long-lived here (the per-epoch files themselves must close at commit)
+    val buf: StringBuilder = GraftDataWriter.bufferPool.getOrCreate(GraftDataWriter.BufKey)
+    private var recycled = false
     var rowsInBuf = 0
     var flushes = 0
     var seq = 0
@@ -125,7 +130,15 @@ final class GraftDataWriter(
     // empty files when the batch ends exactly on a rotation boundary
     def rotate(): Unit = { out.close(); out = null }
 
-    def close(): Unit = { flush(); if (out != null) { out.close(); out = null } }
+    def close(): Unit = {
+      flush()
+      if (out != null) { out.close(); out = null }
+      if (!recycled) {
+        recycled = true
+        buf.clear()
+        GraftDataWriter.bufferPool.recycle(GraftDataWriter.BufKey, buf)
+      }
+    }
   }
 
   private val segments = mutable.HashMap.empty[String, Segment]
@@ -205,5 +218,20 @@ final class GraftDataWriter(
     files.foreach(p => try dataFs.delete(new Path(p), false) catch { case _: Throwable => })
   }
 
-  override def close(): Unit = heartbeat.foreach(_.shutdown())
+  override def close(): Unit = synchronized {
+    heartbeat.foreach(_.shutdown())
+    segments.values.foreach(_.close())
+  }
+}
+
+object GraftDataWriter {
+  private[sink] val BufKey = "row-buffer"
+
+  /** Executor-singleton pool of row buffers, expiring idle entries after
+    * 10 minutes — the reference's `CachedHiveWriters` lifecycle
+    * (getOrCreate/recycle/timed sweep/shutdown hook) on the JVM-long-lived
+    * resource of this sink.
+    */
+  private[sink] val bufferPool =
+    new WriterPool[String, StringBuilder](_ => new StringBuilder(1 << 16), _ => ())
 }

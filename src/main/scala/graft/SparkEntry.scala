@@ -286,7 +286,7 @@ object SparkEntry {
 
     "q_stream_tumbling" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
-        |  COUNT(1) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |  COUNT(1) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
 
     "q_stream_sliding" ->
@@ -303,7 +303,7 @@ object SparkEntry {
         |g AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
         |SELECT user_id, session_id, COUNT(1) AS n_events, MIN(ts_ms) AS session_start_ms,
-        |  MAX(ts_ms) AS session_end_ms, ROUND(SUM(value), 2) AS sum_value
+        |  MAX(ts_ms) AS session_end_ms, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
     "q_partition_route" ->

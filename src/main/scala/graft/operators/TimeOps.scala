@@ -23,7 +23,10 @@ object TimeOps {
   def tumbling(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), Norm.r2(sum("value")).as("sum_value"))
+      // decimal accumulation: double SUM order differs between engines'
+      // partial aggregates; values carry exactly 2 decimals so the decimal
+      // sum is exact and order-independent
+      .agg(count(lit(1)).as("cnt"), Norm.dsum2(col("value")).as("sum_value"))
       .select(Norm.ms(col("w.start")).as("window_start_ms"), col("event_type"),
         col("cnt"), col("sum_value"))
       .orderBy("window_start_ms", "event_type")
@@ -59,7 +62,7 @@ object TimeOps {
       .agg(count(lit(1)).as("n_events"),
         min("ts_ms").as("session_start_ms"),
         max("ts_ms").as("session_end_ms"),
-        Norm.r2(sum("value")).as("sum_value"))
+        Norm.dsum2(col("value")).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
 

@@ -43,7 +43,7 @@ final class GraftDataWriter(
     partitionId: Int,
     taskId: Long,
     epochId: Long)
-  extends DataWriter[InternalRow] {
+  extends DataWriter[InternalRow] with org.apache.spark.internal.Logging {
 
   private val partIdx: Array[Int] = opts.partitionColumns.map { c =>
     val i = schema.fieldIndex(c)
@@ -184,8 +184,7 @@ final class GraftDataWriter(
           }
         }
       } catch {
-        case t: Throwable =>
-          System.err.println(s"[graft-sink] keepalive flush failed: $t")
+        case t: Throwable => logWarning("keep-alive flush failed", t)
       }, opts.keepaliveIntervalMs, opts.keepaliveIntervalMs,
         java.util.concurrent.TimeUnit.MILLISECONDS)
       Some(ex)
@@ -204,6 +203,8 @@ final class GraftDataWriter(
   override def commit(): WriterCommitMessage = synchronized {
     heartbeat.foreach(_.shutdown())
     segments.values.foreach(_.close())
+    logInfo(s"task commit: epoch=$epochId partition=$partitionId " +
+      s"rows=$rowCount files=${files.size}")
     GraftCommitMessage(files.toSeq, rowCount)
   }
 

@@ -151,9 +151,9 @@ final class GraftSinkTable(writeSchema: StructType, opts: GraftSinkOptions)
   * negative pseudo-epoch (single commit).
   */
 final class GraftWrite(schema: StructType, opts: GraftSinkOptions, conf: Configuration)
-  extends Write with Serializable {
+  extends Write with Serializable with org.apache.spark.internal.Logging {
 
-  private def log = new CommitLog(opts.tableDir, conf)
+  private def commitLog = new CommitLog(opts.tableDir, conf)
 
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(
@@ -167,12 +167,16 @@ final class GraftWrite(schema: StructType, opts: GraftSinkOptions, conf: Configu
       */
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
-      if (!log.commit(epochId, files)) log.deleteFiles(files)
+      if (!commitLog.commit(epochId, files)) {
+        logWarning(s"epoch $epochId already committed (replay); " +
+          s"discarding ${files.size} replayed files")
+        commitLog.deleteFiles(files)
+      }
     }
 
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
-      log.deleteFiles(files)
+      commitLog.deleteFiles(files)
     }
   }
 
@@ -183,12 +187,12 @@ final class GraftWrite(schema: StructType, opts: GraftSinkOptions, conf: Configu
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
-      val epoch = -1L - log.committedEpochs().count(_ <= -1L)
-      log.commit(epoch, files)
+      val epoch = -1L - commitLog.committedEpochs().count(_ <= -1L)
+      commitLog.commit(epoch, files)
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
-      log.deleteFiles(files)
+      commitLog.deleteFiles(files)
     }
   }
 }

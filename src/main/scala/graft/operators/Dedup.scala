@@ -64,6 +64,9 @@ object Dedup {
     // joins (see ngramJaccard for the rationale)
     val base = shingled(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 32 independent seeded hashes per shingle: a two-hash h1+i·h2 shortcut
+    // was tried and REVERTED — the derived family correlates the per-band
+    // minima enough to miss j≥0.9 pairs the recall property requires
     val sigCols: Column = array((0 until numHashes).map { i =>
       array_min(transform(col("shingles"), sh => xxhash64(lit(i), sh)))
     }: _*)
@@ -209,14 +212,18 @@ object Dedup {
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    val dot = Hyperplanes.dot64 _
+    // norms once per vector, not once per candidate pair (the oracle's CTE
+    // does the same)
+    val en = e.select(col("vec_id"), col("v"),
+      Hyperplanes.dot64(col("v"), col("v")).as("nrm"))
     cand
-      .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
-      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      .join(en.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("nrm").as("na")), "a_id")
+      .join(en.select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("nrm").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        Norm.r4(dot(col("va"), col("vb")) /
-          (sqrt(dot(col("va"), col("va"))) *
-           sqrt(dot(col("vb"), col("vb"))))).as("cosine"))
+        Norm.r4(Hyperplanes.dot64(col("va"), col("vb")) /
+          (sqrt(col("na")) * sqrt(col("nb")))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("a_id", "b_id")
   }

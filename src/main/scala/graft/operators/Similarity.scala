@@ -30,12 +30,14 @@ object Similarity {
   def cosineTopK(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
     val probe = e.filter(col("vec_id") === 0)
-      .select(col("v").as("probe_v"))
+      .select(col("v").as("probe_v"), col("nrm").as("probe_nrm"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("label"),
-        Norm.r4(cosine(col("v"), col("probe_v"))).as("cosine"))
+        Norm.r4(dot(col("v"), col("probe_v")) /
+          (sqrt(col("nrm")) * sqrt(col("probe_nrm")))).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -64,12 +66,15 @@ object Similarity {
       .join(broadcast(probeKeys),
         col("tbl") === col("p_tbl") && col("bkey") === col("p_bkey"))
       .select(col("vec_id")).distinct()
-    val probe = e.filter(col("vec_id") === 0).select(col("v").as("probe_v"))
+    val en = e.withColumn("nrm", dot(col("v"), col("v")))
+    val probe = en.filter(col("vec_id") === 0)
+      .select(col("v").as("probe_v"), col("nrm").as("probe_nrm"))
     cand
-      .join(e, "vec_id")
+      .join(en, "vec_id")
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("label"),
-        Norm.r4(cosine(col("v"), col("probe_v"))).as("cosine"))
+        Norm.r4(dot(col("v"), col("probe_v")) /
+          (sqrt(col("nrm")) * sqrt(col("probe_nrm")))).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }

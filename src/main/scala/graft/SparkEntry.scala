@@ -73,6 +73,7 @@ object SparkEntry {
     // similarity search
     "q_sim_cosine"     -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q_sim_ann"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "q_sim_ivf"        -> ((s: SparkSession, d: String) => Similarity.ivf(s, d)),
     "q_sim_centroids"  -> (Similarity.centroids _),
     // text analysis
     "q_text_analysis"  -> (Text.wordCount _),

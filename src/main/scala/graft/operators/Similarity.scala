@@ -79,6 +79,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
+    * centroid, then search only the probe's `nprobe` nearest inverted lists
+    * with exact cosine — the classic two-level index (centroids here are
+    * the per-label means from [[centroids]]; at 100 TB they come from a
+    * k-means job and the assignment feeds a bucketed table layout, so a
+    * probe reads `nprobe` buckets instead of the corpus).
+    *
+    * Assignment compares FP distances, which is not oracle-stable across
+    * engines → rows-only driver check; the ScalaTest suite asserts recall
+    * against brute-force top-k.
+    */
+  def ivf(s: SparkSession, dir: String, k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    // centroid table: one 64-dim mean vector per label (the coarse codebook)
+    val cents = e
+      .select(col("label").as("c_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("c_id", "dim").agg(avg("x").as("c"))
+      .groupBy("c_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("c_id"), transform(col("pairs"), p => p("c")).as("cv"))
+      .withColumn("c_nrm", dot(col("cv"), col("cv")))
+    // assign: nearest centroid by cosine (broadcast codebook — it is tiny
+    // by construction; k-means codebooks are ≤ a few thousand entries)
+    val simToC = dot(col("v"), col("cv")) /
+      (sqrt(col("nrm")) * sqrt(col("c_nrm")))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", simToC)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("c_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("c_id").as("list_id"))
+    // probe: its nprobe nearest centroids select the inverted lists to scan
+    val probeLists = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nrm").as("pn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("pv"), col("cv")) /
+        (sqrt(col("pn")) * sqrt(col("c_nrm"))))
+      .orderBy(col("csim").desc, col("c_id").asc)
+      .limit(nprobe)
+      .select(col("c_id").as("list_id"), col("pv"), col("pn"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probeLists), "list_id")
+      .select(col("vec_id"), col("label"), col("list_id"),
+        Norm.r4(dot(col("v"), col("pv")) /
+          (sqrt(col("nrm")) * sqrt(col("pn")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Per-label centroid then distance-to-centroid ranking — the IVF
     * building block (coarse quantizer = label here; at scale, a k-means
     * assignment column). Elementwise array average via posexplode +

@@ -103,6 +103,17 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(expr.toSeq === batched.toSeq)
   }
 
+  test("IVF ANN recall: top-10 overlaps brute-force top-10 substantially") {
+    val exact = Similarity.cosineTopK(spark, sf0001, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivf(spark, sf0001, k = 10, nprobe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // nprobe=3 of 10 lists; random 64-dim data gives weak cluster structure,
+    // so demand a floor, not equality
+    val overlap = (exact & ivf).size
+    assert(overlap >= 3, s"IVF recall too low: $overlap/10 (exact=$exact ivf=$ivf)")
+  }
+
   test("brute-force cosine top-k dominates the ANN shortlist (recall sanity)") {
     val exact = Similarity.cosineTopK(spark, sf0001, k = 20)
       .select("vec_id", "cosine").collect()

@@ -180,6 +180,32 @@ class GraftSinkSpec extends SparkSpec {
     w.commit()
   }
 
+  test("A9 abort: epoch abort deletes staged files, nothing becomes visible") {
+    val dir = tmp()
+    val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("msg", StringType)))
+    val write = new GraftWrite(schema, o, spark.sparkContext.hadoopConfiguration)
+    val sw = write.toStreaming
+    val factory = sw.createStreamingWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    })
+    val w = factory.createWriter(0, 1L, 3L)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+    (1 to 10).foreach { i =>
+      w.write(proj(org.apache.spark.sql.catalyst.InternalRow(
+        i, org.apache.spark.unsafe.types.UTF8String.fromString(s"m$i"))))
+    }
+    val msg = w.commit()
+    sw.abort(3L, Array(msg))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = msg.asInstanceOf[GraftCommitMessage].files
+      .filter(f => fs.exists(new org.apache.hadoop.fs.Path(f)))
+    assert(leftover.isEmpty, s"aborted files not cleaned: $leftover")
+    assert(CommitLog.readCommitted(spark, s"$dir/testdb.t").count() === 0)
+  }
+
   test("A2 schema validation: name-set mismatch on restart is rejected") {
     import spark.implicits._
     val dir = tmp()

@@ -98,14 +98,25 @@ object CommitLog {
   private val ManifestName = "epoch-(-?\\d+)\\.manifest".r
 
   /** Read the committed rows of a graft-streaming table back as one JSON-lines
-    * DataFrame (visibility strictly through manifests).
+    * DataFrame (visibility strictly through manifests). Partition columns —
+    * routed into `col=value/` directory names at write time, Hive-style —
+    * are restored from the file paths.
     */
   def readCommitted(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
     val log = new CommitLog(tableDir, spark.sparkContext.hadoopConfiguration)
     val files = log.committedFiles()
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.json(files: _*)
+    if (files.isEmpty) return spark.emptyDataFrame
+    // partition column names from the directory structure (k=v segments)
+    val partCols = files.flatMap { f =>
+      f.split('/').dropRight(1).filter(_.contains('='))
+        .map(_.split("=", 2)(0))
+    }.distinct
+    val base = spark.read.json(files: _*)
+    partCols.foldLeft(base) { (df, c) =>
+      df.withColumn(c, regexp_extract(input_file_name(), s"/$c=([^/]+)/", 1))
+    }
   }
 }

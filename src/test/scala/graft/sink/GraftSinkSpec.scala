@@ -103,9 +103,12 @@ class GraftSinkSpec extends SparkSpec {
     assert(files.nonEmpty)
     assert(files.forall(f => f.contains("region=EU") || f.contains("region=US")))
     val out = CommitLog.readCommitted(spark, s"$dir/testdb.t")
-    // partition columns are routed to the path, not duplicated in the JSON
-    assert(out.columns.toSet === Set("id", "msg"))
+    // partition columns are routed to the path, then restored on read
+    assert(out.columns.toSet === Set("id", "msg", "region"))
     assert(out.count() === 100)
+    import spark.implicits._
+    assert(out.filter($"region" === "EU").count() === 50)
+    assert(out.filter($"region" === "US").count() === 50)
   }
 
   test("A8 exactly-once: replayed epoch commit publishes no duplicates") {

@@ -1,0 +1,158 @@
+package graft.sink
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Batch read path for a graft-streaming table:
+  * `spark.read.format("graft-streaming").options(path/db/table).load()`.
+  *
+  * Visibility is resolved strictly through the epoch manifests
+  * ([[CommitLog]]) — uncommitted / aborted / zombie-task files are never
+  * read, the same guarantee a reference user gets from Hive only showing
+  * committed transactions. One input partition per committed file (file
+  * size is already bounded by the writer's rotation policy). Column pruning
+  * is pushed into the parse: only requested fields are decoded, and
+  * partition columns are served from the directory path without touching
+  * file bytes.
+  */
+final class GraftScanBuilder(tableSchema: StructType, opts: GraftSinkOptions)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve our field metadata/order; keep only requested names
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(tableSchema.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = new GraftScan(tableSchema, required, opts)
+}
+
+final class GraftScan(
+    tableSchema: StructType,
+    requiredSchema: StructType,
+    opts: GraftSinkOptions)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val files = new CommitLog(opts.tableDir, conf).committedFiles()
+    files.map { f =>
+      // partition values from the Hive-style col=value path segments
+      val parts = f.split('/').dropRight(1).filter(_.contains('='))
+        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+      GraftInputPartition(f, parts): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(requiredSchema,
+      new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration))
+}
+
+final case class GraftInputPartition(
+    file: String, partitionValues: Map[String, String]) extends InputPartition
+
+final case class GraftReaderFactory(
+    requiredSchema: StructType, conf: SerializableHadoopConf)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p, requiredSchema, conf)
+  }
+}
+
+final class GraftPartitionReader(
+    partition: GraftInputPartition, requiredSchema: StructType,
+    conf: SerializableHadoopConf)
+  extends PartitionReader[InternalRow] {
+
+  // fields served from the path (partition columns) vs the file bytes
+  private val partOrdinals: Seq[(Int, Any)] =
+    requiredSchema.fields.zipWithIndex.flatMap { case (f, i) =>
+      partition.partitionValues.get(f.name)
+        .map(v => i -> GraftPartitionReader.fromPathString(v, f.dataType))
+    }.toSeq
+  private val fileSchema = StructType(requiredSchema.fields
+    .filterNot(f => partition.partitionValues.contains(f.name)))
+  private val fileOrdinals: Array[Int] = requiredSchema.fields.zipWithIndex
+    .filterNot { case (f, _) => partition.partitionValues.contains(f.name) }
+    .map(_._2)
+  private val decoder = new JsonRowDecoder(fileSchema)
+
+  private val path = new Path(partition.file)
+  private val in = {
+    val fs = path.getFileSystem(conf.value)
+    new BufferedReader(new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val line = in.readLine()
+    if (line == null || line.isEmpty) { current = null; false }
+    else {
+      val fileRow = decoder.decode(line)
+      val values = new Array[Any](requiredSchema.length)
+      var i = 0
+      while (i < fileOrdinals.length) {
+        values(fileOrdinals(i)) =
+          if (fileRow.isNullAt(i)) null
+          else fileRow.get(i, fileSchema.fields(i).dataType)
+        i += 1
+      }
+      partOrdinals.foreach { case (ord, v) => values(ord) = v }
+      current = new GenericInternalRow(values)
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = in.close()
+}
+
+object GraftPartitionReader {
+  /** Inverse of [[JsonRowEncoder.partitionString]] for supported types. */
+  def fromPathString(v: String, dt: DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (v == "__NULL__") null
+    else dt match {
+      case StringType => UTF8String.fromString(unsanitize(v))
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case BooleanType => v.toBoolean
+      case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"Partition column type $other is not supported")
+    }
+  }
+
+  private def unsanitize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -109,14 +109,26 @@ object SchemaRegistry {
 }
 
 final class GraftSinkTable(writeSchema: StructType, opts: GraftSinkOptions)
-  extends Table with SupportsWrite {
+  extends Table with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = s"graft-streaming:${opts.db}.${opts.table}"
 
   override def schema(): StructType = writeSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): GraftScanBuilder = {
+    val tableSchema =
+      if (writeSchema.nonEmpty) writeSchema
+      else SchemaRegistry.load(opts).getOrElse(throw new IllegalStateException(
+        s"Table ${opts.db}.${opts.table} has no recorded schema — nothing " +
+          "has been written to it yet"))
+    new GraftScanBuilder(tableSchema, opts)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val schema = info.schema()

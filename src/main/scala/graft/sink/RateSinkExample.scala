@@ -41,7 +41,10 @@ object RateSinkExample {
     Thread.sleep(runSecs * 1000L)
     query.stop()
 
-    val out = CommitLog.readCommitted(spark, s"$dir/demo.rates")
+    // read back through the DSv2 read path (manifest-gated visibility)
+    val out = spark.read.format("graft-streaming")
+      .option("path", dir).option("db", "demo").option("table", "rates")
+      .load()
     val n = out.count()
     val epochs = new CommitLog(s"$dir/demo.rates",
       spark.sparkContext.hadoopConfiguration).committedEpochs()

@@ -183,6 +183,34 @@ class GraftSinkSpec extends SparkSpec {
     w.commit()
   }
 
+  test("read path: spark.read.format(graft-streaming) round-trips with pruning") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS()
+      .map(i => (i, if (i % 2 == 0) "EU" else "US", s"m$i"))
+      .toDF("id", "region", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir, "partition.columns" -> "region"))
+      .option("checkpointLocation", s"$dir/_cp")
+      .start()
+    in.addData(1 to 100: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val table = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(table.columns.sorted.toSeq === Seq("id", "msg", "region"))
+    assert(table.count() === 100)
+    assert(table.filter($"region" === "EU").count() === 50)
+    val got = table.select($"id", $"msg").as[(Int, String)].collect().sortBy(_._1)
+    assert(got.take(3).toSeq === Seq((1, "m1"), (2, "m2"), (3, "m3")))
+    // pruned read: only requested columns in the scan schema
+    val pruned = table.select("id")
+    assert(pruned.queryExecution.executedPlan.toString.contains("id"))
+    assert(pruned.as[Long].collect().sorted.toSeq === (1L to 100L))
+  }
+
   test("A9 abort: epoch abort deletes staged files, nothing becomes visible") {
     val dir = tmp()
     val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))

@@ -28,24 +28,24 @@ object Hyperplanes {
     Array.fill(NumPlanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** dot(v, W[h]) as a zip_with + left-fold, matching DuckDB's list_sum
-    * fold order exactly so the sign bits agree bit-for-bit with the oracle.
+  /** dot(v, W[h]) with the left-fold accumulation order of DuckDB's
+    * list_sum, so the sign bits agree bit-for-bit with the oracle.
     *
-    * Deliberately a higher-order function, NOT an unrolled 64-term
-    * element_at sum: unrolling 64 planes × 64 dims produces codegen methods
-    * past the JIT inline/size limits and runs ~10× slower (measured at
-    * sf0.1: q_dedup_embed 5.3 s HOF vs 59 s unrolled).
+    * Backed by the custom codegen [[graft.functions.DotProduct]] loop: the
+    * HOF formulation (`aggregate(zip_with(...))`) executes interpreted, and
+    * unrolling 64 planes × 64 dims into element_at terms blows past JIT
+    * method-size limits and measured ~10× slower (59 s vs 5.3 s at sf0.1).
     */
-  def planeDot(v: Column, h: Int): Column =
-    aggregate(
-      zip_with(v, typedlit(W(h).toSeq), (x, w) => x * w),
-      lit(0.0), (acc, x) => acc + x)
+  def planeDot(v: Column, h: Int): Column = dot64(v, typedlit(W(h).toSeq))
 
-  /** Dot product with the same left fold order as DuckDB's
+  /** Codegen'd dot product with the same left fold order as DuckDB's
     * `list_sum([a[i]*b[i] ...])`.
     */
   def dot64(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   /** 8-bit key of band `b` for vector column `v`. */
   def bandKey(v: Column, b: Int): Column =

@@ -103,6 +103,34 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(expr.toSeq === batched.toSeq)
   }
 
+  test("vec_dot custom expression matches the HOF fold and works in SQL") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val hof = df.select(col("vec_id"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val custom = df.select(col("vec_id"),
+      graft.operators.Hyperplanes.dot64(col("v"), col("v")).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(custom === hof, "codegen loop must be bit-identical to the HOF fold")
+
+    // SQL surface: register into the live session (fresh sessions get this
+    // via spark.sql.extensions=graft.functions.GraftExtensions)
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotProduct].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProduct(children(0), children(1)))
+    df.createOrReplaceTempView("vdot_t")
+    val viaSql = spark.sql("SELECT vec_id, vec_dot(v, v) AS d FROM vdot_t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql === hof)
+  }
+
   test("IVF ANN recall: top-10 overlaps brute-force top-10 substantially") {
     val exact = Similarity.cosineTopK(spark, sf0001, k = 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet

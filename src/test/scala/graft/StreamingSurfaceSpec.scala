@@ -104,6 +104,28 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(rows === Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
   }
 
+  test("streaming content dedup: duplicates across epochs never reach the table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.start(
+      in.toDF().toDF("doc_id", "text"),
+      dir, "corpus", "docs", s"$dir/_cp")
+    in.addData((1L, "the quick brown fox"), (2L, "lorem ipsum"),
+      (3L, "The Quick Brown Fox")) // case-dup of doc 1
+    q.processAllAvailable()
+    // second epoch: one repeat, one new
+    in.addData((4L, "lorem ipsum"), (5L, "genuinely new text"))
+    q.processAllAvailable()
+    q.stop()
+    val out = graft.sink.CommitLog.readCommitted(spark, s"$dir/corpus.docs")
+    assert(out.count() === 3, "expected exactly the 3 unique contents")
+    assert(out.select("fp").distinct().count() === 3)
+    val texts = out.select("text").as[String].collect().map(_.toLowerCase).sorted
+    assert(texts === Array("genuinely new text", "lorem ipsum", "the quick brown fox"))
+  }
+
   test("socket source scan e2e (reference HiveStreamingExample.scala:63-66)") {
     import spark.implicits._
     val server = new java.net.ServerSocket(0)

@@ -85,6 +85,7 @@ object SparkEntry {
     // multimodal
     "q_multimodal_stats"  -> (Multimodal.stats _),
     "q_multimodal_decode" -> (Multimodal.decodePipeline _),
+    "q_multimodal_frames" -> ((s: SparkSession, d: String) => Multimodal.framePipeline(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -442,5 +443,21 @@ object SparkEntry {
         |  ROUND(AVG(64 + strlen(text) % 480), 2) AS avg_height,
         |  CAST(MAX(strlen(text)) AS INT) AS max_bytes
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, strlen(text) AS n_bytes,
+        |    1 + strlen(text) % 16 AS frames,
+        |    CAST(FLOOR((64 + strlen(text) % 640) / 2) AS INT) AS rs_width,
+        |    CAST(FLOOR((64 + strlen(text) % 480) / 2) AS INT) AS rs_height
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang, rs_width, rs_height,
+        |        unnest(generate_series(0, frames - 1)) AS frame_idx
+        |      FROM m)
+        |SELECT lang, COUNT(1) AS sampled_frames, COUNT(DISTINCT doc_id) AS docs,
+        |  ROUND(AVG(rs_width), 2) AS avg_rs_width,
+        |  ROUND(AVG(rs_height), 2) AS avg_rs_height
+        |FROM f WHERE frame_idx % 4 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

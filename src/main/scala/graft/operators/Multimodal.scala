@@ -73,6 +73,37 @@ object Multimodal {
       .orderBy("lang")
   }
 
+  /** Resize + frame-sample pipeline over the decoded features: videos
+    * (payloads) expand to their frame sequence, every 4th frame is sampled
+    * (uniform temporal subsampling), and each sampled frame is resized to
+    * half resolution — the remaining multimodal verbs (resize,
+    * frame-sample) as pure column arithmetic over the deterministic decode.
+    * `explode(sequence(...))` is the generator shape a real frame extractor
+    * feeds; at scale the explode happens map-side with no shuffle until the
+    * final aggregate.
+    */
+  def framePipeline(s: SparkSession, dir: String, every: Int = 4): DataFrame = {
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        octet_length(col("text").cast("binary")).as("n_bytes"))
+      .withColumn("frames", lit(1) + col("n_bytes") % 16)
+      .withColumn("width", lit(64) + col("n_bytes") % 640)
+      .withColumn("height", lit(64) + col("n_bytes") % 480)
+      // resize to half resolution, floor semantics in both engines
+      .withColumn("rs_width", floor(col("width") / 2).cast("int"))
+      .withColumn("rs_height", floor(col("height") / 2).cast("int"))
+    media
+      .select(col("doc_id"), col("lang"), col("rs_width"), col("rs_height"),
+        explode(sequence(lit(0), col("frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % every === 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("sampled_frames"),
+        countDistinct(col("doc_id")).as("docs"),
+        Norm.r2(avg("rs_width")).as("avg_rs_width"),
+        Norm.r2(avg("rs_height")).as("avg_rs_height"))
+      .orderBy("lang")
+  }
+
   /** Binary-column decode pipeline, batched-decoder form: typed
     * per-partition iteration (`mapPartitions` — the Scala analogue of
     * mapInPandas: ONE decoder instance per partition streaming over the

@@ -7,8 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = args match {
       case Array(s, o) => (s, o)
-      case _ => (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
-                 sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "/tmp/verify_out"))
+      case Array() => (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+                       sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "/tmp/verify_out"))
+      case other => sys.error(
+        s"usage: graft.Verify [<sfDir> <outDir>] — got ${other.length} args")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -106,6 +106,8 @@ object Similarity {
     // by construction; k-means codebooks are ≤ a few thousand entries)
     val simToC = dot(col("v"), col("cv")) /
       (sqrt(col("nrm")) * sqrt(col("c_nrm")))
+    // materialized: the assignment (all-vectors × codebook dots + window)
+    // feeds both the probe-list lookup and the main scan
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("csim", simToC)
       .withColumn("rn", row_number().over(
@@ -114,6 +116,7 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"),
         col("c_id").as("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // probe: its nprobe nearest centroids select the inverted lists to scan
     val probeLists = assigned.filter(col("vec_id") === 0)
       .select(col("v").as("pv"), col("nrm").as("pn"))

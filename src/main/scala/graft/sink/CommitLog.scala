@@ -49,9 +49,11 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     val out = f.create(tmp, false)
     try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // rename is the atomicity point; if a concurrent/replayed commit won the
-    // race, discard ours
-    if (!f.rename(tmp, target)) {
+    // rename is the atomicity point. HDFS/S3A rename fails onto an existing
+    // target; RawLocalFileSystem REPLACES it (POSIX), so re-check right
+    // before renaming — Spark serializes epoch commits through one driver,
+    // making the remaining window unreachable in practice.
+    if (f.exists(target) || !f.rename(tmp, target)) {
       f.delete(tmp, false)
       false
     } else true
@@ -97,26 +99,38 @@ object CommitLog {
   val COMMITS_DIR = "_commits"
   private val ManifestName = "epoch-(-?\\d+)\\.manifest".r
 
-  /** Read the committed rows of a graft-streaming table back as one JSON-lines
-    * DataFrame (visibility strictly through manifests). Partition columns —
-    * routed into `col=value/` directory names at write time, Hive-style —
-    * are restored from the file paths.
+  /** `k=v` path segments strictly BELOW the table root — never the
+    * warehouse base path, which may itself contain `k=v`-shaped directories.
+    */
+  def partitionSegments(file: String, dbTable: String): Seq[(String, String)] = {
+    val segs = file.split('/')
+    val idx = segs.lastIndexOf(dbTable)
+    if (idx < 0) Seq.empty
+    else segs.slice(idx + 1, segs.length - 1).filter(_.contains('='))
+      .map { s => val Array(k, v) = s.split("=", 2); k -> v }.toSeq
+  }
+
+  /** Read the committed rows of a graft-streaming table back (visibility
+    * strictly through manifests). Delegates to the DSv2 read path —
+    * `spark.read.format("graft-streaming")` — so partition values round-trip
+    * identically (typed, percent-unescaped, `__NULL__` → null) on both
+    * documented read routes. `tableDir` must be `<path>/<db>.<table>` as
+    * produced by [[GraftSinkOptions.tableDir]].
     */
   def readCommitted(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
     val log = new CommitLog(tableDir, spark.sparkContext.hadoopConfiguration)
-    val files = log.committedFiles()
-    if (files.isEmpty) return spark.emptyDataFrame
-    // partition column names from the directory structure (k=v segments)
-    val partCols = files.flatMap { f =>
-      f.split('/').dropRight(1).filter(_.contains('='))
-        .map(_.split("=", 2)(0))
-    }.distinct
-    val base = spark.read.json(files: _*)
-    partCols.foldLeft(base) { (df, c) =>
-      df.withColumn(c, regexp_extract(input_file_name(), s"/$c=([^/]+)/", 1))
-    }
+    if (log.committedFiles().isEmpty) return spark.emptyDataFrame
+    val norm = tableDir.stripSuffix("/")
+    val slash = norm.lastIndexOf('/')
+    val dbTable = norm.substring(slash + 1)
+    val dot = dbTable.indexOf('.')
+    require(dot > 0, s"table dir '$tableDir' is not <path>/<db>.<table>")
+    spark.read.format("graft-streaming")
+      .option(GraftSinkOptions.PATH, norm.substring(0, slash))
+      .option(GraftSinkOptions.DB, dbTable.substring(0, dot))
+      .option(GraftSinkOptions.TABLE, dbTable.substring(dot + 1))
+      .load()
   }
 }

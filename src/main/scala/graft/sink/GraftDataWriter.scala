@@ -133,11 +133,27 @@ final class GraftDataWriter(
     def close(): Unit = {
       flush()
       if (out != null) { out.close(); out = null }
-      if (!recycled) {
-        recycled = true
-        buf.clear()
-        GraftDataWriter.bufferPool.recycle(GraftDataWriter.BufKey, buf)
+      recycleBuf()
+    }
+
+    /** Abort path: drop buffered rows and close WITHOUT flushing, so the
+      * mandatory `DataWriter.close()` after `abort()` cannot write into a
+      * closed stream.
+      */
+    def discard(): Unit = {
+      rowsInBuf = 0
+      buf.clear()
+      if (out != null) {
+        try out.close() catch { case _: Throwable => }
+        out = null
       }
+      recycleBuf()
+    }
+
+    private def recycleBuf(): Unit = if (!recycled) {
+      recycled = true
+      buf.clear()
+      GraftDataWriter.bufferPool.recycle(GraftDataWriter.BufKey, buf)
     }
   }
 
@@ -180,7 +196,11 @@ final class GraftDataWriter(
       ex.scheduleWithFixedDelay(() => try {
         GraftDataWriter.this.synchronized {
           segments.values.foreach { seg =>
-            if (seg.out != null) { seg.flush(); seg.out.hflush() }
+            if (seg.out != null) {
+              seg.flush()
+              // flush() may have rotated (lazy rotation nulls the stream)
+              if (seg.out != null) seg.out.hflush()
+            }
           }
         }
       } catch {
@@ -213,9 +233,7 @@ final class GraftDataWriter(
     */
   override def abort(): Unit = synchronized {
     heartbeat.foreach(_.shutdown())
-    segments.values.foreach { s =>
-      try { if (s.out != null) s.out.close() } catch { case _: Throwable => }
-    }
+    segments.values.foreach(_.discard())
     files.foreach(p => try dataFs.delete(new Path(p), false) catch { case _: Throwable => })
   }
 

@@ -51,9 +51,10 @@ final class GraftScan(
       .sparkContext.hadoopConfiguration
     val files = new CommitLog(opts.tableDir, conf).committedFiles()
     files.map { f =>
-      // partition values from the Hive-style col=value path segments
-      val parts = f.split('/').dropRight(1).filter(_.contains('='))
-        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+      // Hive-style col=value segments below the table root only (the
+      // warehouse base path may itself contain k=v-shaped directories)
+      val parts = CommitLog
+        .partitionSegments(f, s"${opts.db}.${opts.table}").toMap
       GraftInputPartition(f, parts): InputPartition
     }.toArray
   }

@@ -96,9 +96,25 @@ object SchemaRegistry {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) {
       fs.mkdirs(p.getParent)
-      val out = fs.create(p, false)
-      try out.write(schema.json.getBytes("UTF-8"))
-      finally out.close()
+      try {
+        val out = fs.create(p, false)
+        try out.write(schema.json.getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        // a concurrent first writer won the exclusive create; validate our
+        // schema against the winner's instead of failing the stream
+        case _: java.io.IOException =>
+          load(opts).foreach { winner =>
+            val want = winner.fields.map(_.name).toSet
+            val got = schema.fields.map(_.name).toSet
+            if (want != got) {
+              throw new IllegalStateException(
+                s"Concurrent writer recorded schema (${want.toSeq.sorted
+                  .mkString(",")}) different from this stream's (${got.toSeq
+                  .sorted.mkString(",")})")
+            }
+          }
+      }
     }
   }
 
@@ -199,8 +215,11 @@ final class GraftWrite(schema: StructType, opts: GraftSinkOptions, conf: Configu
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
-      val epoch = -1L - commitLog.committedEpochs().count(_ <= -1L)
-      commitLog.commit(epoch, files)
+      // batch writes have no Spark-assigned epoch; claim a unique negative
+      // pseudo-epoch, retrying on collision so a concurrent batch writer can
+      // never silently drop this batch's manifest
+      var epoch = -math.abs(System.nanoTime())
+      while (!commitLog.commit(epoch, files)) epoch -= 1
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq

@@ -118,6 +118,9 @@ class GraftSinkSpec extends SparkSpec {
       opts(dir).asJava))
     val schema = StructType(Seq(
       StructField("id", IntegerType), StructField("msg", StringType)))
+    // the provider records the schema in newWriteBuilder; this test drives
+    // GraftWrite directly, so record it here for the read-back
+    SchemaRegistry.saveIfAbsent(o, schema)
     val write = new GraftWrite(schema, o, conf)
     val sw = write.toStreaming
     val factory = sw.createStreamingWriterFactory(new PhysicalWriteInfo {

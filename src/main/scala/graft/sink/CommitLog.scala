@@ -80,6 +80,22 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     out.toSeq
   }
 
+  /** Files published by one specific epoch (empty if uncommitted). */
+  def filesOf(epochId: Long): Seq[String] = {
+    val f = fs
+    val p = manifestPath(epochId)
+    if (!f.exists(p)) return Seq.empty
+    val in = f.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq
+    } finally in.close()
+  }
+
   def committedEpochs(): Seq[Long] = {
     val f = fs
     if (!f.exists(commitsDir)) return Seq.empty

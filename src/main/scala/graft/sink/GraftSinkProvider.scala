@@ -134,7 +134,7 @@ final class GraftSinkTable(writeSchema: StructType, opts: GraftSinkOptions)
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
-      TableCapability.BATCH_READ).asJava
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): GraftScanBuilder = {

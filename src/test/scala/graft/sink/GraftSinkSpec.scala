@@ -214,6 +214,33 @@ class GraftSinkSpec extends SparkSpec {
     assert(pruned.as[Long].collect().sorted.toSeq === (1L to 100L))
   }
 
+  test("streaming source: a second query tails the table exactly-once (relay)") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val writer = in.toDS().map(i => (i, s"m$i")).toDF("id", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir)).option("checkpointLocation", s"$dir/_cpw").start()
+    in.addData(1 to 40: _*)
+    writer.processAllAvailable()
+
+    val reader = spark.readStream.format("graft-streaming").options(opts(dir))
+      .load()
+      .writeStream.format("memory").queryName("relay_out")
+      .option("checkpointLocation", s"$dir/_cpr").start()
+    reader.processAllAvailable()
+    assert(spark.table("relay_out").count() === 40)
+
+    // epochs committed AFTER the reader started are picked up incrementally
+    in.addData(41 to 60: _*)
+    writer.processAllAvailable()
+    reader.processAllAvailable()
+    writer.stop(); reader.stop()
+    val got = spark.table("relay_out").select("id").as[Long].collect().sorted
+    assert(got.toSeq === (1L to 60L), "relay must deliver each row exactly once")
+  }
+
   test("A9 abort: epoch abort deletes staged files, nothing becomes visible") {
     val dir = tmp()
     val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))

@@ -74,6 +74,7 @@ object SparkEntry {
     "q_sim_cosine"     -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q_sim_ann"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_sim_ivf"        -> ((s: SparkSession, d: String) => Similarity.ivf(s, d)),
+    "q_sim_knn_join"   -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "q_sim_centroids"  -> (Similarity.centroids _),
     // text analysis
     "q_text_analysis"  -> (Text.wordCount _),
@@ -382,6 +383,25 @@ object SparkEntry {
         |    / (sqrt(e.nrm) * sqrt(pv.nrm)), 4) + 0 AS cosine
         |FROM cand JOIN e ON cand.vec_id = e.vec_id CROSS JOIN pv
         |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_sim_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             list_sum([a * a FOR a IN CAST(embedding AS DOUBLE[])]) AS nrm
+        |           FROM embeddings),
+        |${operators.Hyperplanes.sqlBandKeysCte},
+        |pk AS (SELECT vec_id AS probe_id, band, bkey FROM keys WHERE vec_id < 10),
+        |cand AS (SELECT DISTINCT pk.probe_id, keys.vec_id
+        |         FROM keys JOIN pk USING (band, bkey) WHERE keys.vec_id >= 10),
+        |scored AS (SELECT cand.probe_id, cand.vec_id,
+        |    ROUND(list_sum([ec.v[i] * ep.v[i] FOR i IN generate_series(1, len(ec.v))])
+        |      / (sqrt(ec.nrm) * sqrt(ep.nrm)), 4) + 0 AS cosine
+        |  FROM cand JOIN e ec ON cand.vec_id = ec.vec_id
+        |  JOIN e ep ON cand.probe_id = ep.vec_id)
+        |SELECT probe_id, vec_id, cosine, rn FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, vec_id ASC) AS INT) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
 
     "q_sim_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -79,6 +79,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Approximate kNN JOIN — top-k neighbors for EVERY probe vector at once,
+    * the batch shape of similarity search in a training-data pipeline
+    * (single-probe top-k is a lookup; corpus enrichment is a join).
+    * Candidates are pairs sharing any sign-LSH band ([[Hyperplanes]]), so
+    * the join is a sparse equi-join on (band, key) — never |probes|×|corpus|
+    * — followed by exact-cosine scoring and a per-probe window top-k.
+    * Deterministic banding → fully DuckDB-oracled.
+    */
+  def knnJoin(s: SparkSession, dir: String, k: Int = 3, nProbes: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val keys = e.select(col("vec_id"),
+      posexplode(Hyperplanes.bandKeys(col("v"))).as(Seq("band", "bkey")))
+    val probeKeys = keys.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("band"), col("bkey"))
+    val cand = keys.filter(col("vec_id") >= nProbes)
+      .join(probeKeys, Seq("band", "bkey"))
+      .select(col("probe_id"), col("vec_id"))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn")), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        Norm.r4(dot(col("v"), col("pv")) /
+          (sqrt(col("nrm")) * sqrt(col("pn")))).as("cosine"))
+    scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)).cast("int"))
+      .filter(col("rn") <= k)
+      .orderBy("probe_id", "rn")
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
     * centroid, then search only the probe's `nprobe` nearest inverted lists
     * with exact cosine — the classic two-level index (centroids here are

@@ -104,6 +104,34 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(rows === Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
   }
 
+  test("custom state: flatMapGroupsWithState keeps running per-user counters") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val counted = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: String, events: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + events.size
+          state.update(total)
+          Iterator((user, total))
+      }
+    val q = counted.toDF("user", "total")
+      .writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("update").start()
+    in.addData(("a", 1), ("a", 2), ("b", 1))
+    q.processAllAvailable()
+    in.addData(("a", 3))
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.functions.max
+    val finals = spark.table("fmgws_out").groupBy("user")
+      .agg(max("total").as("total")).as[(String, Long)].collect().toMap
+    // state carried across micro-batches: a saw 2 then 1 more, b saw 1
+    assert(finals === Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("streaming content dedup: duplicates across epochs never reach the table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

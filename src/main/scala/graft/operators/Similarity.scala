@@ -18,9 +18,6 @@ object Similarity {
 
   private def dot(a: Column, b: Column): Column = Hyperplanes.dot64(a, b)
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Brute-force cosine top-k of probe vec_id=0. The probe is a 1-row

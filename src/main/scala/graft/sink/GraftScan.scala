@@ -23,9 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * file bytes.
   */
 final class GraftScanBuilder(tableSchema: StructType, opts: GraftSinkOptions)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = tableSchema
+  private var partitionPredicates: Seq[(String, String)] = Seq.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve our field metadata/order; keep only requested names
@@ -33,13 +35,43 @@ final class GraftScanBuilder(tableSchema: StructType, opts: GraftSinkOptions)
     required = StructType(tableSchema.fields.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new GraftScan(tableSchema, required, opts)
+  /** Best-effort PARTITION PRUNING: equality predicates on partition
+    * columns skip whole `col=value/` directories in `planInputPartitions`.
+    * Every filter is returned as not-fully-handled so Spark re-evaluates
+    * post-scan — pruning can only remove work, never rows it shouldn't.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    // partition.columns may be absent on the read side; pruning is safe for
+    // ANY equality attr because planInputPartitions only prunes a file when
+    // that attr actually appears in its path with a contradicting value
+    partitionPredicates = filters.collect {
+      case org.apache.spark.sql.sources.EqualTo(attr, value) =>
+        val encoded = value match {
+          case s: String => JsonRowEncoder.sanitize(s)
+          case other => String.valueOf(other)
+        }
+        attr -> encoded
+    }.toSeq
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    partitionPredicates.map { case (k, v) =>
+      org.apache.spark.sql.sources.EqualTo(k, v)
+        : org.apache.spark.sql.sources.Filter
+    }.toArray
+
+  override def build(): Scan =
+    new GraftScan(tableSchema, required, opts, partitionPredicates)
 }
 
 final class GraftScan(
     tableSchema: StructType,
     requiredSchema: StructType,
-    opts: GraftSinkOptions)
+    opts: GraftSinkOptions,
+    partitionPredicates: Seq[(String, String)] = Seq.empty)
   extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -56,12 +88,18 @@ final class GraftScan(
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     val files = new CommitLog(opts.tableDir, conf).committedFiles()
-    files.map { f =>
+    files.flatMap { f =>
       // Hive-style col=value segments below the table root only (the
       // warehouse base path may itself contain k=v-shaped directories)
       val parts = CommitLog
         .partitionSegments(f, s"${opts.db}.${opts.table}").toMap
-      GraftInputPartition(f, parts): InputPartition
+      // partition pruning: drop files whose directory values contradict a
+      // pushed equality predicate (values compared in path encoding)
+      val pruned = partitionPredicates.exists { case (k, v) =>
+        parts.get(k).exists(_ != v)
+      }
+      if (pruned) None
+      else Some(GraftInputPartition(f, parts): InputPartition)
     }.toArray
   }
 

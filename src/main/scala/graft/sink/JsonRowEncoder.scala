@@ -120,8 +120,10 @@ object JsonRowEncoder {
     }
   }
 
-  /** Make a partition value filesystem-safe (percent-escape separators). */
-  private def sanitize(s: String): String = {
+  /** Make a partition value filesystem-safe (percent-escape separators).
+    * Public: pruning predicates must compare in this encoding.
+    */
+  def sanitize(s: String): String = {
     val sb = new StringBuilder(s.length)
     s.foreach {
       case c @ ('/' | '\\' | '=' | '%' | ':') => sb.append(f"%%${c.toInt}%02X")

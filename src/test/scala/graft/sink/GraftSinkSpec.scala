@@ -212,6 +212,21 @@ class GraftSinkSpec extends SparkSpec {
     val pruned = table.select("id")
     assert(pruned.queryExecution.executedPlan.toString.contains("id"))
     assert(pruned.as[Long].collect().sorted.toSeq === (1L to 100L))
+
+    // partition pruning: an equality predicate on the partition column must
+    // shrink the planned input partitions to the matching directory's files
+    val conf = spark.sparkContext.hadoopConfiguration
+    val allFiles = new CommitLog(s"$dir/testdb.t", conf).committedFiles()
+    val euFiles = allFiles.count(_.contains("region=EU"))
+    assert(euFiles < allFiles.size)
+    val prunedScan = table.filter($"region" === "EU")
+    val scans = prunedScan.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.inputPartitions.size === euFiles,
+      s"expected $euFiles partitions, planned ${scans.head.inputPartitions.size}")
+    assert(prunedScan.count() === 50)
   }
 
   test("streaming source: a second query tails the table exactly-once (relay)") {

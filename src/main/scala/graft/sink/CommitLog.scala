@@ -39,15 +39,27 @@ final class CommitLog(tableDir: String, conf: Configuration) {
   /** Publish `files` for `epochId`. Returns true if this call committed,
     * false if the epoch was already committed (replay → caller must discard
     * the replayed files).
+    *
+    * A COMPACTION commit additionally carries the epochs it supersedes and
+    * the streaming high-water mark they covered (header lines, `#`-prefixed)
+    * — its single rename atomically redirects readers from the superseded
+    * manifests' files to the consolidated ones.
     */
-  def commit(epochId: Long, files: Seq[String]): Boolean = {
+  def commit(
+      epochId: Long, files: Seq[String],
+      supersedes: Seq[Long] = Seq.empty,
+      watermark: Option[Long] = None): Boolean = {
     val f = fs
     f.mkdirs(commitsDir)
     val target = manifestPath(epochId)
     if (f.exists(target)) return false
     val tmp = new Path(commitsDir, s".epoch-$epochId.${java.util.UUID.randomUUID}.tmp")
+    val header =
+      (if (supersedes.nonEmpty) Seq(s"#supersedes:${supersedes.mkString(",")}")
+       else Seq.empty) ++
+      watermark.map(w => s"#watermark:$w")
     val out = f.create(tmp, false)
-    try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write((header ++ files).mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // rename is the atomicity point. HDFS/S3A rename fails onto an existing
     // target; RawLocalFileSystem REPLACES it (POSIX), so re-check right
@@ -59,50 +71,73 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     } else true
   }
 
-  /** All files published across all committed epochs. */
-  def committedFiles(): Seq[String] = {
-    val f = fs
-    if (!f.exists(commitsDir)) return Seq.empty
-    val manifests = f.listStatus(commitsDir).toSeq
-      .filter(st => st.getPath.getName.startsWith("epoch-"))
-    val out = mutable.ArrayBuffer.empty[String]
-    manifests.foreach { st =>
-      val in = f.open(st.getPath)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        new String(bytes.toByteArray, StandardCharsets.UTF_8)
-          .split("\n").filter(_.nonEmpty).foreach(out += _)
-      } finally in.close()
-    }
-    out.toSeq
-  }
+  /** One parsed manifest: its data files, the epochs it supersedes
+    * (compaction), and the streaming watermark it preserves.
+    */
+  case class Manifest(epochId: Long, files: Seq[String],
+      supersedes: Seq[Long], watermark: Option[Long])
 
-  /** Files published by one specific epoch (empty if uncommitted). */
-  def filesOf(epochId: Long): Seq[String] = {
-    val f = fs
-    val p = manifestPath(epochId)
-    if (!f.exists(p)) return Seq.empty
-    val in = f.open(p)
-    try {
+  private def readManifest(epochId: Long, p: Path): Manifest = {
+    val in = fs.open(p)
+    val text = try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
       new String(bytes.toByteArray, StandardCharsets.UTF_8)
-        .split("\n").filter(_.nonEmpty).toSeq
     } finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty).toSeq
+    val supersedes = lines.collectFirst {
+      case l if l.startsWith("#supersedes:") =>
+        l.stripPrefix("#supersedes:").split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+    }.getOrElse(Seq.empty)
+    val watermark = lines.collectFirst {
+      case l if l.startsWith("#watermark:") => l.stripPrefix("#watermark:").toLong
+    }
+    Manifest(epochId, lines.filterNot(_.startsWith("#")), supersedes, watermark)
   }
 
-  def committedEpochs(): Seq[Long] = {
+  /** All live manifests, with compaction-superseded ones removed. */
+  def manifests(): Seq[Manifest] = {
     val f = fs
     if (!f.exists(commitsDir)) return Seq.empty
-    f.listStatus(commitsDir).toSeq.map(_.getPath.getName)
-      .collect { case CommitLog.ManifestName(id) => id.toLong }
-      .sorted
+    val all = f.listStatus(commitsDir).toSeq
+      .flatMap { st =>
+        st.getPath.getName match {
+          case CommitLog.ManifestName(id) =>
+            Some(readManifest(id.toLong, st.getPath))
+          case _ => None
+        }
+      }
+    val superseded = all.flatMap(_.supersedes).toSet
+    all.filterNot(m => superseded.contains(m.epochId))
   }
+
+  /** All files published across all live epochs. */
+  def committedFiles(): Seq[String] = manifests().flatMap(_.files)
+
+  /** Files published by one specific live epoch (empty if uncommitted or
+    * compacted away).
+    */
+  def filesOf(epochId: Long): Seq[String] =
+    manifests().find(_.epochId == epochId).map(_.files).getOrElse(Seq.empty)
+
+  def committedEpochs(): Seq[Long] = manifests().map(_.epochId).sorted
+
+  /** Streaming high-water mark: max live streaming epoch id, or the
+    * watermark a compaction preserved when it consumed those manifests.
+    */
+  def streamingWatermark(): Long = {
+    val ms = manifests()
+    (ms.map(_.epochId).filter(_ >= 0L) ++ ms.flatMap(_.watermark))
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Remove a superseded manifest (post-compaction cleanup — only safe
+    * after the superseding manifest is visible).
+    */
+  def deleteManifest(epochId: Long): Unit =
+    fs.delete(manifestPath(epochId), false)
 
   /** Delete the given files (replayed-epoch discard / task abort). */
   def deleteFiles(files: Seq[String]): Unit = {

@@ -1,0 +1,79 @@
+package graft.sink
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Small-file compaction for a graft-streaming table — the maintenance
+  * operation every file-based streaming sink needs (the reference delegates
+  * it to Hive ACID's compactor; reference tables are `transactional=true`
+  * precisely so delta files get compacted server-side).
+  *
+  * Protocol (single atomic publish, lazy cleanup):
+  *  1. read the live manifests and group their data files by partition
+  *     directory;
+  *  2. concatenate each group into one consolidated `.jsonl` file (JSON
+  *     lines concatenate byte-for-byte — no parse/re-encode);
+  *  3. commit ONE compaction manifest (negative pseudo-epoch) listing the
+  *     consolidated files, carrying `#supersedes:` for every consumed
+  *     manifest and `#watermark:` preserving the streaming high-water mark —
+  *     the rename is the atomicity point: before it readers see the old
+  *     manifests, after it the consolidated ones, never both;
+  *  4. delete the superseded manifests and their files — safe because the
+  *     compaction manifest is already visible, so a concurrent reader either
+  *     lists them as superseded or no longer lists them at all.
+  *
+  * A streaming tail that has already passed the watermark is unaffected;
+  * a tail restarting from an offset BELOW the watermark cannot replay the
+  * compacted epochs individually (documented trade-off — compact only
+  * ranges every consumer has passed, as with any log-compacted store).
+  */
+object Compact {
+
+  case class Result(
+      consolidatedFiles: Int, supersededEpochs: Int, removedFiles: Int)
+
+  def run(tableDir: String, conf: Configuration): Result = {
+    val log = new CommitLog(tableDir, conf)
+    val live = log.manifests()
+    if (live.size <= 1) return Result(0, 0, 0)
+    val oldFiles = live.flatMap(_.files)
+    if (oldFiles.isEmpty) return Result(0, 0, 0)
+
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val raw = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    // consolidate per partition directory so routing stays intact
+    val byDir = oldFiles.groupBy(f => new Path(f).getParent)
+    val newFiles = byDir.map { case (dir, files) =>
+      val target = new Path(dir,
+        s"compact-${java.util.UUID.randomUUID.toString.take(8)}.jsonl")
+      val out = raw.create(target, false)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        files.foreach { f =>
+          val in = raw.open(new Path(f))
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        }
+      } finally out.close()
+      target.toString
+    }.toSeq
+
+    val watermark = log.streamingWatermark()
+    var epoch = -math.abs(System.nanoTime())
+    while (!log.commit(epoch, newFiles,
+        supersedes = live.map(_.epochId),
+        watermark = if (watermark >= 0) Some(watermark) else None)) {
+      epoch -= 1
+    }
+    // lazy cleanup — the compaction manifest is visible, nothing references
+    // the superseded state anymore
+    live.foreach(m => log.deleteManifest(m.epochId))
+    log.deleteFiles(oldFiles)
+    Result(newFiles.size, live.size, oldFiles.size)
+  }
+}

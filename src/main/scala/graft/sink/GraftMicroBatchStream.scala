@@ -27,11 +27,9 @@ final class GraftMicroBatchStream(
 
   private def log = new CommitLog(opts.tableDir, conf.value)
 
-  private def hwm(): Long =
-    log.committedEpochs().filter(_ >= 0L) match {
-      case Seq() => -1L
-      case es => es.max
-    }
+  // monotonic even across compaction: a compaction manifest preserves the
+  // streaming watermark of the epochs it consumed
+  private def hwm(): Long = log.streamingWatermark()
 
   override def initialOffset(): Offset = GraftStreamOffset(-1L)
 

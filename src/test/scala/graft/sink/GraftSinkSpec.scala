@@ -256,6 +256,51 @@ class GraftSinkSpec extends SparkSpec {
     assert(got.toSeq === (1L to 60L), "relay must deliver each row exactly once")
   }
 
+  test("compaction: consolidates files atomically, preserves rows and tailing") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS().map(i => (i, if (i % 2 == 0) "EU" else "US", s"m$i"))
+      .toDF("id", "region", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir, "partition.columns" -> "region"))
+      .option("checkpointLocation", s"$dir/_cp").start()
+    // several epochs → several small files per partition
+    (0 until 5).foreach { e =>
+      in.addData(e * 20 + 1 to e * 20 + 20: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableDir = s"$dir/testdb.t"
+    val log = new CommitLog(tableDir, conf)
+    val before = log.committedFiles()
+    assert(before.size > 2)
+    val hwmBefore = log.streamingWatermark()
+
+    val res = Compact.run(tableDir, conf)
+    assert(res.supersededEpochs === 5)
+    assert(res.consolidatedFiles === 2, "one consolidated file per partition dir")
+
+    val after = log.committedFiles()
+    assert(after.size === 2)
+    assert(after.forall(_.contains("compact-")))
+    // superseded manifests and files physically gone
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    assert(before.forall(f => !fs.exists(new org.apache.hadoop.fs.Path(f))))
+    // rows identical through the read path, partition columns intact
+    val out = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(out.count() === 100)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === (1L to 100L))
+    assert(out.filter($"region" === "EU").count() === 50)
+    // streaming watermark preserved → a NEW tail still starts cleanly and
+    // latestOffset never regresses
+    assert(log.streamingWatermark() === hwmBefore)
+    // compacting an already-compact table is a no-op
+    assert(Compact.run(tableDir, conf) === Compact.Result(0, 0, 0))
+  }
+
   test("A9 abort: epoch abort deletes staged files, nothing becomes visible") {
     val dir = tmp()
     val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))

@@ -65,16 +65,18 @@ final class JsonRowDecoder(schema: StructType) {
         case other => throw new IllegalArgumentException(
           s"non-finite value for field type $other")
       }
-    case n: java.math.BigDecimal =>
+    case t: JsonRowDecoder.NumTok =>
       dt match {
-        case IntegerType => n.intValueExact()
-        case LongType => n.longValueExact()
-        case ShortType => n.shortValueExact()
-        case ByteType => n.byteValueExact()
-        case DoubleType => n.doubleValue()
-        case FloatType => n.floatValue()
+        case IntegerType => t.dec.intValueExact()
+        case LongType => t.dec.longValueExact()
+        case ShortType => t.dec.shortValueExact()
+        case ByteType => t.dec.byteValueExact()
+        // parse floating targets from the RAW token: BigDecimal has no
+        // signed zero, so "-0.0" would silently lose its sign
+        case DoubleType => java.lang.Double.parseDouble(t.raw)
+        case FloatType => java.lang.Float.parseFloat(t.raw)
         case d: DecimalType =>
-          org.apache.spark.sql.types.Decimal(n.setScale(d.scale), d.precision, d.scale)
+          org.apache.spark.sql.types.Decimal(t.dec.setScale(d.scale), d.precision, d.scale)
         case other => throw new IllegalArgumentException(
           s"numeric value for non-numeric field type $other")
       }
@@ -101,7 +103,7 @@ final class JsonRowDecoder(schema: StructType) {
       val tok = s.substring(from, i)
       if (tok == "NaN" || tok.endsWith("Infinity"))
         (java.lang.Double.valueOf(tok), i)
-      else (new java.math.BigDecimal(tok), i)
+      else (JsonRowDecoder.NumTok(tok), i)
   }
 
   private def parseString(s: String, from: Int): (String, Int) = {
@@ -125,5 +127,14 @@ final class JsonRowDecoder(schema: StructType) {
       } else { sb.append(c); i += 1 }
     }
     (sb.toString, i + 1)
+  }
+}
+
+object JsonRowDecoder {
+  /** Numeric token keeping the raw text: floating targets parse from it so
+    * "-0.0" keeps its sign (BigDecimal cannot represent signed zero).
+    */
+  private[sink] final case class NumTok(raw: String) {
+    lazy val dec = new java.math.BigDecimal(raw)
   }
 }

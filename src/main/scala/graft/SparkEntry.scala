@@ -83,6 +83,7 @@ object SparkEntry {
     "q_token_count"    -> (Text.tokenCount _),
     "q_fingerprint"    -> (Text.fingerprint _),
     "q_fingerprint_rolling" -> (Text.rollingFingerprint _),
+    "q_split_assign"   -> (Text.hashSplit _),
     // multimodal
     "q_multimodal_stats"  -> (Multimodal.stats _),
     "q_multimodal_decode" -> (Multimodal.decodePipeline _),
@@ -450,6 +451,14 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(TRIM(LOWER(text))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT lang, split, COUNT(1) AS docs FROM (
+        |  SELECT lang, CASE WHEN SUBSTRING(md5(text), 1, 2) < 'cc' THEN 'train'
+        |                    WHEN SUBSTRING(md5(text), 1, 2) < 'e6' THEN 'val'
+        |                    ELSE 'test' END AS split
+        |  FROM documents) t
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "q_multimodal_stats" ->
       """SELECT lang, label, COUNT(1) AS cnt, ROUND(AVG(n_chars), 2) AS avg_chars,

@@ -97,4 +97,23 @@ object Text {
         size(col("hashes")).as("n_shingles"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic train/val/test split assignment by content hash —
+    * the standard reproducible-dataset-split mechanism (hash the content,
+    * bucket the first hex byte: < 0xcc train ≈ 79.7 %, < 0xe6 val ≈ 10.2 %,
+    * rest test). md5 is identical across engines, so the assignment is
+    * portable and fully oracle-checked; being content-keyed, duplicate
+    * texts always land in the SAME split (no train/test leakage).
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("text")), 1, 2).as("hb"))
+      .withColumn("split",
+        when(col("hb") < "cc", "train")
+          .when(col("hb") < "e6", "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("docs"))
+      .orderBy("lang", "split")
 }

@@ -256,6 +256,15 @@ class GraftSinkSpec extends SparkSpec {
     assert(got.toSeq === (1L to 60L), "relay must deliver each row exactly once")
   }
 
+  test("read path: never-written table fails with a clear message") {
+    val dir = tmp()
+    val e = intercept[Exception] {
+      spark.read.format("graft-streaming").options(opts(dir)).load().count()
+    }
+    val all = (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+    assert(all.contains("no recorded schema"))
+  }
+
   test("compaction: consolidates files atomically, preserves rows and tailing") {
     import spark.implicits._
     val dir = tmp()

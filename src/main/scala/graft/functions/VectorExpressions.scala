@@ -42,10 +42,16 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // mismatched lengths yield NULL, matching the HOF fold this replaces
+  // (zip_with pads with null, which nulls the aggregate) — a malformed
+  // vector must surface as null, not a plausible partial sum
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -58,12 +64,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -79,11 +89,26 @@ case class DotProduct(left: Expression, right: Expression)
   * `withExtensions(new GraftExtensions)`), after which
   * `SELECT vec_dot(a, b)` works in SQL.
   */
+object DotProduct {
+  /** Arity-checked function builder shared by the extensions hook and any
+    * direct FunctionRegistry registration.
+    */
+  def builder(children: Seq[Expression]): Expression = {
+    if (children.length != 2) {
+      throw new IllegalArgumentException(
+        s"vec_dot requires exactly 2 arguments, got ${children.length}")
+    }
+    DotProduct(children(0), children(1))
+  }
+
+  def info: ExpressionInfo =
+    new ExpressionInfo(classOf[DotProduct].getName, "vec_dot")
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
-      new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      new FunctionIdentifier("vec_dot"), DotProduct.info,
+      DotProduct.builder _))
   }
 }

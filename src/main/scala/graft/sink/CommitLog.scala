@@ -53,6 +53,12 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     f.mkdirs(commitsDir)
     val target = manifestPath(epochId)
     if (f.exists(target)) return false
+    // NOTE deliberately NOT consulting tombstones here: a fresh-checkpoint
+    // query legitimately restarts epoch numbering at 0 and must be able to
+    // commit ids that an older lineage once used. The operational rule (as
+    // with Spark's FileStreamSink log) is: one logical query lineage per
+    // table, and compact only epochs older than any writer's in-flight
+    // window.
     val tmp = new Path(commitsDir, s".epoch-$epochId.${java.util.UUID.randomUUID}.tmp")
     val header =
       (if (supersedes.nonEmpty) Seq(s"#supersedes:${supersedes.mkString(",")}")
@@ -77,15 +83,22 @@ final class CommitLog(tableDir: String, conf: Configuration) {
   case class Manifest(epochId: Long, files: Seq[String],
       supersedes: Seq[Long], watermark: Option[Long])
 
-  private def readManifest(epochId: Long, p: Path): Manifest = {
-    val in = fs.open(p)
-    val text = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+  private def readManifest(epochId: Long, p: Path): Option[Manifest] = {
+    val text =
+      try {
+        val in = fs.open(p)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          new String(bytes.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+      } catch {
+        // deleted by concurrent compaction cleanup between list and open —
+        // by then its superseding manifest is already visible
+        case _: java.io.FileNotFoundException => return None
+      }
     val lines = text.split("\n").filter(_.nonEmpty).toSeq
     val supersedes = lines.collectFirst {
       case l if l.startsWith("#supersedes:") =>
@@ -94,21 +107,30 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     val watermark = lines.collectFirst {
       case l if l.startsWith("#watermark:") => l.stripPrefix("#watermark:").toLong
     }
-    Manifest(epochId, lines.filterNot(_.startsWith("#")), supersedes, watermark)
+    Some(Manifest(epochId, lines.filterNot(_.startsWith("#")), supersedes, watermark))
   }
 
-  /** All live manifests, with compaction-superseded ones removed. */
-  def manifests(): Seq[Manifest] = {
+  /** Every readable manifest, superseded ones included. */
+  def allManifests(): Seq[Manifest] = {
     val f = fs
     if (!f.exists(commitsDir)) return Seq.empty
-    val all = f.listStatus(commitsDir).toSeq
+    f.listStatus(commitsDir).toSeq
       .flatMap { st =>
         st.getPath.getName match {
-          case CommitLog.ManifestName(id) =>
-            Some(readManifest(id.toLong, st.getPath))
+          case CommitLog.ManifestName(id) => readManifest(id.toLong, st.getPath)
           case _ => None
         }
       }
+  }
+
+  /** Union of all tombstone sets (compactions carry tombstones forward
+    * transitively, so this survives crashed cleanups).
+    */
+  def allTombstones(): Set[Long] = allManifests().flatMap(_.supersedes).toSet
+
+  /** All live manifests, with compaction-superseded ones removed. */
+  def manifests(): Seq[Manifest] = {
+    val all = allManifests()
     val superseded = all.flatMap(_.supersedes).toSet
     all.filterNot(m => superseded.contains(m.epochId))
   }

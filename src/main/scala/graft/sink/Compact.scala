@@ -34,12 +34,35 @@ object Compact {
 
   def run(tableDir: String, conf: Configuration): Result = {
     val log = new CommitLog(tableDir, conf)
+    val fs = new Path(tableDir).getFileSystem(conf)
+    // one compactor at a time: exclusive-create lock; a crashed compactor's
+    // lock older than 10 minutes is reclaimed
+    val lock = new Path(tableDir, s"${CommitLog.COMMITS_DIR}/.compaction.lock")
+    if (fs.exists(lock) &&
+        System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+          > 10 * 60 * 1000L) {
+      fs.delete(lock, false)
+    }
+    try fs.create(lock, false).close()
+    catch {
+      case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"Another compaction holds $lock; concurrent compactions would " +
+            "duplicate every row")
+    }
+    try doRun(log, fs, tableDir)
+    finally fs.delete(lock, false)
+  }
+
+  private def doRun(
+      log: CommitLog,
+      fileSystem: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): Result = {
     val live = log.manifests()
     if (live.size <= 1) return Result(0, 0, 0)
     val oldFiles = live.flatMap(_.files)
     if (oldFiles.isEmpty) return Result(0, 0, 0)
-
-    val fs = new Path(tableDir).getFileSystem(conf)
+    val fs = fileSystem
     val raw = fs match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
@@ -64,9 +87,14 @@ object Compact {
     }.toSeq
 
     val watermark = log.streamingWatermark()
+    // tombstones carry forward TRANSITIVELY: include every previously
+    // superseded id so a crashed cleanup's leftover manifests can never be
+    // resurrected once the manifest holding their tombstone is itself
+    // compacted away
+    val tombstones = (live.map(_.epochId) ++ log.allTombstones()).distinct
     var epoch = -math.abs(System.nanoTime())
     while (!log.commit(epoch, newFiles,
-        supersedes = live.map(_.epochId),
+        supersedes = tombstones,
         watermark = if (watermark >= 0) Some(watermark) else None)) {
       epoch -= 1
     }

@@ -12,12 +12,13 @@ import org.apache.spark.sql.types.StructType
   * delegates entirely to Hive.
   *
   * Offset = high-water mark over committed STREAMING epoch ids (monotonic
-  * for a single writing query; negative batch pseudo-epochs are served to
-  * batch reads but excluded from tailing so the offset order is total).
-  * Each micro-batch reads exactly the files of the epochs in
-  * `(start, end]`, so a restarted reader resumes from its checkpoint
-  * without loss or duplication — the source inherits the sink's
-  * exactly-once guarantee.
+  * for a single writing query, preserved across compaction via the manifest
+  * watermark). Each micro-batch reads exactly the files of the epochs in
+  * `(start, end]`; a FRESH tail's first batch additionally includes the
+  * compaction/batch manifests as an initial snapshot. A resumed tail sitting
+  * BELOW a later compaction's watermark cannot replay the compacted epochs
+  * individually — compact only ranges every consumer has passed, as with
+  * any log-compacted store.
   */
 final class GraftMicroBatchStream(
     requiredSchema: StructType,
@@ -41,13 +42,26 @@ final class GraftMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].maxEpoch
     val e = end.asInstanceOf[GraftStreamOffset].maxEpoch
-    val epochs = log.committedEpochs().filter(id => id > s && id <= e && id >= 0L)
-    epochs.flatMap { id =>
-      log.filesOf(id).map { f =>
-        GraftInputPartition(f,
-          CommitLog.partitionSegments(f, s"${opts.db}.${opts.table}").toMap)
-          : InputPartition
-      }
+    // ONE manifest snapshot for the whole plan: committedEpochs+filesOf
+    // would re-list the log per epoch AND could straddle a concurrent
+    // compaction, silently dropping an epoch between the two reads
+    val snapshot = log.manifests()
+    val files = snapshot.flatMap { m =>
+      val take =
+        if (m.epochId >= 0L) m.epochId > s && m.epochId <= e
+        else
+          // a FRESH tail (start = initial) begins with the full snapshot:
+          // compaction/batch manifests cover rows whose original epochs no
+          // longer exist individually. A resuming tail (s >= 0) skips them —
+          // it already consumed those rows (or accepts the documented
+          // compact-behind-the-tail trade-off).
+          s == -1L && m.watermark.forall(_ <= e)
+      if (take) m.files else Seq.empty
+    }
+    files.map { f =>
+      GraftInputPartition(f,
+        CommitLog.partitionSegments(f, s"${opts.db}.${opts.table}").toMap)
+        : InputPartition
     }.toArray
   }
 

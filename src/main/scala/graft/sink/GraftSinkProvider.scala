@@ -94,26 +94,28 @@ object SchemaRegistry {
   def saveIfAbsent(opts: GraftSinkOptions, schema: StructType): Unit = {
     val p = schemaPath(opts)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) {
-      fs.mkdirs(p.getParent)
-      try {
-        val out = fs.create(p, false)
-        try out.write(schema.json.getBytes("UTF-8"))
-        finally out.close()
-      } catch {
-        // a concurrent first writer won the exclusive create; validate our
-        // schema against the winner's instead of failing the stream
-        case _: java.io.IOException =>
-          load(opts).foreach { winner =>
-            val want = winner.fields.map(_.name).toSet
-            val got = schema.fields.map(_.name).toSet
-            if (want != got) {
-              throw new IllegalStateException(
-                s"Concurrent writer recorded schema (${want.toSeq.sorted
-                  .mkString(",")}) different from this stream's (${got.toSeq
-                  .sorted.mkString(",")})")
-            }
-          }
+    if (fs.exists(p)) return
+    fs.mkdirs(p.getParent)
+    // write-temp + rename so no reader/racer ever observes a partial file;
+    // losing the rename race means a concurrent first writer won — validate
+    // our schema against the winner's instead of failing the stream
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".schema.${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(schema.json.getBytes("UTF-8"))
+    finally out.close()
+    val won = !fs.exists(p) && fs.rename(tmp, p)
+    if (!won) {
+      fs.delete(tmp, false)
+      load(opts).foreach { winner =>
+        val want = winner.fields.map(_.name).toSet
+        val got = schema.fields.map(_.name).toSet
+        if (want != got) {
+          throw new IllegalStateException(
+            s"Concurrent writer recorded schema (${want.toSeq.sorted
+              .mkString(",")}) different from this stream's (${got.toSeq
+              .sorted.mkString(",")})")
+        }
       }
     }
   }
@@ -215,6 +217,10 @@ final class GraftWrite(schema: StructType, opts: GraftSinkOptions, conf: Configu
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
+      // nothing written → no manifest: foreachBatch pipelines with
+      // mostly-duplicate batches would otherwise grow the commit log with
+      // empty manifests every reader must list and parse
+      if (files.isEmpty) return
       // batch writes have no Spark-assigned epoch; claim a unique negative
       // pseudo-epoch, retrying on collision so a concurrent batch writer can
       // never silently drop this batch's manifest

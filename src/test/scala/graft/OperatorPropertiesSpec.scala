@@ -121,14 +121,21 @@ class OperatorPropertiesSpec extends SparkSpec {
     // via spark.sql.extensions=graft.functions.GraftExtensions)
     spark.sessionState.functionRegistry.registerFunction(
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.DotProduct].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.DotProduct(children(0), children(1)))
+      graft.functions.DotProduct.info,
+      graft.functions.DotProduct.builder _)
     df.createOrReplaceTempView("vdot_t")
     val viaSql = spark.sql("SELECT vec_id, vec_dot(v, v) AS d FROM vdot_t")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(viaSql === hof)
+
+    // mismatched lengths are NULL (like the HOF fold), not a partial sum
+    val mism = spark.sql(
+      "SELECT vec_dot(slice(v, 1, 32), v) AS d FROM vdot_t LIMIT 1").head
+    assert(mism.isNullAt(0), "length mismatch must yield null")
+    // wrong arity is a clear error, not IndexOutOfBounds
+    val e = intercept[Exception] { spark.sql("SELECT vec_dot(1)").collect() }
+    assert(e.getMessage.contains("2 arguments") ||
+      Option(e.getCause).exists(_.getMessage.contains("2 arguments")))
   }
 
   test("IVF ANN recall: top-10 overlaps brute-force top-10 substantially") {

@@ -310,6 +310,66 @@ class GraftSinkSpec extends SparkSpec {
     assert(Compact.run(tableDir, conf) === Compact.Result(0, 0, 0))
   }
 
+  test("fresh tail after compaction receives the full snapshot") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS().map(i => (i, s"m$i")).toDF("id", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir)).option("checkpointLocation", s"$dir/_cpw").start()
+    (0 until 3).foreach { e => in.addData(e * 10 + 1 to e * 10 + 10: _*); q.processAllAvailable() }
+    q.stop()
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Compact.run(s"$dir/testdb.t", conf).supersededEpochs === 3)
+    // a brand-new tail must see the compacted rows as its initial snapshot
+    val reader = spark.readStream.format("graft-streaming").options(opts(dir))
+      .load()
+      .writeStream.format("memory").queryName("snap_out")
+      .option("checkpointLocation", s"$dir/_cpr").start()
+    reader.processAllAvailable()
+    reader.stop()
+    val got = spark.table("snap_out").select("id").as[Long].collect().sorted
+    assert(got.toSeq === (1L to 30L),
+      "compacted rows must reach a fresh tail exactly once")
+  }
+
+  test("compaction tombstones are transitive across generations") {
+    val dir = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableDir = s"$dir/t.t"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def writeData(name: String, rows: Seq[String]): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$tableDir/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      out.write((rows.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
+      p.toString
+    }
+    val log = new CommitLog(tableDir, conf)
+    assert(log.commit(0L, Seq(writeData("a.jsonl", Seq("""{"id":1}""", """{"id":2}""")))))
+    assert(log.commit(1L, Seq(writeData("b.jsonl", Seq("""{"id":3}""")))))
+    assert(Compact.run(tableDir, conf).supersededEpochs === 2)
+
+    // simulate a crashed cleanup: a superseded manifest survives on disk
+    val leftover = log.manifestPath(0L)
+    val out = fs.create(leftover, false)
+    out.write("/long/gone/file.jsonl".getBytes("UTF-8")); out.close()
+    assert(log.manifests().forall(_.epochId != 0L),
+      "tombstoned manifest must stay dead")
+
+    // a SECOND compaction consumes the first; transitive tombstones must
+    // keep the leftover dead even after the first compaction manifest (the
+    // only holder of epoch-0's tombstone) is deleted
+    assert(log.commit(5L, Seq(writeData("c.jsonl", Seq("""{"id":4}""")))))
+    assert(Compact.run(tableDir, conf).supersededEpochs >= 2)
+    assert(log.manifests().forall(_.epochId != 0L),
+      "leftover must stay dead across compaction generations")
+    assert(log.committedFiles().forall(!_.contains("long/gone")))
+    // 4 rows total, nothing resurrected, nothing lost
+    assert(spark.read.json(log.committedFiles(): _*).count() === 4)
+  }
+
   test("A9 abort: epoch abort deletes staged files, nothing becomes visible") {
     val dir = tmp()
     val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))

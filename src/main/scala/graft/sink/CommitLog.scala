@@ -148,11 +148,22 @@ final class CommitLog(tableDir: String, conf: Configuration) {
 
   /** Streaming high-water mark: max live streaming epoch id, or the
     * watermark a compaction preserved when it consumed those manifests.
+    *
+    * Called once per trigger by the tailing source, so it must NOT read
+    * every manifest: positive ids come from listStatus names alone; only
+    * the (few) negative compaction/batch manifests are opened for their
+    * watermark header.
     */
   def streamingWatermark(): Long = {
-    val ms = manifests()
-    (ms.map(_.epochId).filter(_ >= 0L) ++ ms.flatMap(_.watermark))
-      .foldLeft(-1L)(math.max)
+    val f = fs
+    if (!f.exists(commitsDir)) return -1L
+    val names = f.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+      .collect { case CommitLog.ManifestName(id) => id.toLong }
+    val posMax = names.filter(_ >= 0L).foldLeft(-1L)(math.max)
+    val negWatermarks = names.filter(_ < 0L).flatMap { id =>
+      readManifest(id, manifestPath(id)).flatMap(_.watermark)
+    }
+    negWatermarks.foldLeft(posMax)(math.max)
   }
 
   /** Remove a superseded manifest (post-compaction cleanup — only safe
@@ -194,16 +205,29 @@ object CommitLog {
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String): org.apache.spark.sql.DataFrame = {
     val log = new CommitLog(tableDir, spark.sparkContext.hadoopConfiguration)
-    if (log.committedFiles().isEmpty) return spark.emptyDataFrame
     val norm = tableDir.stripSuffix("/")
     val slash = norm.lastIndexOf('/')
     val dbTable = norm.substring(slash + 1)
     val dot = dbTable.indexOf('.')
     require(dot > 0, s"table dir '$tableDir' is not <path>/<db>.<table>")
+    val opts = GraftSinkOptions(
+      path = norm.substring(0, slash),
+      db = dbTable.substring(0, dot),
+      table = dbTable.substring(dot + 1),
+      partitionColumns = Seq.empty, batchSize = 1, txnPerBatch = 1,
+      autoCreatePartitions = true)
+    if (log.committedFiles().isEmpty) {
+      // schema-typed empty frame when the table exists but holds no rows,
+      // so .select/.filter on known columns still analyze
+      return SchemaRegistry.load(opts)
+        .map(schema => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        .getOrElse(spark.emptyDataFrame)
+    }
     spark.read.format("graft-streaming")
-      .option(GraftSinkOptions.PATH, norm.substring(0, slash))
-      .option(GraftSinkOptions.DB, dbTable.substring(0, dot))
-      .option(GraftSinkOptions.TABLE, dbTable.substring(dot + 1))
+      .option(GraftSinkOptions.PATH, opts.path)
+      .option(GraftSinkOptions.DB, opts.db)
+      .option(GraftSinkOptions.TABLE, opts.table)
       .load()
   }
 }

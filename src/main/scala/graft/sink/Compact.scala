@@ -32,16 +32,31 @@ object Compact {
   case class Result(
       consolidatedFiles: Int, supersededEpochs: Int, removedFiles: Int)
 
-  def run(tableDir: String, conf: Configuration): Result = {
+  /** @param retainMillis how long superseded DATA files are retained after
+    *                     compaction before a later run purges them — gives
+    *                     in-flight readers that planned against the old
+    *                     manifests time to finish (Delta's VACUUM retention
+    *                     idea). 0 = delete immediately (single-process use).
+    * @param lockStaleMillis age past which a crashed compactor's lock is
+    *                        reclaimed; must exceed the longest expected
+    *                        compaction.
+    */
+  def run(tableDir: String, conf: Configuration,
+      retainMillis: Long = 0L,
+      lockStaleMillis: Long = 30 * 60 * 1000L): Result = {
     val log = new CommitLog(tableDir, conf)
     val fs = new Path(tableDir).getFileSystem(conf)
-    // one compactor at a time: exclusive-create lock; a crashed compactor's
-    // lock older than 10 minutes is reclaimed
+    // one compactor at a time: exclusive-create lock. Stale-lock reclaim is
+    // RENAME-based — rename succeeds for exactly one contender, so two
+    // compactors can never both reclaim and run (delete-then-create would
+    // let the loser delete the winner's fresh lock).
     val lock = new Path(tableDir, s"${CommitLog.COMMITS_DIR}/.compaction.lock")
     if (fs.exists(lock) &&
         System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-          > 10 * 60 * 1000L) {
-      fs.delete(lock, false)
+          > lockStaleMillis) {
+      val claimed = new Path(lock.getParent,
+        s".compaction.lock.stale-${java.util.UUID.randomUUID}")
+      if (fs.rename(lock, claimed)) fs.delete(claimed, false)
     }
     try fs.create(lock, false).close()
     catch {
@@ -50,19 +65,21 @@ object Compact {
           s"Another compaction holds $lock; concurrent compactions would " +
             "duplicate every row")
     }
-    try doRun(log, fs, tableDir)
+    try doRun(log, fs, tableDir, retainMillis)
     finally fs.delete(lock, false)
   }
 
   private def doRun(
       log: CommitLog,
       fileSystem: org.apache.hadoop.fs.FileSystem,
-      tableDir: String): Result = {
+      tableDir: String,
+      retainMillis: Long): Result = {
+    val fs = fileSystem
+    purgeExpiredTrash(fs, tableDir, retainMillis)
     val live = log.manifests()
     if (live.size <= 1) return Result(0, 0, 0)
     val oldFiles = live.flatMap(_.files)
     if (oldFiles.isEmpty) return Result(0, 0, 0)
-    val fs = fileSystem
     val raw = fs match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
@@ -98,10 +115,45 @@ object Compact {
         watermark = if (watermark >= 0) Some(watermark) else None)) {
       epoch -= 1
     }
-    // lazy cleanup — the compaction manifest is visible, nothing references
-    // the superseded state anymore
+    // lazy cleanup — the compaction manifest is visible, so NEW readers no
+    // longer reference the superseded state. Manifests go now; data files
+    // go now (retainMillis = 0) or into a trash ledger purged by a later
+    // run, giving IN-FLIGHT readers that already planned against the old
+    // file list time to finish.
     live.foreach(m => log.deleteManifest(m.epochId))
-    log.deleteFiles(oldFiles)
+    if (retainMillis <= 0) log.deleteFiles(oldFiles)
+    else {
+      val trash = new Path(tableDir,
+        s"${CommitLog.COMMITS_DIR}/.trash-${System.currentTimeMillis()}")
+      val out = fs.create(trash, false)
+      try out.write(oldFiles.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     Result(newFiles.size, live.size, oldFiles.size)
+  }
+
+  private def purgeExpiredTrash(
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      retainMillis: Long): Unit = {
+    val commits = new Path(tableDir, CommitLog.COMMITS_DIR)
+    if (!fs.exists(commits)) return
+    val now = System.currentTimeMillis()
+    fs.listStatus(commits).filter(_.getPath.getName.startsWith(".trash-"))
+      .foreach { st =>
+        val ts = st.getPath.getName.stripPrefix(".trash-").toLong
+        if (now - ts > retainMillis) {
+          val in = fs.open(st.getPath)
+          val text = try {
+            val bytes = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+            new String(bytes.toByteArray, "UTF-8")
+          } finally in.close()
+          text.split("\n").filter(_.nonEmpty)
+            .foreach(f => fs.delete(new Path(f), false))
+          fs.delete(st.getPath, false)
+        }
+      }
   }
 }

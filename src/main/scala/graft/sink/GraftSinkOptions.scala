@@ -30,23 +30,35 @@ final case class GraftSinkOptions(
     autoCreatePartitions: Boolean,
     principal: Option[String] = None,
     keytab: Option[String] = None,
-    keepaliveIntervalMs: Long = 0L) {
+    keepaliveIntervalMs: Long = 0L,
+    commitEpoch: Option[Long] = None) {
 
   /** Table root directory: `<path>/<db>.<table>` */
   def tableDir: String = s"$path/$db.$table"
 
   /** Kerberos UGI when principal/keytab are configured (reference
     * `HiveOptions.scala:61-75` + `HiveWriter.scala:46-54` wrap writer
-    * creation in `ugi.doAs`). Created lazily on the executor — UGI is not
-    * serializable; the login only happens where the filesystem is touched.
+    * creation in `ugi.doAs`). Resolved lazily on the executor — UGI is not
+    * serializable — and cached per (principal, keytab): one KDC login per
+    * executor, not one per writer per epoch.
     */
   def ugi(): Option[org.apache.hadoop.security.UserGroupInformation] =
-    for (p <- principal; k <- keytab) yield
-      org.apache.hadoop.security.UserGroupInformation
-        .loginUserFromKeytabAndReturnUGI(p, k)
+    for (p <- principal; k <- keytab)
+      yield GraftSinkOptions.cachedUgi(p, k)
 }
 
 object GraftSinkOptions {
+  private val ugiCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.hadoop.security.UserGroupInformation]()
+
+  private[sink] def cachedUgi(
+      principal: String, keytab: String): org.apache.hadoop.security.UserGroupInformation =
+    ugiCache.computeIfAbsent((principal, keytab), { case (p, k) =>
+      org.apache.hadoop.security.UserGroupInformation
+        .loginUserFromKeytabAndReturnUGI(p, k)
+    })
+
   val PATH = "path"
   val DB = "db"
   val TABLE = "table"
@@ -57,6 +69,7 @@ object GraftSinkOptions {
   val PRINCIPAL = "principal"
   val KEYTAB = "keytab"
   val KEEPALIVE_INTERVAL_MS = "keepalive.interval.ms"
+  val COMMIT_EPOCH = "commit.epoch"
 
   /** Parse + validate, with the reference's required-option error behavior
     * (`HiveOptions.scala:90-103` throws IllegalArgumentException listing the
@@ -108,6 +121,7 @@ object GraftSinkOptions {
       autoCreatePartitions = options.getBoolean(AUTO_CREATE_PARTITIONS, true),
       principal = principal,
       keytab = keytab,
-      keepaliveIntervalMs = options.getLong(KEEPALIVE_INTERVAL_MS, 0L))
+      keepaliveIntervalMs = options.getLong(KEEPALIVE_INTERVAL_MS, 0L),
+      commitEpoch = Option(options.get(COMMIT_EPOCH)).map(_.toLong))
   }
 }

@@ -221,11 +221,25 @@ final class GraftWrite(schema: StructType, opts: GraftSinkOptions, conf: Configu
       // mostly-duplicate batches would otherwise grow the commit log with
       // empty manifests every reader must list and parse
       if (files.isEmpty) return
-      // batch writes have no Spark-assigned epoch; claim a unique negative
-      // pseudo-epoch, retrying on collision so a concurrent batch writer can
-      // never silently drop this batch's manifest
-      var epoch = -math.abs(System.nanoTime())
-      while (!commitLog.commit(epoch, files)) epoch -= 1
+      opts.commitEpoch match {
+        // foreachBatch pipelines pass their micro-batch epoch through
+        // `commit.epoch`: the write commits as a STREAMING epoch, so a
+        // re-executed foreachBatch is idempotent (replay discarded) and the
+        // rows remain visible to tailing readers
+        case Some(e) =>
+          if (!commitLog.commit(e, files)) {
+            logWarning(s"epoch $e already committed (foreachBatch replay); " +
+              s"discarding ${files.size} replayed files")
+            commitLog.deleteFiles(files)
+          }
+        // plain batch appends have no Spark-assigned epoch; claim a unique
+        // negative pseudo-epoch (snapshot-only for tails), retrying on
+        // collision so a concurrent batch writer can never silently drop
+        // this batch's manifest
+        case None =>
+          var epoch = -math.abs(System.nanoTime())
+          while (!commitLog.commit(epoch, files)) epoch -= 1
+      }
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq

@@ -124,6 +124,8 @@ object JsonRowEncoder {
     * Public: pruning predicates must compare in this encoding.
     */
   def sanitize(s: String): String = {
+    // a REAL string equal to the null sentinel must not round-trip to null
+    if (s == "__NULL__") return "%5F_NULL__"
     val sb = new StringBuilder(s.length)
     s.foreach {
       case c @ ('/' | '\\' | '=' | '%' | ':') => sb.append(f"%%${c.toInt}%02X")

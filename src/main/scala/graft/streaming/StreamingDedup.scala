@@ -31,7 +31,7 @@ object StreamingDedup {
       checkpoint: String): StreamingQuery = {
     val tableDir = s"$path/$db.$table"
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
         val fresh = withFingerprint(batch).dropDuplicates("fp")
         val existing = CommitLog.readCommitted(spark, tableDir)
@@ -39,8 +39,11 @@ object StreamingDedup {
           if (existing.columns.contains("fp")) {
             fresh.join(existing.select("fp").distinct(), Seq("fp"), "left_anti")
           } else fresh
+        // commit.epoch = the foreachBatch epoch: replays are idempotent and
+        // the deduped rows stay visible to tailing readers of the table
         novel.write.format("graft-streaming").mode("append")
           .option("path", path).option("db", db).option("table", table)
+          .option(graft.sink.GraftSinkOptions.COMMIT_EPOCH, epochId)
           .save()
         ()
       }

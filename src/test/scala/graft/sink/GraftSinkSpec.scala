@@ -334,6 +334,76 @@ class GraftSinkSpec extends SparkSpec {
       "compacted rows must reach a fresh tail exactly once")
   }
 
+  test("compaction retention: superseded files trashed, purged after expiry") {
+    val dir = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableDir = s"$dir/t.t"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def writeData(name: String, rows: Seq[String]): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$tableDir/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      out.write((rows.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
+      p.toString
+    }
+    val log = new CommitLog(tableDir, conf)
+    val f1 = writeData("a.jsonl", Seq("""{"id":1}"""))
+    val f2 = writeData("b.jsonl", Seq("""{"id":2}"""))
+    assert(log.commit(0L, Seq(f1)) && log.commit(1L, Seq(f2)))
+    assert(Compact.run(tableDir, conf, retainMillis = 50L).supersededEpochs === 2)
+    // retained: old data files still on disk for in-flight readers
+    assert(fs.exists(new org.apache.hadoop.fs.Path(f1)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(f2)))
+    // ...but no longer visible
+    assert(spark.read.json(log.committedFiles(): _*).count() === 2)
+    Thread.sleep(80)
+    // a later run purges the expired trash
+    val f3 = writeData("c.jsonl", Seq("""{"id":3}"""))
+    assert(log.commit(5L, Seq(f3)))
+    Compact.run(tableDir, conf, retainMillis = 50L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(f1)), "trash must be purged")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(f2)))
+    assert(spark.read.json(log.committedFiles(): _*).count() === 3)
+  }
+
+  test("foreachBatch commit.epoch: deduped rows are tailable and replay-safe") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.start(
+      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp")
+    in.addData((1L, "alpha"), (2L, "beta"))
+    q.processAllAvailable()
+    in.addData((3L, "alpha"), (4L, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val log = new CommitLog(s"$dir/corpus.docs",
+      spark.sparkContext.hadoopConfiguration)
+    // epochs are STREAMING ids (from foreachBatch), not negative pseudo-ids
+    assert(log.committedEpochs().forall(_ >= 0L))
+    // so a tailing reader of the deduped table receives the rows
+    val reader = spark.readStream.format("graft-streaming")
+      .option("path", dir).option("db", "corpus").option("table", "docs")
+      .load()
+      .writeStream.format("memory").queryName("dedup_tail")
+      .option("checkpointLocation", s"$dir/_cpr").start()
+    reader.processAllAvailable()
+    reader.stop()
+    assert(spark.table("dedup_tail").count() === 3)
+  }
+
+  test("a string partition value equal to the null sentinel round-trips") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((1, "__NULL__", "x"), (2, "real", "y")).toDF("id", "k", "msg")
+      .write.format("graft-streaming").mode("append")
+      .options(opts(dir, "partition.columns" -> "k")).save()
+    val out = spark.read.format("graft-streaming").options(opts(dir)).load()
+    val ks = out.select("k").as[String].collect().sorted
+    assert(ks.toSeq === Seq("__NULL__", "real"), s"got ${ks.toSeq}")
+  }
+
   test("compaction tombstones are transitive across generations") {
     val dir = tmp()
     val conf = spark.sparkContext.hadoopConfiguration

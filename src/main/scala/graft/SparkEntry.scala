@@ -32,6 +32,7 @@ object SparkEntry {
     "q_agg_hash"       -> (Relational.aggHash _),
     "q_agg_distinct"   -> (Relational.aggDistinct _),
     "q_agg_approx"     -> (Relational.aggApprox _),
+    "q_agg_approx_pct" -> (Relational.aggApproxPercentile _),
     "q_agg_rollup"     -> (Relational.aggRollup _),
     "q_agg_cube"       -> (Relational.aggCube _),
     "q_agg_gsets"      -> (Relational.aggGroupingSets _),

@@ -92,6 +92,21 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"))
       .orderBy("l_returnflag")
 
+  /** approx_percentile (KLL-style quantile sketch) — the other core sketch
+    * of large-scale aggregation. Sketch-dependent → rows-only driver check;
+    * the ScalaTest spec asserts each quantile within the configured
+    * relative-error bound of the exact percentile.
+    */
+  def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"),
+        approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("p95_approx"))
+      .orderBy("l_returnflag")
+
   /** ROLLUP hierarchical totals. NULLS FIRST ordering matches the oracle's
     * explicit NULLS FIRST (DuckDB defaults to NULLS LAST).
     */

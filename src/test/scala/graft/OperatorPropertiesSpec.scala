@@ -75,6 +75,23 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx_percentile within rank tolerance of the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val exact = df.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.operators.Relational
+      .aggApproxPercentile(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    approx.foreach { case (k, (a50, a95)) =>
+      val (e50, e95) = exact(k)
+      assert(math.abs(a50 - e50) / e50 <= 0.01, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 <= 0.01, s"$k p95: $a95 vs $e95")
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = Dedup.exact(spark, sf0001)
     val cached = once.cache()

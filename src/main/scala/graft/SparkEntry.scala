@@ -348,9 +348,12 @@ object SparkEntry {
         |             list_sum([a * a FOR a IN CAST(embedding AS DOUBLE[])]) AS nrm
         |           FROM embeddings),
         |${operators.Hyperplanes.sqlBandKeysCte},
+        |bsz AS (SELECT band, bkey FROM keys GROUP BY band, bkey
+        |        HAVING COUNT(1) BETWEEN 2 AND 100),
         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
         |         FROM keys x JOIN keys y ON x.band = y.band AND x.bkey = y.bkey
-        |           AND x.vec_id < y.vec_id)
+        |           AND x.vec_id < y.vec_id
+        |         JOIN bsz ON x.band = bsz.band AND x.bkey = bsz.bkey)
         |SELECT a_id, b_id, cosine FROM (
         |  SELECT a_id, b_id,
         |    ROUND(list_sum([ea.v[i] * eb.v[i] FOR i IN generate_series(1, len(ea.v))])

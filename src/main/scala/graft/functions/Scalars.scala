@@ -102,12 +102,16 @@ object Scalars {
       .orderBy("l_orderkey", "l_linenumber", "doc")
 
   /** JSON field extraction from events.props (the inverse of the sink's A6
-    * encode): props is a JSON object like {"k": 87}.
+    * encode): props is a JSON object like {"k": 87}. `from_json` with an
+    * explicit one-field schema parses each document exactly once into a
+    * typed struct (prunable, no per-path re-parse the way repeated
+    * `get_json_object` calls would).
     */
   def fromJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k").as("k"))
       .withColumn("k_bucket", col("k") % 10)
       .orderBy("event_id")
 }

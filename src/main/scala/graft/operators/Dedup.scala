@@ -38,6 +38,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Size-bound prefilter on candidate pairs: Jaccard ≤ min(|a|,|b|) /
+    * max(|a|,|b|) (intersection ≤ the smaller set, union ≥ the larger), so a
+    * pair whose set SIZES already bound Jaccard below the threshold can
+    * never pass verification — drop it BEFORE the full shingle arrays ship
+    * through the verification joins. Purely implied-by: the surviving pairs'
+    * jaccard values are unchanged, so oracles need no mirror.
+    */
+  private def sizeBounded(
+      cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+    cand
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("za")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("zb")), "b_id")
+      .filter(least(col("za"), col("zb")) >=
+        lit(threshold) * greatest(col("za"), col("zb")))
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Distinct word-level 3-gram shingles per document, with blocking key. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -104,7 +122,7 @@ object Dedup {
     // OTHER, smaller buckets when genuinely similar
     val cand = bucketPairs(bands, Seq("band_idx", "band_hash"), cap = 100)
     val sh = base.select(col("doc_id"), col("shingles"))
-    cand
+    sizeBounded(cand, sh, threshold)
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
@@ -173,8 +191,9 @@ object Dedup {
     // the same df ≤ hotCap filter.
     val cand = bucketPairs(sh, Seq("lang", "blk", "shingle"), cap = hotCap)
     // verification uses the FULL shingle sets, so the cap only affects which
-    // pairs are examined, never a reported jaccard value
-    cand
+    // pairs are examined, never a reported jaccard value; the size-bound
+    // prefilter drops size-impossible pairs before any array ships
+    sizeBounded(cand, docs, threshold)
       .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
@@ -203,15 +222,14 @@ object Dedup {
       transform(col("embedding"), _.cast("double")).as("v"))
     // band keys cost 64 hyperplane dots per vector; materialize them once
     // for the two sides of the self-join
-    val keys = e.select(col("vec_id"),
+    val keys = e.select(col("vec_id").as("doc_id"),
       posexplode(Hyperplanes.bandKeys(col("v"))).as(Seq("band", "bkey")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = keys.as("x")
-      .join(keys.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
+    // map-side capped pair expansion (same guard as every other dedup
+    // path): a degenerate bucket — e.g. many zero/near-identical vectors
+    // collapsing to one band key — is skipped above 100 members instead of
+    // going quadratic in the self-join. The cap is part of the declared
+    // semantics; the oracle SQL applies the same bucket-size filter.
+    val cand = bucketPairs(keys, Seq("band", "bkey"), cap = 100)
     // norms once per vector, not once per candidate pair (the oracle's CTE
     // does the same)
     val en = e.select(col("vec_id"), col("v"),

@@ -138,16 +138,19 @@ object Similarity {
     // by construction; k-means codebooks are ≤ a few thousand entries)
     val simToC = dot(col("v"), col("cv")) /
       (sqrt(col("nrm")) * sqrt(col("c_nrm")))
-    // materialized: the assignment (all-vectors × codebook dots + window)
-    // feeds both the probe-list lookup and the main scan
+    // materialized: the assignment feeds both the probe-list lookup and the
+    // main scan. Argmin via max_by aggregation (map-side partial, no
+    // per-vector sort): the window row_number()=1 formulation sorted all
+    // n×|codebook| scored rows — wasted work at 100 TB. Tiebreak matches
+    // the old ORDER BY csim DESC, c_id ASC: max on (csim, -c_id).
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("csim", simToC)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("csim").desc, col("c_id").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-        col("c_id").as("list_id"))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("label"), col("v"), col("nrm"), col("c_id")),
+        struct(col("csim"), (-col("c_id")).as("neg_c"))).as("m"))
+      .select(col("vec_id"), col("m.label").as("label"), col("m.v").as("v"),
+        col("m.nrm").as("nrm"), col("m.c_id").as("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // probe: its nprobe nearest centroids select the inverted lists to scan
     val probeLists = assigned.filter(col("vec_id") === 0)

@@ -53,12 +53,19 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     f.mkdirs(commitsDir)
     val target = manifestPath(epochId)
     if (f.exists(target)) return false
-    // NOTE deliberately NOT consulting tombstones here: a fresh-checkpoint
-    // query legitimately restarts epoch numbering at 0 and must be able to
-    // commit ids that an older lineage once used. The operational rule (as
-    // with Spark's FileStreamSink log) is: one logical query lineage per
-    // table, and compact only epochs older than any writer's in-flight
-    // window.
+    // A tombstoned id was consumed by a compaction: publishing it again
+    // would return success while manifests() filters the epoch forever —
+    // silent data loss for a fresh-checkpoint lineage that restarts epoch
+    // numbering at 0 on an already-compacted table. Fail loudly instead.
+    // Negative (compaction) ids are exempt: Compact's retry loop probes ids
+    // and relies on the false/true contract, and its nanoTime-derived ids
+    // never repeat within a lineage.
+    if (epochId >= 0 && allTombstones().contains(epochId))
+      throw new IllegalStateException(
+        s"Epoch $epochId of $tableDir was compacted away (tombstoned): " +
+          "committing it again would publish rows that stay permanently " +
+          "invisible. Restart the query against a fresh table or fresh " +
+          "epoch range, or compact only epochs every writer has passed.")
     val tmp = new Path(commitsDir, s".epoch-$epochId.${java.util.UUID.randomUUID}.tmp")
     val header =
       (if (supersedes.nonEmpty) Seq(s"#supersedes:${supersedes.mkString(",")}")
@@ -124,9 +131,32 @@ final class CommitLog(tableDir: String, conf: Configuration) {
   }
 
   /** Union of all tombstone sets (compactions carry tombstones forward
-    * transitively, so this survives crashed cleanups).
+    * transitively, so this survives crashed cleanups). Only compaction
+    * manifests (negative ids) ever carry `#supersedes:`, so this opens just
+    * those few files — called per epoch commit, it must not scan every
+    * streaming manifest.
     */
-  def allTombstones(): Set[Long] = allManifests().flatMap(_.supersedes).toSet
+  def allTombstones(): Set[Long] = {
+    val f = fs
+    if (!f.exists(commitsDir)) return Set.empty
+    f.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+      .collect { case CommitLog.ManifestName(id) if id.toLong < 0L => id.toLong }
+      .flatMap(id => readManifest(id, manifestPath(id)))
+      .flatMap(_.supersedes).toSet
+  }
+
+  /** True if any non-streaming (negative-id: compaction or batch) manifest
+    * exists — the tailing source uses this to deliver an initial snapshot
+    * even when no streaming epoch was ever committed.
+    */
+  def hasNonStreamingManifests(): Boolean = {
+    val f = fs
+    f.exists(commitsDir) && f.listStatus(commitsDir).exists(st =>
+      st.getPath.getName match {
+        case CommitLog.ManifestName(id) => id.toLong < 0L
+        case _ => false
+      })
+  }
 
   /** All live manifests, with compaction-superseded ones removed. */
   def manifests(): Seq[Manifest] = {

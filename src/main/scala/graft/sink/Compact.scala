@@ -36,13 +36,18 @@ object Compact {
     *                     compaction before a later run purges them — gives
     *                     in-flight readers that planned against the old
     *                     manifests time to finish (Delta's VACUUM retention
-    *                     idea). 0 = delete immediately (single-process use).
+    *                     idea). Defaults to 10 minutes — comfortably longer
+    *                     than a planned-but-running scan; concurrent readers
+    *                     are an advertised capability, so immediate deletion
+    *                     (0, which makes a mid-query reader hit
+    *                     FileNotFoundException) is an explicit opt-in for
+    *                     single-process use only.
     * @param lockStaleMillis age past which a crashed compactor's lock is
     *                        reclaimed; must exceed the longest expected
     *                        compaction.
     */
   def run(tableDir: String, conf: Configuration,
-      retainMillis: Long = 0L,
+      retainMillis: Long = 10 * 60 * 1000L,
       lockStaleMillis: Long = 30 * 60 * 1000L): Result = {
     val log = new CommitLog(tableDir, conf)
     val fs = new Path(tableDir).getFileSystem(conf)

@@ -34,13 +34,32 @@ final class GraftMicroBatchStream(
 
   override def initialOffset(): Offset = GraftStreamOffset(-1L)
 
-  override def latestOffset(): Offset = GraftStreamOffset(hwm())
+  /** For a table populated only by batch writes / compactions (negative
+    * manifests, no streaming watermark) the high-water mark stays -1 ==
+    * initialOffset, and Spark would never plan a micro-batch — the
+    * documented initial snapshot would never be delivered. The
+    * `snapshotDone` sentinel makes the offset advance exactly once
+    * (`-1` → `-1|snap`) so the first micro-batch ships the snapshot, then
+    * goes quiescent until a streaming epoch appears.
+    */
+  override def latestOffset(): Offset = {
+    val h = hwm()
+    if (h >= 0L) GraftStreamOffset(h)
+    else if (log.hasNonStreamingManifests())
+      GraftStreamOffset(-1L, snapshotDone = true)
+    else GraftStreamOffset(-1L)
+  }
 
-  override def deserializeOffset(json: String): Offset =
-    GraftStreamOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.endsWith("|snap"))
+      GraftStreamOffset(t.stripSuffix("|snap").toLong, snapshotDone = true)
+    else GraftStreamOffset(t.toLong)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftStreamOffset].maxEpoch
+    val startOff = start.asInstanceOf[GraftStreamOffset]
+    val s = startOff.maxEpoch
     val e = end.asInstanceOf[GraftStreamOffset].maxEpoch
     // ONE manifest snapshot for the whole plan: committedEpochs+filesOf
     // would re-list the log per epoch AND could straddle a concurrent
@@ -50,12 +69,13 @@ final class GraftMicroBatchStream(
       val take =
         if (m.epochId >= 0L) m.epochId > s && m.epochId <= e
         else
-          // a FRESH tail (start = initial) begins with the full snapshot:
-          // compaction/batch manifests cover rows whose original epochs no
-          // longer exist individually. A resuming tail (s >= 0) skips them —
-          // it already consumed those rows (or accepts the documented
+          // a FRESH tail (start = initial, snapshot not yet delivered)
+          // begins with the full snapshot: compaction/batch manifests cover
+          // rows whose original epochs no longer exist individually. A
+          // resuming tail (s >= 0, or the `|snap` sentinel) skips them — it
+          // already consumed those rows (or accepts the documented
           // compact-behind-the-tail trade-off).
-          s == -1L && m.watermark.forall(_ <= e)
+          s == -1L && !startOff.snapshotDone && m.watermark.forall(_ <= e)
       if (take) m.files else Seq.empty
     }
     files.map { f =>
@@ -73,6 +93,14 @@ final class GraftMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-final case class GraftStreamOffset(maxEpoch: Long) extends Offset {
-  override def json(): String = maxEpoch.toString
+/** `snapshotDone` marks "initial snapshot delivered, no streaming epochs
+  * yet" (`-1|snap`): distinct from the fresh `-1` so Spark plans exactly one
+  * snapshot batch for a batch-only table, and from any real epoch id so a
+  * later streaming epoch 0 still advances the offset. Offset equality is
+  * json-string equality, so the sentinel must round-trip through json().
+  */
+final case class GraftStreamOffset(maxEpoch: Long, snapshotDone: Boolean = false)
+  extends Offset {
+  override def json(): String =
+    if (snapshotDone) s"$maxEpoch|snap" else maxEpoch.toString
 }

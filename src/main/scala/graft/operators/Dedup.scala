@@ -196,19 +196,36 @@ object Dedup {
     * of xor). Hash-dependent → rows-only driver check.
     */
   def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    // explode tokens, hash once, then 64 codegen'd ±1 vote-sums in ONE
-    // aggregation pass (map-side partial sums); per-row higher-order
-    // functions would run interpreted and 64× slower
+    // explode tokens, hash once, then accumulate the 64 per-bit vote
+    // counters PACKED 2-per-long in 32-bit fields: per token, field i
+    // holds (h>>i)&1, and summing the packed longs sums every field
+    // independently (ones-counts are non-negative — no cross-field
+    // borrow — and bounded by the doc's token count, which can never
+    // reach 2³², so the fields are unconditionally overflow-safe).
+    // The ±1 vote is recovered by the bias identity
+    // votes_i = 2*ones_i - n_tokens, so bit i is set iff 2*ones_i > n.
+    // This replaces 64 sum(when(...)) aggregate buffers with 32+1 — the
+    // map-side combine loop, its generated code, and the partial-agg
+    // shuffle row width shrink ~2×.
+    val fieldsPerLong = 2
+    val fieldBits = 32
+    val packedOnes = (0 until 64 / fieldsPerLong).map { k =>
+      sum((0 until fieldsPerLong).map { j =>
+        shiftleft(shiftright(col("h"), k * fieldsPerLong + j)
+          .bitwiseAND(1L), j * fieldBits)
+      }.reduce(_ + _)).as(s"p$k")
+    }
     val votes = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
       .groupBy("doc_id")
-      .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
-        (1 until 64).map(i =>
-          sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")): _*)
-    // pack sign bits into one 64-bit long
+      .agg(count(lit(1)).as("n"), packedOnes: _*)
+    // unpack ones-counts and assemble the 64-bit simhash (post-agg
+    // projection over one row per doc — negligible)
     val packed: Column = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+      val ones = shiftright(col(s"p${i / fieldsPerLong}"),
+        (i % fieldsPerLong) * fieldBits).bitwiseAND(0xFFFFFFFFL)
+      when(ones * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     val docs = votes.select(col("doc_id"), packed.as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -142,19 +142,28 @@ object Relational {
   // ---------------------------------------------------------------- joins
 
   /** Shuffled hash/sort-merge equi join lineitem⋈orders on the fact keys,
-    * then aggregate — join keys drive the shuffle partitioning, AQE picks
-    * the physical join.
+    * then aggregate. The lineitem side is PARTIALLY AGGREGATED to one row
+    * per l_orderkey BEFORE the join — a rewrite Catalyst does not do
+    * itself: the map-side partial collapses the ~4 lines per order before
+    * the shuffle, so join input, join output, and the downstream
+    * aggregation all shrink ~4× (the decisive factor at fact-fact scale).
+    * Decimal partial sums are exact and associative, so the result is
+    * bit-identical to aggregating after the join.
     */
-  def joinInner(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+  def joinInner(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("lc"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+    perOrder
       .join(Tables.orders(s, dir),
         col("l_orderkey") === col("o_orderkey"), "inner")
       .groupBy("o_orderpriority")
-      .agg(
-        count(lit(1)).as("line_cnt"),
-        Norm.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .as("revenue"))
+      .agg(sum(col("lc")).as("line_cnt"),
+        sum(col("rev")).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
+  }
 
   /** Broadcast join: small dims (nation, region) are broadcast so the fact
     * side never shuffles — the 100 TB-scale plan for star joins.

@@ -195,7 +195,11 @@ object Dedup {
     * 4×16-bit band buckets, verified with Hamming distance ≤ k (bit_count
     * of xor). Hash-dependent → rows-only driver check.
     */
-  def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  /** Per-doc 64-bit simhash values — factored out so the packed-counter
+    * formulation can be asserted bit-identical to the naive 64-buffer one
+    * (OperatorPropertiesSpec).
+    */
+  private[graft] def simhashDocs(s: SparkSession, dir: String): DataFrame = {
     // explode tokens, hash once, then accumulate the 64 per-bit vote
     // counters PACKED 2-per-long in 32-bit fields: per token, field i
     // holds (h>>i)&1, and summing the packed longs sums every field
@@ -227,7 +231,11 @@ object Dedup {
         (i % fieldsPerLong) * fieldBits).bitwiseAND(0xFFFFFFFFL)
       when(ones * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    val docs = votes.select(col("doc_id"), packed.as("simhash"))
+    votes.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = simhashDocs(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = docs.select(col("doc_id"),
       posexplode(array((0 until 4).map { b =>

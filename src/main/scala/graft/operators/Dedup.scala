@@ -24,7 +24,7 @@ object Dedup {
     * self-join formulation spent ~10× longer in the sort-merge machinery
     * for the same output (measured at sf0.1: 9.8 s → sub-second).
     */
-  private def bucketPairs(
+  private[graft] def bucketPairs(
       buckets: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     val pairs = flatten(transform(col("ds"), a =>
       transform(filter(col("ds"), b => b > a),
@@ -57,11 +57,13 @@ object Dedup {
   /** Distinct word-level 3-gram shingles per document as a map-side ARRAY
     * column. Measured (sf0.1, 5000 docs × ~52 grams): the per-row
     * transform/array_distinct computes full documents→shingles in ~0.24 s,
-    * 10× cheaper than materializing the exploded gram stream (whose
-    * window shuffle over every token costs ~2.5 s) — arrays win whenever
-    * the downstream only needs per-doc values (signatures, sizes), i.e.
-    * for [[minhashLsh]]. [[ngramJaccard]] instead needs gram-level joins
-    * for its exact verification, which is where [[gramStream]] wins.
+    * 10× cheaper than materializing an exploded gram stream through a
+    * token-level window shuffle (a formulation tried in rounds 2-3 and
+    * removed in round 4 — see [[ngramJaccard]]). Gram-LEVEL consumers
+    * (candidate generation keyed by gram, co-count verification) derive
+    * their stream by exploding these arrays: distinctness is already
+    * applied, per-doc sizes are `size(shingles)`, and no token ever
+    * transits a shuffle un-aggregated.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -74,38 +76,6 @@ object Dedup {
           i => concat_ws(" ", col("tk")(i), col("tk")(i + 1), col("tk")(i + 2))
         )).as("shingles"))
       .filter(size(col("tk")) >= SHINGLE)
-
-  /** Distinct word-level 3-gram shingles per document as an EXPLODED stream
-    * (doc_id, lang, blk, gram) — never an array column. Grams come from
-    * codegen'd window leads; the doc_id window shuffle doubles as the
-    * partitioning for the distinct-per-doc aggregation, the per-doc size
-    * counts, and the verification co-count, none of which add an exchange.
-    * This is the representation for GRAM-LEVEL operations (candidate
-    * generation keyed by gram, co-count verification); for per-doc-only
-    * consumers the array form ([[shingled]]) is measured 10× cheaper.
-    */
-  private def gramStream(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        floor(col("n_chars") / 100).cast("int").as("blk"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
-      .select(col("doc_id"), col("lang"), col("blk"),
-        concat_ws(" ", col("w0"), lead("w0", 1).over(w),
-          lead("w0", 2).over(w)).as("gram"),
-        // concat_ws skips nulls: windows shorter than SHINGLE tokens must be
-        // dropped explicitly (docs with < SHINGLE tokens drop out entirely)
-        lead("w0", SHINGLE - 1).over(w).as("tail"))
-      .filter(col("tail").isNotNull)
-      .groupBy("doc_id", "lang", "blk", "gram")
-      .agg(count(lit(1)).as("_n")).drop("_n")
-  }
-
-  /** Per-doc distinct-gram counts from the exploded stream (reuses the
-    * doc_id partitioning — no exchange).
-    */
-  private def gramSizes(grams: DataFrame): DataFrame =
-    grams.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
 
   /** |shingles(a) ∩ shingles(b)| per candidate pair via re-exploded
     * co-count: pair × a-grams, equi-joined against b-grams on (b_id, gram),
@@ -191,39 +161,49 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** SimHash near-dup: 64-bit token-level simhash; candidate pairs via
-    * 4×16-bit band buckets, verified with Hamming distance ≤ k (bit_count
-    * of xor). Hash-dependent → rows-only driver check.
-    */
   /** Per-doc 64-bit simhash values — factored out so the packed-counter
     * formulation can be asserted bit-identical to the naive 64-buffer one
-    * (OperatorPropertiesSpec).
+    * (OperatorPropertiesSpec "simhash packed counters are bit-identical to
+    * the naive 64-buffer formulation").
     */
   private[graft] def simhashDocs(s: SparkSession, dir: String): DataFrame = {
-    // explode tokens, hash once, then accumulate the 64 per-bit vote
-    // counters PACKED 2-per-long in 32-bit fields: per token, field i
-    // holds (h>>i)&1, and summing the packed longs sums every field
-    // independently (ones-counts are non-negative — no cross-field
-    // borrow — and bounded by the doc's token count, which can never
-    // reach 2³², so the fields are unconditionally overflow-safe).
+    // hash DISTINCT tokens once, weighted by occurrence count: documents
+    // repeat tokens heavily (stopwords), so pre-aggregating
+    // (doc_id, token_hash) → count shrinks the rows that reach the
+    // expensive 64-term packed-vote projection by the repetition factor.
+    // A single repartition(doc_id) up front makes BOTH groupBys
+    // partition-local (HashPartitioning(doc_id) satisfies the clustered
+    // distribution of (doc_id, h) and of (doc_id)) — one shuffle of the
+    // raw document rows total, where the round-3 formulation shuffled a
+    // 33-long partial-agg row per doc per input partition AND ran the
+    // packed projection once per token occurrence.
+    val tok = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("c"))
+    // accumulate the 64 per-bit vote counters PACKED 2-per-long in 32-bit
+    // fields: per distinct token, field i holds ((h>>i)&1)·c, and summing
+    // the packed longs sums every field independently (ones-counts are
+    // non-negative — no cross-field borrow — and bounded by the doc's
+    // TOTAL token count including repeats, which can never reach 2³², so
+    // the fields stay unconditionally overflow-safe under weighting).
     // The ±1 vote is recovered by the bias identity
     // votes_i = 2*ones_i - n_tokens, so bit i is set iff 2*ones_i > n.
-    // This replaces 64 sum(when(...)) aggregate buffers with 32+1 — the
-    // map-side combine loop, its generated code, and the partial-agg
-    // shuffle row width shrink ~2×.
+    // Packing replaces 64 sum(when(...)) aggregate buffers with 32+1 — the
+    // combine loop and its generated code shrink ~2×.
     val fieldsPerLong = 2
     val fieldBits = 32
     val packedOnes = (0 until 64 / fieldsPerLong).map { k =>
       sum((0 until fieldsPerLong).map { j =>
         shiftleft(shiftright(col("h"), k * fieldsPerLong + j)
-          .bitwiseAND(1L), j * fieldBits)
+          .bitwiseAND(1L) * col("c"), j * fieldBits)
       }.reduce(_ + _)).as(s"p$k")
     }
-    val votes = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = tok
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), packedOnes: _*)
+      .agg(sum(col("c")).as("n"), packedOnes: _*)
     // unpack ones-counts and assemble the 64-bit simhash (post-agg
     // projection over one row per doc — negligible)
     val packed: Column = (0 until 64).map { i =>
@@ -234,6 +214,10 @@ object Dedup {
     votes.select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** SimHash near-dup: 64-bit token-level simhash; candidate pairs via
+    * 4×16-bit band buckets, verified with Hamming distance ≤ k (bit_count
+    * of xor). Hash-dependent → rows-only driver check.
+    */
   def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = simhashDocs(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -258,12 +242,22 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2,
       hotCap: Int = 25): DataFrame = {
-    // materialize the exploded gram stream once: it feeds candidate
-    // generation, per-doc sizes, and the verification co-count.
-    // MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing (at that
-    // scale a real pipeline writes the shingle table to storage; same idea)
-    val grams = gramStream(s, dir)
+    // one persisted materialization of the per-doc shingle ARRAYS
+    // (MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing; at that
+    // scale a real pipeline writes the shingle table to storage — same
+    // idea). The gram-level stream that candidate generation and the
+    // co-count verification join on is a cheap per-partition explode of
+    // these arrays: distinctness is pre-applied by array_distinct and
+    // per-doc sizes are size(shingles), so the rounds-2/3 formulation —
+    // a token-level Window.partitionBy(doc_id) sort shuffle feeding two
+    // window leads plus a 4-column distinct groupBy — disappears entirely
+    // (it was 29 s of the 93 s round-3 bench; the arrays compute the
+    // identical stream map-side).
+    val base = shingled(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = base.select(col("doc_id"), col("lang"), col("blk"),
+      explode(col("shingles")).as("gram"))
+    val sizes = base.select(col("doc_id"), size(col("shingles")).as("sz"))
     // hot-shingle guard: a shingle present in > hotCap docs of one block
     // (boilerplate) would alone produce O(hotCap²) candidate pairs; the
     // bucketPairs cap drops it from CANDIDATE GENERATION (not from
@@ -273,7 +267,7 @@ object Dedup {
     // verification counts over the FULL gram sets, so the cap only affects
     // which pairs are examined, never a reported jaccard value; the
     // size-bound prefilter drops size-impossible pairs first
-    coCount(sizeBounded(cand, gramSizes(grams), threshold), grams)
+    coCount(sizeBounded(cand, sizes, threshold), grams)
       .withColumn("jaccard",
         Norm.r4(col("inter") / (col("za") + col("zb") - col("inter"))))
       .filter(col("jaccard") >= threshold)

@@ -67,6 +67,73 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(missedDups.isEmpty, s"simhash missed exact duplicates: $missedDups")
   }
 
+  test("simhash packed counters are bit-identical to the naive 64-buffer formulation") {
+    val packed = Dedup.simhashDocs(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive formulation: 64 independent sum() buffers over every token
+    // OCCURRENCE (no distinct-token pre-aggregation, no packing)
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bufs = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"b$i"))
+    val naive = toks.groupBy("doc_id").agg(count(lit(1)).as("n"), bufs: _*)
+      .select(col("doc_id"), (0 until 64).map(i =>
+        when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed.size === naive.size)
+    assert(packed === naive,
+      "count-weighted packed votes must reproduce the per-occurrence naive simhash exactly")
+  }
+
+  test("bucketPairs skips oversized buckets and fully expands small ones") {
+    import spark.implicits._
+    // one degenerate bucket with 150 members (over the cap of 100) and one
+    // healthy 4-member bucket — the 100 TB skew scenario in miniature
+    val rows = (0 until 150).map(i => ("big", i.toLong)) ++
+      (200 until 204).map(i => ("ok", i.toLong))
+    val pairs = Dedup.bucketPairs(rows.toDF("bkey", "doc_id"), Seq("bkey"), cap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === 6, s"expected C(4,2)=6 pairs, got ${pairs.length}")
+    pairs.foreach { case (a, b) =>
+      assert(a >= 200 && b >= 200, s"pair ($a,$b) leaked from the oversized bucket")
+      assert(a < b, "pairs must be ordered a_id < b_id")
+    }
+  }
+
+  test("degenerate buckets: >cap identical docs/vectors don't blow up any dedup path") {
+    // synthesize a corpus where 150 docs share every band bucket (identical
+    // text → identical minhash signature and simhash) and 150 vectors share
+    // every sign-LSH band key (identical embedding). The capped expansion
+    // must neither go quadratic nor emit pairs from the oversized buckets.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_degen").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "n_chars", "text")
+    val doc1 = docs.orderBy("doc_id").limit(1)
+    doc1.crossJoin(spark.range(150))
+      .select((col("id") + 1000000L).as("doc_id"),
+        col("lang"), col("n_chars"), col("text"))
+      .unionByName(docs)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    embs.orderBy("vec_id").limit(1).crossJoin(spark.range(150))
+      .select((col("id") + 1000000L).as("vec_id"),
+        col("label"), col("embedding"))
+      .unionByName(embs)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    def noClonePairs(df: org.apache.spark.sql.DataFrame): Unit = {
+      val leaked = df.filter(col("a_id") >= 1000000L && col("b_id") >= 1000000L).count()
+      assert(leaked === 0, s"$leaked pairs leaked from the 150-member degenerate bucket")
+    }
+    noClonePairs(Dedup.minhashLsh(spark, tmp))
+    noClonePairs(Dedup.simhash(spark, tmp))
+    noClonePairs(Dedup.embedCosine(spark, tmp))
+    spark.catalog.clearCache()
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val df = spark.read.parquet(s"$sf001/lineitem.parquet")
     val exact = df.select(countDistinct(col("l_partkey"))).head.getLong(0)

@@ -1,0 +1,43 @@
+package graft
+
+/** Diagnostic main: execute the shuffle-heavy dedup/similarity queries under
+  * the BENCH config (local[32], shuffle.partitions=32, AQE on — Spark 4
+  * default) at sf0.1 and print each query's FINAL adaptive plan, so the
+  * AQE behavior recorded in SCALE.md (§"AQE under the bench config") is
+  * observed, not asserted. Collect() (results are tens of rows) forces
+  * execution so AdaptiveSparkPlan reaches isFinalPlan=true and the
+  * AQEShuffleRead nodes show their runtime-coalesced partition counts.
+  */
+object AqeAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"adaptive.enabled=${spark.conf.get("spark.sql.adaptive.enabled")} " +
+      s"coalescePartitions=${spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")} " +
+      s"skewJoin=${spark.conf.get("spark.sql.adaptive.skewJoin.enabled")} " +
+      s"advisoryPartitionSize=${spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")}")
+    val interesting =
+      Seq("q_dedup_ngram", "q_dedup_near", "q_dedup_simhash", "q_dedup_embed",
+        "q_sim_knn_join", "q_join_inner")
+    interesting.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val n = df.collect().length
+      println(s"\n########## $name (rows=$n)")
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // the full formatted plan is long; surface the AQE-relevant lines
+      plan.linesIterator.filter(l =>
+        l.contains("AdaptiveSparkPlan") || l.contains("AQEShuffleRead") ||
+        l.contains("Exchange") || l.contains("Arguments: coalesced") ||
+        l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin"))
+        .foreach(println)
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -71,6 +71,7 @@ object SparkEntry {
     "q_dedup_simhash"  -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "q_dedup_ngram"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_dedup_embed"    -> ((s: SparkSession, d: String) => Dedup.embedCosine(s, d)),
+    "q_dedup_cluster"  -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     // similarity search
     "q_sim_cosine"     -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q_sim_ann"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -85,6 +86,11 @@ object SparkEntry {
     "q_fingerprint"    -> (Text.fingerprint _),
     "q_fingerprint_rolling" -> (Text.rollingFingerprint _),
     "q_split_assign"   -> (Text.hashSplit _),
+    // training-data prep
+    "q_chunk_split"    -> ((s: SparkSession, d: String) => TrainPrep.chunk(s, d)),
+    "q_contamination"  -> (TrainPrep.contamination _),
+    "q_pii_scrub"      -> (TrainPrep.piiScrub _),
+    "q_sample_stratified" -> (TrainPrep.sampleStratified _),
     // multimodal
     "q_multimodal_stats"  -> (Multimodal.stats _),
     "q_multimodal_decode" -> (Multimodal.decodePipeline _),
@@ -343,6 +349,36 @@ object SparkEntry {
         |  JOIN d db ON cand.b_id = db.doc_id) t
         |WHERE jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin,
 
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS blk,
+        |             list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |               FOR i IN generate_series(1, len(tk) - 2)]) AS shingles
+        |           FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk
+        |                 FROM documents) s WHERE len(tk) >= 3),
+        |sh AS (SELECT doc_id, lang, blk, unnest(shingles) AS shingle FROM d),
+        |freq AS (SELECT lang, blk, shingle, COUNT(1) AS df FROM sh GROUP BY 1, 2, 3),
+        |cold AS (SELECT sh.* FROM sh JOIN freq USING (lang, blk, shingle) WHERE df <= 25),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM cold x JOIN cold y ON x.lang = y.lang AND x.blk = y.blk
+        |           AND x.shingle = y.shingle AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT a_id, b_id FROM (
+        |  SELECT a_id, b_id,
+        |    ROUND(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+        |      / (len(da.shingles) + len(db.shingles) - len(list_intersect(da.shingles, db.shingles))), 4) AS jaccard
+        |  FROM cand JOIN d da ON cand.a_id = da.doc_id
+        |  JOIN d db ON cand.b_id = db.doc_id) t
+        |  WHERE jaccard >= 0.2),
+        |edges AS (SELECT a_id AS s, b_id AS dd FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dd FROM reach JOIN edges ON reach.r = edges.s),
+        |lab AS (SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_rep, CAST(COUNT(1) AS INT) AS cluster_size FROM lab GROUP BY cluster_rep)
+        |SELECT lab.id AS doc_id, lab.cluster_rep, lab.id = lab.cluster_rep AS is_rep, sz.cluster_size
+        |FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+
     "q_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
         |             list_sum([a * a FOR a IN CAST(embedding AS DOUBLE[])]) AS nrm
@@ -463,6 +499,46 @@ object SparkEntry {
         |                    ELSE 'test' END AS split
         |  FROM documents) t
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q_chunk_split" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, len(tk) AS n, tk,
+        |        unnest(generate_series(0, CAST(CEIL(GREATEST(len(tk) - 32, 0) / 16.0) AS INT))) AS chunk_idx
+        |      FROM d)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(chunk_idx * 16 AS INT) AS start_tok,
+        |  CAST(LEAST(32, n - chunk_idx * 16) AS INT) AS chunk_len,
+        |  tk[chunk_idx * 16 + 1] AS head_token
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_contamination" ->
+      """WITH d AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |             FOR i IN generate_series(1, len(tk) - 2)]) AS shingles
+        |           FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) s
+        |           WHERE len(tk) >= 3),
+        |ev AS (SELECT DISTINCT unnest(shingles) AS gram FROM d WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, len(shingles) AS n_grams, unnest(shingles) AS gram
+        |       FROM d WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+        |  CAST(COUNT(1) AS INT) AS hit_grams,
+        |  ROUND(CAST(COUNT(1) AS DOUBLE) / n_grams, 4) AS contamination
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]{6,}', '<ID>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS INT) AS n_redactions,
+        |  CAST(LENGTH(c_name) - LENGTH(regexp_replace(c_name, '[0-9]{6,}', '', 'g')) AS INT) AS chars_redacted
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, COUNT(1) AS n_docs,
+        |  CAST(SUM(CASE WHEN SUBSTRING(md5(text), 1, 2) <
+        |    (CASE WHEN lang = 'en' THEN '80' ELSE '40' END) THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |  ROUND(CAST(SUM(CASE WHEN SUBSTRING(md5(text), 1, 2) <
+        |    (CASE WHEN lang = 'en' THEN '80' ELSE '40' END) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1), 4) AS kept_frac
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_multimodal_stats" ->
       """SELECT lang, label, COUNT(1) AS cnt, ROUND(AVG(n_chars), 2) AS avg_chars,

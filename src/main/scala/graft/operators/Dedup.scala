@@ -65,7 +65,7 @@ object Dedup {
     * applied, per-doc sizes are `size(shingles)`, and no token ever
     * transits a shuffle un-aggregated.
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 100).cast("int").as("blk"),
@@ -273,6 +273,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Near-duplicate CLUSTERS from the deterministic n-gram pair graph —
+    * the step that makes dedup actionable: pairs → connected components →
+    * one canonical representative (min doc_id) per component, so a
+    * pipeline can `filter(!is_rep)` to DROP duplicates rather than merely
+    * list them. Pregel-style min-label propagation: each iteration is one
+    * keyed join + min-aggregation over the (tiny, cap-bounded) pair graph,
+    * iterated to a driver-checked fixpoint — the standard scalable CC
+    * formulation (no whole-graph driver state; the only driver value is
+    * the converged? count). Near-dup components are dense (near-cliques),
+    * so the label frontier collapses in 2–3 iterations regardless of
+    * corpus size; a convergence `require` guards the pathological case
+    * rather than silently emitting unconverged labels. Deterministic
+    * (derived from the oracled ngram pairs) → full SQL oracle via a
+    * recursive CTE.
+    */
+  def nearDupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // materialize the pair list BEFORE the symmetrizing union: both union
+    // branches read `pairs`, and without a populated cache each branch
+    // would re-execute the whole candidate-generation/verification query
+    val pairs = ngramJaccard(s, dir).select(col("a_id"), col("b_id"))
+      .persist(MEMORY_AND_DISK)
+    pairs.count()
+    // symmetrize once; edges and labels are each a few rows per near-dup
+    // doc (pair counts are bounded by the hot-shingle cap), so the
+    // iteration state is microscopic relative to the corpus
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(MEMORY_AND_DISK)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min(col("label")).as("next"))
+        .persist(MEMORY_AND_DISK)
+      changed = prop.join(labels, "id")
+        .filter(col("next") =!= col("label")).count()
+      labels.unpersist()
+      labels = prop.select(col("id"), col("next").as("label"))
+      iters += 1
+    }
+    require(changed == 0,
+      s"near-dup label propagation did not converge in $maxIters iterations")
+    val sizes = labels.groupBy("label")
+      .agg(count(lit(1)).cast("int").as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
+        (col("id") === col("label")).as("is_rep"), col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   /** Embedding-cosine near-dup via sign-LSH band blocking ([[Hyperplanes]]:

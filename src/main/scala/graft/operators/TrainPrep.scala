@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Norm, Tables}
+
+/** Training-data preparation operators beyond dedup/similarity: chunking
+  * for retrieval/context windows, benchmark-contamination detection, PII
+  * scrubbing, and deterministic stratified sampling. All are pure column
+  * expressions or broadcast-keyed joins — no shuffle whose width grows
+  * faster than the data, no driver-side state.
+  *
+  * The reference engine (a streaming Hive sink) has none of these; they are
+  * north-star extensions in the same spirit as SURVEY §2.C's dedup family:
+  * what a 100 TB pretraining pipeline runs between raw scrape and tokenizer.
+  */
+object TrainPrep {
+
+  /** Sliding-window document chunking (RAG / context-window prep): token
+    * windows of `window` with stride `stride`, last chunk truncated. One
+    * map-side `explode(sequence(...))` per doc — chunk count is data-derived
+    * per row, never a driver loop, so the operator is embarrassingly
+    * parallel at any corpus size.
+    */
+  def chunk(s: SparkSession, dir: String,
+      window: Int = 32, stride: Int = 16): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      // chunk starts i*stride for i in 0..ceil(max(n-window,0)/stride):
+      // every token is covered, the final chunk ends exactly at n, and no
+      // degenerate wholly-contained trailing chunk is emitted
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L),
+          ceil(greatest(col("n") - window, lit(0)).cast("double") / stride)
+        )).as("chunk_idx"))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("int").as("start_tok"),
+        least(lit(window), col("n") - col("chunk_idx") * stride)
+          .cast("int").as("chunk_len"),
+        element_at(col("tk"), (col("chunk_idx") * stride + 1).cast("int"))
+          .as("head_token"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Benchmark-contamination detection: which training docs share word
+    * 3-gram shingles with a held-out evaluation set (here: doc_id % 97 = 0,
+    * the fixture's stand-in for a benchmark corpus), and how much. The eval
+    * gram set is BROADCAST — real benchmark suites are a few MB against a
+    * 100 TB corpus, so the contamination check is one map-side semi-join +
+    * per-doc count, never a shuffle of the training side.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    // one materialization feeds both the eval gram set and the train scan
+    val docs = Dedup.shingled(s, dir).select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalGrams = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("shingles")).as("gram")).distinct()
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("shingles")).as("n_grams"),
+        explode(col("shingles")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).cast("int").as("hit_grams"))
+      .withColumn("contamination", Norm.r4(col("hit_grams") / col("n_grams")))
+      .select(col("doc_id"), col("n_grams"), col("hit_grams"),
+        col("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing: redact long digit runs (IDs, phone-like numbers) from a
+    * name column, reporting redaction counts. Pure codegen'd regex column
+    * expressions — scrubbing cost is linear in bytes scanned, zero shuffle.
+    * Patterns are POSIX-simple so Java (Spark) and RE2 (DuckDB oracle)
+    * agree byte-for-byte.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val pat = "[0-9]{6,}"
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), pat, "<ID>").as("scrubbed"),
+        expr(s"CAST(size(regexp_extract_all(c_name, '$pat', 0)) AS INT)")
+          .as("n_redactions"),
+        (length(col("c_name")) -
+          length(regexp_replace(col("c_name"), pat, "")))
+          .cast("int").as("chars_redacted"))
+      .orderBy("c_custkey")
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates decided by
+    * a content-hash bucket (md5 hex prefix), so the sample is reproducible
+    * across runs AND engines, and duplicate texts land on the same side of
+    * the cut (no leakage — same property as q_split_assign). en keeps
+    * 50% ('80'/0x100), other languages 25% ('40'/0x100). Map-side decision
+    * + one final aggregate.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit("80")).otherwise(lit("40"))
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        (substring(md5(col("text")), 1, 2) < rate).cast("int").as("kept"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("kept_docs"))
+      .withColumn("kept_frac", Norm.r4(col("kept_docs") / col("n_docs")))
+      .orderBy("lang")
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TrainPrep}
+
+/** Properties for the training-data prep operators (chunking,
+  * contamination, PII scrub, stratified sampling) and near-dup clustering —
+  * each checked against a driver-side brute-force reference on the small
+  * fixture (test-only; the operators themselves never collect).
+  */
+class TrainPrepSpec extends SparkSpec {
+
+  test("near-dup clusters partition the ngram pair graph with min-id reps") {
+    val pairs = Dedup.ngramJaccard(spark, sf0001).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    // brute-force union-find with min-id roots
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val got = Dedup.nearDupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3)))
+    assert(got.map(_._1).toSet === expected.keySet)
+    got.foreach { case (id, rep, isRep, size) =>
+      assert(rep === expected(id), s"doc $id: rep $rep vs expected ${expected(id)}")
+      assert(isRep === (id == rep))
+      assert(size === expected.values.count(_ == expected(id)))
+    }
+  }
+
+  test("chunking covers every token exactly to the end with stride/window invariants") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TrainPrep.chunk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet === docs.keySet, "every doc must produce chunks")
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id)
+      val sorted = cs.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+        assert(idx === i, "chunk indexes must be dense from 0")
+        assert(start === i * 16)
+        assert(len === math.min(32, n - start))
+        assert(len > 0, "no empty chunks")
+      }
+      val last = sorted.last
+      assert(last._3 + last._4 === n, s"doc $id: final chunk must end at token $n")
+    }
+  }
+
+  test("contamination reports exactly the train docs sharing a 3-gram with the eval set") {
+    val all = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tk")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= 3)
+      .map { case (id, tk) => id -> tk.sliding(3).map(_.mkString(" ")).toSet }
+    val evalGrams = all.filter(_._1 % 97 == 0).flatMap(_._2).toSet
+    assert(evalGrams.nonEmpty)
+    val expected = all.filter(_._1 % 97 != 0)
+      .map { case (id, g) => (id, (g & evalGrams).size, g.size) }
+      .filter(_._2 > 0).map(t => t._1 -> ((t._2, t._3))).toMap
+    val got = TrainPrep.contamination(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(1)))).toMap
+    assert(got === expected)
+  }
+
+  test("pii scrub removes every long digit run and counts redactions") {
+    val rows = TrainPrep.piiScrub(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scrubbed = r.getString(1)
+      assert("[0-9]{6,}".r.findFirstIn(scrubbed).isEmpty,
+        s"long digit run survives in '$scrubbed'")
+      assert(r.getInt(2) >= 1, "every synthetic customer name carries an id run")
+      assert(r.getInt(3) >= 6 * r.getInt(2),
+        "each redaction must account for at least 6 removed chars")
+    }
+  }
+
+  test("stratified sample is deterministic and near its per-lang rate") {
+    def run() = TrainPrep.sampleStratified(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val a = run()
+    assert(a.toSeq === run().toSeq, "content-hash sampling must be reproducible")
+    a.foreach { case (lang, n, kept, frac) =>
+      assert(kept <= n)
+      val target = if (lang == "en") 0.5 else 0.25
+      assert(math.abs(frac - target) <= 0.2,
+        s"$lang: frac=$frac far from target=$target (n=$n)")
+    }
+  }
+}

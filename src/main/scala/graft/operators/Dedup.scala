@@ -309,13 +309,17 @@ object Dedup {
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
+      // one shuffle round per iteration: neighbor labels and own label
+      // flow through the SAME aggregation, with the self arm tagged so the
+      // old label rides along — convergence is then a scan of the cached
+      // result instead of a second join against the previous labels
       val prop = edges.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min(col("label")).as("next"))
+        .select(col("dst").as("id"), col("label"), lit(false).as("self"))
+        .union(labels.select(col("id"), col("label"), lit(true).as("self")))
+        .groupBy("id").agg(min(col("label")).as("next"),
+          max(when(col("self"), col("label"))).as("old"))
         .persist(MEMORY_AND_DISK)
-      changed = prop.join(labels, "id")
-        .filter(col("next") =!= col("label")).count()
+      changed = prop.filter(col("next") < col("old")).count()
       labels.unpersist()
       labels = prop.select(col("id"), col("next").as("label"))
       iters += 1

@@ -37,6 +37,22 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("clustering a corpus with no near-dups yields an empty result, not a hang") {
+    // all-distinct texts: no shared 3-gram, so the pair graph is empty and
+    // label propagation must exit on its first fixpoint check
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nodups").toString
+    import spark.implicits._
+    (0 until 20).map { i =>
+      (i.toLong, "en", 100, (0 until 10).map(j => s"w${i * 100 + j}").mkString(" "))
+    }.toDF("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.nearDupClusters(spark, tmp)
+    assert(got.columns.toSeq ===
+      Seq("doc_id", "cluster_rep", "is_rep", "cluster_size"))
+    assert(got.count() === 0)
+    spark.catalog.clearCache()
+  }
+
   test("chunking covers every token exactly to the end with stride/window invariants") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()

@@ -55,7 +55,23 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // self-report the declared-baseline ratio (BASELINE.md convention: sum
+    // over the intersection of query names vs the pinned DuckDB totals)
+    // whenever the pinned baseline for this scale factor is present
+    val vsBaseline = {
+      val sf = sfDir.split("/").last
+      val p = java.nio.file.Paths.get(s"/root/repo/BASELINE_duckdb_$sf.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        val baseQ = "\"(q_\\w+)\":\\s*([0-9.]+)".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val mine = results.collect { case (k, v, true) if baseQ.contains(k) => k -> v }.toMap
+        val (s1, s2) = (mine.values.sum, mine.keys.map(baseQ).sum)
+        if (s2 > 0) s""","baseline_total":$s2,"baseline_queries":${mine.size},"vs_baseline":${s1 / s2}"""
+        else ""
+      } else ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$vsBaseline}""")
     spark.stop()
   }
 }

@@ -10,7 +10,8 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val interesting = Seq("q_scan_project", "q_filter", "q_agg_hash",
       "q_join_broadcast", "q_join_inner", "q_sort_limit", "q_sim_cosine",
-      "q_dedup_embed", "q_topk_pergroup")
+      "q_dedup_embed", "q_topk_pergroup", "q_chunk_split", "q_contamination",
+      "q_pii_scrub", "q_sample_stratified")
     interesting.foreach { name =>
       println(s"########## $name")
       val df = SparkEntry.queries(name)(spark, dir)

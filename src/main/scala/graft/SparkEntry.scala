@@ -91,6 +91,7 @@ object SparkEntry {
     "q_contamination"  -> (TrainPrep.contamination _),
     "q_pii_scrub"      -> (TrainPrep.piiScrub _),
     "q_sample_stratified" -> (TrainPrep.sampleStratified _),
+    "q_pack_sequences" -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
     // multimodal
     "q_multimodal_stats"  -> (Multimodal.stats _),
     "q_multimodal_decode" -> (Multimodal.decodePipeline _),
@@ -539,6 +540,18 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN SUBSTRING(md5(text), 1, 2) <
         |    (CASE WHEN lang = 'en' THEN '80' ELSE '40' END) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1), 4) AS kept_frac
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT lang, CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+        |  COUNT(1) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 2048.0, 4) AS fill_ratio
+        |FROM c GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
 
     "q_multimodal_stats" ->
       """SELECT lang, label, COUNT(1) AS cnt, ROUND(AVG(n_chars), 2) AS avg_chars,

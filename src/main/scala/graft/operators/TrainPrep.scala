@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Norm, Tables}
 
@@ -85,6 +86,35 @@ object TrainPrep {
           length(regexp_replace(col("c_name"), pat, "")))
           .cast("int").as("chars_redacted"))
       .orderBy("c_custkey")
+  }
+
+  /** Sequence packing (the step between cleaned docs and the trainer):
+    * concatenate documents in deterministic (doc_id) order WITHIN each
+    * language/domain and cut the token stream every `seqLen` tokens; a doc
+    * belongs to the sequence its first token lands in. One window cumsum +
+    * one aggregate. The window partitions by `lang`, never globally — the
+    * domain is the parallel unit (a global running sum would serialize the
+    * corpus through one partition; per-domain is how real packers shard,
+    * and a single outsized domain generalizes to per-file-split offsets +
+    * a broadcast prefix-sum join with identical semantics).
+    */
+  def packSequences(s: SparkSession, dir: String, seqLen: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // start offset of this doc in the concatenated domain stream
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / seqLen.toDouble).cast("bigint"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+      .withColumn("fill_ratio", Norm.r4(col("n_tokens") / seqLen.toDouble))
+      .select(col("lang"), col("seq_id"), col("n_docs"), col("n_tokens"),
+        col("fill_ratio"))
+      .orderBy("lang", "seq_id")
   }
 
   /** Deterministic stratified sampling: per-language keep rates decided by

@@ -104,6 +104,25 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing conserves tokens with dense per-lang sequence ids") {
+    val totalByLang = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), size(split(col("text"), " ")).as("n"))
+      .groupBy("lang").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val packed = TrainPrep.packSequences(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = packed.groupBy(_._1)
+    assert(byLang.keySet === totalByLang.keySet)
+    byLang.foreach { case (lang, seqs) =>
+      // every token of the domain lands in exactly one sequence
+      assert(seqs.map(_._4).sum === totalByLang(lang), s"$lang loses tokens")
+      // doc gaps are < seqLen, so sequence ids are dense from 0
+      val ids = seqs.map(_._2).sorted
+      assert(ids === (0L until ids.length).toArray.toSeq, s"$lang ids not dense: $ids")
+      assert(seqs.forall(_._3 >= 1))
+    }
+  }
+
   test("stratified sample is deterministic and near its per-lang rate") {
     def run() = TrainPrep.sampleStratified(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -48,8 +48,8 @@ object TrainPrep {
     * 3-gram shingles with a held-out evaluation set (here: doc_id % 97 = 0,
     * the fixture's stand-in for a benchmark corpus), and how much. The eval
     * gram set is BROADCAST — real benchmark suites are a few MB against a
-    * 100 TB corpus, so the contamination check is one map-side semi-join +
-    * per-doc count, never a shuffle of the training side.
+    * 100 TB corpus, so the match itself is map-side; the only train-side
+    * shuffle is the per-doc aggregation of the (rare) matched grams.
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     // one materialization feeds both the eval gram set and the train scan

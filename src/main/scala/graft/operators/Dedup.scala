@@ -326,9 +326,11 @@ object Dedup {
     }
     require(changed == 0,
       s"near-dup label propagation did not converge in $maxIters iterations")
-    val sizes = labels.groupBy("label")
-      .agg(count(lit(1)).cast("int").as("cluster_size"))
-    labels.join(sizes, "label")
+    // component sizes via a window over the converged labels — one exchange
+    // on the label key instead of a groupBy + re-join
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("label")).cast("int"))
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
         (col("id") === col("label")).as("is_rep"), col("cluster_size"))
       .orderBy("doc_id")

@@ -107,32 +107,49 @@ object Relational {
           .as("p95_approx"))
       .orderBy("l_returnflag")
 
-  /** ROLLUP hierarchical totals. NULLS FIRST ordering matches the oracle's
-    * explicit NULLS FIRST (DuckDB defaults to NULLS LAST).
+  /** Exact per-(flag, status) partials for the grouping-set family: sums
+    * accumulate in DECIMAL (associative, so re-aggregating partials is
+    * exactly the single-phase result) and counts as longs. Grouping-set
+    * expansion replicates every input row once per grouping set; expanding
+    * the ~6 partial rows instead of the full fact table removes that
+    * multiplier from the scan+shuffle — the decisive factor at 100 TB,
+    * where single-phase CUBE ships N× the corpus.
+    */
+  private def qtyPartials(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("_s"),
+        count(lit(1)).as("_c"))
+
+  /** ROLLUP hierarchical totals over pre-aggregated partials. NULLS FIRST
+    * ordering matches the oracle's explicit NULLS FIRST (DuckDB defaults
+    * to NULLS LAST).
     */
   def aggRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    qtyPartials(s, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(Norm.dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .agg(sum(col("_s")).cast("double").as("sum_qty"),
+        sum(col("_c")).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
   def aggCube(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    qtyPartials(s, dir)
       .cube("l_returnflag", "l_linestatus")
-      .agg(Norm.dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .agg(sum(col("_s")).cast("double").as("sum_qty"),
+        sum(col("_c")).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
   /** GROUPING SETS via SQL (the one shape the DataFrame API doesn't expose
-    * directly).
+    * directly), over the same pre-aggregated partials.
     */
   def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem_gs")
+    qtyPartials(s, dir).createOrReplaceTempView("graft_lineitem_gs")
     s.sql(
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |       COUNT(1) AS cnt
+        |       CAST(SUM(_s) AS DOUBLE) AS sum_qty,
+        |       SUM(_c) AS cnt
         |FROM graft_lineitem_gs
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST

@@ -62,13 +62,21 @@ object Windows {
     */
   def batchSplit(s: SparkSession, dir: String): DataFrame = {
     val batchSize = 1000
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+    // batch sizes depend ONLY on the per-flag row count: rank-based batch
+    // assignment (the oracle's window formulation) always yields full
+    // batches of batchSize plus one remainder, whatever the order. The
+    // previous window implementation partitioned by l_returnflag — a
+    // 3-value column, i.e. parallelism 3 and a full per-flag sort at ANY
+    // corpus size. One aggregate + arithmetic expansion computes the
+    // identical result with no window and no skew.
     Tables.lineitem(s, dir)
-      .select(col("l_returnflag"),
-        floor((row_number().over(w) - 1) / batchSize).as("batch_id"))
-      .groupBy("l_returnflag", "batch_id")
-      .agg(count(lit(1)).as("rows_in_batch"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        explode(sequence(lit(0L),
+          floor((col("n") - 1) / batchSize.toDouble).cast("long"))).as("batch_id"))
+      .select(col("l_returnflag"), col("batch_id"),
+        least(lit(batchSize.toLong),
+          col("n") - col("batch_id") * batchSize).as("rows_in_batch"))
       .orderBy("l_returnflag", "batch_id")
   }
 }

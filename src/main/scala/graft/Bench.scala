@@ -42,9 +42,19 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // queries that materialize intermediates (persist) must not hold
-      // executor memory against the queries timed after them
+      // Reclaim everything the query left behind BEFORE timing the next one
+      // (untimed). clearCache alone is not enough: shuffle files and
+      // broadcasts are reclaimed by ContextCleaner only after their driver
+      // objects are GC'd (weak references), so heavy queries degraded later
+      // ones 2-8x in the round-4 run (q_from_json 8.6s in-run vs 1.7s
+      // isolated) with no code change. Explicitly unpersist every cached
+      // block (blocking), then force a GC and give the async cleaner thread
+      // a moment to drain shuffle/broadcast removals.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(300)
       (name, elapsed, ok)
     }
     // a failed query must not contribute its near-zero elapsed time to the
@@ -59,8 +69,12 @@ object Bench {
     // over the intersection of query names vs the pinned DuckDB totals)
     // whenever the pinned baseline for this scale factor is present
     val vsBaseline = {
-      val sf = sfDir.split("/").last
-      val p = java.nio.file.Paths.get(s"/root/repo/BASELINE_duckdb_$sf.json")
+      val sf = sfDir.replaceAll("/+$", "").split("/").last
+      // baseline file resolves relative to an explicit env override, else
+      // the working directory — not a hard-coded checkout path
+      val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASELINE_DIR",
+        sys.props.getOrElse("user.dir", "."))
+      val p = java.nio.file.Paths.get(s"$baseDir/BASELINE_duckdb_$sf.json")
       if (java.nio.file.Files.exists(p)) {
         val txt = java.nio.file.Files.readString(p)
         val baseQ = "\"(q_\\w+)\":\\s*([0-9.]+)".r

@@ -23,10 +23,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      // repartition(1), not coalesce(1): coalesce folds into the query plan
-      // and would run the WHOLE query single-task; repartition keeps the
-      // query parallel and only funnels the (small) result for the dump
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
+      // coalesce(1), not repartition(1): the driver compares rows in FILE
+      // ORDER against the oracle's ORDER BY, and repartition is a
+      // round-robin shuffle whose output order Spark does not guarantee
+      // (it held locally only because a single reducer fetches map blocks
+      // in map-id order — on a cluster the fetch order is randomized).
+      // coalesce(1) reads parent partitions in partition-index order, so
+      // the trailing orderBy's range-partitioned sort survives verbatim.
+      // Every query ends in orderBy (an exchange), so coalesce single-tasks
+      // only the final small sort, not the whole query.
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

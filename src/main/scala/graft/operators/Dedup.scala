@@ -255,6 +255,16 @@ object Dedup {
     // identical stream map-side).
     val base = shingled(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ngramPairs(base, threshold, hotCap)
+  }
+
+  /** Core of [[ngramJaccard]] over an already-persisted shingle base —
+    * factored out so [[nearDupClusters]] can own the base's lifecycle and
+    * unpersist the (large) shingle arrays the moment the (tiny) pair graph
+    * is materialized.
+    */
+  private def ngramPairs(
+      base: DataFrame, threshold: Double, hotCap: Int): DataFrame = {
     val grams = base.select(col("doc_id"), col("lang"), col("blk"),
       explode(col("shingles")).as("gram"))
     val sizes = base.select(col("doc_id"), size(col("shingles")).as("sz"))
@@ -292,20 +302,35 @@ object Dedup {
     */
   def nearDupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // materialize the pair list BEFORE the symmetrizing union: both union
-    // branches read `pairs`, and without a populated cache each branch
+    // the cluster path owns the shingle base's lifecycle: the arrays are
+    // the query's largest cached object and are only needed until the
+    // (tiny) pair graph is materialized below
+    val base = shingled(s, dir).persist(MEMORY_AND_DISK)
+    // materialize the pair list BEFORE the symmetrizing explode: both edge
+    // orientations read `pairs`, and without a populated cache each read
     // would re-execute the whole candidate-generation/verification query
-    val pairs = ngramJaccard(s, dir).select(col("a_id"), col("b_id"))
+    val pairs = ngramPairs(base, threshold = 0.2, hotCap = 25)
+      .select(col("a_id"), col("b_id"))
       .persist(MEMORY_AND_DISK)
     pairs.count()
-    // symmetrize once; edges and labels are each a few rows per near-dup
-    // doc (pair counts are bounded by the hot-shingle cap), so the
-    // iteration state is microscopic relative to the corpus
-    val edges = pairs
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("src", "dst").persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    base.unpersist(blocking = true)
+    // symmetrize with a map-side explode over the cached pairs (a
+    // two-branch union would scan the cache twice); edges and labels are
+    // each a few rows per near-dup doc (pair counts are bounded by the
+    // hot-shingle cap), so the iteration state is microscopic relative to
+    // the corpus — edges needs no persist of its own, every iteration
+    // re-derives it from the cached pairs with one cheap explode
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val initLabels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist(MEMORY_AND_DISK)
+    var labels = initLabels
+    // the persisted plan each iteration's `labels` projects FROM — the
+    // handle unpersist must target (unpersisting the projection itself is
+    // a silent cache-manager miss, the round-4 leak)
+    var prevCached: DataFrame = initLabels
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -320,12 +345,18 @@ object Dedup {
           max(when(col("self"), col("label"))).as("old"))
         .persist(MEMORY_AND_DISK)
       changed = prop.filter(col("next") < col("old")).count()
-      labels.unpersist()
+      // prop is materialized by the count; the previous iteration's cache
+      // is now dead weight
+      prevCached.unpersist(blocking = true)
+      prevCached = prop
       labels = prop.select(col("id"), col("next").as("label"))
       iters += 1
     }
     require(changed == 0,
       s"near-dup label propagation did not converge in $maxIters iterations")
+    // only the converged prop stays cached (the returned plan reads it);
+    // the pair graph is no longer referenced by the normal execution path
+    pairs.unpersist(blocking = true)
     // component sizes via a window over the converged labels — one exchange
     // on the label key instead of a groupBy + re-join
     labels

@@ -9,6 +9,28 @@ package graft
   * AQEShuffleRead nodes show their runtime-coalesced partition counts.
   */
 object AqeAudit {
+
+  /** Task-level shuffle byte totals, accumulated across a query's jobs so
+    * SCALE.md can quote MEASURED shuffle volumes instead of qualitative
+    * claims. Reset per query; reads are taken after a settle sleep since
+    * the listener bus delivers task-end events asynchronously.
+    */
+  private class ShuffleBytes extends org.apache.spark.scheduler.SparkListener {
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val read = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def reset(): Unit = { write.set(0); read.set(0) }
+  }
+
+  private def mb(bytes: Long): String = f"${bytes / 1048576.0}%.1f MiB"
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -17,17 +39,22 @@ object AqeAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val bytes = new ShuffleBytes
+    spark.sparkContext.addSparkListener(bytes)
     println(s"adaptive.enabled=${spark.conf.get("spark.sql.adaptive.enabled")} " +
       s"coalescePartitions=${spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")} " +
       s"skewJoin=${spark.conf.get("spark.sql.adaptive.skewJoin.enabled")} " +
       s"advisoryPartitionSize=${spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")}")
     val interesting =
       Seq("q_dedup_ngram", "q_dedup_near", "q_dedup_simhash", "q_dedup_embed",
-        "q_sim_knn_join", "q_join_inner")
+        "q_dedup_cluster", "q_sim_knn_join", "q_join_inner")
     interesting.foreach { name =>
+      bytes.reset()
       val df = SparkEntry.queries(name)(spark, dir)
       val n = df.collect().length
-      println(s"\n########## $name (rows=$n)")
+      Thread.sleep(500) // let the async listener bus drain task-end events
+      println(s"\n########## $name (rows=$n) shuffleWrite=${mb(bytes.write.get)} " +
+        s"shuffleRead=${mb(bytes.read.get)}")
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       // the full formatted plan is long; surface the AQE-relevant lines

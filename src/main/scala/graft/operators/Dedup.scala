@@ -317,9 +317,11 @@ object Dedup {
     // symmetrize with a map-side explode over the cached pairs (a
     // two-branch union would scan the cache twice); edges and labels are
     // each a few rows per near-dup doc (pair counts are bounded by the
-    // hot-shingle cap), so the iteration state is microscopic relative to
-    // the corpus — edges needs no persist of its own, every iteration
-    // re-derives it from the cached pairs with one cheap explode
+    // hot-shingle cap), so the iteration state is tiny relative to the
+    // corpus — measured at sf0.1 (graft.AqeAudit): the propagation
+    // iterations shuffle <0.1 MiB on top of the 6.2 MiB pair build. Edges
+    // needs no persist of its own; every iteration re-derives it from the
+    // cached pairs with one cheap explode.
     val edges = pairs.select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))

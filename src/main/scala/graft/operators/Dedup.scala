@@ -122,19 +122,27 @@ object Dedup {
     // pair (j≈0.05) stays below 10⁻⁴
     val numHashes = 32
     val bandSize = 4
-    // one materialization of the shingle ARRAYS feeds signature
-    // computation, the size prefilter, and both verification joins. The
+    // one materialization of the shingle arrays — as 64-bit xxhash64
+    // FINGERPRINTS, hashed once per shingle — feeds signature computation,
+    // the size prefilter, and both verification joins: the 32 seeded hashes
+    // and the verify array_intersect then work on longs instead of
+    // re-hashing/comparing ~25-char strings (set semantics identical up to
+    // a 2⁻⁶⁴ fingerprint collision — this is a hash-defined operator). The
     // array form is deliberate: an exploded-gram reformulation (window
     // leads + 32-way min aggregation) was tried and REVERTED — A/B at
     // sf0.1 measured 3.3 s → 7.1 s, the token-level window shuffle
     // costing far more than the per-row lambdas it removed.
     val base = shingled(s, dir)
+      .select(col("doc_id"),
+        transform(col("shingles"), sh => xxhash64(sh)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 32 independent seeded hashes per shingle: a two-hash h1+i·h2 shortcut
-    // was tried and REVERTED — the derived family correlates the per-band
-    // minima enough to miss j≥0.9 pairs the recall property requires
+    // 32 independent seeded hashes per shingle fingerprint: a two-hash
+    // h1+i·h2 shortcut was tried and REVERTED — the derived family
+    // correlates the per-band minima enough to miss j≥0.9 pairs the recall
+    // property requires. Seeding a fresh xxhash64 over the fingerprint
+    // keeps the 32 functions independent (full avalanche per seed).
     val sigCols: Column = array((0 until numHashes).map { i =>
-      array_min(transform(col("shingles"), sh => xxhash64(lit(i), sh)))
+      array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
     }: _*)
     val sigs = base.select(col("doc_id"), sigCols.as("sig"))
     val bands = sigs.select(col("doc_id"),
@@ -148,7 +156,7 @@ object Dedup {
     // pairs; such buckets are skipped — their members overwhelmingly share
     // OTHER, smaller buckets when genuinely similar
     val cand = bucketPairs(bands, Seq("band_idx", "band_hash"), cap = 100)
-    val sh = base.select(col("doc_id"), col("shingles"))
+    val sh = base.select(col("doc_id"), col("hs").as("shingles"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
     sizeBounded(cand, sizes, threshold)
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
@@ -383,10 +391,14 @@ object Dedup {
     * curve 1-(1-p(θ)⁸)⁸.
     */
   def embedCosine(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+    // NOT persisted: caching (v, nrm, band keys) for every vector was
+    // A/B'd in round 5 and LOST to recomputation (2.59 s → 3.12 s focused)
+    // — the three consumers each prune to a 2-3 column subset, and the
+    // pruned parquet re-scans beat materializing the full cached rows
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
-    // band keys cost 64 hyperplane dots per vector; materialize them once
-    // for the two sides of the self-join
+    // band keys cost 64 hyperplane dots per vector; computed once for the
+    // two sides of the self-join
     val keys = e.select(col("vec_id").as("doc_id"),
       posexplode(Hyperplanes.bandKeys(col("v"))).as(Seq("band", "bkey")))
     // map-side capped pair expansion (same guard as every other dedup

@@ -85,11 +85,18 @@ object Similarity {
     * Deterministic banding → fully DuckDB-oracled.
     */
   def knnJoin(s: SparkSession, dir: String, k: Int = 3, nProbes: Int = 10): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    // one pass computes norm + all 8 band keys per vector, persisted: the
+    // un-cached formulation re-executed the scan + 64-plane signature five
+    // times (keys feeds a self-join, the exact-cosine scoring joins back
+    // twice) — the query's dominant cost, since every join is broadcast
+    // (AqeAudit measures 0.0 MiB of shuffle here)
+    val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
-    val keys = e.select(col("vec_id"),
-      posexplode(Hyperplanes.bandKeys(col("v"))).as(Seq("band", "bkey")))
+      .withColumn("bk", Hyperplanes.bandKeys(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = base.select(col("vec_id"),
+      posexplode(col("bk")).as(Seq("band", "bkey")))
     val probeKeys = keys.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("band"), col("bkey"))
     val cand = keys.filter(col("vec_id") >= nProbes)
@@ -97,8 +104,8 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"))
       .distinct()
     val scored = cand
-      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
-      .join(e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      .join(base.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(base.select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pn")), "probe_id")
       .select(col("probe_id"), col("vec_id"),
         Norm.r4(dot(col("v"), col("pv")) /

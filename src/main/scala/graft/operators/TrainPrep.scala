@@ -52,7 +52,11 @@ object TrainPrep {
     * shuffle is the per-doc aggregation of the (rare) matched grams.
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    // one materialization feeds both the eval gram set and the train scan
+    // one materialization feeds both the eval gram set and the train scan.
+    // The persist is ALSO an expression-duplication barrier: without it,
+    // CollapseProject merges the expensive shingle transform into both the
+    // size() and the explode() consumers and the focused bench regressed
+    // 2.15 s → 5.66 s at sf0.1 (A/B'd round 5).
     val docs = Dedup.shingled(s, dir).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalGrams = docs.filter(col("doc_id") % 97 === 0)

@@ -95,20 +95,54 @@ object TrainPrep {
   /** Sequence packing (the step between cleaned docs and the trainer):
     * concatenate documents in deterministic (doc_id) order WITHIN each
     * language/domain and cut the token stream every `seqLen` tokens; a doc
-    * belongs to the sequence its first token lands in. One window cumsum +
-    * one aggregate. The window partitions by `lang`, never globally — the
-    * domain is the parallel unit (a global running sum would serialize the
-    * corpus through one partition; per-domain is how real packers shard,
-    * and a single outsized domain generalizes to per-file-split offsets +
-    * a broadcast prefix-sum join with identical semantics).
+    * belongs to the sequence its first token lands in.
+    *
+    * Two-level prefix sum, NOT a per-domain window: a
+    * `Window.partitionBy("lang")` running sum serializes each domain
+    * through one task — at 100 TB the `en` domain is ~half the corpus in a
+    * single partition, the classic skew scale-killer. Instead:
+    *   1. range-partition the (lang, doc_id, n_tokens) stream on
+    *      (lang, doc_id) into `P` balanced splits — a domain spans however
+    *      many splits its size needs;
+    *   2. level 2: per-(split, lang) token subtotals (O(P·|langs|) rows at
+    *      ANY corpus size) → per-lang exclusive prefix offsets via a window
+    *      over those METADATA rows, broadcast back;
+    *   3. level 1: the running sum within each (split, lang) — bounded by
+    *      the split size, never by domain size — plus the broadcast offset
+    *      gives the exact global cumsum.
+    * Both levels read ONE range exchange (ReuseExchange dedupes the shared
+    * subtree, so split ids agree between them by construction). Semantics —
+    * and the oracle — are identical to the global per-lang cumsum: the
+    * split boundaries cancel out of the arithmetic.
     */
   def packSequences(s: SparkSession, dir: String, seqLen: Int = 2048): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val nSplits = s.sparkContext.defaultParallelism
+    val base = Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .repartitionByRange(nSplits, col("lang"), col("doc_id"))
+      // split id materialized as a column ABOVE the exchange both consumers
+      // share; range partitions are assigned ascending key ranges in
+      // ascending partition-id order, so `blk` orders by (lang, doc_id)
+      .withColumn("blk", spark_partition_id())
+    // level 2: per-split subtotals. The window here is per-lang, but over
+    // O(nSplits) metadata rows per lang, not the corpus — this is the
+    // "broadcast the tiny per-split prefix offsets" half of the design.
+    val wOff = Window.partitionBy("lang").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("lang", "blk")
+      .agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("offset", coalesce(sum(col("blk_tokens")).over(wOff), lit(0L)))
+      .select(col("lang"), col("blk"), col("offset"))
+    // level 1: running sum within (blk, lang) — partition width is the
+    // range-split size, controlled by nSplits, independent of domain skew
+    val wLoc = Window.partitionBy("blk", "lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum",
+        sum(col("n_tokens")).over(wLoc))
+      .join(broadcast(offsets), Seq("lang", "blk"))
+      .withColumn("cum", col("cum") + col("offset"))
       // start offset of this doc in the concatenated domain stream
       .withColumn("seq_id",
         floor((col("cum") - col("n_tokens")) / seqLen.toDouble).cast("bigint"))

@@ -248,4 +248,23 @@ class OperatorPropertiesSpec extends SparkSpec {
       exact.get(id).foreach(e => assert(math.abs(e - c) < 1e-9))
     }
   }
+
+  test("literal-probe overloads agree with the corpus-lookup fixture path") {
+    // feed vec 0's own embedding as the literal probe: the parameterized
+    // plan (no corpus lookup, nothing excluded) must return the fixture
+    // result plus possibly vec 0 itself at cosine 1
+    val p = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .where(col("vec_id") === 0).select("embedding").head
+      .getSeq[Any](0).map(x => x.toString.toDouble)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cosine").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fix = rows(Similarity.cosineTopK(spark, sf0001, k = 10))
+    val lit = rows(Similarity.cosineTopK(spark, sf0001, k = 11, probeVec = p))
+    assert(lit(0L) === 1.0, "probe matches itself at cosine 1")
+    assert((lit - 0L) === fix, "non-self results must be identical")
+    val fixAnn = rows(Similarity.annLsh(spark, sf0001, k = 10))
+    val litAnn = rows(Similarity.annLsh(spark, sf0001, 11, 4, probeVec = p))
+    assert((litAnn - 0L) === fixAnn)
+  }
 }

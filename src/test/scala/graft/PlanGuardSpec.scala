@@ -31,4 +31,66 @@ class PlanGuardSpec extends SparkSpec {
     assert(fields == expected,
       s"scan should read exactly $expected, got $fields in:\n$read")
   }
+
+  // --- dedup family: the hardest-won plan shapes (VERDICT r5 #6) ---
+
+  test("dedup candidate generation never reaches a SortMergeJoin") {
+    // bucketPairs' map-side pair expansion measured ~10x faster than the
+    // band-key self-join it replaced (Dedup.scala:24-25); every join these
+    // plans DO contain (size prefilter, co-count verify) must stay
+    // broadcast at test scale
+    for (q <- Seq("q_dedup_near", "q_dedup_simhash", "q_dedup_ngram",
+        "q_dedup_embed")) {
+      val plan = formatted(q)
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q regressed to a sort-merge join:\n$plan")
+    }
+  }
+
+  test("q_contamination keeps the broadcast eval-gram semi-join") {
+    val plan = formatted("q_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-gram join must be broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"eval-gram join regressed to sort-merge:\n$plan")
+  }
+
+  // --- q_pack_sequences: the two-level prefix sum (VERDICT r5 #2) ---
+
+  test("q_pack_sequences packs via two-level prefix sum, no per-domain corpus window") {
+    val df = SparkEntry.queries("q_pack_sequences")(spark, sf0001)
+    df.collect() // finalize AQE so runtime stage reuse is visible
+    val plan = df.queryExecution.explainString(FormattedMode)
+    // balanced range splits on (lang, doc_id), not a hash on lang alone
+    assert("rangepartitioning\\(lang#\\d+ ASC NULLS FIRST, doc_id#\\d+"
+      .r.findFirstIn(plan).isDefined,
+      s"expected a (lang, doc_id) range split exchange:\n$plan")
+    // the row-level cumsum window partitions by (blk, lang): its width is
+    // the split size, never the domain size — the 100 TB skew guarantee
+    assert("windowspecdefinition\\(blk#\\d+, lang#\\d+, doc_id#\\d+L? ASC"
+      .r.findFirstIn(plan).isDefined,
+      s"row-level cumsum must partition by (blk, lang):\n$plan")
+    // both levels must read ONE range shuffle (ReusedExchange) — split ids
+    // are only consistent between them because the stage is shared
+    assert(plan.contains("ReusedExchange"),
+      s"offsets branch must reuse the range exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse to a single partition:\n$plan")
+  }
+
+  // --- probe-as-parameter overloads (VERDICT r5 #5) ---
+
+  test("literal-probe similarity plans derive no probe from the corpus") {
+    import graft.operators.Similarity
+    val probe = Seq.tabulate(64)(i => (i % 7).toDouble / 7.0)
+    val plans = Seq(
+      "cosineTopK" -> Similarity.cosineTopK(spark, sf0001, 5, probe),
+      "annLsh" -> Similarity.annLsh(spark, sf0001, 5, 4, probe),
+      "ivf" -> Similarity.ivf(spark, sf0001, 5, 2, probe))
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.explainString(FormattedMode)
+      assert("vec_id#\\d+L? = 0".r.findFirstIn(plan).isEmpty,
+        s"$name(probeVec) still looks the probe up in the corpus:\n$plan")
+    }
+  }
 }

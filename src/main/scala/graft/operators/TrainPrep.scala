@@ -53,10 +53,15 @@ object TrainPrep {
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     // one materialization feeds both the eval gram set and the train scan.
-    // The persist is ALSO an expression-duplication barrier: without it,
+    // The persist is ALSO a codegen barrier, twice over: (a) without it,
     // CollapseProject merges the expensive shingle transform into both the
-    // size() and the explode() consumers and the focused bench regressed
-    // 2.15 s → 5.66 s at sf0.1 (A/B'd round 5).
+    // size() and the explode() consumers (focused bench regressed
+    // 2.15 s → 5.66 s at sf0.1, A/B'd round 5); (b) exploding a COMPUTED
+    // HOF-array column keeps the CodegenFallback transform inside the
+    // Generate stage, dropping the whole per-gram pipeline out of
+    // whole-stage codegen — measured 4.1 s vs 0.2 s for the same explode
+    // over a cached array (A/B'd round 6, which killed the
+    // no-persist/left-join formulation that was otherwise fewer passes).
     val docs = Dedup.shingled(s, dir).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalGrams = docs.filter(col("doc_id") % 97 === 0)
@@ -115,8 +120,11 @@ object TrainPrep {
     * and the oracle — are identical to the global per-lang cumsum: the
     * split boundaries cancel out of the arithmetic.
     */
-  def packSequences(s: SparkSession, dir: String, seqLen: Int = 2048): DataFrame = {
-    val nSplits = s.sparkContext.defaultParallelism
+  def packSequences(s: SparkSession, dir: String, seqLen: Int = 2048,
+      splits: Int = 0): DataFrame = {
+    // split-count is a pure parallelism knob: the two-level arithmetic is
+    // invariant to it (asserted by TrainPrepSpec's invariance test)
+    val nSplits = if (splits > 0) splits else s.sparkContext.defaultParallelism
     val base = Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens"))

@@ -123,6 +123,18 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing is invariant to the split count") {
+    // the two-level prefix sum must produce the SAME packing regardless of
+    // how many range splits carry it — split boundaries cancel out of the
+    // arithmetic; degenerate cases included (1 split = global window
+    // semantics, more splits than docs-per-lang)
+    def run(n: Int) = TrainPrep.packSequences(spark, sf0001, splits = n)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val ref = run(1)
+    for (n <- Seq(3, 8, 64)) assert(run(n) === ref, s"splits=$n diverges")
+  }
+
   test("stratified sample is deterministic and near its per-lang rate") {
     def run() = TrainPrep.sampleStratified(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -31,6 +31,7 @@ object Bench {
         .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("d"),
           sum("l_quantity").as("s"), avg("l_extendedprice").as("a"))
+        .orderBy("l_returnflag") // first range exchange is also a cold path
         .write.format("noop").mode("overwrite").save()
     }
     // optional comma-separated filter for focused local iteration, e.g.

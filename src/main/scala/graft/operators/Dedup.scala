@@ -407,8 +407,10 @@ object Dedup {
     // A/B'd in round 5 and LOST to recomputation (2.59 s → 3.12 s focused)
     // — the three consumers each prune to a 2-3 column subset, and the
     // pruned parquet re-scans beat materializing the full cached rows
+    // native array cast, not transform(_.cast): the HOF is CodegenFallback
+    // and would poison whole-stage codegen for the band-key explode stage
     val e = Tables.embeddings(s, dir).select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
+      col("embedding").cast("array<double>").as("v"))
     // band keys cost 64 hyperplane dots per vector; computed once for the
     // two sides of the self-join
     val keys = e.select(col("vec_id").as("doc_id"),

@@ -18,7 +18,11 @@ object Similarity {
 
   private def dot(a: Column, b: Column): Column = Hyperplanes.dot64(a, b)
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  // native array cast, NOT transform(_.cast): the HOF is CodegenFallback and
+  // poisons whole-stage codegen for every downstream operator in the stage
+  // (measured round 6: exploding a computed HOF array ran 20x slower than a
+  // materialized one); Cast(array<float> -> array<double>) codegens.
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   private def litVec(p: Seq[Double]): Column = array(p.map(lit): _*)
 

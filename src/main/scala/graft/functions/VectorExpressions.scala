@@ -105,10 +105,136 @@ object DotProduct {
     new ExpressionInfo(classOf[DotProduct].getName, "vec_dot")
 }
 
+/** `min_hashes(hs, n)` — all `n` seeded MinHash minima over an
+  * `array<bigint>` of shingle fingerprints in ONE codegen loop.
+  *
+  * Bit-identical to the HOF formulation it replaces
+  * (`array((0 until n).map(i => array_min(transform(hs, h =>
+  * xxhash64(lit(i), h)))))`, asserted by OperatorPropertiesSpec): Spark's
+  * `xxhash64(lit(i), h)` folds its children as
+  * `XXH64.hashLong(h, XXH64.hashInt(i, 42L))`, so the per-seed prefix
+  * `hashInt(i, 42L)` is precomputed once and each fingerprint costs one
+  * `hashLong` per seed. The HOF version ran n interpreted passes over the
+  * array per row (HOF lambdas are CodegenFallback); this is one codegen'd
+  * pass evaluating n seeds per element.
+  *
+  * Null semantics mirror the original exactly: a null element hashes to
+  * the bare seed (a hash expression skips null children), and an empty
+  * array yields n null minima (`array_min([]) = null`).
+  */
+case class MinHashes(child: Expression, numHashes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"min_hashes requires array<bigint>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
+    val m = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      var i = 0
+      if (xs.isNullAt(j)) {
+        while (i < numHashes) {
+          if (seeds(i) < m(i)) m(i) = seeds(i); i += 1
+        }
+      } else {
+        val h = xs.getLong(j)
+        while (i < numHashes) {
+          val v = XXH64.hashLong(h, seeds(i))
+          if (v < m(i)) m(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new $gad(new Object[$numHashes]);
+         |} else {
+         |  long[] $m = new long[$numHashes];
+         |  java.util.Arrays.fill($m, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if ($a.isNullAt($j)) {
+         |      for (int $i = 0; $i < $numHashes; $i++) {
+         |        if ($seedsRef[$i] < $m[$i]) $m[$i] = $seedsRef[$i];
+         |      }
+         |    } else {
+         |      long $h = $a.getLong($j);
+         |      for (int $i = 0; $i < $numHashes; $i++) {
+         |        long $v = $xxh.hashLong($h, $seedsRef[$i]);
+         |        if ($v < $m[$i]) $m[$i] = $v;
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = new $gad($m);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "min_hashes"
+}
+
+object MinHashes {
+  def builder(children: Seq[Expression]): Expression = {
+    if (children.length != 2) {
+      throw new IllegalArgumentException(
+        s"min_hashes requires exactly 2 arguments, got ${children.length}")
+    }
+    val n = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"min_hashes count must be an integer literal, got $other")
+    }
+    MinHashes(children(0), n)
+  }
+
+  def info: ExpressionInfo =
+    new ExpressionInfo(classOf[MinHashes].getName, "min_hashes")
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"), DotProduct.info,
       DotProduct.builder _))
+    ext.injectFunction((
+      new FunctionIdentifier("min_hashes"), MinHashes.info,
+      MinHashes.builder _))
   }
 }

@@ -141,9 +141,13 @@ object Dedup {
     // correlates the per-band minima enough to miss j≥0.9 pairs the recall
     // property requires. Seeding a fresh xxhash64 over the fingerprint
     // keeps the 32 functions independent (full avalanche per seed).
-    val sigCols: Column = array((0 until numHashes).map { i =>
-      array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
-    }: _*)
+    // All 32 minima come from ONE codegen'd pass over the fingerprint
+    // array ([[graft.functions.MinHashes]], bit-identical to the
+    // 32×array_min(transform(...)) HOF formulation it replaced — which ran
+    // 32 INTERPRETED passes per row, the query's dominant compute).
+    val sigCols: Column = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MinHashes(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("hs")), numHashes))
     val sigs = base.select(col("doc_id"), sigCols.as("sig"))
     val bands = sigs.select(col("doc_id"),
         posexplode(array((0 until numHashes / bandSize).map { b =>

@@ -249,6 +249,31 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("min_hashes codegen loop is bit-identical to the HOF formulation") {
+    val n = 32
+    val hs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), t => xxhash64(t)).as("hs"))
+    val hof = hs.select(col("doc_id"), array((0 until n).map { i =>
+        array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
+      }: _*).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val custom = hs.select(col("doc_id"),
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.MinHashes(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("hs")), n))
+          .as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(custom === hof)
+    // empty array → n null minima, like array_min([])
+    val empty = spark.sql("SELECT 1").select(
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.MinHashes(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            array().cast("array<bigint>")), n)).as("sig")).head.getSeq[Any](0)
+    assert(empty.length === n && empty.forall(_ == null))
+  }
+
   test("literal-probe overloads agree with the corpus-lookup fixture path") {
     // feed vec 0's own embedding as the literal probe: the parameterized
     // plan (no corpus lookup, nothing excluded) must return the fixture

@@ -272,6 +272,25 @@ class OperatorPropertiesSpec extends SparkSpec {
           org.apache.spark.sql.GraftSqlBridge.expression(
             array().cast("array<bigint>")), n)).as("sig")).head.getSeq[Any](0)
     assert(empty.length === n && empty.forall(_ == null))
+
+    // SQL surface via the extensions builder (count must be a literal)
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("min_hashes"),
+      graft.functions.MinHashes.info,
+      graft.functions.MinHashes.builder _)
+    val viaSql = spark.sql(
+      "SELECT min_hashes(array(CAST(7 AS BIGINT)), 4) AS sig").head.getSeq[Any](0)
+    val expected = spark.sql(
+      """SELECT array(min(xxhash64(0, h)), min(xxhash64(1, h)),
+        |             min(xxhash64(2, h)), min(xxhash64(3, h))) AS sig
+        |FROM (SELECT CAST(7 AS BIGINT) AS h)""".stripMargin)
+      .head.getSeq[Any](0)
+    assert(viaSql === expected)
+    val err = intercept[Exception] {
+      spark.sql("SELECT min_hashes(array(CAST(7 AS BIGINT)))").collect()
+    }
+    assert(err.getMessage.contains("2 arguments") ||
+      Option(err.getCause).exists(_.getMessage.contains("2 arguments")))
   }
 
   test("literal-probe overloads agree with the corpus-lookup fixture path") {

@@ -25,18 +25,20 @@ object Dedup {
     * for the same output (measured at sf0.1: 9.8 s → sub-second).
     */
   private[graft] def bucketPairs(
-      buckets: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
-    val pairs = flatten(transform(col("ds"), a =>
-      transform(filter(col("ds"), b => b > a),
-        b => struct(a.as("a_id"), b.as("b_id")))))
+      buckets: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
     buckets
       .groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= cap)
-      .select(explode(pairs).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+      // chained explodes instead of a nested transform/filter HOF: both
+      // Generates and the triangular filter stay in whole-stage codegen
+      // (the HOF generator is CodegenFallback and ran the expansion stage
+      // interpreted); emits cap² rows pre-filter but never materializes
+      // them outside the stage
+      .select(col("ds"), explode(col("ds")).as("a_id"))
+      .select(col("a_id"), explode(col("ds")).as("b_id"))
+      .filter(col("b_id") > col("a_id"))
       .distinct()
-  }
 
   /** Size-bound prefilter on candidate pairs: Jaccard ≤ min(|a|,|b|) /
     * max(|a|,|b|) (intersection ≤ the smaller set, union ≥ the larger), so a

@@ -273,6 +273,21 @@ class OperatorPropertiesSpec extends SparkSpec {
             array().cast("array<bigint>")), n)).as("sig")).head.getSeq[Any](0)
     assert(empty.length === n && empty.forall(_ == null))
 
+    // null ELEMENT exercises the isNullAt branch of the generated loop:
+    // a hash expression skips null children, so the candidate is the bare
+    // seed — same as the HOF's xxhash64(lit(i), null)
+    val withNull = spark.range(1).select(
+      array(lit(7L), lit(null).cast("bigint")).as("hs"))
+    val hofNull = withNull.select(array((0 until n).map { i =>
+        array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
+      }: _*).as("sig")).head.getSeq[Any](0)
+    val customNull = withNull.select(
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.MinHashes(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("hs")), n))
+        .as("sig")).head.getSeq[Any](0)
+    assert(customNull === hofNull)
+
     // SQL surface via the extensions builder (count must be a literal)
     spark.sessionState.functionRegistry.registerFunction(
       new org.apache.spark.sql.catalyst.FunctionIdentifier("min_hashes"),

@@ -270,12 +270,17 @@ object Dedup {
     val base = shingled(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ngramPairs(base, threshold, hotCap)
+      .orderBy("a_id", "b_id")
   }
 
   /** Core of [[ngramJaccard]] over an already-persisted shingle base —
     * factored out so [[nearDupClusters]] can own the base's lifecycle and
     * unpersist the (large) shingle arrays the moment the (tiny) pair graph
-    * is materialized.
+    * is materialized. Returns the verified pairs UNSORTED: the cluster path
+    * persists and counts this result, and a trailing global sort would ride
+    * into the cached plan (range-exchange sample job + the sort itself) for
+    * an output whose order the label propagation never reads —
+    * [[ngramJaccard]] adds its contract ORDER BY on top.
     */
   private def ngramPairs(
       base: DataFrame, threshold: Double, hotCap: Int): DataFrame = {
@@ -296,7 +301,6 @@ object Dedup {
         Norm.r4(col("inter") / (col("za") + col("zb") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Near-duplicate CLUSTERS from the deterministic n-gram pair graph —
@@ -320,14 +324,15 @@ object Dedup {
     // the query's largest cached object and are only needed until the
     // (tiny) pair graph is materialized below
     val base = shingled(s, dir).persist(MEMORY_AND_DISK)
-    // materialize the pair list BEFORE the symmetrizing explode: both edge
-    // orientations read `pairs`, and without a populated cache each read
-    // would re-execute the whole candidate-generation/verification query
+    // the pair list must be cached BEFORE the loop: every iteration's
+    // `edges` re-derives from `pairs`, and without a populated cache each
+    // read would re-execute the whole candidate-generation/verification
+    // query. The cache is filled by the initLabels materialization below —
+    // one job computes pairs AND the folded first round, instead of a
+    // separate pairs.count() job.
     val pairs = ngramPairs(base, threshold = 0.2, hotCap = 25)
       .select(col("a_id"), col("b_id"))
       .persist(MEMORY_AND_DISK)
-    pairs.count()
-    base.unpersist(blocking = true)
     // symmetrize with a map-side explode over the cached pairs (a
     // two-branch union would scan the cache twice); edges and labels are
     // each a few rows per near-dup doc (pair counts are bounded by the
@@ -354,6 +359,11 @@ object Dedup {
       .select(col("src").as("id"),
         least(col("src"), col("mn")).as("label"))
       .persist(MEMORY_AND_DISK)
+    // ONE job materializes the pair build, the pairs cache, and the folded
+    // first propagation round; only then is the (large) shingle base safe
+    // to drop
+    initLabels.count()
+    base.unpersist(blocking = true)
     var labels = initLabels
     // the persisted plan each iteration's `labels` projects FROM — the
     // handle unpersist must target (unpersisting the projection itself is

@@ -85,12 +85,14 @@ object SparkEntry {
     "q_token_count"    -> (Text.tokenCount _),
     "q_fingerprint"    -> (Text.fingerprint _),
     "q_fingerprint_rolling" -> (Text.rollingFingerprint _),
+    "q_quality_repetition" -> (Text.repetition _),
     "q_split_assign"   -> (Text.hashSplit _),
     // training-data prep
     "q_chunk_split"    -> ((s: SparkSession, d: String) => TrainPrep.chunk(s, d)),
     "q_contamination"  -> (TrainPrep.contamination _),
     "q_pii_scrub"      -> (TrainPrep.piiScrub _),
     "q_sample_stratified" -> (TrainPrep.sampleStratified _),
+    "q_source_mix"     -> (TrainPrep.sourceMix _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
     // multimodal
     "q_multimodal_stats"  -> (Multimodal.stats _),
@@ -492,6 +494,31 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(TRIM(LOWER(text))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, len(tk) AS n_tokens,
+        |        [tk[i] || ' ' || tk[i+1] FOR i IN generate_series(1, len(tk) - 1)] AS g2
+        |      FROM tk WHERE len(tk) >= 2),
+        |tf AS (SELECT doc_id, MAX(c) AS max_tf FROM
+        |        (SELECT doc_id, t, COUNT(1) AS c FROM
+        |          (SELECT doc_id, unnest(tk) AS t FROM tk) u
+        |         GROUP BY doc_id, t) f
+        |       GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  ROUND(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4) AS dup_2gram_frac,
+        |  ROUND(CAST(max_tf AS DOUBLE) / n_tokens, 4) AS top_token_frac
+        |FROM b JOIN tf USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_source_mix" ->
+      """WITH a AS (SELECT source, lang, COUNT(1) AS n_docs,
+        |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |           FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, sum_tokens, sum_chars,
+        |  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 4) AS doc_share,
+        |  ROUND(CAST(sum_tokens AS DOUBLE) / SUM(sum_tokens) OVER (), 4) AS token_share
+        |FROM a ORDER BY source, lang""".stripMargin,
 
     "q_split_assign" ->
       """SELECT lang, split, COUNT(1) AS docs FROM (

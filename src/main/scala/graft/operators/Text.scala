@@ -57,6 +57,46 @@ object Text {
         col("ttr") * 0.3 + least(col("stop_ratio") * 4.0, lit(1.0)) * 0.2))
       .orderBy("doc_id")
 
+  /** Within-document repetition signals (the Gopher-style repetition
+    * filter): fraction of duplicate word 2-grams and the most-frequent
+    * token's share of the document — the standard heuristics for dropping
+    * boilerplate/degenerate generations from a pretraining corpus.
+    *
+    * ONE shuffle: after `repartition(doc_id)` the 2-gram window, both
+    * per-doc aggregations (including the distinct-2-gram count's internal
+    * (doc_id, g2) pre-aggregate), the per-(doc, token) frequency rollup,
+    * and the final join are all partition-local — per-doc work is bounded
+    * by document length, never corpus size. The 2-grams come from a
+    * codegen'd window `lead`, not a per-element HOF lambda (interpreted;
+    * see [[rollingFingerprint]]'s measurement).
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tok = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+    // trailing token contributes no 2-gram (NULL g2 is ignored by both
+    // count(g2) and the distinct count), so n_2grams = n_tokens - 1
+    val grams = tok.withColumn("nxt", lead(col("t"), 1).over(w))
+      .withColumn("g2",
+        when(col("nxt").isNotNull, concat_ws(" ", col("t"), col("nxt"))))
+    val perDoc = grams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("g2")).as("n_2grams"),
+        countDistinct(col("g2")).as("d_2grams"))
+    val topTf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_tf"))
+    perDoc.join(topTf, "doc_id")
+      .filter(col("n_2grams") >= 1)
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        Norm.r4(lit(1.0) - col("d_2grams") / col("n_2grams"))
+          .as("dup_2gram_frac"),
+        Norm.r4(col("max_tf") / col("n_tokens")).as("top_token_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (runs of ≤4 letters approximate subword pieces) + chars-per-token.
     */

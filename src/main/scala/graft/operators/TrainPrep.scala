@@ -163,6 +163,31 @@ object TrainPrep {
       .orderBy("lang", "seq_id")
   }
 
+  /** Corpus-mix report — the curation dashboard behind data-mix decisions:
+    * per (source, lang) document counts, token/char volume, and each
+    * cell's share of the whole corpus. Aggregate-then-normalize: the
+    * shares' unpartitioned window runs over the GROUP rows (|sources| ×
+    * |langs| — metadata-sized at any corpus scale), never the corpus —
+    * so the single-partition exchange it implies moves a few dozen rows,
+    * not data.
+    */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"), col("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+    val wAll = Window.partitionBy()
+    grouped
+      .withColumn("doc_share",
+        Norm.r4(col("n_docs") / sum(col("n_docs")).over(wAll)))
+      .withColumn("token_share",
+        Norm.r4(col("sum_tokens") / sum(col("sum_tokens")).over(wAll)))
+      .orderBy("source", "lang")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates decided by
     * a content-hash bucket (md5 hex prefix), so the sample is reproducible
     * across runs AND engines, and duplicate texts land on the same side of

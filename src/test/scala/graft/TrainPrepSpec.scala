@@ -135,6 +135,55 @@ class TrainPrepSpec extends SparkSpec {
     for (n <- Seq(3, 8, 64)) assert(run(n) === ref, s"splits=$n diverges")
   }
 
+  test("repetition signals match a per-doc brute-force reference") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.operators.Text.repetition(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    def r4(x: Double) = math.round(x * 10000.0) / 10000.0
+    val expected = docs.collect { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val g2 = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      (id, tk.length, g2)
+    }.filter(_._3.nonEmpty)
+    assert(got.map(_._1).sorted.toSeq === expected.map(_._1).toSeq.sorted)
+    val byId = expected.map(e => e._1 -> e).toMap
+    got.foreach { case (id, n, dupFrac, topFrac) =>
+      val (_, en, g2) = byId(id)
+      assert(n === en)
+      assert(dupFrac === r4(1.0 - g2.distinct.size.toDouble / g2.size), s"doc $id")
+      val tk = docs(id).split(" ", -1)
+      val maxTf = tk.groupBy(identity).values.map(_.length).max
+      assert(topFrac === r4(maxTf.toDouble / tk.length), s"doc $id")
+    }
+  }
+
+  test("source-mix shares sum to 1 and match per-cell brute force") {
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).as("nt"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val got = TrainPrep.sourceMix(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    def r4(x: Double) = math.round(x * 10000.0) / 10000.0
+    val cells = rows.groupBy(r => (r._1, r._2))
+    val totDocs = rows.length.toDouble
+    val totToks = rows.map(_._3.toLong).sum.toDouble
+    assert(got.length === cells.size)
+    got.foreach { case (src, lang, nDocs, sumT, sumC, dShare, tShare) =>
+      val cell = cells((src, lang))
+      assert(nDocs === cell.length)
+      assert(sumT === cell.map(_._3.toLong).sum)
+      assert(sumC === cell.map(_._4).sum)
+      assert(dShare === r4(nDocs / totDocs))
+      assert(tShare === r4(sumT / totToks))
+    }
+    // shares are a partition of the corpus (up to per-cell rounding)
+    assert(math.abs(got.map(_._6).sum - 1.0) < 1e-2)
+  }
+
   test("stratified sample is deterministic and near its per-lang rate") {
     def run() = TrainPrep.sampleStratified(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

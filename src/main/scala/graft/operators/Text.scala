@@ -62,34 +62,30 @@ object Text {
     * token's share of the document — the standard heuristics for dropping
     * boilerplate/degenerate generations from a pretraining corpus.
     *
-    * ONE shuffle: after `repartition(doc_id)` the 2-gram window, both
-    * per-doc aggregations (including the distinct-2-gram count's internal
-    * (doc_id, g2) pre-aggregate), the per-(doc, token) frequency rollup,
-    * and the final join are all partition-local — per-doc work is bounded
-    * by document length, never corpus size. The 2-grams come from a
-    * codegen'd window `lead`, not a per-element HOF lambda (interpreted;
-    * see [[rollingFingerprint]]'s measurement).
+    * The 2-gram stats are PER-ROW map-side array work ([[Dedup.shingled]]'s
+    * measured pattern: whole-row transform/array_distinct beats shipping a
+    * token-level stream through a window shuffle ~10×); the only exploded
+    * stream is the token-frequency rollup, which pre-aggregates
+    * (doc_id, token) map-side — stopword repetition collapses before the
+    * shuffle — so per-doc work is bounded by document length and shuffled
+    * rows by per-doc vocabulary, never corpus size. A window-lead
+    * formulation of the 2-grams was A/B'd and removed (3.0 s → 1.9 s
+    * focused at sf0.1: the 2.5M-token window sort plus the two-phase
+    * distinct count cost far more than the per-row lambdas they avoided).
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val tok = Tables.documents(s, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-    // trailing token contributes no 2-gram (NULL g2 is ignored by both
-    // count(g2) and the distinct count), so n_2grams = n_tokens - 1
-    val grams = tok.withColumn("nxt", lead(col("t"), 1).over(w))
-      .withColumn("g2",
-        when(col("nxt").isNotNull, concat_ws(" ", col("t"), col("nxt"))))
-    val perDoc = grams.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        count(col("g2")).as("n_2grams"),
-        countDistinct(col("g2")).as("d_2grams"))
-    val topTf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val g2 = transform(sequence(lit(0), size(col("tk")) - 2),
+      i => concat_ws(" ", col("tk")(i), col("tk")(i + 1)))
+    val g2stats = base.select(col("doc_id"), size(col("tk")).as("n_tokens"),
+      (size(col("tk")) - 1).as("n_2grams"),
+      size(array_distinct(g2)).as("d_2grams"))
+    val topTf = base.select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("max_tf"))
-    perDoc.join(topTf, "doc_id")
-      .filter(col("n_2grams") >= 1)
+    g2stats.join(topTf, "doc_id")
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         Norm.r4(lit(1.0) - col("d_2grams") / col("n_2grams"))
           .as("dup_2gram_frac"),

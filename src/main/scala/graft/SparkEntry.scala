@@ -86,6 +86,7 @@ object SparkEntry {
     "q_fingerprint"    -> (Text.fingerprint _),
     "q_fingerprint_rolling" -> (Text.rollingFingerprint _),
     "q_quality_repetition" -> (Text.repetition _),
+    "q_quality_gate"   -> (Text.qualityGate _),
     "q_split_assign"   -> (Text.hashSplit _),
     // training-data prep
     "q_chunk_split"    -> ((s: SparkSession, d: String) => TrainPrep.chunk(s, d)),
@@ -509,6 +510,24 @@ object SparkEntry {
         |  ROUND(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4) AS dup_2gram_frac,
         |  ROUND(CAST(max_tf AS DOUBLE) / n_tokens, 4) AS top_token_frac
         |FROM b JOIN tf USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gate" ->
+      """WITH tk AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents),
+        |sig AS (SELECT doc_id, len(tk) AS n_tokens,
+        |          ROUND(CAST(n_chars - len(tk) + 1 AS DOUBLE) / len(tk), 4) AS mean_tok_len,
+        |          ROUND(CAST(len(list_filter(tk, t -> t IN ('the','a','of','to','in','and','is'))) AS DOUBLE) / len(tk), 4) AS stop_ratio,
+        |          ROUND(1 - CAST(len(list_distinct([tk[i] || ' ' || tk[i+1]
+        |            FOR i IN generate_series(1, len(tk) - 1)])) AS DOUBLE) / (len(tk) - 1), 4) AS dup_2gram_frac
+        |        FROM tk WHERE len(tk) >= 2),
+        |f AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |        n_tokens < 20 AS too_short,
+        |        mean_tok_len < 3.0 OR mean_tok_len > 10.0 AS bad_tok_len,
+        |        stop_ratio < 0.01 AS low_stopword,
+        |        dup_2gram_frac > 0.08 AS repetitive
+        |      FROM sig)
+        |SELECT doc_id, n_tokens, too_short, bad_tok_len, low_stopword, repetitive,
+        |  NOT (too_short OR bad_tok_len OR low_stopword OR repetitive) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_source_mix" ->
       """WITH a AS (SELECT source, lang, COUNT(1) AS n_docs,

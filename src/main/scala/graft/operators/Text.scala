@@ -93,6 +93,43 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Quality GATE — the keep/drop decision a curation pipeline actually
+    * runs, with per-rule reason flags (the drop-rate attribution is what
+    * pipeline owners tune): Gopher-style bounds on length, mean token
+    * length, stopword ratio, and within-doc 2-gram repetition. One
+    * map-side pass (every signal is per-row array work over the token
+    * array; no shuffle before the contract sort), linear in bytes at any
+    * corpus size. Rules compare ROUNDED signals (the repo's cross-engine
+    * convention) so a threshold can never split engines on a final ulp.
+    */
+  def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val g2 = transform(sequence(lit(0), size(col("tk")) - 2),
+      i => concat_ws(" ", col("tk")(i), col("tk")(i + 1)))
+    val sig = docs.select(col("doc_id"),
+      size(col("tk")).as("n_tokens"),
+      Norm.r4((col("n_chars") - size(col("tk")) + 1) / size(col("tk")))
+        .as("mean_tok_len"),
+      Norm.r4(size(filter(col("tk"), t => t.isin(StopWords: _*))) /
+        size(col("tk"))).as("stop_ratio"),
+      Norm.r4(lit(1.0) - size(array_distinct(g2)) / (size(col("tk")) - 1))
+        .as("dup_2gram_frac"))
+    sig
+      .withColumn("too_short", col("n_tokens") < 20)
+      .withColumn("bad_tok_len",
+        col("mean_tok_len") < 3.0 || col("mean_tok_len") > 10.0)
+      .withColumn("low_stopword", col("stop_ratio") < 0.01)
+      .withColumn("repetitive", col("dup_2gram_frac") > 0.08)
+      .withColumn("keep", !col("too_short") && !col("bad_tok_len") &&
+        !col("low_stopword") && !col("repetitive"))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        col("too_short"), col("bad_tok_len"), col("low_stopword"),
+        col("repetitive"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (runs of ≤4 letters approximate subword pieces) + chars-per-token.
     */

@@ -159,6 +159,36 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("quality gate flags match a per-doc brute-force reference") {
+    val stop = Set("the", "a", "of", "to", "in", "and", "is")
+    def r4(x: Double) = math.round(x * 10000.0) / 10000.0
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val got = graft.operators.Text.qualityGate(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    val eligible = docs.filter(_._3.split(" ", -1).length >= 2)
+    assert(got.keySet === eligible.map(_._1).toSet)
+    eligible.foreach { case (id, nChars, text) =>
+      val tk = text.split(" ", -1)
+      val n = tk.length
+      val g2 = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val tooShort = n < 20
+      val badTok = {
+        val m = r4((nChars - n + 1).toDouble / n); m < 3.0 || m > 10.0
+      }
+      val lowStop = r4(tk.count(stop).toDouble / n) < 0.01
+      val repetitive = r4(1.0 - g2.distinct.size.toDouble / g2.size) > 0.08
+      val keep = !tooShort && !badTok && !lowStop && !repetitive
+      assert(got(id) === ((n, tooShort, badTok, lowStop, repetitive, keep)),
+        s"doc $id")
+    }
+    // the fixture must actually exercise the gate in both directions
+    assert(got.values.exists(_._6) && got.values.exists(!_._6),
+      "fixture should contain both kept and dropped docs")
+  }
+
   test("source-mix shares sum to 1 and match per-cell brute force") {
     val rows = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("source"), col("lang"),

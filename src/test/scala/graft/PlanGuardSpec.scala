@@ -78,6 +78,18 @@ class PlanGuardSpec extends SparkSpec {
       s"no stage may collapse to a single partition:\n$plan")
   }
 
+  test("q_quality_gate shuffles nothing before its contract sort") {
+    // every rule signal is per-row array work in the scan stage; the only
+    // Exchange the plan may contain is the final ORDER BY's range exchange
+    val plan = formatted("q_quality_gate")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges == 1, s"expected only the sort exchange, got $exchanges:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"the single exchange must be the contract sort:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"no aggregation/join shuffle may appear:\n$plan")
+  }
+
   // --- probe-as-parameter overloads (VERDICT r5 #5) ---
 
   test("literal-probe similarity plans derive no probe from the corpus") {

@@ -189,6 +189,44 @@ class TrainPrepSpec extends SparkSpec {
       "fixture should contain both kept and dropped docs")
   }
 
+  test("repetition and quality gate handle degenerate documents") {
+    // single-token doc excluded; all-identical tokens hit max repetition;
+    // consecutive spaces produce empty tokens — counted identically by
+    // Spark split and DuckDB string_split, so the operator must not
+    // special-case them away
+    val tmp = java.nio.file.Files.createTempDirectory("graft_degen").toString
+    import spark.implicits._
+    Seq(
+      (0L, Seq.fill(25)("w").mkString(" "), "en", "web", 49L),
+      (1L, "a b", "en", "web", 3L),
+      (2L, "solo", "en", "web", 4L),
+      (3L, "a  b c", "en", "web", 6L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def r4(x: Double) = math.round(x * 10000.0) / 10000.0
+    val rep = graft.operators.Text.repetition(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rep.keySet === Set(0L, 1L, 3L), "single-token doc must drop out")
+    // doc 0: 24 identical 2-grams, 1 distinct; top token is all 25
+    assert(rep(0L) === ((25, r4(1.0 - 1.0 / 24.0), 1.0)))
+    // doc 1: one 2-gram, no repetition, each token appears once
+    assert(rep(1L) === ((2, 0.0, 0.5)))
+    // doc 3: tokens are [a, "", b, c] — the empty token counts
+    assert(rep(3L) === ((4, 0.0, 0.25)))
+    val gate = graft.operators.Text.qualityGate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(gate.keySet === Set(0L, 1L, 3L))
+    // doc 0: repetitive AND low-stopword AND (mean_tok_len = 1 < 3)
+    assert(gate(0L) === ((false, true, true, true, false)))
+    // docs 1/3: too short + sub-3 mean token length ("a" IS a stopword, so
+    // not low-stopword) => dropped with those two reasons
+    assert(gate(1L) === ((true, true, false, false, false)))
+    assert(gate(3L) === ((true, true, false, false, false)))
+    spark.catalog.clearCache()
+  }
+
   test("source-mix shares sum to 1 and match per-cell brute force") {
     val rows = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("source"), col("lang"),

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Sink-throughput benchmark main: the reference's actual function is a
+  * streaming sink (`HiveStreamDataWriter.scala` — row→JSON→Hive txn
+  * batches), so the query bench alone doesn't measure parity with it.
+  * This main drives the full structured-streaming write path — planner,
+  * epoch txn lifecycle, per-row partition routing, JSON encode, batched
+  * file writes, manifest commit — end to end through `graft-streaming`
+  * and prints one JSON line with measured rows/s.
+  *
+  * Shape mirrors the reference example (`HiveStreamingExample.scala`: a
+  * narrow id/msg-style row plus a partition column); rows arrive in
+  * `BATCHES` micro-batches of `ROWS / BATCHES` rows after one untimed
+  * warm-up batch, from a MemoryStream (no source bottleneck, so the sink
+  * path is what's timed). After the timed run the table is read back via
+  * the manifest-gated batch path and the count is asserted — a throughput
+  * number that dropped or duplicated rows would be meaningless.
+  *
+  * Env knobs: SPARK_GRAFT_SINK_ROWS (default 1,000,000), _BATCHES (10),
+  * SPARK_GRAFT_CPUS (32).
+  */
+object SinkBench {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SINK_ROWS", "1000000").toInt
+    val batches = sys.env.getOrElse("SPARK_GRAFT_SINK_BATCHES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinkbench").toString
+    val in = MemoryStream[Long]
+    // reference-example row shape: key, message, event-type partition column
+    val q = in.toDS()
+      .map(i => (i, s"user-${i % 9973}", s"msg payload for row $i with some width", s"t${i % 8}"))
+      .toDF("id", "user", "msg", "etype")
+      .writeStream.format("graft-streaming")
+      .option("path", dir).option("db", "bench").option("table", "events")
+      .option("partition.columns", "etype")
+      .option("checkpointLocation", s"$dir/_cp")
+      .start()
+
+    val warm = 10000
+    in.addData(0L until warm.toLong: _*)
+    q.processAllAvailable()
+
+    val perBatch = rows / batches
+    val t0 = System.nanoTime()
+    var off = warm.toLong
+    (0 until batches).foreach { _ =>
+      in.addData(off until (off + perBatch): _*)
+      off += perBatch
+      q.processAllAvailable()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    q.stop()
+
+    // exactly-once check: the manifest-gated read must see warm + timed rows
+    val landed = spark.read.format("graft-streaming")
+      .option("path", dir).option("db", "bench").option("table", "events")
+      .load().count()
+    val expected = warm + perBatch.toLong * batches
+    require(landed == expected, s"sink lost/duplicated rows: $landed != $expected")
+
+    val rps = perBatch.toLong * batches / sec
+    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"seconds":$sec,"partitions":8,"verified_rows":$landed}""")
+    spark.stop()
+  }
+}

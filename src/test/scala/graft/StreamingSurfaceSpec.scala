@@ -104,6 +104,34 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(rows === Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
   }
 
+  test("tumbling/sliding windows (streaming window()) match the batch expression") {
+    // q_stream_tumbling/q_stream_sliding claim their window() expression is
+    // streaming-compatible verbatim; run the SAME groupBy under
+    // readStream+watermark and compare against the batch result on the
+    // same rows
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((ts(0), 1.0), (ts(10), 2.0), (ts(40), 3.0),
+      (ts(55), 4.0), (Timestamp.valueOf("2024-01-01 11:20:00"), 5.0))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum($"v").as("s"))
+      .select($"w.start".as("ws"), $"cnt", $"s")
+    val batch = shape(rows.toDF("ts", "v"))
+      .as[(Timestamp, Long, Double)].collect().toSet
+    val in = MemoryStream[(Timestamp, Double)]
+    val q = shape(in.toDF().toDF("ts", "v").withWatermark("ts", "1 minute"))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("win_out")
+      .as[(Timestamp, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.size === 4, s"fixture must span several windows: $batch")
+  }
+
   test("custom state: flatMapGroupsWithState keeps running per-user counters") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

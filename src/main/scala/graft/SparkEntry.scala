@@ -36,6 +36,7 @@ object SparkEntry {
     "q_agg_rollup"     -> (Relational.aggRollup _),
     "q_agg_cube"       -> (Relational.aggCube _),
     "q_agg_gsets"      -> (Relational.aggGroupingSets _),
+    "q_agg_pivot"      -> (Relational.aggPivot _),
     // joins
     "q_join_inner"     -> (Relational.joinInner _),
     "q_join_broadcast" -> (Relational.joinBroadcast _),
@@ -150,6 +151,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(1) AS cnt
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_pivot" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY hour_ms""".stripMargin,
 
     "q_join_inner" ->
       """SELECT o_orderpriority, COUNT(1) AS line_cnt,

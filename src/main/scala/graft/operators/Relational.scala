@@ -156,6 +156,25 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** Pivot (long→wide report): hourly event counts widened to one column
+    * per event type. The value list is EXPLICIT — the at-scale contract:
+    * with it, Spark plans a single two-phase aggregate (map-side partial
+    * over (hour, type), widened at the final agg); without it, a separate
+    * values-discovery job scans the corpus first. Absent cells surface as
+    * 0, not null, matching the SQL CASE-count formulation.
+    */
+  def aggPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .groupBy("h")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(Norm.ms(col("h")).as("hour_ms") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("hour_ms")
+  }
+
   // ---------------------------------------------------------------- joins
 
   /** Shuffled hash/sort-merge equi join lineitem⋈orders on the fact keys,

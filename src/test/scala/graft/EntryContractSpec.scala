@@ -26,7 +26,7 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 63)
-    assert(SparkEntry.oracleSql.size === 57)
+    assert(SparkEntry.queries.size === 64)
+    assert(SparkEntry.oracleSql.size === 58)
   }
 }

@@ -51,6 +51,16 @@ object Bench {
       val t0 = System.nanoTime(); warmQuery()
       (System.nanoTime() - t0) / 1e9
     }
+    // irreducible per-query floor, measured: the cheapest possible plan
+    // (tiny range scan, no shuffle) through the same noop-sink write path.
+    // Everything a timed query spends above this is plan cost; the floor
+    // itself is the fixed scheduling/codegen price of distributed
+    // execution, which amortizes at real data sizes.
+    val floorSec = {
+      val t0 = System.nanoTime()
+      spark.range(100).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // optional comma-separated filter for focused local iteration, e.g.
     // SPARK_GRAFT_ONLY=q_dedup_ngram,q_dedup_near (driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -111,7 +121,7 @@ object Bench {
         else ""
       } else ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"ref_sec":$refSec,"sf":"$sfDir"$vsBaseline}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$vsBaseline}""")
     spark.stop()
   }
 }

@@ -88,30 +88,40 @@ object TimeOps {
   }
 
   /** As-of join: for each purchase event, the latest click by the same user
-    * at-or-before the purchase. Equi-join on user + time filter, then keep
-    * the max-ts candidate per purchase via row_number. Deterministic
-    * tiebreak on click id.
+    * at-or-before the purchase (deterministic max-click-id tiebreak at
+    * equal timestamps).
+    *
+    * Single ordered pass with carry-forward — the scalable as-of
+    * formulation (what time-series engines execute): union both sides
+    * into one per-user timeline and carry the most recent click along via
+    * `last(..., ignoreNulls)` over an unbounded-preceding row frame. ONE
+    * shuffle on user_id, per-user work linear in events. The join+window
+    * formulation it replaces (equi-join on user + `c_ms <= p_ms`, then
+    * row_number per purchase) materializes |purchases|×|clicks| rows per
+    * user before discarding all but one per purchase — quadratic in
+    * per-user activity, the classic hot-user blowup at 100 TB. Results are
+    * identical: clicks sort BEFORE purchases at equal timestamps (a click
+    * AT the purchase instant is eligible), and ascending id order makes
+    * `last` pick the max click id at the max eligible timestamp, matching
+    * the old (c_ms DESC, c_id DESC) row_number tiebreak.
     */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         Norm.ms(col("ts")).as("ts_ms"))
-    val purchases = ev.filter(col("event_type") === "purchase")
+      .filter(col("event_type").isin("purchase", "click"))
+    val kind = when(col("event_type") === "click", 0).otherwise(1)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, kind.asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickMs = when(col("event_type") === "click", col("ts_ms"))
+    ev
+      .withColumn("c_id", last(clickId, ignoreNulls = true).over(w))
+      .withColumn("c_ms", last(clickMs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("c_id").isNotNull)
       .select(col("event_id").as("p_id"), col("user_id"),
-        col("ts_ms").as("p_ms"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-        col("ts_ms").as("c_ms"))
-    val w = Window.partitionBy("p_id")
-      .orderBy(col("c_ms").desc, col("c_id").desc)
-    purchases
-      .join(clicks,
-        col("user_id") === col("c_user") && col("c_ms") <= col("p_ms"),
-        "inner")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("p_id"), col("user_id"), col("p_ms"), col("c_id"),
-        col("c_ms"))
+        col("ts_ms").as("p_ms"), col("c_id"), col("c_ms"))
       .orderBy("p_id")
   }
 

@@ -12,13 +12,33 @@ import graft.{Norm, Tables}
   */
 object Windows {
 
-  /** rank / dense_rank / row_number per group. Orders carry a unique
-    * o_orderkey tiebreak so row_number is deterministic across engines.
+  /** rank / dense_rank / row_number per group, top 20 per group. Orders
+    * carry a unique o_orderkey tiebreak so every window function is
+    * deterministic across engines.
+    *
+    * Two-level: `o_orderpriority` has a handful of values, so a direct
+    * `partitionBy(o_orderpriority)` window funnels the whole fact table
+    * through ~5 reducer partitions — the same low-cardinality-domain skew
+    * the sequence packer removes (SCALE.md). Level 1 takes each input
+    * split's local top-20 per priority (the window key includes
+    * `spark_partition_id()`, so partitions stay balanced for ANY split
+    * assignment); level 2 ranks the ≤ 20·splits survivors per priority.
+    * Exactly result-preserving: the ordering is total (unique tiebreak),
+    * every global top-20 row is inside its split's top-20, and each kept
+    * row's rank counts only rows ordered before it — all of which are
+    * kept.
     */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    Tables.orders(s, dir)
+    def ordering = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wLocal = Window.partitionBy("o_orderpriority", "pid")
+      .orderBy(ordering: _*)
+    val pruned = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= 20)
+    val w = Window.partitionBy("o_orderpriority").orderBy(ordering: _*)
+    pruned
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),

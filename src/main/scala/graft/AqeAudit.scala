@@ -48,7 +48,8 @@ object AqeAudit {
     val interesting =
       Seq("q_dedup_ngram", "q_dedup_near", "q_dedup_simhash", "q_dedup_embed",
         "q_dedup_cluster", "q_sim_knn_join", "q_join_inner",
-        "q_quality_repetition", "q_source_mix")
+        "q_quality_repetition", "q_source_mix", "q_join_asof",
+        "q_window_rank")
     interesting.foreach { name =>
       bytes.reset()
       val df = SparkEntry.queries(name)(spark, dir)

@@ -20,12 +20,14 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * number that dropped or duplicated rows would be meaningless.
   *
   * Env knobs: SPARK_GRAFT_SINK_ROWS (default 1,000,000), _BATCHES (10),
-  * SPARK_GRAFT_CPUS (32).
+  * _BATCHSIZE (rows per flushed batch — the reference's `batch.size`
+  * group-commit knob, default 10000), SPARK_GRAFT_CPUS (32).
   */
 object SinkBench {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_SINK_ROWS", "1000000").toInt
     val batches = sys.env.getOrElse("SPARK_GRAFT_SINK_BATCHES", "10").toInt
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_SINK_BATCHSIZE", "10000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,6 +48,7 @@ object SinkBench {
       .writeStream.format("graft-streaming")
       .option("path", dir).option("db", "bench").option("table", "events")
       .option("partition.columns", "etype")
+      .option("batch.size", batchSize.toString)
       .option("checkpointLocation", s"$dir/_cp")
       .start()
 
@@ -72,7 +75,7 @@ object SinkBench {
     require(landed == expected, s"sink lost/duplicated rows: $landed != $expected")
 
     val rps = perBatch.toLong * batches / sec
-    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"seconds":$sec,"partitions":8,"verified_rows":$landed}""")
+    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"batch_size":$batchSize,"seconds":$sec,"partitions":8,"verified_rows":$landed}""")
     spark.stop()
   }
 }

@@ -95,6 +95,7 @@ object SparkEntry {
     "q_pii_scrub"      -> (TrainPrep.piiScrub _),
     "q_sample_stratified" -> (TrainPrep.sampleStratified _),
     "q_source_mix"     -> (TrainPrep.sourceMix _),
+    "q_profile_stats"  -> (TrainPrep.profileStats _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
     // multimodal
     "q_multimodal_stats"  -> (Multimodal.stats _),
@@ -538,6 +539,26 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, too_short, bad_tok_len, low_stopword, repetitive,
         |  NOT (too_short OR bad_tok_len OR low_stopword OR repetitive) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_profile_stats" ->
+      """WITH a AS (SELECT COUNT(1) AS n,
+        |  COUNT(1) - COUNT(l_quantity) AS q_nulls, COUNT(DISTINCT l_quantity) AS q_nd,
+        |    MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max,
+        |  COUNT(1) - COUNT(l_discount) AS d_nulls, COUNT(DISTINCT l_discount) AS d_nd,
+        |    MIN(l_discount) AS d_min, MAX(l_discount) AS d_max,
+        |  COUNT(1) - COUNT(l_tax) AS t_nulls, COUNT(DISTINCT l_tax) AS t_nd,
+        |    MIN(l_tax) AS t_min, MAX(l_tax) AS t_max,
+        |  COUNT(1) - COUNT(l_shipdate) AS s_nulls, COUNT(DISTINCT l_shipdate) AS s_nd,
+        |    CAST(epoch_ms(MIN(l_shipdate)) AS DOUBLE) AS s_min,
+        |    CAST(epoch_ms(MAX(l_shipdate)) AS DOUBLE) AS s_max,
+        |  COUNT(1) - COUNT(l_returnflag) AS r_nulls, COUNT(DISTINCT l_returnflag) AS r_nd
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS col_name, n AS n_rows, q_nulls AS n_nulls, q_nd AS n_distinct, q_min AS min_num, q_max AS max_num FROM a
+        |UNION ALL SELECT 'l_discount', n, d_nulls, d_nd, d_min, d_max FROM a
+        |UNION ALL SELECT 'l_tax', n, t_nulls, t_nd, t_min, t_max FROM a
+        |UNION ALL SELECT 'l_shipdate', n, s_nulls, s_nd, s_min, s_max FROM a
+        |UNION ALL SELECT 'l_returnflag', n, r_nulls, r_nd, NULL, NULL FROM a
+        |ORDER BY col_name""".stripMargin,
 
     "q_source_mix" ->
       """WITH a AS (SELECT source, lang, COUNT(1) AS n_docs,

@@ -163,6 +163,56 @@ object TrainPrep {
       .orderBy("lang", "seq_id")
   }
 
+  /** Data-profiling / validation report — the expectations stage a pipeline
+    * runs before training: per-column null counts, exact cardinality, and
+    * numeric range over the fact table. ONE pass: a single wide aggregate
+    * computes every statistic (all map-side combinable; the distinct
+    * counts expand internally but stay one shuffle), and the per-column
+    * long-form rows are reshaped map-side from the 1-row result with
+    * `explode(array(struct(...)))` — never one scan per column.
+    */
+  def profileStats(s: SparkSession, dir: String): DataFrame = {
+    def nulls(c: String) =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+    val li = Tables.lineitem(s, dir)
+    val agg = li.agg(
+      count(lit(1)).as("n"),
+      nulls("l_quantity"), countDistinct(col("l_quantity")).as("l_quantity_nd"),
+      min(col("l_quantity")).as("l_quantity_min"),
+      max(col("l_quantity")).as("l_quantity_max"),
+      nulls("l_discount"), countDistinct(col("l_discount")).as("l_discount_nd"),
+      min(col("l_discount")).as("l_discount_min"),
+      max(col("l_discount")).as("l_discount_max"),
+      nulls("l_tax"), countDistinct(col("l_tax")).as("l_tax_nd"),
+      min(col("l_tax")).as("l_tax_min"), max(col("l_tax")).as("l_tax_max"),
+      nulls("l_shipdate"), countDistinct(col("l_shipdate")).as("l_shipdate_nd"),
+      // l_shipdate loads as TIMESTAMP_NTZ; the session is UTC, so the cast
+      // to instant matches the oracle's epoch_ms of the naive value
+      min(Norm.ms(col("l_shipdate").cast("timestamp")))
+        .cast("double").as("l_shipdate_min"),
+      max(Norm.ms(col("l_shipdate").cast("timestamp")))
+        .cast("double").as("l_shipdate_max"),
+      nulls("l_returnflag"),
+      countDistinct(col("l_returnflag")).as("l_returnflag_nd"))
+    def row(c: String, hasRange: Boolean) = struct(
+      lit(c).as("col_name"), col(s"${c}_nulls").as("n_nulls"),
+      col(s"${c}_nd").as("n_distinct"),
+      (if (hasRange) col(s"${c}_min") else lit(null).cast("double"))
+        .as("min_num"),
+      (if (hasRange) col(s"${c}_max") else lit(null).cast("double"))
+        .as("max_num"))
+    agg
+      .select(col("n").as("n_rows"), explode(array(
+        row("l_quantity", hasRange = true),
+        row("l_discount", hasRange = true),
+        row("l_tax", hasRange = true),
+        row("l_shipdate", hasRange = true),
+        row("l_returnflag", hasRange = false))).as("p"))
+      .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_num"), col("p.max_num"))
+      .orderBy("col_name")
+  }
+
   /** Corpus-mix report — the curation dashboard behind data-mix decisions:
     * per (source, lang) document counts, token/char volume, and each
     * cell's share of the whole corpus. Aggregate-then-normalize: the

@@ -26,7 +26,7 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 64)
-    assert(SparkEntry.oracleSql.size === 58)
+    assert(SparkEntry.queries.size === 65)
+    assert(SparkEntry.oracleSql.size === 59)
   }
 }

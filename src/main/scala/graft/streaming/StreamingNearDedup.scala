@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sink.CommitLog
+
+/** Streaming ingestion with cross-epoch NEAR-duplicate dedup — the LSH
+  * upgrade of [[StreamingDedup]] (which drops only exact content matches):
+  * a document is dropped when it shares ANY MinHash band with a document
+  * that already landed in an earlier epoch, or with an earlier (smaller
+  * doc_id) document of the same batch. Transitive chains collapse to the
+  * first arrival: "similar to any earlier arrival, kept or not, drops you"
+  * is the declared policy, deterministic given stream order.
+  *
+  * The banding is IDENTICAL to the batch operator `Dedup.minhashLsh`
+  * (word 3-gram shingles → xxhash64 fingerprints → 32 seeded minima via
+  * the codegen'd [[graft.functions.MinHashes]] → 8 bands of 4), so a
+  * corpus deduped on ingest agrees with what the batch LSH pass would
+  * have flagged at the same band threshold. As in [[StreamingDedup]],
+  * the dedup state IS the destination table: band keys land as eight
+  * LONG columns next to the document (the bucketed-layout-friendly
+  * shape), and each batch anti-joins against the committed keys through
+  * the manifest-gated read path — no separate state store to size,
+  * checkpoint, or compact.
+  *
+  * Documents with fewer than 3 tokens have no shingles, hence no
+  * similarity evidence: their band columns are NULL and they always pass
+  * (null keys never join).
+  */
+object StreamingNearDedup {
+
+  val NumHashes = 32
+  val NumBands = 8
+  val BandSize = 4
+
+  /** Adds band_0..band_7 LSH key columns derived from `text` — the same
+    * construction as `Dedup.minhashLsh`, factored over an arbitrary
+    * DataFrame so batch corpora and streaming micro-batches band
+    * identically.
+    */
+  def withBands(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+      i => concat_ws(" ", tk(i), tk(i + 1), tk(i + 2))))
+    val hs = when(size(tk) >= 3, transform(shingles, x => xxhash64(x)))
+    val sigCol = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MinHashes(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("_hs")),
+        NumHashes))
+    val withSig = docs.withColumn("_hs", hs).withColumn("_sig", sigCol)
+    (0 until NumBands).foldLeft(withSig) { (d, b) =>
+      // guard on _sig: a null signature (short doc) must yield NULL keys,
+      // not the constant hash-of-no-columns every short doc would share
+      d.withColumn(s"band_$b", when(col("_sig").isNotNull,
+        xxhash64((b * BandSize until (b + 1) * BandSize)
+          .map(j => col("_sig")(j)): _*)))
+    }.drop("_hs", "_sig")
+  }
+
+  private def bandKeys(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(array(
+        (0 until NumBands).map(b => col(s"band_$b")): _*)).as("bk"))
+      .filter(col("bk").isNotNull)
+
+  def start(
+      docs: DataFrame,
+      path: String, db: String, table: String,
+      checkpoint: String): StreamingQuery = {
+    val tableDir = s"$path/$db.$table"
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val banded = withBands(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keys = bandKeys(banded)
+        // dropped if any band is already committed...
+        val existing = CommitLog.readCommitted(spark, tableDir)
+        val landedHit =
+          if (existing.columns.contains("band_0"))
+            keys.join(bandKeys(existing).select(col("bk")).distinct(),
+              Seq("bk"), "left_semi").select(col("doc_id"))
+          else banded.select(col("doc_id")).limit(0)
+        // ...or shared with an earlier (smaller-id) doc of this batch
+        val withinHit = keys.as("a")
+          .join(keys.as("b"), col("a.bk") === col("b.bk") &&
+            col("b.doc_id") < col("a.doc_id"))
+          .select(col("a.doc_id").as("doc_id"))
+        val drops = landedHit.union(withinHit).distinct()
+        banded.join(drops, Seq("doc_id"), "left_anti")
+          .write.format("graft-streaming").mode("append")
+          .option("path", path).option("db", db).option("table", table)
+          .option(graft.sink.GraftSinkOptions.COMMIT_EPOCH, epochId)
+          .save()
+        banded.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+}

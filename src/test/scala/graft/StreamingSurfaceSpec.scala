@@ -182,6 +182,51 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(texts === Array("genuinely new text", "lorem ipsum", "the quick brown fox"))
   }
 
+  test("streaming NEAR-dedup: LSH-banded docs dropped across and within epochs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sneardedup").toString
+    val base = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 24).map(i => if (i == 12) "CHANGED" else s"tok$i").mkString(" ")
+    val distinctText = (100 to 123).map(i => s"other$i").mkString(" ")
+    val rows = Seq(
+      (1L, base), (2L, nearDup),          // epoch 1: 2 should collapse into 1
+      (3L, base), (4L, distinctText),     // epoch 2: 3 = exact dup, 4 new
+      (5L, "too short"))                  // <3 tokens: no evidence, passes
+    // driver-side simulation of the declared policy over the SAME banding
+    val bands = graft.streaming.StreamingNearDedup
+      .withBands(rows.toDF("doc_id", "text"))
+      .collect().map { r =>
+        r.getLong(0) -> (0 until 8).map(b =>
+          Option(r.get(r.fieldIndex(s"band_$b"))).map(_.asInstanceOf[Long]))
+          .flatten.toSet
+      }.toMap
+    val expected = rows.map(_._1).foldLeft(Vector.empty[Long]) { (kept, id) =>
+      val earlier = rows.map(_._1).filter(_ < id)
+      if (earlier.exists(e => (bands(e) & bands(id)).nonEmpty)) kept
+      else kept :+ id
+    }
+    assert(expected.contains(1L) && !expected.contains(3L),
+      s"fixture must exercise an exact cross-epoch dup; got $expected")
+    assert(!expected.contains(2L),
+      "the 1-word-in-24 near-dup must share a band with the original " +
+        "(if this fails the fixture needs a closer pair, not a code fix)")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingNearDedup.start(
+      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp")
+    in.addData(rows(0), rows(1))
+    q.processAllAvailable()
+    in.addData(rows(2), rows(3), rows(4))
+    q.processAllAvailable()
+    q.stop()
+    val out = graft.sink.CommitLog.readCommitted(spark, s"$dir/corpus.docs")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      expected.sorted)
+    // short doc landed with NULL band keys (no false sharing)
+    assert(out.filter($"doc_id" === 5L).select("band_0").collect()
+      .forall(_.isNullAt(0)))
+  }
+
   test("socket source scan e2e (reference HiveStreamingExample.scala:63-66)") {
     import spark.implicits._
     val server = new java.net.ServerSocket(0)

@@ -170,6 +170,11 @@ object TrainPrep {
     * counts expand internally but stay one shuffle), and the per-column
     * long-form rows are reshaped map-side from the 1-row result with
     * `explode(array(struct(...)))` — never one scan per column.
+    *
+    * Cardinalities are EXACT here because the driver oracle demands it;
+    * at 100 TB the same query swaps `countDistinct` for
+    * `approx_count_distinct` (HLL, no expand — the q_agg_approx path),
+    * which is the production profiling trade.
     */
   def profileStats(s: SparkSession, dir: String): DataFrame = {
     def nulls(c: String) =

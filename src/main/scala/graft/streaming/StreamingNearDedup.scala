@@ -80,14 +80,18 @@ object StreamingNearDedup {
         val existing = CommitLog.readCommitted(spark, tableDir)
         val landedHit =
           if (existing.columns.contains("band_0"))
-            keys.join(bandKeys(existing).select(col("bk")).distinct(),
+            keys.join(bandKeys(existing).select(col("bk")),
               Seq("bk"), "left_semi").select(col("doc_id"))
           else banded.select(col("doc_id")).limit(0)
-        // ...or shared with an earlier (smaller-id) doc of this batch
-        val withinHit = keys.as("a")
-          .join(keys.as("b"), col("a.bk") === col("b.bk") &&
-            col("b.doc_id") < col("a.doc_id"))
-          .select(col("a.doc_id").as("doc_id"))
+        // ...or shared with an earlier (smaller-id) doc of this batch:
+        // "collides with any smaller id" ≡ "id > the band's minimum id",
+        // so one min-aggregation replaces a band self-join that would go
+        // quadratic in a duplicate-heavy batch (same hazard the batch
+        // family's bucket caps guard against)
+        val bandMin = keys.groupBy("bk").agg(min(col("doc_id")).as("first_id"))
+        val withinHit = keys.join(bandMin, "bk")
+          .filter(col("doc_id") > col("first_id"))
+          .select(col("doc_id"))
         val drops = landedHit.union(withinHit).distinct()
         banded.join(drops, Seq("doc_id"), "left_anti")
           .write.format("graft-streaming").mode("append")

@@ -626,6 +626,25 @@ class GraftSinkSpec extends SparkSpec {
     assert(out.count() === 20)
   }
 
+  test("SQL DDL surface: CREATE TABLE USING graft-streaming, INSERT, SELECT") {
+    // the DSv2 TableProvider works from pure SQL too — the surface a
+    // reference user gets from Hive DDL ("create table ... stored as orc",
+    // FIXTURES.md) maps onto
+    val dir = tmp()
+    spark.sql(s"""CREATE TABLE sink_ddl_t (id INT, msg STRING)
+      USING `graft-streaming`
+      OPTIONS (path '$dir', db 'testdb', `table` 't')""")
+    try {
+      spark.sql("INSERT INTO sink_ddl_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      assert(spark.sql("SELECT count(1) FROM sink_ddl_t").head().getLong(0) === 3)
+      assert(spark.sql("SELECT msg FROM sink_ddl_t WHERE id = 2")
+        .head().getString(0) === "b")
+      // the SQL-created table and the programmatic read path see the same
+      // manifest-gated state
+      assert(CommitLog.readCommitted(spark, s"$dir/testdb.t").count() === 3)
+    } finally spark.sql("DROP TABLE sink_ddl_t")
+  }
+
   test("A7 batching: batch.size/txn.per.batch rotate files deterministically") {
     import spark.implicits._
     val dir = tmp()

@@ -13,6 +13,10 @@ class PlanGuardSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.explainString(FormattedMode)
 
+  test("SparkEntry.entry satisfies the driver smoke contract (rows > 0)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q_from_json parses each document exactly once") {
     val plan = formatted("q_from_json")
     val n = "from_json".r.findAllMatchIn(plan).size

@@ -350,40 +350,47 @@ object Dedup {
     // aggregation over the symmetrized edges — label₀ = min(id, min(neighbor
     // ids)) — one groupBy instead of a join round. Near-dup components are
     // near-cliques whose minimum id is almost always a direct neighbor, so
-    // this typically converges in ONE confirming loop iteration instead of
-    // 2-3, each saved round being a whole join+agg stage of fixed
-    // scheduling cost (the measured per-iteration shuffle is <0.1 MiB; the
-    // cost is stages, not bytes).
-    val initLabels = edges.groupBy(col("src"))
+    // this typically converges in ONE confirming round, each saved round
+    // being a whole join+agg stage of fixed scheduling cost (the measured
+    // per-iteration shuffle is <0.1 MiB; the cost is stages, not bytes).
+    // NOT persisted: it is read only inside the first confirming round
+    // below, whose plan derives it (twice — join side and union arm) from
+    // the cached pairs, a trivial re-aggregation of a few-MiB cache.
+    def initLabels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"),
         least(col("src"), col("mn")).as("label"))
-      .persist(MEMORY_AND_DISK)
-    // ONE job materializes the pair build, the pairs cache, and the folded
-    // first propagation round; only then is the (large) shingle base safe
-    // to drop
-    initLabels.count()
-    base.unpersist(blocking = true)
-    var labels = initLabels
-    // the persisted plan each iteration's `labels` projects FROM — the
-    // handle unpersist must target (unpersisting the projection itself is
-    // a silent cache-manager miss, the round-4 leak)
-    var prevCached: DataFrame = initLabels
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < maxIters) {
-      // one shuffle round per iteration: neighbor labels and own label
-      // flow through the SAME aggregation, with the self arm tagged so the
-      // old label rides along — convergence is then a scan of the cached
-      // result instead of a second join against the previous labels
-      val prop = edges.join(labels, col("src") === col("id"))
+    // one shuffle round per propagation: neighbor labels and own label
+    // flow through the SAME aggregation, with the self arm tagged so the
+    // old label rides along — convergence is then a scan of the cached
+    // result instead of a second join against the previous labels
+    def propagate(lbl: DataFrame): DataFrame =
+      edges.join(lbl, col("src") === col("id"))
         .select(col("dst").as("id"), col("label"), lit(false).as("self"))
-        .union(labels.select(col("id"), col("label"), lit(true).as("self")))
+        .union(lbl.select(col("id"), col("label"), lit(true).as("self")))
         .groupBy("id").agg(min(col("label")).as("next"),
           max(when(col("self"), col("label"))).as("old"))
-        .persist(MEMORY_AND_DISK)
+    // ONE job materializes the pair build (populating the pairs cache),
+    // the folded first round, AND the first confirming round with its
+    // changed-count — on the typical clique-heavy graph (changed == 0
+    // immediately) the loop below never runs, so label propagation costs
+    // a single job end-to-end instead of the former init-count + confirm
+    // pair. Every occurrence of the pairs plan inside this one action
+    // resolves to the same InMemoryRelation, so the expensive pair build
+    // still executes exactly once while its cache fills.
+    var prop = propagate(initLabels).persist(MEMORY_AND_DISK)
+    var changed = prop.filter(col("next") < col("old")).count()
+    base.unpersist(blocking = true)
+    var labels = prop.select(col("id"), col("next").as("label"))
+    // the persisted plan each round's `labels` projects FROM — the
+    // handle unpersist must target (unpersisting the projection itself is
+    // a silent cache-manager miss, the round-4 leak)
+    var prevCached: DataFrame = prop
+    var iters = 1
+    while (changed > 0 && iters < maxIters) {
+      prop = propagate(labels).persist(MEMORY_AND_DISK)
       changed = prop.filter(col("next") < col("old")).count()
-      // prop is materialized by the count; the previous iteration's cache
+      // prop is materialized by the count; the previous round's cache
       // is now dead weight
       prevCached.unpersist(blocking = true)
       prevCached = prop

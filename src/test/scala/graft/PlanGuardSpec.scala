@@ -94,6 +94,34 @@ class PlanGuardSpec extends SparkSpec {
       s"no aggregation/join shuffle may appear:\n$plan")
   }
 
+  // --- the round-6 rewrites: linear as-of, two-level rank (VERDICT r6 #5) ---
+
+  test("q_join_asof is a single-pass carry-forward: one user_id exchange, no join") {
+    // the linear formulation unions both sides into one per-user timeline
+    // (TimeOps.asofJoin); a regression to the join+window form would
+    // reintroduce the |purchases|x|clicks| per-user blowup
+    val plan = formatted("q_join_asof")
+    assert(!plan.contains("Join"),
+      s"as-of must not contain any join operator:\n$plan")
+    val hashEx = "hashpartitioning\\(user_id#\\d+".r.findAllMatchIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly one user_id hash exchange, got $hashEx:\n$plan")
+  }
+
+  test("q_window_rank ranks two-level: per-split local top-k before the priority window") {
+    // o_orderpriority has ~5 values; a direct partitionBy(o_orderpriority)
+    // window funnels the fact table through 5 reducers. Level 1 must key on
+    // (o_orderpriority, pid) so ANY split assignment stays balanced; level 2
+    // ranks only the <= 20*splits survivors
+    val plan = formatted("q_window_rank")
+    assert("windowspecdefinition\\(o_orderpriority#\\d+, pid#\\d+"
+      .r.findFirstIn(plan).isDefined,
+      s"level-1 window must partition by (o_orderpriority, pid):\n$plan")
+    assert("windowspecdefinition\\(o_orderpriority#\\d+, o_totalprice#\\d+"
+      .r.findFirstIn(plan).isDefined,
+      s"level-2 window must partition by o_orderpriority alone:\n$plan")
+  }
+
   // --- probe-as-parameter overloads (VERDICT r5 #5) ---
 
   test("literal-probe similarity plans derive no probe from the corpus") {

@@ -4,30 +4,33 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.sink.CommitLog
-
 /** Streaming ingestion with cross-epoch NEAR-duplicate dedup — the LSH
   * upgrade of [[StreamingDedup]] (which drops only exact content matches):
-  * a document is dropped when it shares ANY MinHash band with a document
-  * that already landed in an earlier epoch, or with an earlier (smaller
-  * doc_id) document of the same batch. Transitive chains collapse to the
-  * first arrival: "similar to any earlier arrival, kept or not, drops you"
-  * is the declared policy, deterministic given stream order.
+  * a document is dropped when it shares ANY MinHash band with ANY earlier
+  * arrival — an earlier (smaller doc_id) document of the same batch, or
+  * any document of an earlier epoch, kept or dropped alike. Transitive
+  * chains collapse to the first arrival: "similar to any earlier arrival,
+  * kept or not, drops you" is the declared policy, deterministic given
+  * stream order, and it holds ACROSS epochs because the [[BandIndex]]
+  * records every arrival's band keys — not just the ones that landed.
   *
   * The banding is IDENTICAL to the batch operator `Dedup.minhashLsh`
   * (word 3-gram shingles → xxhash64 fingerprints → 32 seeded minima via
   * the codegen'd [[graft.functions.MinHashes]] → 8 bands of 4), so a
   * corpus deduped on ingest agrees with what the batch LSH pass would
-  * have flagged at the same band threshold. As in [[StreamingDedup]],
-  * the dedup state IS the destination table: band keys land as eight
-  * LONG columns next to the document (the bucketed-layout-friendly
-  * shape), and each batch anti-joins against the committed keys through
-  * the manifest-gated read path — no separate state store to size,
-  * checkpoint, or compact.
+  * have flagged at the same band threshold. Band keys still land as eight
+  * LONG columns next to each kept document (the inspectable, batch-join-
+  * friendly shape), but the per-epoch dedup probe reads the compact
+  * bucketed [[BandIndex]], NOT the table: each micro-batch's state read
+  * is bounded by the index buckets its own keys touch, where the previous
+  * design re-read the whole committed corpus's rows every epoch —
+  * O(corpus) state reads that a long-running 100 TB ingest cannot afford.
+  * No separate state store to size, checkpoint, or compact; the index is
+  * rename-published, epoch-idempotent files beside the table.
   *
   * Documents with fewer than 3 tokens have no shingles, hence no
   * similarity evidence: their band columns are NULL and they always pass
-  * (null keys never join).
+  * (null keys never join, and never enter the index).
   */
 object StreamingNearDedup {
 
@@ -60,7 +63,7 @@ object StreamingNearDedup {
     }.drop("_hs", "_sig")
   }
 
-  private def bandKeys(df: DataFrame): DataFrame =
+  private[streaming] def bandKeys(df: DataFrame): DataFrame =
     df.select(col("doc_id"), explode(array(
         (0 until NumBands).map(b => col(s"band_$b")): _*)).as("bk"))
       .filter(col("bk").isNotNull)
@@ -73,16 +76,25 @@ object StreamingNearDedup {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
-        val banded = withBands(batch)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val keys = bandKeys(banded)
-        // dropped if any band is already committed...
-        val existing = CommitLog.readCommitted(spark, tableDir)
-        val landedHit =
-          if (existing.columns.contains("band_0"))
-            keys.join(bandKeys(existing).select(col("bk")),
-              Seq("bk"), "left_semi").select(col("doc_id"))
-          else banded.select(col("doc_id")).limit(0)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val banded = withBands(batch).persist(MEMORY_AND_DISK)
+        // the batch's keys feed four consumers (touched-bucket listing,
+        // index probe, within-batch minima, index append) — persist once
+        val keys = bandKeys(banded).persist(MEMORY_AND_DISK)
+        // the ONLY driver-side value is the set of index buckets this
+        // batch's keys hash into — bounded by BandIndex.NumBuckets
+        // (metadata-scale, like the sink's own per-epoch manifest
+        // listing), never by batch or corpus size
+        val touched = keys.select(BandIndex.bucket(col("bk")).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        // dropped if any band key was seen in ANY earlier epoch (kept or
+        // dropped arrivals alike — the index records both); the read is
+        // bounded to the touched buckets, and the batch's own epoch is
+        // excluded so a replayed half-written attempt can never make the
+        // batch collide with itself
+        val indexHit = keys.join(
+            BandIndex.readKeys(spark, tableDir, touched, epochId),
+            Seq("bk"), "left_semi").select(col("doc_id"))
         // ...or shared with an earlier (smaller-id) doc of this batch:
         // "collides with any smaller id" ≡ "id > the band's minimum id",
         // so one min-aggregation replaces a band self-join that would go
@@ -92,12 +104,16 @@ object StreamingNearDedup {
         val withinHit = keys.join(bandMin, "bk")
           .filter(col("doc_id") > col("first_id"))
           .select(col("doc_id"))
-        val drops = landedHit.union(withinHit).distinct()
+        val drops = indexHit.union(withinHit).distinct()
         banded.join(drops, Seq("doc_id"), "left_anti")
           .write.format("graft-streaming").mode("append")
           .option("path", path).option("db", db).option("table", table)
           .option(graft.sink.GraftSinkOptions.COMMIT_EPOCH, epochId)
           .save()
+        // index append AFTER the data commit (see BandIndex crash/replay
+        // protocol) — and it records EVERY arrival, kept or dropped
+        BandIndex.append(keys, tableDir, epochId)
+        keys.unpersist()
         banded.unpersist()
         ()
       }

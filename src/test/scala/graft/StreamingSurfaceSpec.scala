@@ -182,25 +182,54 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(texts === Array("genuinely new text", "lorem ipsum", "the quick brown fox"))
   }
 
-  test("streaming NEAR-dedup: LSH-banded docs dropped across and within epochs") {
+  // shared banding helper: doc_id -> set of non-null band keys, computed
+  // with the SAME construction the streaming operator uses
+  private def bandSets(rows: Seq[(Long, String)]): Map[Long, Set[Long]] = {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("sneardedup").toString
-    val base = (1 to 24).map(i => s"tok$i").mkString(" ")
-    val nearDup = (1 to 24).map(i => if (i == 12) "CHANGED" else s"tok$i").mkString(" ")
-    val distinctText = (100 to 123).map(i => s"other$i").mkString(" ")
-    val rows = Seq(
-      (1L, base), (2L, nearDup),          // epoch 1: 2 should collapse into 1
-      (3L, base), (4L, distinctText),     // epoch 2: 3 = exact dup, 4 new
-      (5L, "too short"))                  // <3 tokens: no evidence, passes
-    // driver-side simulation of the declared policy over the SAME banding
-    val bands = graft.streaming.StreamingNearDedup
+    graft.streaming.StreamingNearDedup
       .withBands(rows.toDF("doc_id", "text"))
       .collect().map { r =>
         r.getLong(0) -> (0 until 8).map(b =>
           Option(r.get(r.fieldIndex(s"band_$b"))).map(_.asInstanceOf[Long]))
           .flatten.toSet
       }.toMap
+  }
+
+  test("streaming NEAR-dedup: LSH-banded docs dropped across and within epochs, chains through dropped docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sneardedup").toString
+    val base = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 24).map(i => if (i == 12) "CHANGED" else s"tok$i").mkString(" ")
+    val distinctText = (100 to 123).map(i => s"other$i").mkString(" ")
+    // epoch-3 fixture: a doc banding-similar to the DROPPED doc 2 but to no
+    // KEPT doc — the row that discriminates the declared "kept or not"
+    // policy from a landed-docs-only one (under which it would pass).
+    // Found deterministically among two-token variants of the base so the
+    // fixture survives future banding-parameter changes.
+    val chainCands = (1 to 24).filterNot(_ == 12).map { p =>
+      p.toLong -> (1 to 24).map(i =>
+        if (i == 12) "CHANGED" else if (i == p) s"ALT$p" else s"tok$i")
+        .mkString(" ")
+    }
+    val mainBands = bandSets(Seq((1L, base), (2L, nearDup), (4L, distinctText)))
+    val candBands = bandSets(chainCands)
+    val chainText = chainCands.collectFirst {
+      case (p, text)
+        if (candBands(p) & mainBands(2L)).nonEmpty &&
+          (candBands(p) & mainBands(1L)).isEmpty &&
+          (candBands(p) & mainBands(4L)).isEmpty => text
+    }.getOrElse(fail("no candidate collides with the dropped doc alone; " +
+      "the fixture search space needs widening, not a code fix"))
+    val rows = Seq(
+      (1L, base), (2L, nearDup),          // epoch 1: 2 should collapse into 1
+      (3L, base), (4L, distinctText),     // epoch 2: 3 = exact dup, 4 new
+      (5L, "too short"),                  // <3 tokens: no evidence, passes
+      (6L, chainText),                    // epoch 3: similar ONLY to dropped 2
+      (7L, (200 to 223).map(i => s"fresh$i").mkString(" ")))
+    // driver-side simulation of the declared policy over the SAME banding:
+    // any earlier arrival (kept or not) sharing a band drops you
+    val bands = bandSets(rows)
     val expected = rows.map(_._1).foldLeft(Vector.empty[Long]) { (kept, id) =>
       val earlier = rows.map(_._1).filter(_ < id)
       if (earlier.exists(e => (bands(e) & bands(id)).nonEmpty)) kept
@@ -211,12 +240,16 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(!expected.contains(2L),
       "the 1-word-in-24 near-dup must share a band with the original " +
         "(if this fails the fixture needs a closer pair, not a code fix)")
+    assert(!expected.contains(6L) && expected.contains(7L),
+      s"doc 6 must collapse into the chain through dropped doc 2; got $expected")
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamingNearDedup.start(
       in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp")
     in.addData(rows(0), rows(1))
     q.processAllAvailable()
     in.addData(rows(2), rows(3), rows(4))
+    q.processAllAvailable()
+    in.addData(rows(5), rows(6))
     q.processAllAvailable()
     q.stop()
     val out = graft.sink.CommitLog.readCommitted(spark, s"$dir/corpus.docs")
@@ -225,6 +258,51 @@ class StreamingSurfaceSpec extends SparkSpec {
     // short doc landed with NULL band keys (no false sharing)
     assert(out.filter($"doc_id" === 5L).select("band_0").collect()
       .forall(_.isNullAt(0)))
+  }
+
+  test("band index bounds the per-epoch state read to the batch's touched buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("banddex").toString
+    val tableDir = s"$dir/corpus.docs"
+    val rows = Seq(
+      (1L, (1 to 24).map(i => s"aa$i").mkString(" ")),
+      (2L, (1 to 24).map(i => s"bb$i").mkString(" ")),
+      (3L, (1 to 24).map(i => s"aa$i").mkString(" "))) // exact dup of 1, dropped
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingNearDedup.start(
+      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp")
+    in.addData(rows(0))
+    q.processAllAvailable()
+    in.addData(rows(1), rows(2))
+    q.processAllAvailable()
+    q.stop()
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val B = graft.streaming.BandIndex
+    // the index recorded EVERY arrival's keys — doc 3 was dropped, yet its
+    // (= doc 1's) keys are present exactly as the kept-or-not policy needs
+    val allBuckets = (0 until B.NumBuckets).toSet
+    val indexed = B.readKeys(spark, tableDir, allBuckets, excludeEpoch = 999L)
+      .as[Long].collect().toSet
+    val expectedKeys = bandSets(rows).values.flatten.toSet
+    assert(indexed === expectedKeys,
+      "index must hold the band keys of all arrivals, dropped ones included")
+    // per-epoch boundedness: a probe for ONE touched bucket lists only that
+    // bucket's files — the whole-corpus scan is structurally impossible
+    val bucketOfKey = (k: Long) => java.lang.Math.floorMod(k, B.NumBuckets.toLong).toInt
+    val someBucket = indexed.map(bucketOfKey).head
+    val files = B.selectFiles(fs, tableDir, Set(someBucket), excludeEpoch = 999L)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains(s"bucket=$someBucket/")),
+      s"probe for bucket $someBucket returned foreign files: $files")
+    val untouched = allBuckets -- indexed.map(bucketOfKey)
+    if (untouched.nonEmpty)
+      assert(B.selectFiles(fs, tableDir, Set(untouched.head), 999L).isEmpty)
+    // replay safety: the reading epoch's own files are invisible to it
+    val epochs = B.selectFiles(fs, tableDir, allBuckets, excludeEpoch = 0L)
+    assert(epochs.nonEmpty && epochs.forall(!_.contains("epoch-0-")),
+      s"excludeEpoch must hide the epoch's own files: $epochs")
   }
 
   test("socket source scan e2e (reference HiveStreamingExample.scala:63-66)") {

@@ -95,7 +95,7 @@ object SparkEntry {
     "q_pii_scrub"      -> (TrainPrep.piiScrub _),
     "q_sample_stratified" -> (TrainPrep.sampleStratified _),
     "q_source_mix"     -> (TrainPrep.sourceMix _),
-    "q_profile_stats"  -> (TrainPrep.profileStats _),
+    "q_profile_stats"  -> ((s, dir) => TrainPrep.profileStats(s, dir)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
     // multimodal
     "q_multimodal_stats"  -> (Multimodal.stats _),

@@ -142,6 +142,25 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx profile stats match exact within 5% on every cardinality") {
+    // the documented 100 TB swap (profileStats(approx = true)): schema and
+    // all non-cardinality stats identical, each HLL n_distinct within ±5%
+    def byCol(approx: Boolean) = graft.operators.TrainPrep
+      .profileStats(spark, sf001, approx).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = byCol(approx = false)
+    val est = byCol(approx = true)
+    assert(est.keySet === exact.keySet)
+    for ((c, e) <- exact) {
+      val a = est(c)
+      assert(a.getLong(1) === e.getLong(1) && a.getLong(2) === e.getLong(2),
+        s"$c: row/null counts must not change under approx")
+      val (en, an) = (e.getLong(3), a.getLong(3))
+      assert(math.abs(an - en).toDouble / en <= 0.05,
+        s"$c: approx n_distinct $an vs exact $en")
+    }
+  }
+
   test("approx_percentile within rank tolerance of the exact percentile") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"$sf001/lineitem.parquet")

@@ -139,6 +139,65 @@ object BandIndex {
     fs.delete(tmp, true)
   }
 
+  /** Consolidate the index's accumulated per-epoch files into ONE
+    * deduplicated file per bucket. A long-running ingest writes a file per
+    * (epoch, touched bucket), so after E epochs a bucket probe opens O(E)
+    * small files — compaction restores O(1) files per bucket, and the
+    * distinct() shrinks the keys to the set the semi-join actually needs.
+    *
+    * Designed to run SERIALLY with the writer — [[StreamingNearDedup]]
+    * calls it inside foreachBatch every `compactEvery` epochs, where the
+    * stream thread is the index's only reader and writer, so no concurrent
+    * probe can observe the swap. `protectEpoch` (the in-flight epoch)
+    * keeps that epoch's files out of the consolidation so the readers'
+    * exclude-own-epoch replay guarantee stays exact: a consolidated file
+    * only ever holds keys of epochs a replay must still see.
+    *
+    * The consolidated files are published under a fresh NEGATIVE epoch id
+    * (one below the smallest id present, -2 at the earliest — [[BackfillEpoch]]
+    * is -1), which positive streaming epochs can never collide with and
+    * `excludeEpoch` never hides. Crash-safe: consolidated files are
+    * rename-published BEFORE the consumed files are deleted, and duplicate
+    * keys during the swap window are harmless to a left-semi probe.
+    */
+  def compact(spark: SparkSession, tableDir: String,
+      protectEpoch: Long = Long.MinValue): Unit = {
+    val fs = fsFor(spark, tableDir)
+    val idxDir = new Path(dir(tableDir))
+    if (!fs.exists(idxDir)) return
+    val byBucket = fs.listStatus(idxDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .map { bdir =>
+        bdir.getPath -> fs.listStatus(bdir.getPath).map(_.getPath)
+          .flatMap(p => p.getName match {
+            case PartName(id) if id.toLong != protectEpoch => Some(id.toLong -> p)
+            case _ => None
+          })
+      }
+    val consumed = byBucket.flatMap(_._2)
+    // nothing to gain unless some bucket holds more than one file
+    if (!byBucket.exists(_._2.length > 1)) return
+    val cid = math.min(consumed.map(_._1).min, -1L) - 1L
+    val tmp = new Path(idxDir, s".compact.tmp-${UUID.randomUUID}")
+    spark.read.schema("bk LONG").parquet(consumed.map(_._2.toString): _*)
+      .distinct()
+      .select(col("bk"), bucket(col("bk")).as("bucket"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("bucket="))
+      .foreach { bdir =>
+        val target = new Path(idxDir, bdir.getPath.getName)
+        fs.mkdirs(target)
+        fs.listStatus(bdir.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (p, i) =>
+            fs.rename(p, new Path(target, s"epoch-$cid-$i.parquet"))
+          }
+      }
+    fs.delete(tmp, true)
+    consumed.foreach { case (_, p) => fs.delete(p, false) }
+  }
+
   /** One-off upgrade path for a table written before the index existed:
     * derive band keys from the committed rows' band columns and publish
     * them under [[BackfillEpoch]]. Only LANDED docs can be recovered — the

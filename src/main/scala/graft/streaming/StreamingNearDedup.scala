@@ -68,10 +68,17 @@ object StreamingNearDedup {
         (0 until NumBands).map(b => col(s"band_$b")): _*)).as("bk"))
       .filter(col("bk").isNotNull)
 
+  /** `compactEvery` > 0 folds [[BandIndex.compact]] into the stream loop
+    * every that-many epochs (serial with the writer, so the swap is
+    * invisible to probes) — the self-maintaining posture a long-running
+    * ingest needs to keep per-bucket file counts O(1) instead of
+    * O(epochs).
+    */
   def start(
       docs: DataFrame,
       path: String, db: String, table: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String,
+      compactEvery: Int = 0): StreamingQuery = {
     val tableDir = s"$path/$db.$table"
     docs.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -113,6 +120,8 @@ object StreamingNearDedup {
         // index append AFTER the data commit (see BandIndex crash/replay
         // protocol) — and it records EVERY arrival, kept or dropped
         BandIndex.append(keys, tableDir, epochId)
+        if (compactEvery > 0 && (epochId + 1) % compactEvery == 0)
+          BandIndex.compact(spark, tableDir, protectEpoch = epochId)
         keys.unpersist()
         banded.unpersist()
         ()

@@ -243,8 +243,12 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(!expected.contains(6L) && expected.contains(7L),
       s"doc 6 must collapse into the chain through dropped doc 2; got $expected")
     val in = MemoryStream[(Long, String)]
+    // compactEvery = 2: the index is consolidated mid-stream (after epoch
+    // 1), so epoch 2's probe — including the chain through dropped doc 2 —
+    // runs against compacted state; the expected outcome is unchanged
     val q = graft.streaming.StreamingNearDedup.start(
-      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp")
+      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp",
+      compactEvery = 2)
     in.addData(rows(0), rows(1))
     q.processAllAvailable()
     in.addData(rows(2), rows(3), rows(4))
@@ -303,6 +307,36 @@ class StreamingSurfaceSpec extends SparkSpec {
     val epochs = B.selectFiles(fs, tableDir, allBuckets, excludeEpoch = 0L)
     assert(epochs.nonEmpty && epochs.forall(!_.contains("epoch-0-")),
       s"excludeEpoch must hide the epoch's own files: $epochs")
+    // compaction: one consolidated file per bucket, identical key set
+    B.compact(spark, tableDir)
+    val after = B.selectFiles(fs, tableDir, allBuckets, excludeEpoch = 999L)
+    val byBucket = after.groupBy(f => f.split("bucket=")(1).split("/")(0))
+    assert(byBucket.values.forall(_.size == 1),
+      s"every bucket must collapse to one file: $byBucket")
+    assert(after.forall(_.contains("epoch--2-")),
+      s"consolidated files must use the fresh negative id: $after")
+    val compacted = B.readKeys(spark, tableDir, allBuckets, excludeEpoch = 999L)
+      .as[Long].collect().toSet
+    assert(compacted === expectedKeys,
+      "compaction must preserve the key set exactly")
+    // replayed append (same epoch, same keys) is idempotent: re-publishing
+    // epoch 1 leaves the readable key set unchanged
+    B.append(bandSets(Seq(rows(1), rows(2)))
+      .toSeq.flatMap { case (id, ks) => ks.map(id -> _) }
+      .toDF("doc_id", "bk"), tableDir, 1L)
+    val reAppended = B.readKeys(spark, tableDir, allBuckets, excludeEpoch = 999L)
+      .as[Long].collect().toSet
+    assert(reAppended === expectedKeys,
+      "a replayed epoch append must not change the key set")
+    // backfill (pre-index table upgrade): rebuilding from the committed
+    // rows' band columns recovers exactly the LANDED docs' keys
+    fs.delete(new org.apache.hadoop.fs.Path(B.dir(tableDir)), true)
+    B.backfill(spark, tableDir)
+    val landedKeys = bandSets(Seq(rows(0), rows(1))).values.flatten.toSet
+    val refilled = B.readKeys(spark, tableDir, allBuckets, excludeEpoch = 999L)
+      .as[Long].collect().toSet
+    assert(refilled === landedKeys,
+      "backfill must recover the landed docs' band keys from the table")
   }
 
   test("socket source scan e2e (reference HiveStreamingExample.scala:63-66)") {

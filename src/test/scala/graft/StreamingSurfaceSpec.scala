@@ -339,6 +339,41 @@ class StreamingSurfaceSpec extends SparkSpec {
       "backfill must recover the landed docs' band keys from the table")
   }
 
+  test("streaming NEAR-dedup matches the policy simulation over the 500-doc corpus") {
+    // the fixture test pins the policy on hand-built chains; this runs the
+    // REAL documents table (sf0.001, 500 docs with organic near-dups)
+    // through three epochs — with mid-stream index compaction — and checks
+    // the kept set against an O(n·bands) driver simulation of the declared
+    // first-arrival policy
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sneardedup500").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    assert(docs.length == 500)
+    val bands = bandSets(docs.toSeq)
+    val firstSeen = scala.collection.mutable.Map.empty[Long, Long]
+    val expected = docs.map(_._1).filter { id =>
+      val hit = bands(id).exists(bk => firstSeen.getOrElse(bk, id) < id)
+      bands(id).foreach(bk => if (!firstSeen.contains(bk)) firstSeen(bk) = id)
+      !hit
+    }
+    assert(expected.length < docs.length,
+      "the organic corpus must contain at least one near-dup chain")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingNearDedup.start(
+      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp",
+      compactEvery = 2)
+    docs.grouped(200).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val kept = graft.sink.CommitLog.readCommitted(spark, s"$dir/corpus.docs")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === expected.toSeq)
+  }
+
   test("socket source scan e2e (reference HiveStreamingExample.scala:63-66)") {
     import spark.implicits._
     val server = new java.net.ServerSocket(0)

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Ingest-dedup benchmark: measures per-epoch wall time of
+  * [[graft.streaming.StreamingNearDedup]] across many epochs to show the
+  * per-epoch cost stays FLAT while the committed corpus grows — the axis
+  * the bucketed [[graft.streaming.BandIndex]] exists for. The pre-index
+  * design re-read every committed row's band keys each micro-batch, so its
+  * per-epoch time grew linearly with the corpus; with the index, each epoch
+  * reads only the (8-byte-key) buckets its own batch touches.
+  *
+  * Fixture: deterministic synthetic docs, ~25 tokens each, with a fixed
+  * fraction (default 20%) of near-duplicates of earlier docs (one token
+  * changed) so the dedup path — index probe, within-batch minima, drops —
+  * does real work every epoch.
+  *
+  * Prints ONE JSON line: per-epoch seconds, docs/s overall, and the
+  * late/early flatness ratio (avg of last 3 epochs / avg of epochs 2-4;
+  * epoch 1 is excluded as warm-up). Env knobs:
+  * SPARK_GRAFT_DEDUP_EPOCHS (default 16), SPARK_GRAFT_DEDUP_DOCS (docs per
+  * epoch, default 2000), SPARK_GRAFT_DEDUP_COMPACT_EVERY (default 4).
+  */
+object DedupBench {
+  def main(args: Array[String]): Unit = {
+    val epochs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_EPOCHS", "16").toInt
+    val docsPerEpoch = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "2000").toInt
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_DEDUP_COMPACT_EVERY", "4").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // ~25-token docs; every 5th doc is a near-dup of an earlier doc (same
+    // text, one token changed) so cross-epoch and within-batch hits both
+    // occur at a steady rate
+    def doc(i: Long): (Long, String) = {
+      val seed = if (i % 5 == 4 && i >= 5) i - (i % 17) - 1 else i
+      val toks = (0 until 25).map(t => s"w${(seed * 31 + t * 7) % 50021}-$t")
+      val mutated =
+        if (seed != i) toks.updated(12, s"mut$i") else toks
+      (i, mutated.mkString(" "))
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedupbench").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingNearDedup.start(
+      in.toDF().toDF("doc_id", "text"),
+      dir, "bench", "docs", s"$dir/_cp", compactEvery = compactEvery)
+
+    val epochSecs = (0 until epochs).map { e =>
+      val lo = e.toLong * docsPerEpoch
+      val batch = (lo until lo + docsPerEpoch).map(doc)
+      val t0 = System.nanoTime()
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }
+    q.stop()
+
+    val landed = graft.sink.CommitLog
+      .readCommitted(spark, s"$dir/bench.docs").count()
+    val total = epochSecs.sum
+    // flatness: late epochs (corpus ~epochs× larger) vs early epochs;
+    // epoch 1 excluded — it pays JIT/codegen for the whole pipeline
+    val early = epochSecs.slice(1, 4)
+    val late = epochSecs.takeRight(3)
+    val flatness = (late.sum / late.size) / (early.sum / early.size)
+    val secsJson = epochSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"near_dedup_ingest","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":${f"$flatness%.3f"}}""")
+    spark.stop()
+  }
+}

@@ -38,12 +38,19 @@ object DedupBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    // ~25-token docs; every 5th doc is a near-dup of an earlier doc (same
-    // text, one token changed) so cross-epoch and within-batch hits both
-    // occur at a steady rate
+    // ~25-token docs; 10% near-dup a doc of the SAME epoch (within-batch
+    // hits) and 10% a doc of the PREVIOUS epoch (cross-epoch index hits),
+    // each with one token changed. Base docs (i ≡ 4 or 6 mod 10 referenced
+    // below are themselves ≡ 0 / 6 mod 10) are never mutated, so dups never
+    // chain. The token modulus is > any practical doc count — accidental
+    // exact dups would silently inflate the drop rate (a 50k-period first
+    // draft dropped 68% of a 160k-doc run instead of the intended ~20%).
     def doc(i: Long): (Long, String) = {
-      val seed = if (i % 5 == 4 && i >= 5) i - (i % 17) - 1 else i
-      val toks = (0 until 25).map(t => s"w${(seed * 31 + t * 7) % 50021}-$t")
+      val seed =
+        if (i % 10 == 4) i - 4
+        else if (i % 10 == 9 && i >= docsPerEpoch) i - docsPerEpoch - 3
+        else i
+      val toks = (0 until 25).map(t => s"w${(seed * 31 + t * 7) % 1000003}-$t")
       val mutated =
         if (seed != i) toks.updated(12, s"mut$i") else toks
       (i, mutated.mkString(" "))
@@ -69,10 +76,11 @@ object DedupBench {
       .readCommitted(spark, s"$dir/bench.docs").count()
     val total = epochSecs.sum
     // flatness: late epochs (corpus ~epochs× larger) vs early epochs;
-    // epoch 1 excluded — it pays JIT/codegen for the whole pipeline
-    val early = epochSecs.slice(1, 4)
-    val late = epochSecs.takeRight(3)
-    val flatness = (late.sum / late.size) / (early.sum / early.size)
+    // epoch 1 excluded — it pays JIT/codegen for the whole pipeline.
+    // MEDIANS, not means: same rationale as the query bench — one host
+    // transient on a single epoch must not fake a growth trend
+    def median(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
+    val flatness = median(epochSecs.takeRight(3)) / median(epochSecs.slice(1, 4))
     val secsJson = epochSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     println(s"""{"metric":"near_dedup_ingest","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":${f"$flatness%.3f"}}""")
     spark.stop()

@@ -322,17 +322,42 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the cluster path owns the shingle base's lifecycle: the arrays are
     // the query's largest cached object and are only needed until the
-    // (tiny) pair graph is materialized below
+    // (tiny) pair graph is materialized inside clusterPairs' first job
     val base = shingled(s, dir).persist(MEMORY_AND_DISK)
-    // the pair list must be cached BEFORE the loop: every iteration's
+    clusterPairs(
+      ngramPairs(base, threshold = 0.2, hotCap = 25)
+        .select(col("a_id"), col("b_id")),
+      maxIters,
+      afterFirstJob = () => base.unpersist(blocking = true))
+  }
+
+  /** Connected components over an ARBITRARY undirected pair graph —
+    * [[nearDupClusters]]'s label propagation factored out as reusable
+    * library surface, so a pipeline can cluster pairs produced by ANY
+    * candidate generator ([[minhashLsh]], [[simhash]], [[embedCosine]], or
+    * its own) the same way. Input: two LONG columns `a_id`, `b_id` (one row
+    * per undirected edge; duplicates and orientation don't matter). Output:
+    * (doc_id, cluster_rep = component-min id, is_rep, cluster_size) for
+    * every id that appears in some pair — isolated nodes never enter the
+    * graph, callers left-join them back as their own singleton reps.
+    *
+    * Scalability contract is the one the oracled query proved: per-round
+    * state is O(|pairs|) with one keyed shuffle per round, no whole-graph
+    * driver state, driver sees only the convergence count. `afterFirstJob`
+    * fires once the pair plan is materialized into its cache — the hook
+    * [[nearDupClusters]] uses to drop its (much larger) shingle base at
+    * the earliest safe moment.
+    */
+  def clusterPairs(pairList: DataFrame, maxIters: Int = 20,
+      afterFirstJob: () => Unit = () => ()): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the pair list must be cached BEFORE the loop: every round's
     // `edges` re-derives from `pairs`, and without a populated cache each
-    // read would re-execute the whole candidate-generation/verification
-    // query. The cache is filled by the initLabels materialization below —
-    // one job computes pairs AND the folded first round, instead of a
-    // separate pairs.count() job.
-    val pairs = ngramPairs(base, threshold = 0.2, hotCap = 25)
-      .select(col("a_id"), col("b_id"))
-      .persist(MEMORY_AND_DISK)
+    // read would re-execute the whole upstream candidate-generation/
+    // verification query. The cache is filled by the first confirming
+    // round's materialization below — one job computes pairs AND the
+    // folded first round, instead of a separate pairs.count() job.
+    val pairs = pairList.persist(MEMORY_AND_DISK)
     // symmetrize with a map-side explode over the cached pairs (a
     // two-branch union would scan the cache twice); edges and labels are
     // each a few rows per near-dup doc (pair counts are bounded by the
@@ -380,7 +405,7 @@ object Dedup {
     // still executes exactly once while its cache fills.
     var prop = propagate(initLabels).persist(MEMORY_AND_DISK)
     var changed = prop.filter(col("next") < col("old")).count()
-    base.unpersist(blocking = true)
+    afterFirstJob()
     var labels = prop.select(col("id"), col("next").as("label"))
     // the persisted plan each round's `labels` projects FROM — the
     // handle unpersist must target (unpersisting the projection itself is
@@ -398,7 +423,7 @@ object Dedup {
       iters += 1
     }
     require(changed == 0,
-      s"near-dup label propagation did not converge in $maxIters iterations")
+      s"label propagation did not converge in $maxIters iterations")
     // only the converged prop stays cached (the returned plan reads it);
     // the pair graph is no longer referenced by the normal execution path
     pairs.unpersist(blocking = true)

@@ -125,6 +125,66 @@ object TimeOps {
       .orderBy("p_id")
   }
 
+  /** General as-of join over ARBITRARY frames — [[asofJoin]]'s linear
+    * carry-forward formulation factored out as reusable library surface.
+    * For each left row, attaches the latest right row with the same `on`
+    * keys whose `rightTime` ≤ the left row's `leftTime` (a right row AT
+    * the left instant is eligible). LEFT-OUTER: unmatched left rows keep
+    * null right fields — callers filter if they want inner semantics.
+    *
+    * Same scalability contract the oracled q_join_asof proved: both sides
+    * union into one per-key timeline, ONE shuffle on the `on` keys, per-key
+    * work linear in rows — never the |left|×|right| per-key blowup of the
+    * join+window formulation.
+    *
+    * `rightOrder` breaks ties among right rows sharing `rightTime`
+    * deterministically (the LARGEST ordering value wins, matching "latest
+    * row" semantics). `tolerance` (same units as the time columns, which
+    * must be numeric when it is set) drops matches older than
+    * `leftTime - tolerance`. Right output columns keep their names (they
+    * must not collide with left's) unless `rightPrefix` is given.
+    */
+  def asofJoinOn(
+      left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None,
+      rightOrder: Seq[String] = Seq.empty,
+      rightPrefix: String = ""): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightPayload = right.columns.toSeq.filterNot(on.contains)
+    require(rightPrefix.nonEmpty ||
+      rightPayload.toSet.intersect(leftCols.toSet).isEmpty,
+      s"left/right column collision ${rightPayload.toSet.intersect(leftCols.toSet)}; pass rightPrefix")
+    val lStruct = struct(leftCols.map(col): _*)
+    val rStruct = struct(rightPayload.map(col): _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+    val lNorm = left.select(on.map(col) ++ Seq(col(leftTime).as("_t"),
+      lit(1).as("_kind"), lStruct.as("_lrow"),
+      lit(null).cast(rType).as("_rrow")): _*)
+    val rNorm = right.select(on.map(col) ++ Seq(col(rightTime).as("_t"),
+      lit(0).as("_kind"), lit(null).cast(lType).as("_lrow"),
+      rStruct.as("_rrow")): _*)
+    // rights sort BEFORE lefts at equal _t (at-instant eligibility); ties
+    // among rights break on rightOrder so `last` deterministically carries
+    // the greatest-ordered right row
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_t").asc +: col("_kind").asc +:
+        rightOrder.map(c => col("_rrow")(c).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lNorm.unionByName(rNorm)
+      .withColumn("_r", last(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_kind") === 1)
+    val gated = tolerance match {
+      case Some(tol) => carried.withColumn("_r",
+        when(col("_t") - col("_r")(rightTime) <= tol, col("_r")))
+      case None => carried
+    }
+    gated.select(
+      leftCols.map(c => col("_lrow")(c).as(c)) ++
+      rightPayload.map(c => col("_r")(c).as(rightPrefix + c)): _*)
+  }
+
   /** The sink's per-row partition routing (reference
     * HiveStreamDataWriter.scala:74-83: rows fan out to per-partition-value
     * writers) as a batch-checkable query: rows per partition key.

@@ -134,6 +134,82 @@ class OperatorPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("clusterPairs: components over an arbitrary pair graph, multi-round convergence") {
+    import spark.implicits._
+    // a 6-hop PATH graph is the adversarial case for min-label propagation:
+    // the min id must walk the whole chain, so the loop genuinely iterates
+    // (the oracled near-dup corpus is clique-heavy and converges in the
+    // folded first round — this pins the loop body itself), plus a
+    // triangle, a duplicated/reversed edge, and an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), // path
+      (10L, 11L), (11L, 12L), (10L, 12L),                         // triangle
+      (12L, 11L),                                                 // reversed dup
+      (20L, 21L))
+      .toDF("a_id", "b_id")
+    val out = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getInt(3)))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L, 11L, 12L, 20L, 21L))
+    for (id <- 1L to 7L) assert(out(id) === ((1L, id == 1L, 7)))
+    for (id <- 10L to 12L) assert(out(id) === ((10L, id == 10L, 3)))
+    for (id <- 20L to 21L) assert(out(id) === ((20L, id == 20L, 2)))
+  }
+
+  test("generic asofJoinOn reproduces the oracled purchase/click as-of join") {
+    import spark.implicits._
+    import graft.operators.TimeOps
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"event_type",
+        graft.Norm.ms($"ts").as("ts_ms"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts_ms".as("p_ms"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id", $"ts_ms".as("c_ms"))
+    val generic = TimeOps.asofJoinOn(purchases, clicks, Seq("user_id"),
+        leftTime = "p_ms", rightTime = "c_ms", rightOrder = Seq("c_id"))
+      .filter($"c_id".isNotNull) // the fixture query keeps matched rows only
+      .select("p_id", "user_id", "p_ms", "c_id", "c_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val fixture = TimeOps.asofJoin(spark, sf0001)
+      .select("p_id", "user_id", "p_ms", "c_id", "c_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(generic === fixture)
+    assert(fixture.nonEmpty)
+  }
+
+  test("asofJoinOn: tolerance gates stale matches, unmatched lefts survive") {
+    import spark.implicits._
+    import graft.operators.TimeOps
+    val left = Seq((1L, "a", 100L), (2L, "a", 30L), (3L, "b", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", 40L, "x"), ("a", 95L, "y"), ("a", 95L, "z"))
+      .toDF("k", "rt", "v")
+    def run(tol: Option[Long]) = TimeOps.asofJoinOn(
+        left, right, Seq("k"), "t", "rt", tolerance = tol,
+        rightOrder = Seq("v"))
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    // no tolerance: id 1 takes the later of the t=95 rows ("z" by
+    // rightOrder), id 2 takes t=30's only eligible... none (40 > 30), id 3
+    // has no "b" rows at all
+    assert(run(None) === Map(1L -> Some("z"), 2L -> None, 3L -> None))
+    // tolerance 10: t=95 within [90, 100] still matches
+    assert(run(Some(10L)) === Map(1L -> Some("z"), 2L -> None, 3L -> None))
+    // tolerance 3: 100 - 95 = 5 > 3 — the match is too stale
+    assert(run(Some(3L)) === Map(1L -> None, 2L -> None, 3L -> None))
+  }
+
+  test("clusterPairs refuses to emit unconverged labels") {
+    import spark.implicits._
+    val longPath = (1L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // 11-hop path needs ~6 rounds; maxIters = 2 must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clusterPairs(longPath, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    spark.catalog.clearCache()
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val df = spark.read.parquet(s"$sf001/lineitem.parquet")
     val exact = df.select(countDistinct(col("l_partkey"))).head.getLong(0)

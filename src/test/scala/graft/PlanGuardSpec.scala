@@ -108,6 +108,22 @@ class PlanGuardSpec extends SparkSpec {
       s"expected exactly one user_id hash exchange, got $hashEx:\n$plan")
   }
 
+  test("generic asofJoinOn keeps the join-free single-exchange shape") {
+    import org.apache.spark.sql.functions.col
+    val left = spark.range(10).select(col("id"), (col("id") % 3).as("k"),
+      (col("id") * 10).as("t"))
+    val right = spark.range(5).select((col("id") % 3).as("k"),
+      (col("id") * 7).as("rt"), col("id").as("v"))
+    val plan = graft.operators.TimeOps
+      .asofJoinOn(left, right, Seq("k"), "t", "rt")
+      .queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("Join"),
+      s"generic as-of must stay a union + carry-forward, no join:\n$plan")
+    val hashEx = "hashpartitioning\\(k#\\d+".r.findAllMatchIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly one key exchange, got $hashEx:\n$plan")
+  }
+
   test("q_window_rank ranks two-level: per-split local top-k before the priority window") {
     // o_orderpriority has ~5 values; a direct partitionBy(o_orderpriority)
     // window funnels the fact table through 5 reducers. Level 1 must key on

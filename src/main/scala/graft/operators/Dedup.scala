@@ -57,27 +57,39 @@ object Dedup {
         lit(threshold) * greatest(col("za"), col("zb")))
 
   /** Distinct word-level 3-gram shingles per document as a map-side ARRAY
-    * column. Measured (sf0.1, 5000 docs × ~52 grams): the per-row
-    * transform/array_distinct computes full documents→shingles in ~0.24 s,
-    * 10× cheaper than materializing an exploded gram stream through a
-    * token-level window shuffle (a formulation tried in rounds 2-3 and
-    * removed in round 4 — see [[ngramJaccard]]). Gram-LEVEL consumers
-    * (candidate generation keyed by gram, co-count verification) derive
-    * their stream by exploding these arrays: distinctness is already
-    * applied, per-doc sizes are `size(shingles)`, and no token ever
-    * transits a shuffle un-aggregated.
+    * column, over an arbitrary (doc_id, text, carry...) frame. Measured
+    * (sf0.1, 5000 docs × ~52 grams): the per-row transform/array_distinct
+    * computes full documents→shingles in ~0.24 s, 10× cheaper than
+    * materializing an exploded gram stream through a token-level window
+    * shuffle (a formulation tried in rounds 2-3 and removed in round 4 —
+    * see [[ngramJaccard]]). Gram-LEVEL consumers (candidate generation
+    * keyed by gram, co-count verification) derive their stream by
+    * exploding these arrays: distinctness is already applied, per-doc
+    * sizes are `size(shingles)`, and no token ever transits a shuffle
+    * un-aggregated.
     */
-  private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        floor(col("n_chars") / 100).cast("int").as("blk"),
-        split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), col("lang"), col("blk"),
+  private[operators] def shingledOf(
+      docs: DataFrame, carry: Seq[String] = Seq.empty): DataFrame =
+    docs
+      .select(Seq(col("doc_id")) ++ carry.map(col) :+
+        split(col("text"), " ").as("tk"): _*)
+      .select(Seq(col("doc_id")) ++ carry.map(col) :+
         array_distinct(transform(
           sequence(lit(0), greatest(size(col("tk")) - SHINGLE, lit(0))),
           i => concat_ws(" ", col("tk")(i), col("tk")(i + 1), col("tk")(i + 2))
-        )).as("shingles"))
-      .filter(size(col("tk")) >= SHINGLE)
+        )).as("shingles") :+ size(col("tk")).as("_ntk"): _*)
+      .filter(col("_ntk") >= SHINGLE)
+      .drop("_ntk")
+
+  /** The fixture instantiation: the documents table with the (lang,
+    * length-block) blocking columns [[ngramJaccard]] needs.
+    */
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledOf(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 100).cast("int").as("blk"), col("text")),
+      carry = Seq("lang", "blk"))
 
   /** |shingles(a) ∩ shingles(b)| per candidate pair via re-exploded
     * co-count: pair × a-grams, equi-joined against b-grams on (b_id, gram),
@@ -118,7 +130,14 @@ object Dedup {
     * Hash-dependent candidate set → no SQL oracle (driver rows-only check);
     * the ScalaTest spec asserts containment in the exact-Jaccard pair set.
     */
-  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame =
+    minhashLshOn(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      threshold)
+
+  /** [[minhashLsh]] over an arbitrary (doc_id: long, text: string) frame —
+    * the form a user points at their own corpus.
+    */
+  def minhashLshOn(docs: DataFrame, threshold: Double = 0.4): DataFrame = {
     // 8 bands of 4: candidate probability 1-(1-j⁴)⁸ ≈ 0.9998 at j=0.9,
     // 0.985 at j=0.8 — high recall in the near-dup region while a random
     // pair (j≈0.05) stays below 10⁻⁴
@@ -134,7 +153,7 @@ object Dedup {
     // leads + 32-way min aggregation) was tried and REVERTED — A/B at
     // sf0.1 measured 3.3 s → 7.1 s, the token-level window shuffle
     // costing far more than the per-row lambdas it removed.
-    val base = shingled(s, dir)
+    val base = shingledOf(docs)
       .select(col("doc_id"),
         transform(col("shingles"), sh => xxhash64(sh)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -180,7 +199,10 @@ object Dedup {
     * (OperatorPropertiesSpec "simhash packed counters are bit-identical to
     * the naive 64-buffer formulation").
     */
-  private[graft] def simhashDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashDocs(s: SparkSession, dir: String): DataFrame =
+    simhashDocsOn(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def simhashDocsOn(docs: DataFrame): DataFrame = {
     // hash DISTINCT tokens once, weighted by occurrence count: documents
     // repeat tokens heavily (stopwords), so pre-aggregating
     // (doc_id, token_hash) → count shrinks the rows that reach the
@@ -191,7 +213,7 @@ object Dedup {
     // raw document rows total, where the round-3 formulation shuffled a
     // 33-long partial-agg row per doc per input partition AND ran the
     // packed projection once per token occurrence.
-    val tok = Tables.documents(s, dir)
+    val tok = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
@@ -232,8 +254,13 @@ object Dedup {
     * 4×16-bit band buckets, verified with Hamming distance ≤ k (bit_count
     * of xor). Hash-dependent → rows-only driver check.
     */
-  def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = simhashDocs(s, dir)
+  def simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashOn(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      maxHamming)
+
+  /** [[simhash]] over an arbitrary (doc_id: long, text: string) frame. */
+  def simhashOn(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val docs = simhashDocsOn(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = docs.select(col("doc_id"),
       posexplode(array((0 until 4).map { b =>
@@ -255,6 +282,16 @@ object Dedup {
     * Fully deterministic and SQL-expressible → real DuckDB oracle.
     */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.2,
+      hotCap: Int = 25): DataFrame =
+    ngramJaccardOn(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+      threshold, hotCap)
+
+  /** [[ngramJaccard]] over an arbitrary (doc_id, lang, n_chars, text)
+    * frame — lang and character count feed the (lang, length-block)
+    * blocking; pass constants if the corpus has no language column.
+    */
+  def ngramJaccardOn(docs: DataFrame, threshold: Double = 0.2,
       hotCap: Int = 25): DataFrame = {
     // one persisted materialization of the per-doc shingle ARRAYS
     // (MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing; at that
@@ -267,7 +304,10 @@ object Dedup {
     // window leads plus a 4-column distinct groupBy — disappears entirely
     // (it was 29 s of the 93 s round-3 bench; the arrays compute the
     // identical stream map-side).
-    val base = shingled(s, dir)
+    val base = shingledOf(
+        docs.select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 100).cast("int").as("blk"), col("text")),
+        carry = Seq("lang", "blk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ngramPairs(base, threshold, hotCap)
       .orderBy("a_id", "b_id")
@@ -318,12 +358,24 @@ object Dedup {
     * (derived from the oracled ngram pairs) → full SQL oracle via a
     * recursive CTE.
     */
-  def nearDupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+  def nearDupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
+    nearDupClustersOn(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+      maxIters)
+
+  /** [[nearDupClusters]] over an arbitrary (doc_id, lang, n_chars, text)
+    * frame — n-gram pair generation + [[clusterPairs]] in one call.
+    */
+  def nearDupClustersOn(docs: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the cluster path owns the shingle base's lifecycle: the arrays are
     // the query's largest cached object and are only needed until the
     // (tiny) pair graph is materialized inside clusterPairs' first job
-    val base = shingled(s, dir).persist(MEMORY_AND_DISK)
+    val base = shingledOf(
+        docs.select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 100).cast("int").as("blk"), col("text")),
+        carry = Seq("lang", "blk"))
+      .persist(MEMORY_AND_DISK)
     clusterPairs(
       ngramPairs(base, threshold = 0.2, hotCap = 25)
         .select(col("a_id"), col("b_id")),
@@ -450,14 +502,21 @@ object Dedup {
     * SQL-checkable, while recall at a given cosine follows the standard LSH
     * curve 1-(1-p(θ)⁸)⁸.
     */
-  def embedCosine(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+  def embedCosine(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
+    embedCosineOn(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")), threshold)
+
+  /** [[embedCosine]] over an arbitrary (vec_id: long,
+    * embedding: array&lt;float|double&gt;) frame.
+    */
+  def embedCosineOn(vecs: DataFrame, threshold: Double = 0.3): DataFrame = {
     // NOT persisted: caching (v, nrm, band keys) for every vector was
     // A/B'd in round 5 and LOST to recomputation (2.59 s → 3.12 s focused)
     // — the three consumers each prune to a 2-3 column subset, and the
     // pruned parquet re-scans beat materializing the full cached rows
     // native array cast, not transform(_.cast): the HOF is CodegenFallback
     // and would poison whole-stage codegen for the band-key explode stage
-    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+    val e = vecs.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     // band keys cost 64 hyperplane dots per vector; computed once for the
     // two sides of the self-join

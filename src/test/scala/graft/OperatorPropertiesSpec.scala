@@ -156,6 +156,44 @@ class OperatorPropertiesSpec extends SparkSpec {
     for (id <- 20L to 21L) assert(out(id) === ((20L, id == 20L, 2)))
   }
 
+  test("generic dedup overloads run on arbitrary frames and find the planted pair") {
+    import spark.implicits._
+    // minimal user-shaped corpus: two near-dups (one token of 30 changed)
+    // and one unrelated doc — every *On variant must accept the frame
+    // as-is (no fixture table) and report exactly the planted pair
+    val base = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 15) "CHANGED" else s"alpha$i").mkString(" ")
+    val other = (100 to 159).map(i => s"beta$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val mh = Dedup.minhashLshOn(docs, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(mh === Set((1L, 2L)),
+      "minhashLshOn must flag the planted near-dup (hash-dependent: if this " +
+        "fails after a banding change, re-tune the fixture, not the operator)")
+    val sh = Dedup.simhashOn(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(sh === Set((1L, 2L)))
+    val blocked = docs.withColumn("lang", lit("xx"))
+      .withColumn("n_chars", length($"text"))
+    val ng = Dedup.ngramJaccardOn(blocked, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(ng === Set((1L, 2L)))
+    val cl = Dedup.nearDupClustersOn(blocked).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getInt(3)))
+      .toMap
+    assert(cl === Map(1L -> ((1L, true, 2)), 2L -> ((1L, false, 2))),
+      "doc 3 is isolated and must not appear")
+    val vecs = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.tabulate(64)(i => if (i == 0) 0.45f else 0.5f)),
+      (3L, Array.tabulate(64)(i => ((i % 7) - 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val ec = Dedup.embedCosineOn(vecs, threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(ec === Set((1L, 2L)))
+    spark.catalog.clearCache()
+  }
+
   test("generic asofJoinOn reproduces the oracled purchase/click as-of join") {
     import spark.implicits._
     import graft.operators.TimeOps

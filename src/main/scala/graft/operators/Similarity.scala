@@ -43,7 +43,7 @@ object Similarity {
     * TakeOrdered.
     */
   def cosineTopK(s: SparkSession, dir: String, k: Int = 20): DataFrame =
-    cosineTopKImpl(s, dir, k, None)
+    cosineTopKImpl(Tables.embeddings(s, dir), k, None)
 
   /** Probe-as-parameter overload: the probe vector is a literal, so no
     * second corpus pass derives it and nothing is excluded from the corpus
@@ -51,11 +51,19 @@ object Similarity {
     */
   def cosineTopK(s: SparkSession, dir: String, k: Int,
       probeVec: Seq[Double]): DataFrame =
-    cosineTopKImpl(s, dir, k, Some(probeVec))
+    cosineTopKImpl(Tables.embeddings(s, dir), k, Some(probeVec))
 
-  private def cosineTopKImpl(s: SparkSession, dir: String, k: Int,
+  /** [[cosineTopK]] over an arbitrary (vec_id: long, label: string,
+    * embedding: array&lt;float|double&gt;) frame — pass a constant label
+    * column if the corpus has none.
+    */
+  def cosineTopKOn(vecs: DataFrame, k: Int, probeVec: Seq[Double]): DataFrame =
+    cosineTopKImpl(vecs, k, Some(probeVec))
+
+  private def cosineTopKImpl(vecs: DataFrame, k: Int,
       probeVec: Option[Seq[Double]]): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val s = vecs.sparkSession
+    val e = vecs
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
     val (corpus, probe) = probeVec match {
@@ -86,7 +94,7 @@ object Similarity {
     * prunes to 4 buckets per table instead of scanning.
     */
   def annLsh(s: SparkSession, dir: String, k: Int = 10, tables: Int = 4): DataFrame =
-    annLshImpl(s, dir, k, tables, None)
+    annLshImpl(Tables.embeddings(s, dir), k, tables, None)
 
   /** Probe-as-parameter overload: probe band keys and norm are computed
     * from the literal vector map-side — the corpus is scanned exactly once
@@ -95,15 +103,21 @@ object Similarity {
     */
   def annLsh(s: SparkSession, dir: String, k: Int, tables: Int,
       probeVec: Seq[Double]): DataFrame =
-    annLshImpl(s, dir, k, tables, Some(probeVec))
+    annLshImpl(Tables.embeddings(s, dir), k, tables, Some(probeVec))
 
-  private def annLshImpl(s: SparkSession, dir: String, k: Int, tables: Int,
+  /** [[annLsh]] over an arbitrary (vec_id, label, embedding) frame. */
+  def annLshOn(vecs: DataFrame, k: Int, tables: Int,
+      probeVec: Seq[Double]): DataFrame =
+    annLshImpl(vecs, k, tables, Some(probeVec))
+
+  private def annLshImpl(vecs: DataFrame, k: Int, tables: Int,
       probeVec: Option[Seq[Double]]): DataFrame = {
+    val s = vecs.sparkSession
     // one pass computes norm + all band signatures per vector, persisted —
     // the same shape as [[knnJoin]]'s base: un-persisted, the scan + the
     // 64-plane signature ran TWICE (once feeding the key join, once feeding
     // the exact-cosine ranking), the query's dominant cost (VERDICT r5)
-    val base = Tables.embeddings(s, dir)
+    val base = vecs
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
       .withColumn("bk", array((0 until tables).map(b =>
@@ -149,28 +163,46 @@ object Similarity {
     * Deterministic banding → fully DuckDB-oracled.
     */
   def knnJoin(s: SparkSession, dir: String, k: Int = 3, nProbes: Int = 10): DataFrame = {
-    // one pass computes norm + all 8 band keys per vector, persisted: the
-    // un-cached formulation re-executed the scan + 64-plane signature five
-    // times (keys feeds a self-join, the exact-cosine scoring joins back
-    // twice) — the query's dominant cost, since every join is broadcast
-    // (AqeAudit measures 0.0 MiB of shuffle here)
-    val base = Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    knnJoinOn(e.filter(col("vec_id") >= nProbes),
+      e.filter(col("vec_id") < nProbes), k)
+  }
+
+  /** [[knnJoin]] over arbitrary corpus and probe frames (each
+    * (vec_id: long, embedding: array)): top-k corpus neighbors for every
+    * probe row. The two sides may be the same frame or disjoint splits.
+    */
+  def knnJoinOn(corpus: DataFrame, probes: DataFrame, k: Int = 3): DataFrame = {
+    // one pass over the TAGGED UNION of both sides computes norm + all 8
+    // band keys per vector, persisted: the un-cached formulation
+    // re-executed the scan + 64-plane signature five times (keys feeds a
+    // self-join, the exact-cosine scoring joins back twice) — the query's
+    // dominant cost, since every join is broadcast (AqeAudit measures
+    // 0.0 MiB of shuffle here). The side tag replaces the fixture's
+    // vec_id-range split so arbitrary frames keep the single-persist shape.
+    val base = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        lit(false).as("is_probe"))
+      .unionByName(probes.select(col("vec_id"),
+        asDouble(col("embedding")).as("v"), lit(true).as("is_probe")))
       .withColumn("nrm", dot(col("v"), col("v")))
       .withColumn("bk", Hyperplanes.bandKeys(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keys = base.select(col("vec_id"),
+    val keys = base.select(col("vec_id"), col("is_probe"),
       posexplode(col("bk")).as(Seq("band", "bkey")))
-    val probeKeys = keys.filter(col("vec_id") < nProbes)
+    val probeKeys = keys.filter(col("is_probe"))
       .select(col("vec_id").as("probe_id"), col("band"), col("bkey"))
-    val cand = keys.filter(col("vec_id") >= nProbes)
+    val cand = keys.filter(!col("is_probe"))
       .join(probeKeys, Seq("band", "bkey"))
       .select(col("probe_id"), col("vec_id"))
       .distinct()
     val scored = cand
-      .join(base.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
-      .join(base.select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pn")), "probe_id")
+      .join(base.filter(!col("is_probe"))
+        .select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(base.filter(col("is_probe"))
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn")), "probe_id")
       .select(col("probe_id"), col("vec_id"),
         Norm.r4(dot(col("v"), col("pv")) /
           (sqrt(col("nrm")) * sqrt(col("pn")))).as("cosine"))
@@ -194,7 +226,7 @@ object Similarity {
     * against brute-force top-k.
     */
   def ivf(s: SparkSession, dir: String, k: Int = 10, nprobe: Int = 3): DataFrame =
-    ivfImpl(s, dir, k, nprobe, None)
+    ivfImpl(Tables.embeddings(s, dir), k, nprobe, None)
 
   /** Probe-as-parameter overload: the probe's `nprobe` inverted lists are
     * chosen by scoring the literal vector against the broadcast codebook —
@@ -202,11 +234,19 @@ object Similarity {
     */
   def ivf(s: SparkSession, dir: String, k: Int, nprobe: Int,
       probeVec: Seq[Double]): DataFrame =
-    ivfImpl(s, dir, k, nprobe, Some(probeVec))
+    ivfImpl(Tables.embeddings(s, dir), k, nprobe, Some(probeVec))
 
-  private def ivfImpl(s: SparkSession, dir: String, k: Int, nprobe: Int,
+  /** [[ivf]] over an arbitrary (vec_id, label, embedding) frame — `label`
+    * is the coarse-quantizer cell (a k-means assignment at scale).
+    */
+  def ivfOn(vecs: DataFrame, k: Int, nprobe: Int,
+      probeVec: Seq[Double]): DataFrame =
+    ivfImpl(vecs, k, nprobe, Some(probeVec))
+
+  private def ivfImpl(vecs: DataFrame, k: Int, nprobe: Int,
       probeVec: Option[Seq[Double]]): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val s = vecs.sparkSession
+    val e = vecs
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
     // centroid table: one 64-dim mean vector per label (the coarse codebook)
@@ -217,6 +257,12 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
       .select(col("c_id"), transform(col("pairs"), p => p("c")).as("cv"))
       .withColumn("c_nrm", dot(col("cv"), col("cv")))
+      // dense numeric index for the assignment tiebreak: labels may be any
+      // orderable type (strings in user corpora), so "min c_id on ties"
+      // cannot be expressed by negating c_id; the codebook is tiny by
+      // construction, so this single-partition window moves metadata only
+      .withColumn("c_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c_id"))))
     // assign: nearest centroid by cosine (broadcast codebook — it is tiny
     // by construction; k-means codebooks are ≤ a few thousand entries)
     val simToC = dot(col("v"), col("cv")) /
@@ -225,13 +271,13 @@ object Similarity {
     // main scan. Argmin via max_by aggregation (map-side partial, no
     // per-vector sort): the window row_number()=1 formulation sorted all
     // n×|codebook| scored rows — wasted work at 100 TB. Tiebreak matches
-    // the old ORDER BY csim DESC, c_id ASC: max on (csim, -c_id).
+    // the old ORDER BY csim DESC, c_id ASC: max on (csim, -c_idx).
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("csim", simToC)
       .groupBy("vec_id")
       .agg(max_by(
         struct(col("label"), col("v"), col("nrm"), col("c_id")),
-        struct(col("csim"), (-col("c_id")).as("neg_c"))).as("m"))
+        struct(col("csim"), (-col("c_idx")).as("neg_c"))).as("m"))
       .select(col("vec_id"), col("m.label").as("label"), col("m.v").as("v"),
         col("m.nrm").as("nrm"), col("m.c_id").as("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -268,8 +314,12 @@ object Similarity {
     * assignment column). Elementwise array average via posexplode +
     * re-assemble keeps state bounded per (label, dim).
     */
-  def centroids(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    centroidsOn(Tables.embeddings(s, dir))
+
+  /** [[centroids]] over an arbitrary (label, embedding) frame. */
+  def centroidsOn(vecs: DataFrame): DataFrame = {
+    val e = vecs
       .select(col("label"), posexplode(asDouble(col("embedding")))
         .as(Seq("dim", "x")))
     e.groupBy("label", "dim")

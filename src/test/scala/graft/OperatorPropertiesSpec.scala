@@ -194,6 +194,30 @@ class OperatorPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("generic similarity overloads run on arbitrary frames") {
+    import spark.implicits._
+    val vecs = (0 until 40).map(i => (i.toLong, s"lab${i % 4}",
+        Array.tabulate(64)(d => math.sin(i * 17 + d).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val probe = Array.tabulate(64)(d => math.sin(7 * 17 + d)).toSeq
+    // the probe IS vector 7 — every exact/recall path must surface it first
+    val top = Similarity.cosineTopKOn(vecs, 5, probe).collect()
+    assert(top.head.getLong(0) === 7L && top.head.getDouble(2) === 1.0)
+    val ann = Similarity.annLshOn(vecs, 5, 4, probe)
+      .select("vec_id").as[Long].collect()
+    assert(ann.head === 7L, s"ANN must surface the probe's identical vector: ${ann.toSeq}")
+    val ivf = Similarity.ivfOn(vecs, 5, 2, probe)
+      .select("vec_id").as[Long].collect()
+    assert(ivf.head === 7L, s"IVF must surface the probe's identical vector: ${ivf.toSeq}")
+    // self-join shape: every probe's nearest corpus vector is itself
+    val knn = Similarity.knnJoinOn(corpus = vecs, probes = vecs.limit(5), k = 1)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+    assert(knn.nonEmpty && knn.forall { case (p, v) => p == v },
+      s"top-1 of a self kNN join must be the vector itself: ${knn.toSeq}")
+    assert(Similarity.centroidsOn(vecs).count() === 4)
+    spark.catalog.clearCache()
+  }
+
   test("generic asofJoinOn reproduces the oracled purchase/click as-of join") {
     import spark.implicits._
     import graft.operators.TimeOps

@@ -17,7 +17,11 @@ object Text {
 
   /** Word count: tokenize → explode → stopword filter → count. */
   def wordCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    wordCountOn(Tables.documents(s, dir))
+
+  /** [[wordCount]] over an arbitrary frame with a `text` column. */
+  def wordCountOn(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0 && !col("token").isin(StopWords: _*))
       .groupBy("token")
@@ -30,7 +34,14 @@ object Text {
     * unigrams — adequate for a deterministic, oracle-checkable heuristic).
     */
   def langId(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    langIdOn(Tables.documents(s, dir))
+
+  /** [[langId]] over an arbitrary (doc_id, lang, text) frame — `lang` is
+    * the ground-truth column carried into the output; pass a null/constant
+    * column for unlabeled corpora.
+    */
+  def langIdOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("lang"), size(col("tk")).as("n_tokens"),
         size(filter(col("tk"), t => t.isin(StopWords: _*))).as("en_hits"))
@@ -42,7 +53,13 @@ object Text {
     * type-token ratio, and a blended 0-1 quality score.
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    qualityScoreOn(Tables.documents(s, dir))
+
+  /** [[qualityScore]] over an arbitrary (doc_id, n_chars, text) frame
+    * (`n_chars` = `length(text)` if not precomputed).
+    */
+  def qualityScoreOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("n_chars"),
         size(col("tk")).as("n_tokens"),
@@ -73,8 +90,12 @@ object Text {
     * focused at sf0.1: the 2.5M-token window sort plus the two-phase
     * distinct count cost far more than the per-row lambdas they avoided).
     */
-  def repetition(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOn(Tables.documents(s, dir))
+
+  /** [[repetition]] over an arbitrary (doc_id, text) frame. */
+  def repetitionOn(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
     val g2 = transform(sequence(lit(0), size(col("tk")) - 2),
@@ -102,8 +123,12 @@ object Text {
     * corpus size. Rules compare ROUNDED signals (the repo's cross-engine
     * convention) so a threshold can never split engines on a final ulp.
     */
-  def qualityGate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def qualityGate(s: SparkSession, dir: String): DataFrame =
+    qualityGateOn(Tables.documents(s, dir))
+
+  /** [[qualityGate]] over an arbitrary (doc_id, n_chars, text) frame. */
+  def qualityGateOn(corpus: DataFrame): DataFrame = {
+    val docs = corpus
       .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
     val g2 = transform(sequence(lit(0), size(col("tk")) - 2),
@@ -134,7 +159,11 @@ object Text {
     * (runs of ≤4 letters approximate subword pieces) + chars-per-token.
     */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    tokenCountOn(Tables.documents(s, dir))
+
+  /** [[tokenCount]] over an arbitrary (doc_id, text) frame. */
+  def tokenCountOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z]{1,4}")).as("bpe_tokens"),
@@ -147,7 +176,11 @@ object Text {
     * content address used for exact dedup at scale).
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    fingerprintOn(Tables.documents(s, dir))
+
+  /** [[fingerprint]] over an arbitrary (doc_id, text) frame. */
+  def fingerprintOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         md5(trim(lower(col("text")))).as("fingerprint"))
       .orderBy("doc_id")
@@ -156,7 +189,11 @@ object Text {
     * 5-gram shingles — Spark-internal hash, so rows-only driver check; the
     * ScalaTest spec asserts stability + collision behaviour.
     */
-  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame =
+    rollingFingerprintOn(Tables.documents(s, dir))
+
+  /** [[rollingFingerprint]] over an arbitrary (doc_id, text) frame. */
+  def rollingFingerprintOn(docs: DataFrame): DataFrame = {
     val n = 5
     // posexplode + lead-window 5-grams instead of a per-element HOF lambda:
     // transform(sequence(...), i => xxhash64(...)) runs INTERPRETED per
@@ -166,7 +203,7 @@ object Text {
     // min/max aggregation below adds no second exchange.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
       .select(col("doc_id"),
         concat_ws(" ", col("w0") +:
@@ -191,7 +228,11 @@ object Text {
     * texts always land in the SAME split (no train/test leakage).
     */
   def hashSplit(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    hashSplitOn(Tables.documents(s, dir))
+
+  /** [[hashSplit]] over an arbitrary (doc_id, lang, text) frame. */
+  def hashSplitOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         substring(md5(col("text")), 1, 2).as("hb"))
       .withColumn("split",

@@ -25,7 +25,12 @@ object TrainPrep {
     */
   def chunk(s: SparkSession, dir: String,
       window: Int = 32, stride: Int = 16): DataFrame =
-    Tables.documents(s, dir)
+    chunkOn(Tables.documents(s, dir), window, stride)
+
+  /** [[chunk]] over an arbitrary (doc_id, text) frame. */
+  def chunkOn(docs: DataFrame,
+      window: Int = 32, stride: Int = 16): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
       // chunk starts i*stride for i in 0..ceil(max(n-window,0)/stride):
@@ -78,23 +83,55 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** [[contamination]] over arbitrary train and eval corpora — train needs
+    * (doc_id, text), eval needs (text). The eval side is shingled and
+    * broadcast, same as the fixture path: benchmark suites are a few MB
+    * against a 100 TB corpus, so the match is map-side and the only
+    * train-side shuffle is the per-doc aggregation of (rare) matched grams.
+    */
+  def contaminationOn(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    // persist = the same codegen barrier the fixture path documents: the
+    // explode must read a MATERIALIZED array, not the CodegenFallback HOF
+    val trainSh = Dedup.shingledOf(train.select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalGrams = Dedup
+      .shingledOf(evalDocs.select(lit(0L).as("doc_id"), col("text")))
+      .select(explode(col("shingles")).as("gram")).distinct()
+    trainSh
+      .select(col("doc_id"), size(col("shingles")).as("n_grams"),
+        explode(col("shingles")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).cast("int").as("hit_grams"))
+      .withColumn("contamination", Norm.r4(col("hit_grams") / col("n_grams")))
+      .select(col("doc_id"), col("n_grams"), col("hit_grams"),
+        col("contamination"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing: redact long digit runs (IDs, phone-like numbers) from a
     * name column, reporting redaction counts. Pure codegen'd regex column
     * expressions — scrubbing cost is linear in bytes scanned, zero shuffle.
     * Patterns are POSIX-simple so Java (Spark) and RE2 (DuckDB oracle)
     * agree byte-for-byte.
     */
-  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    piiScrubOn(Tables.customer(s, dir), "c_custkey", "c_name")
+
+  /** [[piiScrub]] over any frame: redacts `textCol`, keyed/sorted by
+    * `idCol`.
+    */
+  def piiScrubOn(rows: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pat = "[0-9]{6,}"
-    Tables.customer(s, dir)
-      .select(col("c_custkey"),
-        regexp_replace(col("c_name"), pat, "<ID>").as("scrubbed"),
-        expr(s"CAST(size(regexp_extract_all(c_name, '$pat', 0)) AS INT)")
+    rows
+      .select(col(idCol),
+        regexp_replace(col(textCol), pat, "<ID>").as("scrubbed"),
+        expr(s"CAST(size(regexp_extract_all($textCol, '$pat', 0)) AS INT)")
           .as("n_redactions"),
-        (length(col("c_name")) -
-          length(regexp_replace(col("c_name"), pat, "")))
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), pat, "")))
           .cast("int").as("chars_redacted"))
-      .orderBy("c_custkey")
+      .orderBy(idCol)
   }
 
   /** Sequence packing (the step between cleaned docs and the trainer):
@@ -121,13 +158,24 @@ object TrainPrep {
     * split boundaries cancel out of the arithmetic.
     */
   def packSequences(s: SparkSession, dir: String, seqLen: Int = 2048,
+      splits: Int = 0): DataFrame =
+    packSequencesOn(
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens")),
+      seqLen, splits)
+
+  /** [[packSequences]] over an arbitrary (lang, doc_id, n_tokens) frame —
+    * token counts come in as data, so a real tokenizer's counts (not the
+    * whitespace approximation) plug straight in.
+    */
+  def packSequencesOn(docs: DataFrame, seqLen: Int = 2048,
       splits: Int = 0): DataFrame = {
+    val s = docs.sparkSession
     // split-count is a pure parallelism knob: the two-level arithmetic is
     // invariant to it (asserted by TrainPrepSpec's invariance test)
     val nSplits = if (splits > 0) splits else s.sparkContext.defaultParallelism
-    val base = Tables.documents(s, dir)
-      .select(col("lang"), col("doc_id"),
-        size(split(col("text"), " ")).as("n_tokens"))
+    val base = docs
       .repartitionByRange(nSplits, col("lang"), col("doc_id"))
       // split id materialized as a column ABOVE the exchange both consumers
       // share; range partitions are assigned ascending key ranges in
@@ -235,8 +283,12 @@ object TrainPrep {
     * so the single-partition exchange it implies moves a few dozen rows,
     * not data.
     */
-  def sourceMix(s: SparkSession, dir: String): DataFrame = {
-    val grouped = Tables.documents(s, dir)
+  def sourceMix(s: SparkSession, dir: String): DataFrame =
+    sourceMixOn(Tables.documents(s, dir))
+
+  /** [[sourceMix]] over an arbitrary (source, lang, text, n_chars) frame. */
+  def sourceMixOn(docs: DataFrame): DataFrame = {
+    val grouped = docs
       .select(col("source"), col("lang"),
         size(split(col("text"), " ")).as("n_tokens"), col("n_chars"))
       .groupBy("source", "lang")
@@ -259,9 +311,13 @@ object TrainPrep {
     * 50% ('80'/0x100), other languages 25% ('40'/0x100). Map-side decision
     * + one final aggregate.
     */
-  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    sampleStratifiedOn(Tables.documents(s, dir))
+
+  /** [[sampleStratified]] over an arbitrary (lang, text) frame. */
+  def sampleStratifiedOn(docs: DataFrame): DataFrame = {
     val rate = when(col("lang") === "en", lit("80")).otherwise(lit("40"))
-    Tables.documents(s, dir)
+    docs
       .select(col("lang"),
         (substring(md5(col("text")), 1, 2) < rate).cast("int").as("kept"))
       .groupBy("lang")

@@ -194,6 +194,46 @@ class OperatorPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("generic text/train-prep overloads run on arbitrary frames") {
+    import spark.implicits._
+    import graft.operators.{Text, TrainPrep}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text"))
+    assert(Text.qualityGateOn(docs).columns.contains("keep") &&
+      Text.qualityGateOn(docs).count() === 2)
+    val tc = Text.tokenCountOn(docs).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tc === Map(1L -> 12, 2L -> 10))
+    // chunking arithmetic on a hand-sized doc: 10 tokens, window 4 stride 2
+    // -> starts 0,2,4,6 with the final chunk ending exactly at 10
+    val ch = TrainPrep.chunkOn(docs.filter($"doc_id" === 2), 4, 2)
+      .select("chunk_idx", "start_tok", "chunk_len")
+      .as[(Int, Int, Int)].collect().toSeq
+    assert(ch === Seq((0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4)))
+    // scrubbing an arbitrary column name
+    val pii = TrainPrep.piiScrubOn(
+        Seq((7L, "call 1234567 now")).toDF("uid", "note"), "uid", "note")
+      .collect().head
+    assert(pii.getString(1) === "call <ID> now" && pii.getInt(2) === 1)
+    // packing with EXPLICIT token counts (a real tokenizer's numbers):
+    // lang a: 6+6 tokens at seqLen 10 -> both docs start in sequence 0
+    val packed = TrainPrep.packSequencesOn(
+        Seq(("a", 1L, 6L), ("a", 2L, 6L), ("b", 3L, 25L))
+          .toDF("lang", "doc_id", "n_tokens"), seqLen = 10)
+      .select("lang", "seq_id", "n_docs", "n_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(packed === Set(("a", 0L, 2L, 12L), ("b", 0L, 1L, 25L)))
+    // contamination against an explicit eval frame: doc 1 shares the
+    // planted clause verbatim, doc 2 shares nothing
+    val cont = TrainPrep.contaminationOn(
+        docs, Seq("over the lazy dog").toDF("text"))
+      .select("doc_id", "hit_grams").as[(Long, Int)].collect().toMap
+    assert(cont === Map(1L -> 2))
+    spark.catalog.clearCache()
+  }
+
   test("generic similarity overloads run on arbitrary frames") {
     import spark.implicits._
     val vecs = (0 until 40).map(i => (i.toLong, s"lab${i % 4}",

@@ -37,11 +37,17 @@ object Multimodal {
     * (lang, label): the multimodal-stats query (SURVEY.md §2.C
     * q_multimodal_stats).
     */
-  def stats(s: SparkSession, dir: String): DataFrame = {
+  def stats(s: SparkSession, dir: String): DataFrame =
+    statsOn(Tables.documents(s, dir), Tables.embeddings(s, dir))
+
+  /** [[stats]] over arbitrary (doc_id, lang, n_chars) docs and
+    * (vec_id, label, embedding) vectors.
+    */
+  def statsOn(docs: DataFrame, vecs: DataFrame): DataFrame = {
     val norm = sqrt(aggregate(col("embedding"), lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    Tables.documents(s, dir)
-      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+    docs
+      .join(vecs, col("doc_id") === col("vec_id"))
       .groupBy("lang", "label")
       .agg(count(lit(1)).as("cnt"),
         Norm.r2(avg("n_chars")).as("avg_chars"),
@@ -56,10 +62,15 @@ object Multimodal {
     * registered with the driver; [[decodeBatched]] below keeps the
     * real-decoder plumbing.
     */
-  def decodePipeline(s: SparkSession, dir: String): DataFrame = {
-    val media = Tables.documents(s, dir)
+  def decodePipeline(s: SparkSession, dir: String): DataFrame =
+    decodePipelineOn(Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        col("lang"))
+        col("lang")))
+
+  /** [[decodePipeline]] over an arbitrary (payload: binary, lang) frame —
+    * the form real media tables (parquet binary columns) feed directly.
+    */
+  def decodePipelineOn(media: DataFrame): DataFrame =
     media
       .select(col("lang"), octet_length(col("payload")).as("n_bytes"))
       .select(col("lang"), col("n_bytes"),
@@ -71,7 +82,6 @@ object Multimodal {
         Norm.r2(avg("height")).as("avg_height"),
         max("n_bytes").as("max_bytes"))
       .orderBy("lang")
-  }
 
   /** Resize + frame-sample pipeline over the decoded features: videos
     * (payloads) expand to their frame sequence, every 4th frame is sampled
@@ -82,10 +92,18 @@ object Multimodal {
     * feeds; at scale the explode happens map-side with no shuffle until the
     * final aggregate.
     */
-  def framePipeline(s: SparkSession, dir: String, every: Int = 4): DataFrame = {
-    val media = Tables.documents(s, dir)
+  def framePipeline(s: SparkSession, dir: String, every: Int = 4): DataFrame =
+    framePipelineOn(Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        octet_length(col("text").cast("binary")).as("n_bytes"))
+        col("text").cast("binary").as("payload")), every)
+
+  /** [[framePipeline]] over an arbitrary (doc_id, lang, payload: binary)
+    * frame.
+    */
+  def framePipelineOn(raw: DataFrame, every: Int = 4): DataFrame = {
+    val media = raw
+      .select(col("doc_id"), col("lang"),
+        octet_length(col("payload")).as("n_bytes"))
       .withColumn("frames", lit(1) + col("n_bytes") % 16)
       .withColumn("width", lit(64) + col("n_bytes") % 640)
       .withColumn("height", lit(64) + col("n_bytes") % 480)
@@ -115,10 +133,15 @@ object Multimodal {
     */
   def decodeBatched(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, dir)
+    decodeBatchedOn(Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         col("lang"), col("source"))
-      .as[MediaRow]
+      .as[MediaRow])
+  }
+
+  /** [[decodeBatched]] over an arbitrary typed media dataset. */
+  def decodeBatchedOn(media: org.apache.spark.sql.Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
     media
       .mapPartitions { batch =>
         // per-partition decoder setup would go here (model load, JNI init)

@@ -234,6 +234,24 @@ class OperatorPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("generic multimodal overloads run on arbitrary binary frames") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Seq(
+      (1L, Array[Byte](1, 2, 3, 4, 5), "en"),
+      (2L, Array.fill[Byte](700)(9), "de"))
+      .toDF("doc_id", "payload", "lang")
+    val dec = Multimodal.decodePipelineOn(media).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // FakeDecoder arithmetic: width = 64 + n_bytes % 640
+    assert(dec === Map("en" -> ((1L, 69.0)), "de" -> ((1L, 124.0))))
+    val frames = Multimodal.framePipelineOn(media, every = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // frames = 1 + n%16: en -> 6 frames, idx 0,2,4 sampled; de -> 13, 7 sampled
+    assert(frames === Map("en" -> 3L, "de" -> 7L))
+    spark.catalog.clearCache()
+  }
+
   test("generic similarity overloads run on arbitrary frames") {
     import spark.implicits._
     val vecs = (0 until 40).map(i => (i.toLong, s"lab${i % 4}",

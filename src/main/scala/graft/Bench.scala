@@ -95,7 +95,8 @@ object Bench {
     // host) that no local run reproduces. The median of three discards one
     // outlier per query by construction; all samples are reported so the
     // artifact stays honest about the variance it absorbed.
-    val Repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val Repeats =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false

@@ -17,14 +17,17 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * does real work every epoch.
   *
   * Prints ONE JSON line: per-epoch seconds, docs/s overall, and the
-  * late/early flatness ratio (avg of last 3 epochs / avg of epochs 2-4;
-  * epoch 1 is excluded as warm-up). Env knobs:
+  * late/early flatness ratio (MEDIAN of the last 3 epochs / median of
+  * epochs 2-4; epoch 1 is excluded as warm-up, and medians keep one host
+  * transient from faking a growth trend). Env knobs:
   * SPARK_GRAFT_DEDUP_EPOCHS (default 16), SPARK_GRAFT_DEDUP_DOCS (docs per
   * epoch, default 2000), SPARK_GRAFT_DEDUP_COMPACT_EVERY (default 4).
   */
 object DedupBench {
   def main(args: Array[String]): Unit = {
-    val epochs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_EPOCHS", "16").toInt
+    // the flatness ratio needs epochs 1-3 and a distinct last-3 window
+    val epochs =
+      math.max(7, sys.env.getOrElse("SPARK_GRAFT_DEDUP_EPOCHS", "16").toInt)
     val docsPerEpoch = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "2000").toInt
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_DEDUP_COMPACT_EVERY", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

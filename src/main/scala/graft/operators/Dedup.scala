@@ -81,15 +81,19 @@ object Dedup {
       .filter(col("_ntk") >= SHINGLE)
       .drop("_ntk")
 
-  /** The fixture instantiation: the documents table with the (lang,
-    * length-block) blocking columns [[ngramJaccard]] needs.
+  /** Shingles with the (lang, 100-char length-block) blocking columns the
+    * n-gram family keys candidate generation on. The block width is part
+    * of the DECLARED oracle semantics — this is its single definition.
     */
-  private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
+  private[operators] def blockedShingles(docs: DataFrame): DataFrame =
     shingledOf(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 100).cast("int").as("blk"), col("text")),
+      docs.select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 100).cast("int").as("blk"), col("text")),
       carry = Seq("lang", "blk"))
+
+  /** The fixture instantiation: the documents table with blocking. */
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
+    blockedShingles(Tables.documents(s, dir))
 
   /** |shingles(a) ∩ shingles(b)| per candidate pair via re-exploded
     * co-count: pair × a-grams, equi-joined against b-grams on (b_id, gram),
@@ -304,10 +308,7 @@ object Dedup {
     // window leads plus a 4-column distinct groupBy — disappears entirely
     // (it was 29 s of the 93 s round-3 bench; the arrays compute the
     // identical stream map-side).
-    val base = shingledOf(
-        docs.select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 100).cast("int").as("blk"), col("text")),
-        carry = Seq("lang", "blk"))
+    val base = blockedShingles(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ngramPairs(base, threshold, hotCap)
       .orderBy("a_id", "b_id")
@@ -371,11 +372,7 @@ object Dedup {
     // the cluster path owns the shingle base's lifecycle: the arrays are
     // the query's largest cached object and are only needed until the
     // (tiny) pair graph is materialized inside clusterPairs' first job
-    val base = shingledOf(
-        docs.select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 100).cast("int").as("blk"), col("text")),
-        carry = Seq("lang", "blk"))
-      .persist(MEMORY_AND_DISK)
+    val base = blockedShingles(docs).persist(MEMORY_AND_DISK)
     clusterPairs(
       ngramPairs(base, threshold = 0.2, hotCap = 25)
         .select(col("a_id"), col("b_id")),
@@ -402,14 +399,20 @@ object Dedup {
     */
   def clusterPairs(pairList: DataFrame, maxIters: Int = 20,
       afterFirstJob: () => Unit = () => ()): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import org.apache.spark.storage.StorageLevel
+    import StorageLevel.MEMORY_AND_DISK
     // the pair list must be cached BEFORE the loop: every round's
     // `edges` re-derives from `pairs`, and without a populated cache each
     // read would re-execute the whole upstream candidate-generation/
     // verification query. The cache is filled by the first confirming
     // round's materialization below — one job computes pairs AND the
     // folded first round, instead of a separate pairs.count() job.
-    val pairs = pairList.persist(MEMORY_AND_DISK)
+    // Respect a CALLER-owned cache: persisting is a no-op on an
+    // already-cached frame, but unpersisting it at the end would evict
+    // state the caller still reads — only manage the lifecycle of a cache
+    // this function created.
+    val callerCached = pairList.storageLevel != StorageLevel.NONE
+    val pairs = if (callerCached) pairList else pairList.persist(MEMORY_AND_DISK)
     // symmetrize with a map-side explode over the cached pairs (a
     // two-branch union would scan the cache twice); edges and labels are
     // each a few rows per near-dup doc (pair counts are bounded by the
@@ -478,7 +481,7 @@ object Dedup {
       s"label propagation did not converge in $maxIters iterations")
     // only the converged prop stays cached (the returned plan reads it);
     // the pair graph is no longer referenced by the normal execution path
-    pairs.unpersist(blocking = true)
+    if (!callerCached) pairs.unpersist(blocking = true)
     // component sizes via a window over the converged labels — one exchange
     // on the label key instead of a groupBy + re-join
     labels

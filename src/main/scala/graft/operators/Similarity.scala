@@ -162,30 +162,33 @@ object Similarity {
     * — followed by exact-cosine scoring and a per-probe window top-k.
     * Deterministic banding → fully DuckDB-oracled.
     */
-  def knnJoin(s: SparkSession, dir: String, k: Int = 3, nProbes: Int = 10): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"))
-    knnJoinOn(e.filter(col("vec_id") >= nProbes),
-      e.filter(col("vec_id") < nProbes), k)
-  }
+  def knnJoin(s: SparkSession, dir: String, k: Int = 3, nProbes: Int = 10): DataFrame =
+    // the fixture derives the side tag from vec_id on ONE scan — the
+    // two-frame generic form would read the parquet once per side
+    knnJoinTagged(Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        (col("vec_id") < nProbes).as("is_probe")), k)
 
   /** [[knnJoin]] over arbitrary corpus and probe frames (each
     * (vec_id: long, embedding: array)): top-k corpus neighbors for every
     * probe row. The two sides may be the same frame or disjoint splits.
     */
-  def knnJoinOn(corpus: DataFrame, probes: DataFrame, k: Int = 3): DataFrame = {
-    // one pass over the TAGGED UNION of both sides computes norm + all 8
-    // band keys per vector, persisted: the un-cached formulation
-    // re-executed the scan + 64-plane signature five times (keys feeds a
-    // self-join, the exact-cosine scoring joins back twice) — the query's
-    // dominant cost, since every join is broadcast (AqeAudit measures
-    // 0.0 MiB of shuffle here). The side tag replaces the fixture's
-    // vec_id-range split so arbitrary frames keep the single-persist shape.
-    val base = corpus
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+  def knnJoinOn(corpus: DataFrame, probes: DataFrame, k: Int = 3): DataFrame =
+    knnJoinTagged(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"),
         lit(false).as("is_probe"))
       .unionByName(probes.select(col("vec_id"),
-        asDouble(col("embedding")).as("v"), lit(true).as("is_probe")))
+        asDouble(col("embedding")).as("v"), lit(true).as("is_probe"))), k)
+
+  /** Core over a side-tagged (vec_id, v, is_probe) frame. One pass
+    * computes norm + all 8 band keys per vector, persisted: the un-cached
+    * formulation re-executed the scan + 64-plane signature five times
+    * (keys feeds a self-join, the exact-cosine scoring joins back twice) —
+    * the query's dominant cost, since every join is broadcast (AqeAudit
+    * measures 0.0 MiB of shuffle here).
+    */
+  private def knnJoinTagged(tagged: DataFrame, k: Int): DataFrame = {
+    val base = tagged
       .withColumn("nrm", dot(col("v"), col("v")))
       .withColumn("bk", Hyperplanes.bandKeys(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -152,9 +152,13 @@ object TimeOps {
       rightPrefix: String = ""): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightPayload = right.columns.toSeq.filterNot(on.contains)
-    require(rightPrefix.nonEmpty ||
-      rightPayload.toSet.intersect(leftCols.toSet).isEmpty,
-      s"left/right column collision ${rightPayload.toSet.intersect(leftCols.toSet)}; pass rightPrefix")
+    // validate the POST-prefix output names: a prefix that still collides
+    // (left "r_v" vs prefixed right "r_" + "v") would emit duplicate
+    // columns and ambiguous downstream references
+    val collisions =
+      rightPayload.map(rightPrefix + _).toSet.intersect(leftCols.toSet)
+    require(collisions.isEmpty,
+      s"output column collision $collisions; pass a distinct rightPrefix")
     val lStruct = struct(leftCols.map(col): _*)
     val rStruct = struct(rightPayload.map(col): _*)
     val lType = left.select(lStruct.as("s")).schema("s").dataType

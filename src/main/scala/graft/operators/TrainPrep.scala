@@ -71,7 +71,15 @@ object TrainPrep {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalGrams = docs.filter(col("doc_id") % 97 === 0)
       .select(explode(col("shingles")).as("gram")).distinct()
-    docs.filter(col("doc_id") % 97 =!= 0)
+    scoreContamination(docs.filter(col("doc_id") % 97 =!= 0), evalGrams)
+  }
+
+  /** The shared scoring tail of both contamination paths: per-doc matched
+    * grams against the broadcast eval set, rounded hit fraction.
+    */
+  private def scoreContamination(
+      trainShingles: DataFrame, evalGrams: DataFrame): DataFrame =
+    trainShingles
       .select(col("doc_id"), size(col("shingles")).as("n_grams"),
         explode(col("shingles")).as("gram"))
       .join(broadcast(evalGrams), "gram")
@@ -81,7 +89,6 @@ object TrainPrep {
       .select(col("doc_id"), col("n_grams"), col("hit_grams"),
         col("contamination"))
       .orderBy("doc_id")
-  }
 
   /** [[contamination]] over arbitrary train and eval corpora — train needs
     * (doc_id, text), eval needs (text). The eval side is shingled and
@@ -97,16 +104,7 @@ object TrainPrep {
     val evalGrams = Dedup
       .shingledOf(evalDocs.select(lit(0L).as("doc_id"), col("text")))
       .select(explode(col("shingles")).as("gram")).distinct()
-    trainSh
-      .select(col("doc_id"), size(col("shingles")).as("n_grams"),
-        explode(col("shingles")).as("gram"))
-      .join(broadcast(evalGrams), "gram")
-      .groupBy("doc_id", "n_grams")
-      .agg(count(lit(1)).cast("int").as("hit_grams"))
-      .withColumn("contamination", Norm.r4(col("hit_grams") / col("n_grams")))
-      .select(col("doc_id"), col("n_grams"), col("hit_grams"),
-        col("contamination"))
-      .orderBy("doc_id")
+    scoreContamination(trainSh, evalGrams)
   }
 
   /** PII scrubbing: redact long digit runs (IDs, phone-like numbers) from a
@@ -126,8 +124,11 @@ object TrainPrep {
     rows
       .select(col(idCol),
         regexp_replace(col(textCol), pat, "<ID>").as("scrubbed"),
-        expr(s"CAST(size(regexp_extract_all($textCol, '$pat', 0)) AS INT)")
-          .as("n_redactions"),
+        // native function, not an expr() SQL splice: a caller-supplied
+        // column name with spaces/hyphens/keywords must resolve exactly
+        // like the col(textCol) references beside it
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+          .cast("int").as("n_redactions"),
         (length(col(textCol)) -
           length(regexp_replace(col(textCol), pat, "")))
           .cast("int").as("chars_redacted"))

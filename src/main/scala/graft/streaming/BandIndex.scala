@@ -98,6 +98,27 @@ object BandIndex {
       spark.read.schema("bk LONG").parquet(files: _*)
   }
 
+  /** The crash-safety-critical publish step shared by [[append]] and
+    * [[compact]]: move each bucket's part files from the writer's tmp dir
+    * into the live layout under epoch-scoped names (readers match only the
+    * final names, so a crash mid-loop leaves a retryable partial that the
+    * next attempt supersedes), then drop the tmp dir.
+    */
+  private def publishBuckets(
+      fs: FileSystem, idxDir: Path, tmp: Path, id: Long): Unit = {
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("bucket="))
+      .foreach { bdir =>
+        val target = new Path(idxDir, bdir.getPath.getName)
+        fs.mkdirs(target)
+        fs.listStatus(bdir.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (p, i) =>
+            fs.rename(p, new Path(target, s"epoch-$id-$i.parquet"))
+          }
+      }
+    fs.delete(tmp, true)
+  }
+
   /** Publish `keys` (doc_id, bk) as epoch `epochId`'s index files.
     * Idempotent: a replay removes the epoch's previous files first, and
     * per-bucket part files land under epoch-scoped names via rename, so a
@@ -126,17 +147,7 @@ object BandIndex {
             .foreach(st => fs.delete(st.getPath, false))
         }
     }
-    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("bucket="))
-      .foreach { bdir =>
-        val target = new Path(idxDir, bdir.getPath.getName)
-        fs.mkdirs(target)
-        fs.listStatus(bdir.getPath).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).zipWithIndex
-          .foreach { case (p, i) =>
-            fs.rename(p, new Path(target, s"epoch-$epochId-$i.parquet"))
-          }
-      }
-    fs.delete(tmp, true)
+    publishBuckets(fs, idxDir, tmp, epochId)
   }
 
   /** Consolidate the index's accumulated per-epoch files into ONE
@@ -194,17 +205,7 @@ object BandIndex {
       .select(col("bk"), bucket(col("bk")).as("bucket"))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
-    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("bucket="))
-      .foreach { bdir =>
-        val target = new Path(idxDir, bdir.getPath.getName)
-        fs.mkdirs(target)
-        fs.listStatus(bdir.getPath).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).zipWithIndex
-          .foreach { case (p, i) =>
-            fs.rename(p, new Path(target, s"epoch-$cid-$i.parquet"))
-          }
-      }
-    fs.delete(tmp, true)
+    publishBuckets(fs, idxDir, tmp, cid)
     consumed.foreach { case (_, p) => fs.delete(p, false) }
   }
 
@@ -219,5 +220,16 @@ object BandIndex {
     val existing = graft.sink.CommitLog.readCommitted(spark, tableDir)
     if (existing.columns.contains("band_0"))
       append(StreamingNearDedup.bandKeys(existing), tableDir, BackfillEpoch)
+  }
+
+  /** Heal a pre-index table before its first probe: a banded table with
+    * committed rows but no index directory would silently probe an EMPTY
+    * key set — every near-dup of the old corpus would re-land.
+    * [[StreamingNearDedup]] calls this each epoch; after the first heal
+    * (or on any post-index table) it is a single fs.exists.
+    */
+  def ensureBackfilled(spark: SparkSession, tableDir: String): Unit = {
+    val fs = fsFor(spark, tableDir)
+    if (!fs.exists(new Path(dir(tableDir)))) backfill(spark, tableDir)
   }
 }

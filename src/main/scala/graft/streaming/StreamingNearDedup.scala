@@ -84,6 +84,10 @@ object StreamingNearDedup {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // heal a pre-index table before the first probe — without this, a
+        // jar upgrade resuming over an old banded table would probe an
+        // empty index and re-land every near-dup of the prior corpus
+        BandIndex.ensureBackfilled(spark, tableDir)
         val banded = withBands(batch).persist(MEMORY_AND_DISK)
         // the batch's keys feed four consumers (touched-bucket listing,
         // index probe, within-batch minima, index append) — persist once

@@ -319,6 +319,27 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(run(Some(3L)) === Map(1L -> None, 2L -> None, 3L -> None))
   }
 
+  test("clusterPairs leaves a caller-owned pair cache in place") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(Dedup.clusterPairs(pairs).count() === 3)
+      assert(pairs.storageLevel !== StorageLevel.NONE,
+        "clusterPairs must not unpersist a cache it did not create")
+    } finally pairs.unpersist(blocking = true)
+  }
+
+  test("piiScrubOn resolves column names col() accepts, not just SQL identifiers") {
+    import spark.implicits._
+    val out = graft.operators.TrainPrep.piiScrubOn(
+        Seq((1L, "id 9876543 ok")).toDF("row id", "user note"),
+        "row id", "user note")
+      .collect().head
+    assert(out.getString(1) === "id <ID> ok" && out.getInt(2) === 1)
+  }
+
   test("clusterPairs refuses to emit unconverged labels") {
     import spark.implicits._
     val longPath = (1L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")

@@ -329,9 +329,12 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(reAppended === expectedKeys,
       "a replayed epoch append must not change the key set")
     // backfill (pre-index table upgrade): rebuilding from the committed
-    // rows' band columns recovers exactly the LANDED docs' keys
+    // rows' band columns recovers exactly the LANDED docs' keys —
+    // exercised through ensureBackfilled, the per-epoch heal the stream
+    // loop calls, so a jar upgrade over a pre-index table cannot silently
+    // probe an empty key set
     fs.delete(new org.apache.hadoop.fs.Path(B.dir(tableDir)), true)
-    B.backfill(spark, tableDir)
+    B.ensureBackfilled(spark, tableDir)
     val landedKeys = bandSets(Seq(rows(0), rows(1))).values.flatten.toSet
     val refilled = B.readKeys(spark, tableDir, allBuckets, excludeEpoch = 999L)
       .as[Long].collect().toSet

@@ -118,25 +118,30 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
-      (name, median, samples.toSeq, !failed)
+      (name, median, samples.toSeq, failed)
     }
-    // a failed query must not contribute its near-zero elapsed time to the
-    // JSON: that would read as a speedup. Report failures explicitly and
-    // exclude them from both the per-query map and the total.
-    val qs = results.collect { case (k, v, _, true) => s"\"" + k + "\":" + v }
+    // A query with ZERO samples must not contribute its near-zero elapsed
+    // time to the JSON (that would read as a speedup) — excluded from the
+    // per-query map and the total, listed in `failed`. A query whose FIRST
+    // runs succeeded and a LATER repeat failed keeps its real samples (so
+    // one late transient doesn't erase measurements and make artifacts
+    // non-comparable) and is STILL listed in `failed` so the run is honest
+    // about it.
+    val scored = results.filter(_._3.nonEmpty)
+    val qs = scored.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sampleJson = results.collect { case (k, _, ss, true) =>
+    val sampleJson = scored.map { case (k, _, ss, _) =>
       s"\"" + k + "\":" + ss.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => s"\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, true) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, true) => v }.sum
+    val total = scored.map(_._2).sum
     // Per-family normalization summary so a reader can separate host noise
     // from regressions without cross-referencing local artifacts: for each
     // query family (the token after "q_"), the summed median, the query
     // count, and the floor-adjusted plan cost (sum - n*floor_sec — what the
     // family costs beyond the irreducible per-query scheduling price).
-    val famJson = results.collect { case (k, v, _, true) => (k.split("_")(1), v) }
+    val famJson = scored.map { case (k, v, _, _) => (k.split("_")(1), v) }
       .groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, rs) =>
         val s = rs.map(_._2).sum
         val adj = math.max(0.0, s - rs.size * floorSec)
@@ -156,7 +161,7 @@ object Bench {
         val txt = java.nio.file.Files.readString(p)
         val baseQ = "\"(q_\\w+)\":\\s*([0-9.]+)".r
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val mine = results.collect { case (k, v, _, true) if baseQ.contains(k) => k -> v }.toMap
+        val mine = scored.collect { case (k, v, _, _) if baseQ.contains(k) => k -> v }.toMap
         val (s1, s2) = (mine.values.sum, mine.keys.map(baseQ).sum)
         if (s2 > 0) s""","baseline_total":$s2,"baseline_queries":${mine.size},"vs_baseline":${s1 / s2}"""
         else ""

@@ -28,7 +28,15 @@ object DedupBench {
     // the flatness ratio needs epochs 1-3 and a distinct last-3 window
     val epochs =
       math.max(7, sys.env.getOrElse("SPARK_GRAFT_DEDUP_EPOCHS", "16").toInt)
-    val docsPerEpoch = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "2000").toInt
+    // rounded UP to a multiple of 10: the fixture's "dups never chain"
+    // guarantee needs the cross-epoch seed i - docsPerEpoch - 3 to stay
+    // ≡ 6 (mod 10) — true only when docsPerEpoch ≡ 0 — else a seed can
+    // itself be a mutated doc and chained near-dups skew the drop rate
+    // the flatness evidence relies on
+    val docsPerEpoch = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "2000").toInt
+      math.max(10, ((raw + 9) / 10) * 10)
+    }
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_DEDUP_COMPACT_EVERY", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -84,8 +92,24 @@ object DedupBench {
     // transient on a single epoch must not fake a growth trend
     def median(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
     val flatness = median(epochSecs.takeRight(3)) / median(epochSecs.slice(1, 4))
+    // compaction epochs separately: the tiered (LSM) compaction claims the
+    // PER-COMPACTION cost stays flat while the corpus grows — the old
+    // full-rewrite design's cost grew with the corpus even though probe
+    // epochs stayed flat. Ratio skips the first compaction (JIT, like
+    // epoch 1 above) and needs enough samples to mean anything.
+    val isCompact = (e: Int) => compactEvery > 0 && (e + 1) % compactEvery == 0
+    val compactSecs = epochSecs.zipWithIndex.collect {
+      case (s, e) if isCompact(e) => s
+    }
+    val compactFlat =
+      if (compactSecs.size >= 7)
+        f"${median(compactSecs.takeRight(3)) / median(compactSecs.slice(1, 4))}%.3f"
+      else "null"
+    val compactJson = compactSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    // per-tier file shape: the probe-side bound the tiering maintains
+    val st = graft.streaming.BandIndex.stats(spark, s"$dir/bench.docs")
     val secsJson = epochSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"near_dedup_ingest","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":${f"$flatness%.3f"}}""")
+    println(s"""{"metric":"near_dedup_ingest","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":${f"$flatness%.3f"},"compact_epoch_secs":$compactJson,"compact_late_over_early":$compactFlat,"index_delta_epochs":${st.deltaEpochs},"index_runs":${st.runs},"index_max_files_per_bucket":${st.maxFilesPerBucket}}""")
     spark.stop()
   }
 }

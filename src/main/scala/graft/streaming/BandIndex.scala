@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -36,7 +37,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * own files, so a half-written previous attempt can never make a batch
   * collide with itself), the data write is discarded as a replay, and the
   * index append re-publishes idempotently (stale attempt files for the
-  * epoch are removed first).
+  * epoch are removed first, leftover tmp dirs of any crashed attempt are
+  * swept). [[ensureBackfilled]] creates the index directory BEFORE the
+  * table's first data commit, so a replayed first epoch can never trigger a
+  * backfill of its own landed rows (which `excludeEpoch` could not hide).
+  *
+  * Single-writer contract: append and compact are only safe serial with
+  * each other — [[StreamingNearDedup]] enforces it with the lease in
+  * [[acquireLease]]/[[renewLease]], so a second concurrent stream on the
+  * same table fails fast instead of racing the rename-publish.
   */
 object BandIndex {
 
@@ -53,6 +62,12 @@ object BandIndex {
 
   /** Epoch id under which [[backfill]] publishes pre-index keys. */
   val BackfillEpoch: Long = -1L
+
+  /** Compacted runs (ids ≤ -2) in the same size class merge once this many
+    * accumulate — the LSM fan-out. Each key is rewritten O(log_F corpus)
+    * times over its lifetime instead of once per compaction.
+    */
+  val TierFanout = 4
 
   def dir(tableDir: String): String = s"$tableDir/$DirName"
 
@@ -119,16 +134,54 @@ object BandIndex {
     fs.delete(tmp, true)
   }
 
+  /** Sweep tmp dirs a crashed append/compact attempt left behind. Readers
+    * never see them (they match only final names), but a long-running
+    * ingest with occasional failures would otherwise accumulate dead files
+    * beside the index forever. Safe under the single-writer lease: any
+    * `.*.tmp-*` dir present when a new attempt STARTS is by definition a
+    * dead attempt (the live attempt creates its own tmp after this sweep).
+    */
+  private def cleanOrphans(fs: FileSystem, idxDir: Path): Unit =
+    if (fs.exists(idxDir)) {
+      fs.listStatus(idxDir)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isDirectory && n.startsWith(".") && n.contains(".tmp-")
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+
+  /** Every live index file, grouped by its epoch/run id:
+    * `id -> Seq[(path, bytes)]` across all buckets.
+    */
+  private def listIndex(fs: FileSystem, idxDir: Path): Map[Long, Seq[(Path, Long)]] =
+    if (!fs.exists(idxDir)) Map.empty
+    else fs.listStatus(idxDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .flatMap(bdir => fs.listStatus(bdir.getPath).toSeq)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case PartName(id) => Some(id.toLong -> (st.getPath, st.getLen))
+          case _ => None
+        }
+      }
+      .groupMap(_._1)(_._2)
+
   /** Publish `keys` (doc_id, bk) as epoch `epochId`'s index files.
     * Idempotent: a replay removes the epoch's previous files first, and
     * per-bucket part files land under epoch-scoped names via rename, so a
     * crashed attempt is invisible to readers (they match only the final
-    * names) and fully superseded on retry.
+    * names) and fully superseded on retry. The index directory is created
+    * even when `keys` is empty (all-short-doc batch), so
+    * [[ensureBackfilled]]'s heal stays a one-time event instead of
+    * re-scanning the table every epoch.
     */
   def append(keys: DataFrame, tableDir: String, epochId: Long): Unit = {
     val spark = keys.sparkSession
     val fs = fsFor(spark, tableDir)
     val idxDir = new Path(dir(tableDir))
+    fs.mkdirs(idxDir)
+    cleanOrphans(fs, idxDir)
     val tmp = new Path(idxDir, s".epoch-$epochId.tmp-${UUID.randomUUID}")
     // one file per populated bucket: the repartition clusters each bucket
     // into a single task before the partitioned write
@@ -136,77 +189,133 @@ object BandIndex {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
     // drop any files a previous crashed attempt of THIS epoch published
-    if (fs.exists(idxDir)) {
-      fs.listStatus(idxDir).filter(_.getPath.getName.startsWith("bucket="))
-        .foreach { bdir =>
-          fs.listStatus(bdir.getPath)
-            .filter(_.getPath.getName match {
-              case PartName(id) => id.toLong == epochId
-              case _ => false
-            })
-            .foreach(st => fs.delete(st.getPath, false))
-        }
-    }
+    fs.listStatus(idxDir).filter(_.getPath.getName.startsWith("bucket="))
+      .foreach { bdir =>
+        fs.listStatus(bdir.getPath)
+          .filter(_.getPath.getName match {
+            case PartName(id) => id.toLong == epochId
+            case _ => false
+          })
+          .foreach(st => fs.delete(st.getPath, false))
+      }
     publishBuckets(fs, idxDir, tmp, epochId)
   }
 
-  /** Consolidate the index's accumulated per-epoch files into ONE
-    * deduplicated file per bucket. A long-running ingest writes a file per
-    * (epoch, touched bucket), so after E epochs a bucket probe opens O(E)
-    * small files — compaction restores O(1) files per bucket, and the
-    * distinct() shrinks the keys to the set the semi-join actually needs.
+  /** Read `files`, dedup the keys, and publish them as one consolidated
+    * run under `newId`; the consumed files are deleted only AFTER the run
+    * is visible (a crash between leaves harmless duplicate keys that the
+    * next merge folds away — a left-semi probe is insensitive to dupes).
+    */
+  private def mergeFiles(spark: SparkSession, fs: FileSystem, idxDir: Path,
+      files: Seq[Path], newId: Long): Unit = {
+    val tmp = new Path(idxDir, s".compact.tmp-${UUID.randomUUID}")
+    spark.read.schema("bk LONG").parquet(files.map(_.toString): _*)
+      .distinct()
+      .select(col("bk"), bucket(col("bk")).as("bucket"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+    publishBuckets(fs, idxDir, tmp, newId)
+    files.foreach(p => fs.delete(p, false))
+  }
+
+  /** Size class of a run for tier selection: log_4 of its total bytes.
+    * Runs in the same class hold corpora within ~4× of each other — close
+    * enough that merging [[TierFanout]] of them roughly promotes the result
+    * one class up, the invariant the amortized-log cost rests on.
+    */
+  private def sizeClass(bytes: Long): Int =
+    (64 - java.lang.Long.numberOfLeadingZeros(math.max(bytes, 1L))) / 2
+
+  /** TIERED (LSM-style) consolidation of the index's accumulated files.
+    * A long-running ingest writes a file per (epoch, touched bucket), so
+    * after E epochs a bucket probe opens O(E) small files; compaction keeps
+    * that bounded WITHOUT the earlier design's full-index rewrite (which
+    * made every compaction O(total keys) — per-epoch amortized cost growing
+    * with the corpus even though probes stayed cheap):
+    *
+    *  1. L0 merge: all sealed per-epoch delta files (ids ≥ -1: streaming
+    *     epochs + backfill, minus `protectEpoch`) merge into ONE new run —
+    *     cost bounded by the keys ingested since the last compaction, a
+    *     constant per epoch, never by the corpus.
+    *  2. Tier ladder: whenever ≥ [[TierFanout]] runs (ids ≤ -2) land in the
+    *     same size class (log₄ bytes), they merge into one run of the next
+    *     class. Each key is rewritten O(log₄ corpus) times over its
+    *     lifetime; most compactions do only the L0 merge.
+    *
+    * Probe cost after compaction: per bucket ≤ (epochs since last compact)
+    * delta files + ≤ TierFanout·log₄(corpus) run files — O(log corpus),
+    * measured flat by `graft.DedupBench` (per-tier file counts in the
+    * artifact).
     *
     * Designed to run SERIALLY with the writer — [[StreamingNearDedup]]
-    * calls it inside foreachBatch every `compactEvery` epochs, where the
-    * stream thread is the index's only reader and writer, so no concurrent
-    * probe can observe the swap. `protectEpoch` (the in-flight epoch)
-    * keeps that epoch's files out of the consolidation so the readers'
-    * exclude-own-epoch replay guarantee stays exact: a consolidated file
-    * only ever holds keys of epochs a replay must still see.
+    * calls it inside foreachBatch every `compactEvery` epochs under the
+    * writer lease, so no concurrent probe can observe a swap.
+    * `protectEpoch` (the in-flight epoch) keeps that epoch's files out of
+    * the consolidation so the readers' exclude-own-epoch replay guarantee
+    * stays exact: a consolidated run only ever holds keys of epochs a
+    * replay must still see.
     *
-    * The consolidated files are published under a fresh NEGATIVE epoch id
-    * (one below the smallest id present, -2 at the earliest — [[BackfillEpoch]]
-    * is -1), which positive streaming epochs can never collide with and
-    * `excludeEpoch` never hides. Crash-safe: consolidated files are
-    * rename-published BEFORE the consumed files are deleted, and duplicate
-    * keys during the swap window are harmless to a left-semi probe.
-    *
-    * Cost model: each compaction rewrites the whole index — O(total keys),
-    * a distributed job over 8-byte keys, i.e. ~10⁻⁴ of corpus bytes
-    * (64 B of key per ~4 KB document), so even against a 100 TB corpus the
-    * rewrite touches tens of GB every `compactEvery` epochs. `graft.DedupBench`
-    * measures the resulting per-epoch profile: flat probe epochs with a
-    * visible constant bump on compaction epochs (late/early ratio ≤ 1 as
-    * the corpus grows 16×). If the rewrite ever mattered, the refinement is
-    * tiered (LSM-style) merging of small files only — the layout already
-    * supports it (any fresh negative id per merged tier).
+    * Runs are published under fresh NEGATIVE ids (one below the smallest id
+    * present; [[BackfillEpoch]] is -1, so runs start at -2), which positive
+    * streaming epochs can never collide with and `excludeEpoch` never
+    * hides. Crash-safe: runs are rename-published BEFORE the consumed files
+    * are deleted, and duplicate keys during the swap window are harmless to
+    * a left-semi probe.
     */
   def compact(spark: SparkSession, tableDir: String,
       protectEpoch: Long = Long.MinValue): Unit = {
     val fs = fsFor(spark, tableDir)
     val idxDir = new Path(dir(tableDir))
     if (!fs.exists(idxDir)) return
-    val byBucket = fs.listStatus(idxDir)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
-      .map { bdir =>
-        bdir.getPath -> fs.listStatus(bdir.getPath).map(_.getPath)
-          .flatMap(p => p.getName match {
-            case PartName(id) if id.toLong != protectEpoch => Some(id.toLong -> p)
-            case _ => None
-          })
+    cleanOrphans(fs, idxDir)
+    val state = listIndex(fs, idxDir)
+    if (state.isEmpty) return
+    var nextId = math.min(state.keys.min, -1L) - 1L
+    // L0: seal the per-epoch deltas into a run. Skipped when there is only
+    // one delta and nothing to fold it toward — a pure rewrite with no
+    // file-count gain; it merges on the next call instead.
+    val deltas = state.filter { case (id, _) =>
+      id >= BackfillEpoch && id != protectEpoch
+    }
+    if (deltas.size >= 2 || (deltas.nonEmpty && state.keys.exists(_ <= -2L))) {
+      mergeFiles(spark, fs, idxDir, deltas.values.flatten.map(_._1).toSeq, nextId)
+      nextId -= 1
+    }
+    // tier ladder: merge the lowest size class holding ≥ TierFanout runs,
+    // repeat until no class is over — a merge can promote its result into a
+    // fuller class, so loop to a fixpoint
+    var done = false
+    while (!done) {
+      val runs = listIndex(fs, idxDir).filter(_._1 <= -2L)
+      val classes = runs.groupBy { case (_, fl) => sizeClass(fl.map(_._2).sum) }
+      classes.filter(_._2.size >= TierFanout).keys.minOption match {
+        case Some(c) =>
+          mergeFiles(spark, fs, idxDir,
+            classes(c).values.flatten.map(_._1).toSeq, nextId)
+          nextId -= 1
+        case None => done = true
       }
-    val consumed = byBucket.flatMap(_._2)
-    // nothing to gain unless some bucket holds more than one file
-    if (!byBucket.exists(_._2.length > 1)) return
-    val cid = math.min(consumed.map(_._1).min, -1L) - 1L
-    val tmp = new Path(idxDir, s".compact.tmp-${UUID.randomUUID}")
-    spark.read.schema("bk LONG").parquet(consumed.map(_._2.toString): _*)
-      .distinct()
-      .select(col("bk"), bucket(col("bk")).as("bucket"))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
-    publishBuckets(fs, idxDir, tmp, cid)
-    consumed.foreach { case (_, p) => fs.delete(p, false) }
+    }
+  }
+
+  /** Per-tier shape of the index, for tests and `graft.DedupBench`'s
+    * file-count evidence: how many per-epoch delta ids, how many compacted
+    * runs, and the worst per-bucket file count a probe could open.
+    */
+  private[graft] case class IndexStats(
+      deltaEpochs: Int, runs: Int, maxFilesPerBucket: Int)
+
+  private[graft] def stats(spark: SparkSession, tableDir: String): IndexStats = {
+    val fs = fsFor(spark, tableDir)
+    val idxDir = new Path(dir(tableDir))
+    val state = listIndex(fs, idxDir)
+    val perBucket = state.values.flatten
+      .groupBy { case (p, _) => p.getParent.getName }
+      .map(_._2.size)
+    IndexStats(
+      deltaEpochs = state.keys.count(_ >= BackfillEpoch),
+      runs = state.keys.count(_ <= -2L),
+      maxFilesPerBucket = if (perBucket.isEmpty) 0 else perBucket.max)
   }
 
   /** One-off upgrade path for a table written before the index existed:
@@ -225,11 +334,116 @@ object BandIndex {
   /** Heal a pre-index table before its first probe: a banded table with
     * committed rows but no index directory would silently probe an EMPTY
     * key set — every near-dup of the old corpus would re-land.
-    * [[StreamingNearDedup]] calls this each epoch; after the first heal
-    * (or on any post-index table) it is a single fs.exists.
+    * [[StreamingNearDedup]] calls this each epoch BEFORE the epoch's data
+    * commit; after the first call the index directory exists and this is a
+    * single fs.exists.
+    *
+    * `replayingEpoch` closes the replay hole on a table THIS writer is the
+    * first to index: if the only committed rows belong to the epoch being
+    * replayed (a crash landed epoch e's data but not its index append, and
+    * no index dir exists — possible only for a table no epoch of this
+    * writer ever probed, since probes create the dir), backfilling them
+    * under [[BackfillEpoch]] would make the replayed batch collide with
+    * ITSELF — `excludeEpoch` cannot hide backfill-published keys. Skip the
+    * backfill instead: the replay recomputes against genuinely-earlier
+    * state (none), and the epoch's own append re-publishes its keys. The
+    * one residual corner is a PRE-INDEX jar's in-flight epoch replayed by
+    * this jar over an older corpus — its rows backfill alongside the old
+    * corpus and the replayed batch self-collides; the table stays correct
+    * because the sink discards the replayed commit, at the cost of that
+    * epoch's index holding a reduced key set until its append runs.
     */
-  def ensureBackfilled(spark: SparkSession, tableDir: String): Unit = {
+  def ensureBackfilled(spark: SparkSession, tableDir: String,
+      replayingEpoch: Long = Long.MinValue): Unit = {
     val fs = fsFor(spark, tableDir)
-    if (!fs.exists(new Path(dir(tableDir)))) backfill(spark, tableDir)
+    val idxDir = new Path(dir(tableDir))
+    if (!fs.exists(idxDir)) {
+      val committed = new graft.sink.CommitLog(
+        tableDir, spark.sparkContext.hadoopConfiguration).committedEpochs()
+      if (committed.exists(_ != replayingEpoch)) backfill(spark, tableDir)
+      // marker even when there was nothing to backfill (empty or
+      // skipped-replay table): the dir existing BEFORE the first data
+      // commit is what makes both the replay hole and the every-epoch
+      // re-backfill structurally impossible
+      fs.mkdirs(idxDir)
+    }
+  }
+
+  // ---- single-writer lease ------------------------------------------------
+
+  /** Lease file guarding the index's single-writer contract. Lives beside
+    * the index dir (`<table>/_banddex.lock`) so it survives index
+    * compaction and is visible before the first append.
+    */
+  def lockPath(tableDir: String): Path = new Path(s"${dir(tableDir)}.lock")
+
+  private def readLock(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+
+  private def writeLock(fs: FileSystem, p: Path, owner: String,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(owner.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Take the single-writer lease or fail fast. A live lease (younger than
+    * `staleMs`, held by someone else) aborts the start — the documented
+    * alternative is index corruption from two writers racing the
+    * rename-publish. A stale lease (holder crashed without releasing; the
+    * holder renews every epoch) is broken and taken over.
+    */
+  def acquireLease(spark: SparkSession, tableDir: String,
+      owner: String, staleMs: Long): Unit = {
+    val fs = fsFor(spark, tableDir)
+    val p = lockPath(tableDir)
+    readLock(fs, p).foreach { holder =>
+      val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      if (holder != owner && age < staleMs)
+        throw new IllegalStateException(
+          s"table $tableDir already has a live streaming near-dedup writer " +
+            s"(lease held by $holder, ${age} ms old, stale after ${staleMs} ms). " +
+            "BandIndex append/compact are only safe with a SINGLE writer — " +
+            "stop the other query first, or wait for its lease to go stale.")
+      fs.delete(p, false)
+    }
+    fs.mkdirs(p.getParent)
+    // create(overwrite = false): losing a creation race to another starter
+    // surfaces as an exception here instead of two writers proceeding
+    writeLock(fs, p, owner, overwrite = false)
+  }
+
+  /** Per-epoch heartbeat + ownership check: bumps the lease mtime and
+    * fails the query if another writer broke a stale lease and took over
+    * (split-brain guard — the usurped writer must stop, not keep
+    * publishing).
+    */
+  def renewLease(spark: SparkSession, tableDir: String, owner: String): Unit = {
+    val fs = fsFor(spark, tableDir)
+    val p = lockPath(tableDir)
+    readLock(fs, p) match {
+      case Some(h) if h == owner => writeLock(fs, p, owner, overwrite = true)
+      case other => throw new IllegalStateException(
+        s"writer $owner lost the lease on $tableDir (now held by " +
+          s"${other.getOrElse("nobody")}): another writer took over after " +
+          "the lease went stale; this query must stop.")
+    }
+  }
+
+  /** Drop the lease if still ours (query termination). */
+  def releaseLease(spark: SparkSession, tableDir: String, owner: String): Unit = {
+    val fs = fsFor(spark, tableDir)
+    val p = lockPath(tableDir)
+    if (readLock(fs, p).contains(owner)) fs.delete(p, false)
   }
 }

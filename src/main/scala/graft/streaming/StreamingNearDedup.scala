@@ -71,23 +71,40 @@ object StreamingNearDedup {
   /** `compactEvery` > 0 folds [[BandIndex.compact]] into the stream loop
     * every that-many epochs (serial with the writer, so the swap is
     * invisible to probes) — the self-maintaining posture a long-running
-    * ingest needs to keep per-bucket file counts O(1) instead of
+    * ingest needs to keep per-bucket file counts O(log corpus) instead of
     * O(epochs).
+    *
+    * Single-writer: start() takes the table's [[BandIndex]] writer lease
+    * and FAILS FAST if another live stream holds it — two concurrent
+    * writers would race the index's rename-publish and corrupt the dedup
+    * state. The lease is renewed every epoch (so a crashed writer's lease
+    * goes stale after `leaseStaleMs` and a restart can take over) and
+    * released when the query terminates.
     */
   def start(
       docs: DataFrame,
       path: String, db: String, table: String,
       checkpoint: String,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      leaseStaleMs: Long = 10L * 60 * 1000): StreamingQuery = {
     val tableDir = s"$path/$db.$table"
-    docs.writeStream
+    val owner = java.util.UUID.randomUUID.toString
+    BandIndex.acquireLease(docs.sparkSession, tableDir, owner, leaseStaleMs)
+    val query = docs.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // heartbeat + split-brain guard: fail the query if another writer
+        // broke our stale lease and took over
+        BandIndex.renewLease(spark, tableDir, owner)
         // heal a pre-index table before the first probe — without this, a
         // jar upgrade resuming over an old banded table would probe an
-        // empty index and re-land every near-dup of the prior corpus
-        BandIndex.ensureBackfilled(spark, tableDir)
+        // empty index and re-land every near-dup of the prior corpus.
+        // Passing the epoch makes a replayed FIRST epoch skip backfilling
+        // its own landed rows (it would collide with itself); the call also
+        // creates the index dir before the data commit, closing that window
+        // for every later epoch
+        BandIndex.ensureBackfilled(spark, tableDir, replayingEpoch = epochId)
         val banded = withBands(batch).persist(MEMORY_AND_DISK)
         // the batch's keys feed four consumers (touched-bucket listing,
         // index probe, within-batch minima, index append) — persist once
@@ -132,5 +149,21 @@ object StreamingNearDedup {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+    // release the lease when the query terminates (stop or failure). If the
+    // process dies before the event fires, the lease simply goes stale and
+    // the next starter breaks it after leaseStaleMs.
+    val session = docs.sparkSession
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          BandIndex.releaseLease(session, tableDir, owner)
+          session.streams.removeListener(this)
+        }
+    }
+    session.streams.addListener(listener)
+    query
   }
 }

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The streaming near-dedup side index's maintenance machinery at its
+  * failure boundaries: tiered compaction bounds, crash-window replay,
+  * the single-writer lease, and the first-epoch replay hole.
+  * (The probe semantics themselves are pinned in StreamingSurfaceSpec.)
+  */
+class BandIndexSpec extends SparkSpec {
+
+  private val B = graft.streaming.BandIndex
+  private def fsOf(tableDir: String) =
+    new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def allBuckets = (0 until B.NumBuckets).toSet
+  private def keysOf(tableDir: String): Set[Long] = {
+    import spark.implicits._
+    B.readKeys(spark, tableDir, allBuckets, excludeEpoch = Long.MaxValue)
+      .as[Long].collect().toSet
+  }
+  private def epochKeys(e: Int): Seq[Long] =
+    (e * 100 until e * 100 + 20).map(_.toLong)
+  private def appendEpoch(tableDir: String, e: Int): Unit = {
+    import spark.implicits._
+    B.append(epochKeys(e).map(k => (k, k)).toDF("doc_id", "bk"), tableDir, e.toLong)
+  }
+
+  test("tiered compaction: runs stay bounded, keys exact, protected epoch untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("banddex_tier").toString
+    val tableDir = s"$dir/corpus.docs"
+    val compactEvery = 4
+    var sawTierMerge = false
+    (0 until 16).foreach { e =>
+      appendEpoch(tableDir, e)
+      if ((e + 1) % compactEvery == 0) {
+        val runsBefore = B.stats(spark, tableDir).runs
+        B.compact(spark, tableDir, protectEpoch = e.toLong)
+        val st = B.stats(spark, tableDir)
+        // the ladder's invariant: TierFanout runs in one size class always
+        // merge, so the post-compact run count can never reach the fan-out
+        // ceiling for long (each L0 merge adds exactly one run per cycle)
+        assert(st.runs <= B.TierFanout,
+          s"after compact at epoch $e: ${st.runs} runs exceed the tier bound")
+        if (st.runs < runsBefore + 1 && runsBefore > 0) sawTierMerge = true
+        // probe-side bound: a bucket holds at most the runs + the protected
+        // epoch's delta + the not-yet-compacted deltas of this cycle
+        assert(st.maxFilesPerBucket <= B.TierFanout + compactEvery,
+          s"bucket file count ${st.maxFilesPerBucket} not bounded at epoch $e")
+        // keys survive every consolidation exactly
+        assert(keysOf(tableDir) === (0 to e).flatMap(epochKeys).toSet,
+          s"compaction at epoch $e changed the key set")
+        // the in-flight epoch's files must stay out of the consolidation
+        // (the replay exclude-own-epoch guarantee depends on it)
+        val protectedFiles = B.selectFiles(fsOf(tableDir), tableDir,
+          allBuckets, excludeEpoch = Long.MaxValue)
+          .filter(_.contains(s"epoch-$e-"))
+        assert(protectedFiles.nonEmpty,
+          s"protectEpoch=$e files were consumed by compaction")
+      }
+    }
+    // 16 epochs → 4 L0 runs of ~equal size: the ladder must have fired at
+    // least once (without it the 4th cycle would sit at 4 runs forever)
+    assert(sawTierMerge, "no tier merge ever fired across 4 same-class runs")
+  }
+
+  test("crash window: planted tmp dirs and stale attempt files are invisible, swept, and superseded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("banddex_crash").toString
+    val tableDir = s"$dir/corpus.docs"
+    val fs = fsOf(tableDir)
+    appendEpoch(tableDir, 0)
+    appendEpoch(tableDir, 1)
+    val idxDir = new Path(B.dir(tableDir))
+    // a crashed epoch-2 attempt: its un-renamed tmp dir survives with bogus
+    // keys inside...
+    val crashTmp = new Path(idxDir, ".epoch-2.tmp-crashed")
+    Seq(999999L).toDF("bk").coalesce(1)
+      .write.parquet(new Path(crashTmp, "bucket=3").toString)
+    // ...and a HALF-PUBLISHED attempt: publish renames per bucket, so a
+    // crash mid-loop leaves some buckets already holding final-named
+    // epoch-2 files (here: a stale key the retry no longer produces)
+    val staleTmp = new Path(idxDir, ".stale-build")
+    Seq(888888L).toDF("bk").coalesce(1).write.parquet(staleTmp.toString)
+    val stalePart = fs.listStatus(staleTmp)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val bdir = new Path(idxDir, "bucket=7")
+    fs.mkdirs(bdir)
+    fs.rename(stalePart, new Path(bdir, "epoch-2-0.parquet"))
+    fs.delete(staleTmp, true)
+    val planted = keysOf(tableDir) // sanity: the stale final-named file IS live
+    assert(planted.contains(888888L), "fixture must plant a visible stale file")
+    // the REPLAYING batch's own probe: epoch 2's files — stale attempt
+    // included — are invisible to it, so it cannot collide with itself
+    val probe = B.readKeys(spark, tableDir, allBuckets, excludeEpoch = 2L)
+      .as[Long].collect().toSet
+    assert(probe === (epochKeys(0) ++ epochKeys(1)).toSet,
+      "replay probe must see exactly the earlier epochs' keys")
+    // the replayed append supersedes the stale file and sweeps the tmp dir
+    appendEpoch(tableDir, 2)
+    assert(keysOf(tableDir) === (0 to 2).flatMap(epochKeys).toSet,
+      "replayed append must remove the crashed attempt's keys")
+    assert(!fs.exists(crashTmp), "orphaned tmp dir must be swept")
+    // a crashed COMPACT attempt sweeps the same way
+    val crashCompact = new Path(idxDir, ".compact.tmp-crashed")
+    Seq(777777L).toDF("bk").coalesce(1)
+      .write.parquet(new Path(crashCompact, "bucket=5").toString)
+    B.compact(spark, tableDir, protectEpoch = 2L)
+    assert(!fs.exists(crashCompact), "orphaned compact tmp must be swept")
+    assert(keysOf(tableDir) === (0 to 2).flatMap(epochKeys).toSet,
+      "compaction after the crash must preserve the exact key set")
+    assert(fs.listStatus(idxDir).forall(st =>
+      !st.getPath.getName.startsWith(".")), "no dot-dirs may remain")
+  }
+
+  test("single-writer lease: a second concurrent start fails fast; restart after stop proceeds with state intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("banddex_lease").toString
+    val tableDir = s"$dir/corpus.docs"
+    val base = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.StreamingNearDedup.start(
+      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp")
+    in.addData((1L, base))
+    q1.processAllAvailable()
+    // second writer on the same table: refused before any query starts
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamingNearDedup.start(
+        in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp2")
+    }
+    assert(e.getMessage.contains("SINGLE writer"))
+    q1.stop()
+    // release is asynchronous (query-terminated listener) — wait for it
+    val fs = fsOf(tableDir)
+    val deadline = System.currentTimeMillis() + 15000
+    while (fs.exists(B.lockPath(tableDir)) &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(!fs.exists(B.lockPath(tableDir)), "stop must release the lease")
+    // restart from the same checkpoint: lease re-acquired, and the index
+    // carries the dedup state across writers — a near-dup of the first
+    // writer's doc is still dropped
+    val q2 = graft.streaming.StreamingNearDedup.start(
+      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp")
+    in.addData(
+      (2L, (1 to 24).map(i => if (i == 12) "CHANGED" else s"tok$i").mkString(" ")),
+      (3L, (100 to 123).map(i => s"other$i").mkString(" ")))
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = graft.sink.CommitLog.readCommitted(spark, tableDir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L),
+      "the near-dup must be dropped against the PREVIOUS writer's corpus")
+  }
+
+  test("replay hole: a replayed first epoch never backfills its own rows; heal is one-time even for keyless tables") {
+    import spark.implicits._
+    // (a) crash between the very first data commit and the index append:
+    // the replay must NOT backfill the epoch's own landed rows (the probe
+    // could not hide them — backfill publishes under epoch -1)
+    val dir = java.nio.file.Files.createTempDirectory("banddex_replay").toString
+    val tableDir = s"$dir/corpus.docs"
+    val docs = Seq((1L, (1 to 24).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.streaming.StreamingNearDedup.withBands(docs)
+      .write.format("graft-streaming").mode("append")
+      .option("path", dir).option("db", "corpus").option("table", "docs")
+      .option(graft.sink.GraftSinkOptions.COMMIT_EPOCH, 0L)
+      .save()
+    val fs = fsOf(tableDir)
+    assert(!fs.exists(new Path(B.dir(tableDir))), "fixture: data but no index")
+    B.ensureBackfilled(spark, tableDir, replayingEpoch = 0L)
+    assert(fs.exists(new Path(B.dir(tableDir))),
+      "the heal must create the index dir so it never re-fires")
+    assert(keysOf(tableDir).isEmpty,
+      "the replaying epoch's own rows must not be backfilled — " +
+        "excludeEpoch cannot hide backfill-published keys")
+    // contrast: the same table replayed at a LATER epoch does backfill the
+    // genuinely-earlier corpus
+    val dir2 = java.nio.file.Files.createTempDirectory("banddex_replay2").toString
+    val tableDir2 = s"$dir2/corpus.docs"
+    graft.streaming.StreamingNearDedup.withBands(docs)
+      .write.format("graft-streaming").mode("append")
+      .option("path", dir2).option("db", "corpus").option("table", "docs")
+      .option(graft.sink.GraftSinkOptions.COMMIT_EPOCH, 0L)
+      .save()
+    B.ensureBackfilled(spark, tableDir2, replayingEpoch = 1L)
+    assert(keysOf(tableDir2).nonEmpty,
+      "a pre-index corpus below the replaying epoch must be backfilled")
+    // (b) an all-short-doc epoch publishes no keys, but its append must
+    // still create the index dir — otherwise ensureBackfilled re-runs a
+    // full-table backfill scan EVERY epoch
+    val dir3 = java.nio.file.Files.createTempDirectory("banddex_empty").toString
+    val tableDir3 = s"$dir3/corpus.docs"
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bk",
+          org.apache.spark.sql.types.LongType))))
+    B.append(empty, tableDir3, 0L)
+    assert(fsOf(tableDir3).exists(new Path(B.dir(tableDir3))),
+      "an empty append must still create the index dir (one-time heal)")
+  }
+}

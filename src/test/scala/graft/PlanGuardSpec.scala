@@ -140,6 +140,78 @@ class PlanGuardSpec extends SparkSpec {
 
   // --- probe-as-parameter overloads (VERDICT r5 #5) ---
 
+  // --- generic *On forms over NON-fixture frames (VERDICT r7 #4) ---
+  // the fixture queries delegate to the same code paths, but a user-shaped
+  // frame with different lineage/stats could legally pick a different
+  // strategy; pin the guarantees on a frame that shares nothing with the
+  // fixture tables
+
+  import org.apache.spark.sql.functions._
+
+  private def userCorpus(n: Int) = {
+    val toks = transform(sequence(lit(0), lit(29)),
+      i => concat(lit("w"), pmod(col("id") * 31 + i * 13, lit(2003))))
+    spark.range(n).select(col("id").as("doc_id"),
+      pmod(col("id"), lit(3)).cast("string").as("lang"),
+      array_join(toks, " ").as("text"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  test("minhashLshOn / ngramJaccardOn never reach a SortMergeJoin on a user frame") {
+    val docs = userCorpus(500)
+    for ((name, df) <- Seq(
+        "minhashLshOn" -> graft.operators.Dedup
+          .minhashLshOn(docs.select(col("doc_id"), col("text"))),
+        "ngramJaccardOn" -> graft.operators.Dedup
+          .ngramJaccardOn(docs.select(col("doc_id"), col("lang"),
+            col("n_chars"), col("text"))))) {
+      val plan = df.queryExecution.explainString(FormattedMode)
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name regressed to a sort-merge join on a user frame:\n$plan")
+    }
+  }
+
+  test("qualityGateOn stays zero-shuffle before its contract sort on a user frame") {
+    val plan = graft.operators.Text
+      .qualityGateOn(userCorpus(500).select(col("doc_id"), col("n_chars"), col("text")))
+      .queryExecution.explainString(FormattedMode)
+    // ≤ 1: the only permissible exchange is the contract sort's — and on
+    // this already-id-ordered frame Catalyst elides even that (0 exchanges)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges <= 1, s"expected at most the sort exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"no aggregation/join shuffle may appear:\n$plan")
+  }
+
+  test("contaminationOn keeps the broadcast eval-gram join on user frames") {
+    val docs = userCorpus(500)
+    val eval = userCorpus(40).select((col("doc_id") + 10000).as("doc_id"),
+      col("text"))
+    val plan = graft.operators.TrainPrep
+      .contaminationOn(docs.select(col("doc_id"), col("text")), eval)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-gram join must be broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"eval-gram join regressed to sort-merge:\n$plan")
+  }
+
+  test("profileStats(approx = true) plans without an Expand") {
+    // the exact default pays a 5-way Expand for its countDistincts (the
+    // oracle-forced shape); the at-scale variant must swap ALL of them for
+    // mergeable HLL sketches — one Expand left behind means one column
+    // still multiplies the scan
+    val approx = graft.operators.TrainPrep
+      .profileStats(spark, sf0001, approx = true)
+      .queryExecution.explainString(FormattedMode)
+    assert(!approx.contains("Expand"),
+      s"approx profile must not expand the scan:\n$approx")
+    val exact = graft.operators.TrainPrep.profileStats(spark, sf0001)
+      .queryExecution.explainString(FormattedMode)
+    assert(exact.contains("Expand"),
+      "guard self-check: the exact default is the Expand-paying shape")
+  }
+
   test("literal-probe similarity plans derive no probe from the corpus") {
     import graft.operators.Similarity
     val probe = Seq.tabulate(64)(i => (i % 7).toDouble / 7.0)

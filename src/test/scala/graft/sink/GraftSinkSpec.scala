@@ -256,6 +256,35 @@ class GraftSinkSpec extends SparkSpec {
     assert(got.toSeq === (1L to 60L), "relay must deliver each row exactly once")
   }
 
+  test("read path prunes partitions: an equality predicate skips foreign directories") {
+    import spark.implicits._
+    val dir = tmp()
+    (1 to 60).map(i => (i, if (i % 3 == 0) "EU" else if (i % 3 == 1) "US" else "AP", s"m$i"))
+      .toDF("id", "region", "msg")
+      .write.format("graft-streaming").mode("append")
+      .options(opts(dir, "partition.columns" -> "region")).save()
+    val all = new CommitLog(s"$dir/testdb.t",
+      spark.sparkContext.hadoopConfiguration).committedFiles()
+    assert(all.exists(_.contains("region=EU")) && all.exists(_.contains("region=US")))
+    val df = spark.read.format("graft-streaming")
+      .options(opts(dir)).load().filter($"region" === "EU")
+    // the pushed predicate must reach OUR scan through Spark's DSv2
+    // pushdown, and planning must then skip every foreign region=... file —
+    // the A5-inverse guarantee: routing rows INTO partition dirs is only
+    // worth it if a partition predicate avoids reading the others back
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[GraftScan]
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    val planned = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[GraftInputPartition].file)
+    assert(planned.nonEmpty && planned.forall(_.contains("region=EU")),
+      s"scan planned foreign partitions: ${planned.mkString("\n")}")
+    assert(planned.length < all.length,
+      "pruning must plan strictly fewer files than the table holds")
+    assert(df.count() === 20)
+  }
+
   test("read path: never-written table fails with a clear message") {
     val dir = tmp()
     val e = intercept[Exception] {

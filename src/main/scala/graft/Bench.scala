@@ -147,6 +147,15 @@ object Bench {
         val adj = math.max(0.0, s - rs.size * floorSec)
         f"""\"$fam\":{\"sec\":$s%.3f,\"n\":${rs.size},\"above_floor\":$adj%.3f}"""
       }.mkString("{", ",", "}")
+    // The driver's artifact keeps only the TAIL of the output, which
+    // truncates the full per-query samples map away — so re-emit just the
+    // 3 slowest queries' samples near the end of the line, where they
+    // survive. That is exactly the data a driver-vs-local residual
+    // analysis needs (the heavy lines are where host effects concentrate):
+    // uniform spread = host speed, one outlier sample = transient skew.
+    val slowSamples = scored.sortBy(-_._2).take(3).map { case (k, _, ss, _) =>
+      s"\"" + k + "\":" + ss.map(s => f"$s%.2f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // self-report the declared-baseline ratio (BASELINE.md convention: sum
     // over the intersection of query names vs the pinned DuckDB totals)
     // whenever the pinned baseline for this scale factor is present
@@ -167,7 +176,7 @@ object Bench {
         else ""
       } else ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"failed":$failed,"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$vsBaseline}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"slow_samples":$slowSamples,"failed":$failed,"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$vsBaseline}""")
     spark.stop()
   }
 }

@@ -90,7 +90,10 @@ object StreamingNearDedup {
     val tableDir = s"$path/$db.$table"
     val owner = java.util.UUID.randomUUID.toString
     BandIndex.acquireLease(docs.sparkSession, tableDir, owner, leaseStaleMs)
-    val query = docs.writeStream
+    // from here on the lease must not leak: if query CONSTRUCTION fails
+    // (bad checkpoint, analysis error), release immediately rather than
+    // blocking every retry for leaseStaleMs
+    val query = try { docs.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -149,6 +152,11 @@ object StreamingNearDedup {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+    } catch {
+      case e: Throwable =>
+        BandIndex.releaseLease(docs.sparkSession, tableDir, owner)
+        throw e
+    }
     // release the lease when the query terminates (stop or failure). If the
     // process dies before the event fires, the lease simply goes stale and
     // the next starter breaks it after leaseStaleMs.

@@ -153,6 +153,32 @@ class BandIndexSpec extends SparkSpec {
       "the near-dup must be dropped against the PREVIOUS writer's corpus")
   }
 
+  test("lease lifecycle: stale locks are broken, a usurped writer fails its renew") {
+    val dir = java.nio.file.Files.createTempDirectory("banddex_stale").toString
+    val tableDir = s"$dir/corpus.docs"
+    // writer A acquires, then "crashes" (no release, no renewals)
+    B.acquireLease(spark, tableDir, "writer-A", staleMs = 100L)
+    // a live lease refuses a taker...
+    intercept[IllegalStateException] {
+      B.acquireLease(spark, tableDir, "writer-B", staleMs = 60000L)
+    }
+    Thread.sleep(150)
+    // ...but once stale (crashed holder stopped renewing) it is broken and
+    // taken over — the crash-recovery path a restart relies on
+    B.acquireLease(spark, tableDir, "writer-B", staleMs = 100L)
+    // the usurped writer's next heartbeat must FAIL (split-brain guard):
+    // were it allowed to continue, two writers would interleave publishes
+    val e = intercept[IllegalStateException] {
+      B.renewLease(spark, tableDir, "writer-A")
+    }
+    assert(e.getMessage.contains("lost the lease"))
+    // the live holder's renew keeps working, and release frees the table
+    B.renewLease(spark, tableDir, "writer-B")
+    B.releaseLease(spark, tableDir, "writer-B")
+    B.acquireLease(spark, tableDir, "writer-C", staleMs = 60000L)
+    B.releaseLease(spark, tableDir, "writer-C")
+  }
+
   test("replay hole: a replayed first epoch never backfills its own rows; heal is one-time even for keyless tables") {
     import spark.implicits._
     // (a) crash between the very first data commit and the index append:

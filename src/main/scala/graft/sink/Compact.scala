@@ -45,10 +45,32 @@ object Compact {
     * @param lockStaleMillis age past which a crashed compactor's lock is
     *                        reclaimed; must exceed the longest expected
     *                        compaction.
+    * @param protectEpoch manifest id to EXCLUDE from the consolidation.
+    *                     A streaming writer folding compaction into its own
+    *                     loop passes its in-flight epoch: that is the only
+    *                     epoch a crash can replay, and replaying a
+    *                     tombstoned epoch fails loudly by design — every
+    *                     older streaming epoch is checkpoint-acknowledged
+    *                     (epoch e only runs after e-1's ack) and can never
+    *                     replay, so consuming those is safe.
+    * @param deltasOnly   consolidate only the streaming DELTA manifests
+    *                     (ids ≥ 0), leaving previous compaction results
+    *                     untouched — an L0-style minor compaction whose
+    *                     cost is bounded by the bytes ingested since the
+    *                     last one, never the table size (the in-loop
+    *                     posture; a full run every cycle would rewrite the
+    *                     whole table — O(corpus) per cycle, the same
+    *                     growing-cost pattern BandIndex's tiering removes).
+    *                     Prior compaction manifests stay live and keep
+    *                     their own tombstones, so no carry-forward is
+    *                     needed; a periodic FULL run (deltasOnly = false)
+    *                     folds the accumulated minor files together.
     */
   def run(tableDir: String, conf: Configuration,
       retainMillis: Long = 10 * 60 * 1000L,
-      lockStaleMillis: Long = 30 * 60 * 1000L): Result = {
+      lockStaleMillis: Long = 30 * 60 * 1000L,
+      protectEpoch: Long = Long.MinValue,
+      deltasOnly: Boolean = false): Result = {
     val log = new CommitLog(tableDir, conf)
     val fs = new Path(tableDir).getFileSystem(conf)
     // one compactor at a time: exclusive-create lock. Stale-lock reclaim is
@@ -70,7 +92,7 @@ object Compact {
           s"Another compaction holds $lock; concurrent compactions would " +
             "duplicate every row")
     }
-    try doRun(log, fs, tableDir, retainMillis)
+    try doRun(log, fs, tableDir, retainMillis, protectEpoch, deltasOnly)
     finally fs.delete(lock, false)
   }
 
@@ -78,10 +100,14 @@ object Compact {
       log: CommitLog,
       fileSystem: org.apache.hadoop.fs.FileSystem,
       tableDir: String,
-      retainMillis: Long): Result = {
+      retainMillis: Long,
+      protectEpoch: Long,
+      deltasOnly: Boolean): Result = {
     val fs = fileSystem
     purgeExpiredTrash(fs, tableDir, retainMillis)
     val live = log.manifests()
+      .filter(m => m.epochId != protectEpoch &&
+        (!deltasOnly || m.epochId >= 0))
     if (live.size <= 1) return Result(0, 0, 0)
     val oldFiles = live.flatMap(_.files)
     if (oldFiles.isEmpty) return Result(0, 0, 0)
@@ -112,8 +138,13 @@ object Compact {
     // tombstones carry forward TRANSITIVELY: include every previously
     // superseded id so a crashed cleanup's leftover manifests can never be
     // resurrected once the manifest holding their tombstone is itself
-    // compacted away
-    val tombstones = (live.map(_.epochId) ++ log.allTombstones()).distinct
+    // compacted away. A deltas-only run leaves prior compaction manifests
+    // (and the tombstones they hold) live, so it must NOT re-list them —
+    // a listed id HIDES that manifest, and hiding a live compaction
+    // manifest would drop its rows
+    val tombstones =
+      (live.map(_.epochId) ++
+        (if (deltasOnly) Seq.empty else log.allTombstones())).distinct
     var epoch = -math.abs(System.nanoTime())
     while (!log.commit(epoch, newFiles,
         supersedes = tombstones,

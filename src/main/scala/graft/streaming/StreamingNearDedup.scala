@@ -81,12 +81,24 @@ object StreamingNearDedup {
     * goes stale after `leaseStaleMs` and a restart can take over) and
     * released when the query terminates.
     */
+  /** `compactTableEvery` > 0 additionally folds a MINOR data-table
+    * compaction ([[graft.sink.Compact]] with `deltasOnly`) into the loop:
+    * the per-epoch delta files consolidate into one file per cycle, so a
+    * downstream batch reader of an unbounded ingest plans O(epochs /
+    * compactTableEvery) files instead of O(epochs). Cost per cycle is
+    * bounded by bytes ingested since the last one (never table size), and
+    * the in-flight epoch is protected so replays stay exact. Off by
+    * default: compaction makes a tail restarting from an offset BELOW the
+    * consolidation watermark unable to replay those epochs individually —
+    * the documented log-compaction trade a deployment opts into.
+    */
   def start(
       docs: DataFrame,
       path: String, db: String, table: String,
       checkpoint: String,
       compactEvery: Int = 0,
-      leaseStaleMs: Long = 10L * 60 * 1000): StreamingQuery = {
+      leaseStaleMs: Long = 10L * 60 * 1000,
+      compactTableEvery: Int = 0): StreamingQuery = {
     val tableDir = s"$path/$db.$table"
     val owner = java.util.UUID.randomUUID.toString
     BandIndex.acquireLease(docs.sparkSession, tableDir, owner, leaseStaleMs)
@@ -146,6 +158,10 @@ object StreamingNearDedup {
         BandIndex.append(keys, tableDir, epochId)
         if (compactEvery > 0 && (epochId + 1) % compactEvery == 0)
           BandIndex.compact(spark, tableDir, protectEpoch = epochId)
+        if (compactTableEvery > 0 && (epochId + 1) % compactTableEvery == 0)
+          graft.sink.Compact.run(tableDir,
+            spark.sparkContext.hadoopConfiguration,
+            protectEpoch = epochId, deltasOnly = true)
         keys.unpersist()
         banded.unpersist()
         ()

@@ -342,6 +342,44 @@ class StreamingSurfaceSpec extends SparkSpec {
       "backfill must recover the landed docs' band keys from the table")
   }
 
+  test("in-loop table compaction: self-maintaining ingest keeps manifests bounded, dedup state intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sndtc").toString
+    val tableDir = s"$dir/corpus.docs"
+    val mk = (seed: Int) => (100 to 123).map(i => s"w$seed-$i").mkString(" ")
+    val rows = Seq(
+      (1L, mk(1)), (2L, mk(2)),   // epoch 0
+      (3L, mk(1)), (4L, mk(3)),   // epoch 1: 3 = exact dup of 1, dropped
+      (5L, mk(4)),                // epoch 2
+      (6L, mk(2)), (7L, mk(5)))   // epoch 3: 6 dups the COMPACTED epoch-0 doc
+    val in = MemoryStream[(Long, String)]
+    // both maintenance loops on: the index compacts AND the data table
+    // minor-compacts, while dedup must keep working across the swaps —
+    // including against a doc whose epoch was already consolidated
+    val q = graft.streaming.StreamingNearDedup.start(
+      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp",
+      compactEvery = 2, compactTableEvery = 2)
+    Seq(Seq(rows(0), rows(1)), Seq(rows(2), rows(3)), Seq(rows(4)),
+      Seq(rows(5), rows(6))).foreach { chunk =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val kept = graft.sink.CommitLog.readCommitted(spark, tableDir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L, 4L, 5L, 7L),
+      "dedup must hold across index AND table compaction")
+    val log = new graft.sink.CommitLog(tableDir,
+      spark.sparkContext.hadoopConfiguration)
+    val epochs = log.committedEpochs()
+    // 4 streaming epochs landed, but the live manifest set is consolidated:
+    // minors + the protected tail, never one manifest per epoch
+    assert(epochs.count(_ < 0) >= 1, s"no minor manifest published: $epochs")
+    assert(epochs.count(_ >= 0) <= 2,
+      s"delta manifests must consolidate, got $epochs")
+  }
+
   test("streaming NEAR-dedup matches the policy simulation over the 500-doc corpus") {
     // the fixture test pins the policy on hand-built chains; this runs the
     // REAL documents table (sf0.001, 500 docs with organic near-dups)

@@ -494,6 +494,46 @@ class GraftSinkSpec extends SparkSpec {
     assert(ks.toSeq === Seq("__NULL__", "real"), s"got ${ks.toSeq}")
   }
 
+  test("minor (deltas-only) compaction consolidates streaming deltas, protects the in-flight epoch, leaves prior minors live") {
+    import spark.implicits._
+    val dir = tmp()
+    val tableDir = s"$dir/testdb.t"
+    def writeEpoch(e: Long): Unit =
+      Seq((e.toInt, s"m$e")).toDF("id", "msg")
+        .write.format("graft-streaming").mode("append")
+        .options(opts(dir)).option(GraftSinkOptions.COMMIT_EPOCH, e).save()
+    (0L to 3L).foreach(writeEpoch)
+    val log = new CommitLog(tableDir, spark.sparkContext.hadoopConfiguration)
+    val r1 = Compact.run(tableDir, spark.sparkContext.hadoopConfiguration,
+      retainMillis = 0, protectEpoch = 3L, deltasOnly = true)
+    assert(r1.supersededEpochs === 3, "epochs 0-2 consume; 3 is protected")
+    val after1 = log.committedEpochs()
+    assert(after1.count(_ < 0) === 1 && after1.contains(3L),
+      s"expected one minor manifest + the protected epoch, got $after1")
+    assert(CommitLog.readCommitted(spark, tableDir).count() === 4)
+    // protected epoch is NOT tombstoned: its replayed commit still follows
+    // the normal idempotent discard path instead of failing loudly
+    assert(!log.allTombstones().contains(3L))
+    // second cycle: new deltas consolidate; the FIRST minor manifest stays
+    // live and untouched (L0 posture — cost bounded by new bytes)
+    (4L to 6L).foreach(writeEpoch)
+    val r2 = Compact.run(tableDir, spark.sparkContext.hadoopConfiguration,
+      retainMillis = 0, protectEpoch = 6L, deltasOnly = true)
+    assert(r2.supersededEpochs === 3, "epochs 3-5 consume this cycle")
+    val after2 = log.committedEpochs()
+    assert(after2.count(_ < 0) === 2 && after2.contains(6L),
+      s"expected two coexisting minor manifests, got $after2")
+    assert(CommitLog.readCommitted(spark, tableDir).count() === 7)
+    // a FULL run folds the minors together (the periodic major compaction)
+    Compact.run(tableDir, spark.sparkContext.hadoopConfiguration,
+      retainMillis = 0, protectEpoch = 6L)
+    val after3 = log.committedEpochs()
+    assert(after3.count(_ < 0) === 1 && after3.contains(6L),
+      s"major run must fold the minors, got $after3")
+    assert(CommitLog.readCommitted(spark, tableDir)
+      .select("id").as[Int].collect().sorted.toSeq === (0 to 6))
+  }
+
   test("compaction tombstones are transitive across generations") {
     val dir = tmp()
     val conf = spark.sparkContext.hadoopConfiguration

@@ -38,6 +38,9 @@ object DedupBench {
       math.max(10, ((raw + 9) / 10) * 10)
     }
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_DEDUP_COMPACT_EVERY", "4").toInt
+    // 0 = off (default): in-loop minor table compaction is an opt-in
+    val compactTableEvery =
+      sys.env.getOrElse("SPARK_GRAFT_DEDUP_COMPACT_TABLE_EVERY", "0").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,7 +74,8 @@ object DedupBench {
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamingNearDedup.start(
       in.toDF().toDF("doc_id", "text"),
-      dir, "bench", "docs", s"$dir/_cp", compactEvery = compactEvery)
+      dir, "bench", "docs", s"$dir/_cp", compactEvery = compactEvery,
+      compactTableEvery = compactTableEvery)
 
     val epochSecs = (0 until epochs).map { e =>
       val lo = e.toLong * docsPerEpoch
@@ -109,7 +113,7 @@ object DedupBench {
     // per-tier file shape: the probe-side bound the tiering maintains
     val st = graft.streaming.BandIndex.stats(spark, s"$dir/bench.docs")
     val secsJson = epochSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"near_dedup_ingest","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":${f"$flatness%.3f"},"compact_epoch_secs":$compactJson,"compact_late_over_early":$compactFlat,"index_delta_epochs":${st.deltaEpochs},"index_runs":${st.runs},"index_max_files_per_bucket":${st.maxFilesPerBucket}}""")
+    println(s"""{"metric":"near_dedup_ingest","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"compact_table_every":$compactTableEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":${f"$flatness%.3f"},"compact_epoch_secs":$compactJson,"compact_late_over_early":$compactFlat,"index_delta_epochs":${st.deltaEpochs},"index_runs":${st.runs},"index_max_files_per_bucket":${st.maxFilesPerBucket}}""")
     spark.stop()
   }
 }

@@ -101,7 +101,12 @@ object DedupBench {
     // full-rewrite design's cost grew with the corpus even though probe
     // epochs stayed flat. Ratio skips the first compaction (JIT, like
     // epoch 1 above) and needs enough samples to mean anything.
-    val isCompact = (e: Int) => compactEvery > 0 && (e + 1) % compactEvery == 0
+    // an epoch is a compaction epoch if EITHER maintenance loop fires on
+    // it — misattributing table-compaction cycles to the probe series
+    // would inflate the probe flatness ratio the evidence rests on
+    val isCompact = (e: Int) =>
+      (compactEvery > 0 && (e + 1) % compactEvery == 0) ||
+        (compactTableEvery > 0 && (e + 1) % compactTableEvery == 0)
     val compactSecs = epochSecs.zipWithIndex.collect {
       case (s, e) if isCompact(e) => s
     }

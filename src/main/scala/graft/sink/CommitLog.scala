@@ -92,16 +92,8 @@ final class CommitLog(tableDir: String, conf: Configuration) {
 
   private def readManifest(epochId: Long, p: Path): Option[Manifest] = {
     val text =
-      try {
-        val in = fs.open(p)
-        try {
-          val bytes = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-          new String(bytes.toByteArray, StandardCharsets.UTF_8)
-        } finally in.close()
-      } catch {
+      try CommitLog.readFully(fs, p)
+      catch {
         // deleted by concurrent compaction cleanup between list and open —
         // by then its superseding manifest is already visible
         case _: java.io.FileNotFoundException => return None
@@ -212,6 +204,21 @@ final class CommitLog(tableDir: String, conf: Configuration) {
 object CommitLog {
   val COMMITS_DIR = "_commits"
   private val ManifestName = "epoch-(-?\\d+)\\.manifest".r
+
+  /** Read a (small) file fully as UTF-8 — the one read loop shared by
+    * manifest, trash-ledger, and lease readers, so EOF/charset/close
+    * behavior can never drift between them.
+    */
+  private[graft] def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
   /** `k=v` path segments strictly BELOW the table root — never the
     * warehouse base path, which may itself contain `k=v`-shaped directories.

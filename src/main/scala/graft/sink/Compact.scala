@@ -96,6 +96,18 @@ object Compact {
     finally fs.delete(lock, false)
   }
 
+  /** Minor (deltas-only) results in the same log₄ size class fold once
+    * this many accumulate — the LSM fan-out, mirroring the band index's
+    * tiering. Without it an unbounded in-loop ingest accretes one live
+    * minor manifest per cycle, and every epoch commit's tombstone guard
+    * opens ALL negative manifests — per-epoch cost growing with run
+    * length. With it, negative manifests stay O(TierFanout · log₄ size).
+    */
+  val TierFanout = 4
+
+  private def sizeClass(bytes: Long): Int =
+    (64 - java.lang.Long.numberOfLeadingZeros(math.max(bytes, 1L))) / 2
+
   private def doRun(
       log: CommitLog,
       fileSystem: org.apache.hadoop.fs.FileSystem,
@@ -105,10 +117,47 @@ object Compact {
       deltasOnly: Boolean): Result = {
     val fs = fileSystem
     purgeExpiredTrash(fs, tableDir, retainMillis)
-    val live = log.manifests()
+    val first = log.manifests()
       .filter(m => m.epochId != protectEpoch &&
         (!deltasOnly || m.epochId >= 0))
-    if (live.size <= 1) return Result(0, 0, 0)
+    var result =
+      if (first.size <= 1) Result(0, 0, 0)
+      else consolidate(log, fs, tableDir, first, retainMillis)
+    if (deltasOnly) {
+      // tier ladder over the accumulated minor manifests: fold the lowest
+      // log₄ size class holding ≥ TierFanout of them, to a fixpoint (a
+      // fold can promote its result into a fuller class). Each row is
+      // rewritten O(log table) times over its lifetime; most cycles fold
+      // nothing.
+      var done = false
+      while (!done) {
+        val minors = log.manifests().filter(_.epochId < 0)
+        val classes = minors.groupBy(m => sizeClass(
+          m.files.map(f => fs.getFileStatus(new Path(f)).getLen).sum))
+        classes.filter(_._2.size >= TierFanout).keys.minOption match {
+          case Some(c) =>
+            val r = consolidate(log, fs, tableDir, classes(c), retainMillis)
+            result = Result(
+              result.consolidatedFiles + r.consolidatedFiles,
+              result.supersededEpochs + r.supersededEpochs,
+              result.removedFiles + r.removedFiles)
+          case None => done = true
+        }
+      }
+    }
+    result
+  }
+
+  /** Steps 2-4 of the protocol over an explicit manifest set: concatenate
+    * their files, publish ONE superseding manifest, lazily clean up.
+    */
+  private def consolidate(
+      log: CommitLog,
+      fileSystem: org.apache.hadoop.fs.FileSystem,
+      tableDir: String,
+      live: Seq[CommitLog#Manifest],
+      retainMillis: Long): Result = {
+    val fs = fileSystem
     val oldFiles = live.flatMap(_.files)
     if (oldFiles.isEmpty) return Result(0, 0, 0)
     val raw = fs match {
@@ -135,16 +184,17 @@ object Compact {
     }.toSeq
 
     val watermark = log.streamingWatermark()
-    // tombstones carry forward TRANSITIVELY: include every previously
-    // superseded id so a crashed cleanup's leftover manifests can never be
-    // resurrected once the manifest holding their tombstone is itself
-    // compacted away. A deltas-only run leaves prior compaction manifests
-    // (and the tombstones they hold) live, so it must NOT re-list them —
-    // a listed id HIDES that manifest, and hiding a live compaction
-    // manifest would drop its rows
+    // tombstones carry forward TRANSITIVELY: the ids being consumed plus
+    // every id the CONSUMED manifests themselves superseded, so a crashed
+    // cleanup's leftovers can never be resurrected once the manifest
+    // holding their tombstone is itself compacted away. Manifests NOT
+    // consumed keep holding their own tombstones and must not be
+    // re-listed — a listed id HIDES that manifest, and hiding a live
+    // compaction manifest would drop its rows. (For a full run this equals
+    // the old allTombstones() formulation, since every negative manifest
+    // is in the consumed set.)
     val tombstones =
-      (live.map(_.epochId) ++
-        (if (deltasOnly) Seq.empty else log.allTombstones())).distinct
+      (live.map(_.epochId) ++ live.flatMap(_.supersedes)).distinct
     var epoch = -math.abs(System.nanoTime())
     while (!log.commit(epoch, newFiles,
         supersedes = tombstones,
@@ -178,14 +228,7 @@ object Compact {
       .foreach { st =>
         val ts = st.getPath.getName.stripPrefix(".trash-").toLong
         if (now - ts > retainMillis) {
-          val in = fs.open(st.getPath)
-          val text = try {
-            val bytes = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-            new String(bytes.toByteArray, "UTF-8")
-          } finally in.close()
+          val text = CommitLog.readFully(fs, st.getPath)
           text.split("\n").filter(_.nonEmpty)
             .foreach(f => fs.delete(new Path(f), false))
           fs.delete(st.getPath, false)

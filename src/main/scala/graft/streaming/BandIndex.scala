@@ -379,16 +379,7 @@ object BandIndex {
 
   private def readLock(fs: FileSystem, p: Path): Option[String] =
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](256)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8).trim)
-      } finally in.close()
-    }
+    else Some(graft.sink.CommitLog.readFully(fs, p).trim)
 
   private def writeLock(fs: FileSystem, p: Path, owner: String,
       overwrite: Boolean): Unit = {
@@ -401,7 +392,11 @@ object BandIndex {
     * `staleMs`, held by someone else) aborts the start — the documented
     * alternative is index corruption from two writers racing the
     * rename-publish. A stale lease (holder crashed without releasing; the
-    * holder renews every epoch) is broken and taken over.
+    * holder's heartbeat renews it continuously) is broken and taken over
+    * by RENAME: rename succeeds for exactly one contender, so two racing
+    * starters can never both reclaim — delete-then-create would let the
+    * loser delete the winner's fresh lock (the same reasoning as the sink
+    * compactor's lock, `Compact.scala`).
     */
   def acquireLease(spark: SparkSession, tableDir: String,
       owner: String, staleMs: Long): Unit = {
@@ -415,12 +410,21 @@ object BandIndex {
             s"(lease held by $holder, ${age} ms old, stale after ${staleMs} ms). " +
             "BandIndex append/compact are only safe with a SINGLE writer — " +
             "stop the other query first, or wait for its lease to go stale.")
-      fs.delete(p, false)
+      val claimed = new Path(p.getParent,
+        s".${p.getName}.stale-${UUID.randomUUID}")
+      if (fs.rename(p, claimed)) fs.delete(claimed, false)
+      // rename lost → another contender claimed the stale lease first; the
+      // create below races them and exactly one proceeds
     }
     fs.mkdirs(p.getParent)
     // create(overwrite = false): losing a creation race to another starter
-    // surfaces as an exception here instead of two writers proceeding
-    writeLock(fs, p, owner, overwrite = false)
+    // surfaces here instead of two writers proceeding
+    try writeLock(fs, p, owner, overwrite = false)
+    catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"lease on $tableDir was taken by a concurrent starter — " +
+          "exactly one writer may proceed; retry after it stops.", e)
+    }
   }
 
   /** Per-epoch heartbeat + ownership check: bumps the lease mtime and

@@ -101,6 +101,10 @@ object StreamingNearDedup {
       compactTableEvery: Int = 0): StreamingQuery = {
     val tableDir = s"$path/$db.$table"
     val owner = java.util.UUID.randomUUID.toString
+    // doubles as the monitor serializing every renew against the release:
+    // without it the heartbeat could re-create the lock file in the window
+    // right after stop() deleted it
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     BandIndex.acquireLease(docs.sparkSession, tableDir, owner, leaseStaleMs)
     // from here on the lease must not leak: if query CONSTRUCTION fails
     // (bad checkpoint, analysis error), release immediately rather than
@@ -109,9 +113,12 @@ object StreamingNearDedup {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        // heartbeat + split-brain guard: fail the query if another writer
-        // broke our stale lease and took over
-        BandIndex.renewLease(spark, tableDir, owner)
+        // per-epoch split-brain tripwire: fail the query if another writer
+        // broke our stale lease and took over (skipped once released —
+        // the query is already stopping)
+        released.synchronized {
+          if (!released.get()) BandIndex.renewLease(spark, tableDir, owner)
+        }
         // heal a pre-index table before the first probe — without this, a
         // jar upgrade resuming over an old banded table would probe an
         // empty index and re-land every near-dup of the prior corpus.
@@ -159,9 +166,20 @@ object StreamingNearDedup {
         if (compactEvery > 0 && (epochId + 1) % compactEvery == 0)
           BandIndex.compact(spark, tableDir, protectEpoch = epochId)
         if (compactTableEvery > 0 && (epochId + 1) % compactTableEvery == 0)
-          graft.sink.Compact.run(tableDir,
+          // best-effort maintenance: an external major compaction holding
+          // the compactor lock (or a leftover lock from a crash mid-cycle,
+          // reclaimable once older than the writer-lease staleness) skips
+          // THIS cycle rather than killing the whole ingest query — the
+          // next cycle retries
+          try graft.sink.Compact.run(tableDir,
             spark.sparkContext.hadoopConfiguration,
+            lockStaleMillis = leaseStaleMs,
             protectEpoch = epochId, deltasOnly = true)
+          catch { case e: IllegalStateException =>
+            System.err.println(
+              s"[graft] skipping in-loop table compaction (epoch $epochId): " +
+                e.getMessage)
+          }
         keys.unpersist()
         banded.unpersist()
         ()
@@ -173,21 +191,84 @@ object StreamingNearDedup {
         BandIndex.releaseLease(docs.sparkSession, tableDir, owner)
         throw e
     }
-    // release the lease when the query terminates (stop or failure). If the
-    // process dies before the event fires, the lease simply goes stale and
-    // the next starter breaks it after leaseStaleMs.
     val session = docs.sparkSession
+    // Heartbeat DAEMON, not per-epoch renewal alone: foreachBatch only runs
+    // when data arrives, so an idle-but-healthy stream (or one epoch longer
+    // than leaseStaleMs) would let its lease go stale and a second starter
+    // break it — the exact two-writer corruption the lease exists to
+    // prevent. The daemon renews at leaseStaleMs/4 while the query is
+    // active; the per-epoch renew stays as the split-brain tripwire that
+    // actually fails the batch. released guards double-release and stops
+    // the daemon renewing a lease we no longer own — renew and release
+    // hold the same monitor, so a renew can never recreate the lock in
+    // the window right after a release deleted it.
+    def releaseOnce(): Unit = released.synchronized {
+      if (released.compareAndSet(false, true))
+        BandIndex.releaseLease(session, tableDir, owner)
+    }
+    val heartbeat = new Thread(() => {
+      try {
+        while (!released.get() && query.isActive) {
+          Thread.sleep(math.max(leaseStaleMs / 4, 50L))
+          released.synchronized {
+            if (!released.get() && query.isActive)
+              BandIndex.renewLease(session, tableDir, owner)
+          }
+        }
+      } catch { case _: InterruptedException => () }
+      // covers the registration race too: if the query died before the
+      // listener below was added (its event already delivered), the
+      // heartbeat's exit path still releases
+      if (!query.isActive) releaseOnce()
+    }, s"graft-lease-heartbeat-$table")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    // backup release on termination events (failure path). If the process
+    // dies outright, the lease goes stale and the next starter reclaims it.
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == query.id) {
-          BandIndex.releaseLease(session, tableDir, owner)
+          releaseOnce()
+          heartbeat.interrupt()
           session.streams.removeListener(this)
         }
     }
     session.streams.addListener(listener)
-    query
+    // SYNCHRONOUS release on stop(): listener delivery is asynchronous, so
+    // without this the natural stop-then-restart on the same table would
+    // spuriously fail acquireLease until the event drained
+    new LeasedQuery(query, () => { releaseOnce(); heartbeat.interrupt() })
+  }
+
+  /** Delegating [[StreamingQuery]] whose stop() also releases the writer
+    * lease synchronously — callers restart on the same table immediately
+    * after stop() returns.
+    */
+  private final class LeasedQuery(q: StreamingQuery, onStop: () => Unit)
+    extends StreamingQuery {
+    override def name: String = q.name
+    override def id: java.util.UUID = q.id
+    override def runId: java.util.UUID = q.runId
+    override def sparkSession: org.apache.spark.sql.SparkSession =
+      q.sparkSession.asInstanceOf[org.apache.spark.sql.SparkSession]
+    override def isActive: Boolean = q.isActive
+    override def exception: Option[org.apache.spark.sql.streaming.StreamingQueryException] =
+      q.exception
+    override def status: org.apache.spark.sql.streaming.StreamingQueryStatus =
+      q.status
+    override def recentProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+      q.recentProgress
+    override def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress =
+      q.lastProgress
+    override def awaitTermination(): Unit = q.awaitTermination()
+    override def awaitTermination(timeoutMs: Long): Boolean =
+      q.awaitTermination(timeoutMs)
+    override def processAllAvailable(): Unit = q.processAllAvailable()
+    override def stop(): Unit = { q.stop(); onStop() }
+    override def explain(): Unit = q.explain()
+    override def explain(extended: Boolean): Unit = q.explain(extended)
   }
 }

@@ -120,22 +120,29 @@ class BandIndexSpec extends SparkSpec {
     val tableDir = s"$dir/corpus.docs"
     val base = (1 to 24).map(i => s"tok$i").mkString(" ")
     val in = MemoryStream[(Long, String)]
+    // tiny staleness so this test also covers the IDLE-WRITER case: with
+    // per-epoch-only renewal the lease of an idle-but-healthy stream would
+    // go stale and a second starter would break it mid-life — the
+    // heartbeat daemon must keep it fresh between batches
     val q1 = graft.streaming.StreamingNearDedup.start(
-      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp")
+      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp",
+      leaseStaleMs = 500L)
     in.addData((1L, base))
     q1.processAllAvailable()
-    // second writer on the same table: refused before any query starts
+    Thread.sleep(1500) // idle well past leaseStaleMs — only the heartbeat saves it
+    // second writer on the same table: refused while the first is LIVE,
+    // idle or not
     val e = intercept[IllegalStateException] {
       graft.streaming.StreamingNearDedup.start(
-        in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp2")
+        in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp2",
+        leaseStaleMs = 500L)
     }
-    assert(e.getMessage.contains("SINGLE writer"))
+    assert(e.getMessage.contains("SINGLE writer") ||
+      e.getMessage.contains("concurrent starter"))
+    // stop releases SYNCHRONOUSLY — the natural stop-then-restart pattern
+    // must not spuriously fail on an undelivered listener event
     q1.stop()
-    // release is asynchronous (query-terminated listener) — wait for it
     val fs = fsOf(tableDir)
-    val deadline = System.currentTimeMillis() + 15000
-    while (fs.exists(B.lockPath(tableDir)) &&
-      System.currentTimeMillis() < deadline) Thread.sleep(100)
     assert(!fs.exists(B.lockPath(tableDir)), "stop must release the lease")
     // restart from the same checkpoint: lease re-acquired, and the index
     // carries the dedup state across writers — a near-dup of the first

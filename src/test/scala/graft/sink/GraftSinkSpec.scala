@@ -514,7 +514,7 @@ class GraftSinkSpec extends SparkSpec {
     // protected epoch is NOT tombstoned: its replayed commit still follows
     // the normal idempotent discard path instead of failing loudly
     assert(!log.allTombstones().contains(3L))
-    // second cycle: new deltas consolidate; the FIRST minor manifest stays
+    // second and third cycles: new deltas consolidate; prior minors stay
     // live and untouched (L0 posture — cost bounded by new bytes)
     (4L to 6L).foreach(writeEpoch)
     val r2 = Compact.run(tableDir, spark.sparkContext.hadoopConfiguration,
@@ -524,15 +524,34 @@ class GraftSinkSpec extends SparkSpec {
     assert(after2.count(_ < 0) === 2 && after2.contains(6L),
       s"expected two coexisting minor manifests, got $after2")
     assert(CommitLog.readCommitted(spark, tableDir).count() === 7)
-    // a FULL run folds the minors together (the periodic major compaction)
+    (7L to 9L).foreach(writeEpoch)
     Compact.run(tableDir, spark.sparkContext.hadoopConfiguration,
-      retainMillis = 0, protectEpoch = 6L)
-    val after3 = log.committedEpochs()
-    assert(after3.count(_ < 0) === 1 && after3.contains(6L),
-      s"major run must fold the minors, got $after3")
+      retainMillis = 0, protectEpoch = 9L, deltasOnly = true)
+    assert(log.committedEpochs().count(_ < 0) === 3)
+    // fourth cycle trips the TIER LADDER: its own minor makes TierFanout
+    // same-size-class minors, which fold into one — negative manifests
+    // stay O(log) over an unbounded run instead of one per cycle (each
+    // epoch commit's tombstone guard opens every negative manifest, so
+    // this bound is also a per-epoch ingest cost bound)
+    (10L to 12L).foreach(writeEpoch)
+    Compact.run(tableDir, spark.sparkContext.hadoopConfiguration,
+      retainMillis = 0, protectEpoch = 12L, deltasOnly = true)
+    val after4 = log.committedEpochs()
+    assert(after4.count(_ < 0) === 1,
+      s"the tier ladder must fold $TierFanoutDoc same-class minors, got $after4")
+    assert(after4.contains(12L))
     assert(CommitLog.readCommitted(spark, tableDir)
-      .select("id").as[Int].collect().sorted.toSeq === (0 to 6))
+      .select("id").as[Int].collect().sorted.toSeq === (0 to 12),
+      "every row must survive the fold")
+    // tombstones stayed transitive through the fold: a replayed commit of
+    // a folded-away epoch still fails loudly instead of resurrecting rows
+    intercept[IllegalStateException] { writeEpoch(0L) }
+    // a FULL run on top is a no-op shape-wise (already one minor + tail)
+    Compact.run(tableDir, spark.sparkContext.hadoopConfiguration,
+      retainMillis = 0, protectEpoch = 12L)
+    assert(CommitLog.readCommitted(spark, tableDir).count() === 13)
   }
+  private def TierFanoutDoc = Compact.TierFanout
 
   test("compaction tombstones are transitive across generations") {
     val dir = tmp()

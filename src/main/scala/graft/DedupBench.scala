@@ -117,8 +117,14 @@ object DedupBench {
     val compactJson = compactSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     // per-tier file shape: the probe-side bound the tiering maintains
     val st = graft.streaming.BandIndex.stats(spark, s"$dir/bench.docs")
+    // live manifest shape of the DATA table — with in-loop minor
+    // compaction the negative (minor) count must stay O(log), not one per
+    // cycle (each epoch commit's tombstone guard opens every negative)
+    val manifests = new graft.sink.CommitLog(s"$dir/bench.docs",
+      spark.sparkContext.hadoopConfiguration).committedEpochs()
+    val (minors, deltas) = manifests.partition(_ < 0)
     val secsJson = epochSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"near_dedup_ingest","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"compact_table_every":$compactTableEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":${f"$flatness%.3f"},"compact_epoch_secs":$compactJson,"compact_late_over_early":$compactFlat,"index_delta_epochs":${st.deltaEpochs},"index_runs":${st.runs},"index_max_files_per_bucket":${st.maxFilesPerBucket}}""")
+    println(s"""{"metric":"near_dedup_ingest","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"compact_table_every":$compactTableEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":${f"$flatness%.3f"},"compact_epoch_secs":$compactJson,"compact_late_over_early":$compactFlat,"index_delta_epochs":${st.deltaEpochs},"index_runs":${st.runs},"index_max_files_per_bucket":${st.maxFilesPerBucket},"table_minor_manifests":${minors.size},"table_delta_manifests":${deltas.size}}""")
     spark.stop()
   }
 }

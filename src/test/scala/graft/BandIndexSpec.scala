@@ -64,6 +64,52 @@ class BandIndexSpec extends SparkSpec {
     assert(sawTierMerge, "no tier merge ever fired across 4 same-class runs")
   }
 
+  test("tier machinery property: arbitrary append/compact schedules preserve keys exactly and keep runs bounded") {
+    import spark.implicits._
+    // deterministic pseudo-random schedules (house property-test style):
+    // duplicate keys across epochs, EMPTY epochs, back-to-back compactions
+    // with nothing to do, and protectEpoch always the in-flight epoch —
+    // the shapes a real ingest produces in arbitrary interleavings
+    for (seed <- Seq(7L, 1234L, 987654L)) {
+      var rng = seed
+      def next(bound: Int): Int = {
+        rng = rng * 6364136223846793005L + 1442695040888963407L
+        (math.abs(rng >> 33) % bound).toInt
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"banddex_prop$seed").toString
+      val tableDir = s"$dir/corpus.docs"
+      val expected = scala.collection.mutable.Set.empty[Long]
+      (0 until 10).foreach { e =>
+        // keys from a SMALL range so epochs overlap (distinct() in merges
+        // must collapse them without losing anything)
+        val ks = Seq.fill(next(13))(next(40).toLong)
+        expected ++= ks
+        B.append(
+          if (ks.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("doc_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("bk",
+                  org.apache.spark.sql.types.LongType))))
+          else ks.map(k => (k, k)).toDF("doc_id", "bk"),
+          tableDir, e.toLong)
+        if (next(3) == 0) {
+          B.compact(spark, tableDir, protectEpoch = e.toLong)
+          // occasionally compact twice in a row — the second must be a
+          // safe (often no-op) pass, never a corruption
+          if (next(4) == 0) B.compact(spark, tableDir, protectEpoch = e.toLong)
+          val st = B.stats(spark, tableDir)
+          assert(st.runs <= B.TierFanout,
+            s"seed $seed epoch $e: ${st.runs} runs exceed the tier bound")
+        }
+        assert(keysOf(tableDir) === expected.toSet,
+          s"seed $seed epoch $e: key set diverged")
+      }
+    }
+  }
+
   test("crash window: planted tmp dirs and stale attempt files are invisible, swept, and superseded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("banddex_crash").toString

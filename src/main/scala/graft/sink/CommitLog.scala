@@ -40,15 +40,23 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     * false if the epoch was already committed (replay → caller must discard
     * the replayed files).
     *
-    * A COMPACTION commit additionally carries the epochs it supersedes and
-    * the streaming high-water mark they covered (header lines, `#`-prefixed)
-    * — its single rename atomically redirects readers from the superseded
-    * manifests' files to the consolidated ones.
+    * A COMPACTION commit additionally carries the epochs it supersedes, the
+    * streaming high-water mark they covered, and the tombstone CEILING
+    * (header lines, `#`-prefixed) — its single rename atomically redirects
+    * readers from the superseded manifests' files to the consolidated ones.
+    * The ceiling is the compact transitive form of positive-epoch
+    * tombstones: a single-writer stream always consumes a PREFIX of its
+    * epochs, so "every streaming epoch ≤ c is consumed" replaces listing
+    * each id — without it, the in-loop fold's supersedes list would grow
+    * with every consumed epoch forever, and the per-commit tombstone guard
+    * below (which parses every negative manifest) would cost O(total
+    * epochs) per epoch over an unbounded ingest.
     */
   def commit(
       epochId: Long, files: Seq[String],
       supersedes: Seq[Long] = Seq.empty,
-      watermark: Option[Long] = None): Boolean = {
+      watermark: Option[Long] = None,
+      tombstoneCeiling: Option[Long] = None): Boolean = {
     val f = fs
     f.mkdirs(commitsDir)
     val target = manifestPath(epochId)
@@ -60,7 +68,9 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     // Negative (compaction) ids are exempt: Compact's retry loop probes ids
     // and relies on the false/true contract, and its nanoTime-derived ids
     // never repeat within a lineage.
-    if (epochId >= 0 && allTombstones().contains(epochId))
+    if (epochId >= 0 &&
+        (epochId <= ceilingOf(allManifests()) ||
+          allTombstones().contains(epochId)))
       throw new IllegalStateException(
         s"Epoch $epochId of $tableDir was compacted away (tombstoned): " +
           "committing it again would publish rows that stay permanently " +
@@ -70,7 +80,8 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     val header =
       (if (supersedes.nonEmpty) Seq(s"#supersedes:${supersedes.mkString(",")}")
        else Seq.empty) ++
-      watermark.map(w => s"#watermark:$w")
+      watermark.map(w => s"#watermark:$w") ++
+      tombstoneCeiling.map(c => s"#tombstone_ceiling:$c")
     val out = f.create(tmp, false)
     try out.write((header ++ files).mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -85,10 +96,18 @@ final class CommitLog(tableDir: String, conf: Configuration) {
   }
 
   /** One parsed manifest: its data files, the epochs it supersedes
-    * (compaction), and the streaming watermark it preserves.
+    * (compaction), the streaming watermark it preserves, and the positive-
+    * epoch tombstone ceiling it carries forward.
     */
   case class Manifest(epochId: Long, files: Seq[String],
-      supersedes: Seq[Long], watermark: Option[Long])
+      supersedes: Seq[Long], watermark: Option[Long],
+      tombstoneCeiling: Option[Long] = None)
+
+  /** Max positive-epoch tombstone ceiling across the given manifests:
+    * every streaming epoch ≤ this is consumed (Long.MinValue when none).
+    */
+  private def ceilingOf(ms: Seq[Manifest]): Long =
+    ms.flatMap(_.tombstoneCeiling).foldLeft(Long.MinValue)(math.max)
 
   private def readManifest(epochId: Long, p: Path): Option[Manifest] = {
     val text =
@@ -106,7 +125,12 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     val watermark = lines.collectFirst {
       case l if l.startsWith("#watermark:") => l.stripPrefix("#watermark:").toLong
     }
-    Some(Manifest(epochId, lines.filterNot(_.startsWith("#")), supersedes, watermark))
+    val ceiling = lines.collectFirst {
+      case l if l.startsWith("#tombstone_ceiling:") =>
+        l.stripPrefix("#tombstone_ceiling:").toLong
+    }
+    Some(Manifest(epochId, lines.filterNot(_.startsWith("#")), supersedes,
+      watermark, ceiling))
   }
 
   /** Every readable manifest, superseded ones included. */
@@ -150,11 +174,17 @@ final class CommitLog(tableDir: String, conf: Configuration) {
       })
   }
 
-  /** All live manifests, with compaction-superseded ones removed. */
+  /** All live manifests, with compaction-superseded ones removed — by
+    * explicit supersedes id, or (for streaming epochs) by falling under a
+    * tombstone ceiling: a positive leftover ≤ some manifest's ceiling is a
+    * consumed epoch whose cleanup crashed, and must stay dead.
+    */
   def manifests(): Seq[Manifest] = {
     val all = allManifests()
     val superseded = all.flatMap(_.supersedes).toSet
-    all.filterNot(m => superseded.contains(m.epochId))
+    val ceiling = ceilingOf(all)
+    all.filterNot(m => superseded.contains(m.epochId) ||
+      (m.epochId >= 0 && m.epochId <= ceiling))
   }
 
   /** All files published across all live epochs. */

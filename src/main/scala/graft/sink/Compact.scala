@@ -184,28 +184,38 @@ object Compact {
     }.toSeq
 
     val watermark = log.streamingWatermark()
-    // tombstones carry forward TRANSITIVELY: the ids being consumed plus
-    // every id the CONSUMED manifests themselves superseded, so a crashed
-    // cleanup's leftovers can never be resurrected once the manifest
-    // holding their tombstone is itself compacted away. Manifests NOT
-    // consumed keep holding their own tombstones and must not be
-    // re-listed — a listed id HIDES that manifest, and hiding a live
-    // compaction manifest would drop its rows. (For a full run this equals
-    // the old allTombstones() formulation, since every negative manifest
-    // is in the consumed set.)
-    val tombstones =
-      (live.map(_.epochId) ++ live.flatMap(_.supersedes)).distinct
+    // Tombstone bookkeeping stays BOUNDED over an unbounded run:
+    //  - supersedes lists only the DIRECTLY consumed ids (never the
+    //    transitive closure — that list grew with every epoch ever
+    //    consumed, and the per-commit tombstone guard parses it each
+    //    epoch);
+    //  - positive-epoch tombstones compress into ONE ceiling header —
+    //    consumed streaming epochs always form a prefix, and the ceiling
+    //    carries forward as the max over consumed manifests' ceilings;
+    //  - crash-leftover protection for older generations comes from the
+    //    CLEANUP ORDER below instead of list carry: grand-superseded
+    //    manifests are re-deleted BEFORE the consumed manifests (whose
+    //    still-present supersedes lists hide them in the meantime), so at
+    //    no point does a leftover lack a live hider.
+    val tombstones = live.map(_.epochId).distinct
+    val ceiling = (live.map(_.epochId).filter(_ >= 0) ++
+      live.flatMap(_.tombstoneCeiling)).foldLeft(Long.MinValue)(math.max)
     var epoch = -math.abs(System.nanoTime())
     while (!log.commit(epoch, newFiles,
         supersedes = tombstones,
-        watermark = if (watermark >= 0) Some(watermark) else None)) {
+        watermark = if (watermark >= 0) Some(watermark) else None,
+        tombstoneCeiling = if (ceiling > Long.MinValue) Some(ceiling) else None)) {
       epoch -= 1
     }
     // lazy cleanup — the compaction manifest is visible, so NEW readers no
-    // longer reference the superseded state. Manifests go now; data files
-    // go now (retainMillis = 0) or into a trash ledger purged by a later
-    // run, giving IN-FLIGHT readers that already planned against the old
-    // file list time to finish.
+    // longer reference the superseded state. First retry the CONSUMED
+    // manifests' own crashed cleanups (their grand-superseded leftovers),
+    // while the consumed manifests still exist to hide those ids; then the
+    // consumed manifests themselves. Data files go now (retainMillis = 0)
+    // or into a trash ledger purged by a later run, giving IN-FLIGHT
+    // readers that already planned against the old file list time to
+    // finish.
+    live.flatMap(_.supersedes).distinct.foreach(log.deleteManifest)
     live.foreach(m => log.deleteManifest(m.epochId))
     if (retainMillis <= 0) log.deleteFiles(oldFiles)
     else {

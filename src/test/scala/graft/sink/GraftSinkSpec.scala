@@ -546,6 +546,16 @@ class GraftSinkSpec extends SparkSpec {
     // tombstones stayed transitive through the fold: a replayed commit of
     // a folded-away epoch still fails loudly instead of resurrecting rows
     intercept[IllegalStateException] { writeEpoch(0L) }
+    // ...and the bookkeeping that enforces it is BOUNDED: positive-epoch
+    // tombstones compress into one ceiling header instead of an
+    // ever-growing id list (the per-epoch commit guard parses every
+    // negative manifest, so list length is a per-epoch ingest cost)
+    val folded = log.manifests().filter(_.epochId < 0)
+    assert(folded.nonEmpty)
+    assert(folded.forall(_.supersedes.size <= Compact.TierFanout + 3),
+      s"supersedes lists must stay bounded, got ${folded.map(_.supersedes)}")
+    assert(folded.flatMap(_.tombstoneCeiling).max === 11L,
+      "the fold must carry the max consumed streaming epoch as its ceiling")
     // a FULL run on top is a no-op shape-wise (already one minor + tail)
     Compact.run(tableDir, spark.sparkContext.hadoopConfiguration,
       retainMillis = 0, protectEpoch = 12L)

@@ -68,9 +68,13 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     // Negative (compaction) ids are exempt: Compact's retry loop probes ids
     // and relies on the false/true contract, and its nanoTime-derived ids
     // never repeat within a lineage.
+    // the guard runs EVERY epoch commit, so it must open only the (few,
+    // ladder-bounded) negative manifests — ceilings and supersedes lists
+    // never appear on streaming manifests
+    val negs = if (epochId >= 0) negativeManifests() else Seq.empty
     if (epochId >= 0 &&
-        (epochId <= ceilingOf(allManifests()) ||
-          allTombstones().contains(epochId)))
+        (epochId <= ceilingOf(negs) ||
+          negs.flatMap(_.supersedes).contains(epochId)))
       throw new IllegalStateException(
         s"Epoch $epochId of $tableDir was compacted away (tombstoned): " +
           "committing it again would publish rows that stay permanently " +
@@ -146,20 +150,24 @@ final class CommitLog(tableDir: String, conf: Configuration) {
       }
   }
 
-  /** Union of all tombstone sets (compactions carry tombstones forward
-    * transitively, so this survives crashed cleanups). Only compaction
-    * manifests (negative ids) ever carry `#supersedes:`, so this opens just
-    * those few files — called per epoch commit, it must not scan every
-    * streaming manifest.
+  /** The parsed negative (compaction/batch) manifests only — the files
+    * that can carry `#supersedes:` / `#tombstone_ceiling:`. Opens just
+    * those few (tier-ladder-bounded) files; per-epoch callers must use
+    * this, never a full allManifests() parse.
     */
-  def allTombstones(): Set[Long] = {
+  private def negativeManifests(): Seq[Manifest] = {
     val f = fs
-    if (!f.exists(commitsDir)) return Set.empty
+    if (!f.exists(commitsDir)) return Seq.empty
     f.listStatus(commitsDir).toSeq.map(_.getPath.getName)
       .collect { case CommitLog.ManifestName(id) if id.toLong < 0L => id.toLong }
       .flatMap(id => readManifest(id, manifestPath(id)))
-      .flatMap(_.supersedes).toSet
   }
+
+  /** Union of all explicit tombstone sets (direct supersedes ids; the
+    * positive-epoch prefix is carried separately by the ceiling header).
+    */
+  def allTombstones(): Set[Long] =
+    negativeManifests().flatMap(_.supersedes).toSet
 
   /** True if any non-streaming (negative-id: compaction or batch) manifest
     * exists — the tailing source uses this to deliver an initial snapshot

@@ -93,20 +93,25 @@ object DedupBench {
     // flatness: late epochs (corpus ~epochs× larger) vs early epochs;
     // epoch 1 excluded — it pays JIT/codegen for the whole pipeline.
     // MEDIANS, not means: same rationale as the query bench — one host
-    // transient on a single epoch must not fake a growth trend
+    // transient on a single epoch must not fake a growth trend. Computed
+    // over PROBE epochs only: a compaction epoch landing in one window
+    // but not the other would skew the very ratio the flat-probe claim
+    // rests on (the compaction series gets its own ratio below). An epoch
+    // counts as compaction if EITHER maintenance loop fires on it.
     def median(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
-    val flatness = median(epochSecs.takeRight(3)) / median(epochSecs.slice(1, 4))
+    val isCompact = (e: Int) =>
+      (compactEvery > 0 && (e + 1) % compactEvery == 0) ||
+        (compactTableEvery > 0 && (e + 1) % compactTableEvery == 0)
+    val probeSecs = epochSecs.zipWithIndex.collect {
+      case (s, e) if !isCompact(e) => s
+    }
+    val flatness =
+      median(probeSecs.takeRight(3)) / median(probeSecs.slice(1, 4))
     // compaction epochs separately: the tiered (LSM) compaction claims the
     // PER-COMPACTION cost stays flat while the corpus grows — the old
     // full-rewrite design's cost grew with the corpus even though probe
     // epochs stayed flat. Ratio skips the first compaction (JIT, like
     // epoch 1 above) and needs enough samples to mean anything.
-    // an epoch is a compaction epoch if EITHER maintenance loop fires on
-    // it — misattributing table-compaction cycles to the probe series
-    // would inflate the probe flatness ratio the evidence rests on
-    val isCompact = (e: Int) =>
-      (compactEvery > 0 && (e + 1) % compactEvery == 0) ||
-        (compactTableEvery > 0 && (e + 1) % compactTableEvery == 0)
     val compactSecs = epochSecs.zipWithIndex.collect {
       case (s, e) if isCompact(e) => s
     }

@@ -232,6 +232,25 @@ final class CommitLog(tableDir: String, conf: Configuration) {
   def deleteManifest(epochId: Long): Unit =
     fs.delete(manifestPath(epochId), false)
 
+  /** Remove a superseded manifest AND, first, everything it itself
+    * superseded that is still on disk (a previous generation's crashed
+    * cleanup). Descendants go before the manifest hiding them, so at no
+    * point does a leftover lack a live hider — this is what lets
+    * compaction list only its DIRECTLY consumed ids instead of carrying
+    * the transitive closure forever: any chain of crashed cleanups is
+    * retried to its full depth by whichever later compaction finally
+    * consumes the top of the chain.
+    */
+  def deleteManifestTransitively(epochId: Long,
+      visited: mutable.Set[Long] = mutable.Set.empty): Unit = {
+    if (!visited.add(epochId)) return
+    val p = manifestPath(epochId)
+    if (!fs.exists(p)) return
+    readManifest(epochId, p).foreach(
+      _.supersedes.foreach(deleteManifestTransitively(_, visited)))
+    fs.delete(p, false)
+  }
+
   /** Delete the given files (replayed-epoch discard / task abort). */
   def deleteFiles(files: Seq[String]): Unit = {
     val f = fs

@@ -198,8 +198,18 @@ object Compact {
     //    still-present supersedes lists hide them in the meantime), so at
     //    no point does a leftover lack a live hider.
     val tombstones = live.map(_.epochId).distinct
-    val ceiling = (live.map(_.epochId).filter(_ >= 0) ++
+    // the ceiling may only cover ids with NO live survivor at or under it:
+    // a protectEpoch below the max consumed id (legal API use) leaves a
+    // live streaming manifest that a naive max-consumed ceiling would hide
+    // forever — silent data loss. Clamp to just under the lowest surviving
+    // positive id when one falls inside the candidate range.
+    val candidate = (live.map(_.epochId).filter(_ >= 0) ++
       live.flatMap(_.tombstoneCeiling)).foldLeft(Long.MinValue)(math.max)
+    val consumedIds = live.map(_.epochId).toSet
+    val survivors = log.manifests().map(_.epochId)
+      .filter(id => id >= 0 && !consumedIds.contains(id) && id <= candidate)
+    val ceiling =
+      if (survivors.isEmpty) candidate else survivors.min - 1
     var epoch = -math.abs(System.nanoTime())
     while (!log.commit(epoch, newFiles,
         supersedes = tombstones,
@@ -208,19 +218,23 @@ object Compact {
       epoch -= 1
     }
     // lazy cleanup — the compaction manifest is visible, so NEW readers no
-    // longer reference the superseded state. First retry the CONSUMED
-    // manifests' own crashed cleanups (their grand-superseded leftovers),
-    // while the consumed manifests still exist to hide those ids; then the
-    // consumed manifests themselves. Data files go now (retainMillis = 0)
-    // or into a trash ledger purged by a later run, giving IN-FLIGHT
-    // readers that already planned against the old file list time to
-    // finish.
-    live.flatMap(_.supersedes).distinct.foreach(log.deleteManifest)
-    live.foreach(m => log.deleteManifest(m.epochId))
+    // longer reference the superseded state. Deletion is TRANSITIVE and
+    // bottom-up: each consumed manifest's crashed-cleanup leftovers (to
+    // any depth — two crashed cleanups in a row must not let a
+    // grand-grand-superseded manifest outlive every list that hid it) are
+    // removed while their hider still exists, then the hider itself. Data
+    // files go now (retainMillis = 0) or into a trash ledger purged by a
+    // later run, giving IN-FLIGHT readers that already planned against
+    // the old file list time to finish.
+    live.foreach(m => log.deleteManifestTransitively(m.epochId))
     if (retainMillis <= 0) log.deleteFiles(oldFiles)
     else {
+      // uuid suffix: one doRun can consolidate several times (first-stage
+      // fold + ladder folds), and two ledgers created in the same
+      // millisecond must not collide on create(overwrite = false)
       val trash = new Path(tableDir,
-        s"${CommitLog.COMMITS_DIR}/.trash-${System.currentTimeMillis()}")
+        s"${CommitLog.COMMITS_DIR}/.trash-${System.currentTimeMillis()}" +
+          s"-${java.util.UUID.randomUUID.toString.take(8)}")
       val out = fs.create(trash, false)
       try out.write(oldFiles.mkString("\n").getBytes("UTF-8"))
       finally out.close()
@@ -236,7 +250,9 @@ object Compact {
     val now = System.currentTimeMillis()
     fs.listStatus(commits).filter(_.getPath.getName.startsWith(".trash-"))
       .foreach { st =>
-        val ts = st.getPath.getName.stripPrefix(".trash-").toLong
+        // name is .trash-<millis> (pre-uuid ledgers) or .trash-<millis>-<uuid>
+        val ts = st.getPath.getName.stripPrefix(".trash-")
+          .takeWhile(_.isDigit).toLong
         if (now - ts > retainMillis) {
           val text = CommitLog.readFully(fs, st.getPath)
           text.split("\n").filter(_.nonEmpty)

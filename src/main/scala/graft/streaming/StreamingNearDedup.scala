@@ -167,13 +167,14 @@ object StreamingNearDedup {
           BandIndex.compact(spark, tableDir, protectEpoch = epochId)
         if (compactTableEvery > 0 && (epochId + 1) % compactTableEvery == 0)
           // best-effort maintenance: an external major compaction holding
-          // the compactor lock (or a leftover lock from a crash mid-cycle,
-          // reclaimable once older than the writer-lease staleness) skips
-          // THIS cycle rather than killing the whole ingest query — the
-          // next cycle retries
+          // the compactor lock (or a leftover lock from a crash mid-cycle)
+          // skips THIS cycle rather than killing the whole ingest query —
+          // the next cycle retries. The lock keeps its own 30-min
+          // staleness default: tying it to the (possibly much shorter)
+          // writer-lease staleness would steal the lock from a LIVE
+          // long-running external compactor and run two compactors at once
           try graft.sink.Compact.run(tableDir,
             spark.sparkContext.hadoopConfiguration,
-            lockStaleMillis = leaseStaleMs,
             protectEpoch = epochId, deltasOnly = true)
           catch { case e: IllegalStateException =>
             System.err.println(
@@ -208,11 +209,23 @@ object StreamingNearDedup {
     }
     val heartbeat = new Thread(() => {
       try {
-        while (!released.get() && query.isActive) {
+        var usurped = false
+        while (!usurped && !released.get() && query.isActive) {
           Thread.sleep(math.max(leaseStaleMs / 4, 50L))
-          released.synchronized {
+          try released.synchronized {
             if (!released.get() && query.isActive)
               BandIndex.renewLease(session, tableDir, owner)
+          } catch {
+            // lost the lease (another writer took over a stale lock): stop
+            // heartbeating a lock that is no longer ours — the per-epoch
+            // tripwire fails the query on its next batch
+            case _: IllegalStateException => usurped = true
+            // a transient fs hiccup must NOT kill the daemon: dying here
+            // silently reopens the idle-writer stale-lease window the
+            // heartbeat exists to close; retry on the next tick
+            case e if scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[graft] lease heartbeat for $tableDir: ${e.getMessage}")
           }
         }
       } catch { case _: InterruptedException => () }

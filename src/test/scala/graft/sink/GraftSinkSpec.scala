@@ -563,6 +563,64 @@ class GraftSinkSpec extends SparkSpec {
   }
   private def TierFanoutDoc = Compact.TierFanout
 
+  test("a protected epoch BELOW the max consumed id survives the tombstone ceiling") {
+    import spark.implicits._
+    val dir = tmp()
+    val tableDir = s"$dir/testdb.t"
+    def writeEpoch(e: Long): Unit =
+      Seq((e.toInt, s"m$e")).toDF("id", "msg")
+        .write.format("graft-streaming").mode("append")
+        .options(opts(dir)).option(GraftSinkOptions.COMMIT_EPOCH, e).save()
+    (0L to 4L).foreach(writeEpoch)
+    // protect a MIDDLE epoch (legal API use): consumed = {0,1,3,4}. A
+    // naive max-consumed ceiling (4) would hide live epoch 2 forever —
+    // silent data loss; the ceiling must clamp below the survivor
+    Compact.run(tableDir, spark.sparkContext.hadoopConfiguration,
+      retainMillis = 0, protectEpoch = 2L, deltasOnly = true)
+    val log = new CommitLog(tableDir, spark.sparkContext.hadoopConfiguration)
+    assert(log.committedEpochs().contains(2L),
+      "the protected epoch's manifest must stay live")
+    assert(CommitLog.readCommitted(spark, tableDir)
+      .select("id").as[Int].collect().sorted.toSeq === (0 to 4),
+      "the protected epoch's rows must stay visible")
+    // its replay follows the normal idempotent-discard path...
+    writeEpoch(2L)
+    assert(CommitLog.readCommitted(spark, tableDir).count() === 5)
+    // ...while consumed epochs above the clamped ceiling stay guarded by
+    // their explicit tombstones
+    intercept[IllegalStateException] { writeEpoch(4L) }
+    intercept[IllegalStateException] { writeEpoch(0L) }
+  }
+
+  test("transitive manifest deletion retries crashed cleanups to any depth") {
+    val dir = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableDir = s"$dir/t.t"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val log = new CommitLog(tableDir, conf)
+    // a chain of crashed cleanups: A superseded by B, B by C — each
+    // cleanup crashed after committing, so all three files remain. When a
+    // later compaction finally consumes C, the delete must walk the chain
+    // bottom-up (A, then B, then C): deleting C's list alone would leave
+    // A hidden by nothing once B goes
+    def plant(id: Long, supersedes: Seq[Long]): Unit = {
+      fs.mkdirs(log.manifestPath(id).getParent)
+      val out = fs.create(log.manifestPath(id), false)
+      val header = if (supersedes.nonEmpty)
+        s"#supersedes:${supersedes.mkString(",")}\n" else ""
+      out.write((header + "/gone.jsonl").getBytes("UTF-8")); out.close()
+    }
+    plant(-100L, Seq.empty)
+    plant(-101L, Seq(-100L))
+    plant(-102L, Seq(-101L))
+    // while the chain is intact, only the top is live
+    assert(log.manifests().map(_.epochId).filter(_ < -10) === Seq(-102L))
+    log.deleteManifestTransitively(-102L)
+    assert(!fs.exists(log.manifestPath(-100L)), "depth-2 leftover must go")
+    assert(!fs.exists(log.manifestPath(-101L)), "depth-1 leftover must go")
+    assert(!fs.exists(log.manifestPath(-102L)))
+  }
+
   test("compaction tombstones are transitive across generations") {
     val dir = tmp()
     val conf = spark.sparkContext.hadoopConfiguration

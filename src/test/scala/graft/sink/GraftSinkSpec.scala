@@ -538,7 +538,7 @@ class GraftSinkSpec extends SparkSpec {
       retainMillis = 0, protectEpoch = 12L, deltasOnly = true)
     val after4 = log.committedEpochs()
     assert(after4.count(_ < 0) === 1,
-      s"the tier ladder must fold $TierFanoutDoc same-class minors, got $after4")
+      s"the tier ladder must fold ${Compact.TierFanout} same-class minors, got $after4")
     assert(after4.contains(12L))
     assert(CommitLog.readCommitted(spark, tableDir)
       .select("id").as[Int].collect().sorted.toSeq === (0 to 12),
@@ -561,7 +561,6 @@ class GraftSinkSpec extends SparkSpec {
       retainMillis = 0, protectEpoch = 12L)
     assert(CommitLog.readCommitted(spark, tableDir).count() === 13)
   }
-  private def TierFanoutDoc = Compact.TierFanout
 
   test("a protected epoch BELOW the max consumed id survives the tombstone ceiling") {
     import spark.implicits._

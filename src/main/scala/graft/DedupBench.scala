@@ -105,8 +105,14 @@ object DedupBench {
     val probeSecs = epochSecs.zipWithIndex.collect {
       case (s, e) if !isCompact(e) => s
     }
+    // the epochs floor above guarantees 7 RAW epochs, not 7 probe epochs:
+    // compact_every=1 makes every epoch a compaction epoch, and small
+    // runs can leave the early/late windows overlapping — report null
+    // rather than a self-comparing (or crashing) ratio
     val flatness =
-      median(probeSecs.takeRight(3)) / median(probeSecs.slice(1, 4))
+      if (probeSecs.size >= 7)
+        f"${median(probeSecs.takeRight(3)) / median(probeSecs.slice(1, 4))}%.3f"
+      else "null"
     // compaction epochs separately: the tiered (LSM) compaction claims the
     // PER-COMPACTION cost stays flat while the corpus grows — the old
     // full-rewrite design's cost grew with the corpus even though probe
@@ -129,7 +135,7 @@ object DedupBench {
       spark.sparkContext.hadoopConfiguration).committedEpochs()
     val (minors, deltas) = manifests.partition(_ < 0)
     val secsJson = epochSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"near_dedup_ingest","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"compact_table_every":$compactTableEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":${f"$flatness%.3f"},"compact_epoch_secs":$compactJson,"compact_late_over_early":$compactFlat,"index_delta_epochs":${st.deltaEpochs},"index_runs":${st.runs},"index_max_files_per_bucket":${st.maxFilesPerBucket},"table_minor_manifests":${minors.size},"table_delta_manifests":${deltas.size}}""")
+    println(s"""{"metric":"near_dedup_ingest","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"compact_table_every":$compactTableEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":$flatness,"compact_epoch_secs":$compactJson,"compact_late_over_early":$compactFlat,"index_delta_epochs":${st.deltaEpochs},"index_runs":${st.runs},"index_max_files_per_bucket":${st.maxFilesPerBucket},"table_minor_manifests":${minors.size},"table_delta_manifests":${deltas.size}}""")
     spark.stop()
   }
 }

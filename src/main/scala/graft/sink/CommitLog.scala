@@ -248,7 +248,7 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     if (!fs.exists(p)) return
     readManifest(epochId, p).foreach(
       _.supersedes.foreach(deleteManifestTransitively(_, visited)))
-    fs.delete(p, false)
+    deleteManifest(epochId)
   }
 
   /** Delete the given files (replayed-epoch discard / task abort). */

@@ -117,12 +117,13 @@ object Compact {
       deltasOnly: Boolean): Result = {
     val fs = fileSystem
     purgeExpiredTrash(fs, tableDir, retainMillis)
-    val first = log.manifests()
+    val allAtStart = log.manifests()
+    val first = allAtStart
       .filter(m => m.epochId != protectEpoch &&
         (!deltasOnly || m.epochId >= 0))
     var result =
       if (first.size <= 1) Result(0, 0, 0)
-      else consolidate(log, fs, tableDir, first, retainMillis)
+      else consolidate(log, fs, tableDir, first, allAtStart, retainMillis)
     if (deltasOnly) {
       // tier ladder over the accumulated minor manifests: fold the lowest
       // log₄ size class holding ≥ TierFanout of them, to a fixpoint (a
@@ -131,12 +132,13 @@ object Compact {
       // nothing.
       var done = false
       while (!done) {
-        val minors = log.manifests().filter(_.epochId < 0)
+        val allNow = log.manifests()
+        val minors = allNow.filter(_.epochId < 0)
         val classes = minors.groupBy(m => sizeClass(
           m.files.map(f => fs.getFileStatus(new Path(f)).getLen).sum))
         classes.filter(_._2.size >= TierFanout).keys.minOption match {
           case Some(c) =>
-            val r = consolidate(log, fs, tableDir, classes(c), retainMillis)
+            val r = consolidate(log, fs, tableDir, classes(c), allNow, retainMillis)
             result = Result(
               result.consolidatedFiles + r.consolidatedFiles,
               result.supersededEpochs + r.supersededEpochs,
@@ -150,12 +152,16 @@ object Compact {
 
   /** Steps 2-4 of the protocol over an explicit manifest set: concatenate
     * their files, publish ONE superseding manifest, lazily clean up.
+    * `allLive` is the caller's fresh full live snapshot (survivor
+    * detection for the ceiling clamp) — passed in rather than re-listing
+    * and re-parsing every manifest per fold on the hot in-loop path.
     */
   private def consolidate(
       log: CommitLog,
       fileSystem: org.apache.hadoop.fs.FileSystem,
       tableDir: String,
       live: Seq[CommitLog#Manifest],
+      allLive: Seq[CommitLog#Manifest],
       retainMillis: Long): Result = {
     val fs = fileSystem
     val oldFiles = live.flatMap(_.files)
@@ -197,7 +203,6 @@ object Compact {
     //    manifests are re-deleted BEFORE the consumed manifests (whose
     //    still-present supersedes lists hide them in the meantime), so at
     //    no point does a leftover lack a live hider.
-    val tombstones = live.map(_.epochId).distinct
     // the ceiling may only cover ids with NO live survivor at or under it:
     // a protectEpoch below the max consumed id (legal API use) leaves a
     // live streaming manifest that a naive max-consumed ceiling would hide
@@ -206,10 +211,22 @@ object Compact {
     val candidate = (live.map(_.epochId).filter(_ >= 0) ++
       live.flatMap(_.tombstoneCeiling)).foldLeft(Long.MinValue)(math.max)
     val consumedIds = live.map(_.epochId).toSet
-    val survivors = log.manifests().map(_.epochId)
+    val survivors = allLive.map(_.epochId)
       .filter(id => id >= 0 && !consumedIds.contains(id) && id <= candidate)
     val ceiling =
       if (survivors.isEmpty) candidate else survivors.min - 1
+    // positive tombstones ABOVE the clamped ceiling (epochs consumed while
+    // a lower epoch was protected) are load-bearing: once the manifest
+    // listing them is itself consumed and deleted, only this carry keeps a
+    // fresh-lineage re-commit of those epochs failing loudly instead of
+    // publishing duplicate rows. Bounded: only the gap between a protected
+    // epoch and the then-max survives, and each id retires as soon as a
+    // later ceiling passes it. Negative ids are never carried — leftovers
+    // are retried by the transitive delete below, and re-listing them
+    // would regrow the lists the ceiling exists to bound.
+    val carried = live.flatMap(_.supersedes)
+      .filter(id => id >= 0 && id > ceiling)
+    val tombstones = (live.map(_.epochId) ++ carried).distinct
     var epoch = -math.abs(System.nanoTime())
     while (!log.commit(epoch, newFiles,
         supersedes = tombstones,

@@ -589,6 +589,19 @@ class GraftSinkSpec extends SparkSpec {
     // their explicit tombstones
     intercept[IllegalStateException] { writeEpoch(4L) }
     intercept[IllegalStateException] { writeEpoch(0L) }
+    // consume the manifest HOLDING those above-ceiling tombstones (full
+    // run takes the minor + epoch 2): the new manifest must carry 3 and 4
+    // forward explicitly — its clamped ceiling (2) cannot cover them, and
+    // dropping them would let a fresh-lineage re-commit publish epochs 3/4
+    // a second time as silent duplicates
+    Compact.run(tableDir, spark.sparkContext.hadoopConfiguration,
+      retainMillis = 0)
+    assert(CommitLog.readCommitted(spark, tableDir).count() === 5)
+    intercept[IllegalStateException] { writeEpoch(3L) }
+    intercept[IllegalStateException] { writeEpoch(4L) }
+    // a genuinely new epoch above everything still commits
+    writeEpoch(5L)
+    assert(CommitLog.readCommitted(spark, tableDir).count() === 6)
   }
 
   test("transitive manifest deletion retries crashed cleanups to any depth") {

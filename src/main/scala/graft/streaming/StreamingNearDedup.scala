@@ -173,10 +173,16 @@ object StreamingNearDedup {
           // staleness default: tying it to the (possibly much shorter)
           // writer-lease staleness would steal the lock from a LIVE
           // long-running external compactor and run two compactors at once
+          // NonFatal, not just the lock's IllegalStateException: a transient
+          // FS fault mid-consolidation (IOException during the concat,
+          // FileNotFoundException from ladder sizing under external file
+          // drift) is equally recoverable — compaction is crash-safe by
+          // design, so skipping the cycle is always the right move; only
+          // the next cycle's retry needs to exist
           try graft.sink.Compact.run(tableDir,
             spark.sparkContext.hadoopConfiguration,
             protectEpoch = epochId, deltasOnly = true)
-          catch { case e: IllegalStateException =>
+          catch { case e if scala.util.control.NonFatal(e) =>
             System.err.println(
               s"[graft] skipping in-loop table compaction (epoch $epochId): " +
                 e.getMessage)

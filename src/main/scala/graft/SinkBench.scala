@@ -21,13 +21,15 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *
   * Env knobs: SPARK_GRAFT_SINK_ROWS (default 1,000,000), _BATCHES (10),
   * _BATCHSIZE (rows per flushed batch — the reference's `batch.size`
-  * group-commit knob, default 10000), SPARK_GRAFT_CPUS (32).
+  * group-commit knob, default 10000), _FORMAT (jsonl | parquet landing
+  * mode), SPARK_GRAFT_CPUS (32).
   */
 object SinkBench {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_SINK_ROWS", "1000000").toInt
     val batches = sys.env.getOrElse("SPARK_GRAFT_SINK_BATCHES", "10").toInt
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_SINK_BATCHSIZE", "10000").toInt
+    val format = sys.env.getOrElse("SPARK_GRAFT_SINK_FORMAT", "jsonl")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,6 +51,7 @@ object SinkBench {
       .option("path", dir).option("db", "bench").option("table", "events")
       .option("partition.columns", "etype")
       .option("batch.size", batchSize.toString)
+      .option("format", format)
       .option("checkpointLocation", s"$dir/_cp")
       .start()
 
@@ -68,14 +71,22 @@ object SinkBench {
     q.stop()
 
     // exactly-once check: the manifest-gated read must see warm + timed rows
-    val landed = spark.read.format("graft-streaming")
+    def table = spark.read.format("graft-streaming")
       .option("path", dir).option("db", "bench").option("table", "events")
-      .load().count()
+      .load()
+    val landed = table.count()
     val expected = warm + perBatch.toLong * batches
     require(landed == expected, s"sink lost/duplicated rows: $landed != $expected")
 
+    // scan-side story (the reason columnar landing exists): a projected
+    // aggregate over the landed table — parquet reads 2 column chunks,
+    // JSONL must decode every byte of every row
+    val r0 = System.nanoTime()
+    table.selectExpr("sum(id)", "avg(length(msg))").collect()
+    val readSec = (System.nanoTime() - r0) / 1e9
+
     val rps = perBatch.toLong * batches / sec
-    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"batch_size":$batchSize,"seconds":$sec,"partitions":8,"verified_rows":$landed}""")
+    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"batch_size":$batchSize,"format":"$format","seconds":$sec,"read_seconds":$readSec,"read_rows_per_sec":${(landed / readSec).round},"partitions":8,"verified_rows":$landed}""")
     spark.stop()
   }
 }

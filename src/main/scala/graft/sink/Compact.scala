@@ -134,8 +134,15 @@ object Compact {
       while (!done) {
         val allNow = log.manifests()
         val minors = allNow.filter(_.epochId < 0)
+        // externally-deleted data files (manual cleanup, foreign tooling)
+        // must not kill the sizing pass — a missing file simply contributes
+        // no bytes; the consolidate that consumes the manifest will surface
+        // a real error if the file is still listed when its bytes are needed
         val classes = minors.groupBy(m => sizeClass(
-          m.files.map(f => fs.getFileStatus(new Path(f)).getLen).sum))
+          m.files.map { f =>
+            try fs.getFileStatus(new Path(f)).getLen
+            catch { case _: java.io.FileNotFoundException => 0L }
+          }.sum))
         classes.filter(_._2.size >= TierFanout).keys.minOption match {
           case Some(c) =>
             val r = consolidate(log, fs, tableDir, classes(c), allNow, retainMillis)
@@ -170,24 +177,52 @@ object Compact {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
     }
-    // consolidate per partition directory so routing stays intact
-    val byDir = oldFiles.groupBy(f => new Path(f).getParent)
-    val newFiles = byDir.map { case (dir, files) =>
-      val target = new Path(dir,
-        s"compact-${java.util.UUID.randomUUID.toString.take(8)}.jsonl")
-      val out = raw.create(target, false)
-      try {
-        val buf = new Array[Byte](1 << 16)
-        files.foreach { f =>
-          val in = raw.open(new Path(f))
+    // a manifest-listed file deleted out from under the table (manual
+    // cleanup, foreign tooling) is unrecoverable either way; consuming its
+    // manifest WITHOUT it heals the table — the dangling reference
+    // disappears — where failing here would leave compaction permanently
+    // broken. (A file deleted between this check and the read below still
+    // fails the cycle; the in-loop NonFatal catch retries next cycle.)
+    val presentFiles = oldFiles.filter(f => fs.exists(new Path(f)))
+    // consolidate per (partition directory, landing format) so routing and
+    // per-file decode dispatch stay intact; a dir holding epochs of both
+    // formats folds into one consolidated file of each
+    val byDirExt = presentFiles.groupBy { f =>
+      (new Path(f).getParent, if (f.endsWith(".parquet")) "parquet" else "jsonl")
+    }
+    val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val newFiles =
+      try byDirExt.map { case ((dir, ext), files) =>
+        val target = new Path(dir,
+          s"compact-${java.util.UUID.randomUUID.toString.take(8)}.$ext")
+        written += target
+        if (ext == "parquet") {
+          // row-group concat: compressed pages copied byte-for-byte — the
+          // columnar analogue of the JSONL byte-concat below
+          ParquetIO.merge(files.map(new Path(_)), target, fs.getConf)
+        } else {
+          val out = raw.create(target, false)
           try {
-            var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          } finally in.close()
+            val buf = new Array[Byte](1 << 16)
+            files.foreach { f =>
+              val in = raw.open(new Path(f))
+              try {
+                var n = in.read(buf)
+                while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+              } finally in.close()
+            }
+          } finally out.close()
         }
-      } finally out.close()
-      target.toString
-    }.toSeq
+        target.toString
+      }.toSeq
+      catch {
+        // nothing is published until the manifest commit below, so a
+        // mid-consolidate failure must not leak unreferenced target files
+        // (one orphan set per retried cycle, with no GC that ever sees them)
+        case t: Throwable =>
+          written.foreach(p => try fs.delete(p, false) catch { case _: Throwable => })
+          throw t
+      }
 
     val watermark = log.streamingWatermark()
     // Tombstone bookkeeping stays BOUNDED over an unbounded run:

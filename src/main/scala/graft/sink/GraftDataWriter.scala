@@ -77,9 +77,84 @@ final class GraftDataWriter(
   }
 
   /** One open segment per partition spec (reference's per-task writer map,
-    * `HiveStreamDataWriter.scala:44,82-94`).
+    * `HiveStreamDataWriter.scala:44,82-94`). Two landings share the
+    * lifecycle (lazy open, size-bounded rotation, commit-close,
+    * abort-discard): JSONL text (default, the reference's row-JSON shape)
+    * and columnar parquet ([[ParquetIO]], the reference's ORC analogue).
     */
-  private final class Segment(partDir: String) {
+  private sealed trait Segment {
+    def write(row: InternalRow): Unit
+    def close(): Unit
+    def discard(): Unit
+    /** Push buffered rows toward durability mid-epoch (A11 keep-alive). */
+    def heartbeatFlush(): Unit
+  }
+
+  private def newSegment(partDir: String): Segment =
+    if (opts.isParquet) new ParquetSegment(partDir) else new JsonlSegment(partDir)
+
+  private def segmentDir(partDir: String): Path = {
+    val dir = if (partDir.isEmpty) tablePath else new Path(tablePath, partDir)
+    if (!opts.autoCreatePartitions && partDir.nonEmpty && !fs.exists(dir)) {
+      throw new IllegalStateException(
+        s"Partition directory $dir does not exist and " +
+          s"${GraftSinkOptions.AUTO_CREATE_PARTITIONS} is false")
+    }
+    fs.mkdirs(dir)
+    dir
+  }
+
+  // uid makes names collision-free under epoch replay / task retry with
+  // reused ids; visibility is governed by the manifest, not the name
+  private def segmentFile(dir: Path, seq: Int, ext: String): Path =
+    new Path(dir, f"part-e$epochId-p$partitionId%05d-t$taskId-$uid-$seq%04d.$ext")
+
+  /** Columnar landing: rows stream into a snappy parquet file through
+    * Spark's own `InternalRow` write support. Batching differs from JSONL
+    * by necessity — a parquet file cannot flush mid-write (pages live in
+    * the writer's buffer until a row group completes), so `batch.size ×
+    * txn.per.batch` bounds ROWS PER FILE (the same rotation ceiling the
+    * JSONL path reaches via flushes-per-file) and the keep-alive is a
+    * no-op.
+    */
+  private final class ParquetSegment(partDir: String) extends Segment {
+    private val dataSchema = StructType(dataIdx.map(schema(_)).toArray)
+    private val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(dataIdx.map(i => org.apache.spark.sql.catalyst.expressions
+        .BoundReference(i, schema(i).dataType, nullable = true)).toArray)
+    private val maxRowsPerFile = opts.batchSize.toLong * opts.txnPerBatch
+    private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+    private var rowsInFile = 0L
+    private var seq = 0
+
+    private def open(): Unit = {
+      val file = segmentFile(segmentDir(partDir), seq, "parquet")
+      writer = ParquetIO.createWriter(file, dataSchema, conf)
+      seq += 1
+      rowsInFile = 0L
+      files += file.toString
+    }
+
+    override def write(row: InternalRow): Unit = {
+      if (writer == null) open()
+      writer.write(project(row))
+      rowsInFile += 1
+      if (rowsInFile >= maxRowsPerFile) { writer.close(); writer = null }
+    }
+
+    override def close(): Unit =
+      if (writer != null) { writer.close(); writer = null }
+
+    override def discard(): Unit =
+      if (writer != null) {
+        try writer.close() catch { case _: Throwable => }
+        writer = null
+      }
+
+    override def heartbeatFlush(): Unit = ()
+  }
+
+  private final class JsonlSegment(partDir: String) extends Segment {
     var file: Path = _
     var out: FSDataOutputStream = _
     // 64 KiB row buffers are recycled across tasks/epochs through the
@@ -93,24 +168,14 @@ final class GraftDataWriter(
     var seq = 0
 
     def open(): Unit = {
-      val dir = if (partDir.isEmpty) tablePath else new Path(tablePath, partDir)
-      if (!opts.autoCreatePartitions && partDir.nonEmpty && !fs.exists(dir)) {
-        throw new IllegalStateException(
-          s"Partition directory $dir does not exist and " +
-            s"${GraftSinkOptions.AUTO_CREATE_PARTITIONS} is false")
-      }
-      fs.mkdirs(dir)
-      // uid makes names collision-free under epoch replay / task retry with
-      // reused ids; visibility is governed by the manifest, not the name
-      file = new Path(dir,
-        f"part-e$epochId-p$partitionId%05d-t$taskId-$uid-$seq%04d.jsonl")
+      file = segmentFile(segmentDir(partDir), seq, "jsonl")
       out = dataFs.create(file, false)
       seq += 1
       flushes = 0
       files += file.toString
     }
 
-    def write(row: InternalRow): Unit = {
+    override def write(row: InternalRow): Unit = {
       if (out == null) open()
       encoder.encode(row, buf)
       buf.append('\n')
@@ -130,17 +195,23 @@ final class GraftDataWriter(
     // empty files when the batch ends exactly on a rotation boundary
     def rotate(): Unit = { out.close(); out = null }
 
-    def close(): Unit = {
+    override def close(): Unit = {
       flush()
       if (out != null) { out.close(); out = null }
       recycleBuf()
+    }
+
+    override def heartbeatFlush(): Unit = if (out != null) {
+      flush()
+      // flush() may have rotated (lazy rotation nulls the stream)
+      if (out != null) out.hflush()
     }
 
     /** Abort path: drop buffered rows and close WITHOUT flushing, so the
       * mandatory `DataWriter.close()` after `abort()` cannot write into a
       * closed stream.
       */
-    def discard(): Unit = {
+    override def discard(): Unit = {
       rowsInBuf = 0
       buf.clear()
       if (out != null) {
@@ -195,13 +266,7 @@ final class GraftDataWriter(
         })
       ex.scheduleWithFixedDelay(() => try {
         GraftDataWriter.this.synchronized {
-          segments.values.foreach { seg =>
-            if (seg.out != null) {
-              seg.flush()
-              // flush() may have rotated (lazy rotation nulls the stream)
-              if (seg.out != null) seg.out.hflush()
-            }
-          }
+          segments.values.foreach(_.heartbeatFlush())
         }
       } catch {
         case t: Throwable => logWarning("keep-alive flush failed", t)
@@ -212,7 +277,7 @@ final class GraftDataWriter(
 
   override def write(row: InternalRow): Unit = synchronized {
     val dir = partDirFor(row)
-    segments.getOrElseUpdate(dir, new Segment(dir)).write(row)
+    segments.getOrElseUpdate(dir, newSegment(dir)).write(row)
     rowCount += 1
   }
 

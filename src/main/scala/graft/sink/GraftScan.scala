@@ -138,24 +138,51 @@ final class GraftPartitionReader(
   private val fileOrdinals: Array[Int] = requiredSchema.fields.zipWithIndex
     .filterNot { case (f, _) => partition.partitionValues.contains(f.name) }
     .map(_._2)
-  private val decoder = new JsonRowDecoder(fileSchema)
-
   private val path = new Path(partition.file)
-  private val in = {
-    val fs = path.getFileSystem(conf.value)
-    new BufferedReader(new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
+
+  /** Per-file row decode, dispatched on the committed file's extension so a
+    * table may mix JSONL and parquet epochs (the landing format is a
+    * per-write option). Returns null at EOF.
+    */
+  private sealed trait RowSource {
+    def nextRow(): InternalRow
+    def close(): Unit
   }
+
+  private final class JsonlSource extends RowSource {
+    private val decoder = new JsonRowDecoder(fileSchema)
+    private val in = {
+      val fs = path.getFileSystem(conf.value)
+      new BufferedReader(new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
+    }
+    override def nextRow(): InternalRow = {
+      // skip blank lines rather than treating one as EOF: the encoder never
+      // emits them, but a manually-repaired or foreign file must not
+      // silently truncate every row after the first blank
+      var line = in.readLine()
+      while (line != null && line.isEmpty) line = in.readLine()
+      if (line == null) null else decoder.decode(line)
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** Columnar scan: `fileSchema` is pushed into the parquet read, so only
+    * the projected columns' chunks are decoded ([[ParquetIO.createReader]]).
+    */
+  private final class ParquetSource extends RowSource {
+    private val reader = ParquetIO.createReader(path, fileSchema, conf.value)
+    override def nextRow(): InternalRow = reader.read()
+    override def close(): Unit = reader.close()
+  }
+
+  private val source: RowSource =
+    if (partition.file.endsWith(".parquet")) new ParquetSource else new JsonlSource
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    // skip blank lines rather than treating one as EOF: the encoder never
-    // emits them, but a manually-repaired or foreign file must not silently
-    // truncate every row after the first blank
-    var line = in.readLine()
-    while (line != null && line.isEmpty) line = in.readLine()
-    if (line == null) { current = null; false }
+    val fileRow = source.nextRow()
+    if (fileRow == null) { current = null; false }
     else {
-      val fileRow = decoder.decode(line)
       val values = new Array[Any](requiredSchema.length)
       var i = 0
       while (i < fileOrdinals.length) {
@@ -172,7 +199,7 @@ final class GraftPartitionReader(
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = source.close()
 }
 
 object GraftPartitionReader {

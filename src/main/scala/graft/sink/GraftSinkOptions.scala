@@ -31,7 +31,10 @@ final case class GraftSinkOptions(
     principal: Option[String] = None,
     keytab: Option[String] = None,
     keepaliveIntervalMs: Long = 0L,
-    commitEpoch: Option[Long] = None) {
+    commitEpoch: Option[Long] = None,
+    format: String = GraftSinkOptions.FORMAT_JSONL) {
+
+  def isParquet: Boolean = format == GraftSinkOptions.FORMAT_PARQUET
 
   /** Table root directory: `<path>/<db>.<table>` */
   def tableDir: String = s"$path/$db.$table"
@@ -70,6 +73,17 @@ object GraftSinkOptions {
   val KEYTAB = "keytab"
   val KEEPALIVE_INTERVAL_MS = "keepalive.interval.ms"
   val COMMIT_EPOCH = "commit.epoch"
+
+  /** Landing format for data files. `jsonl` is the reference-shaped default
+    * (row-at-a-time JSON text, `HiveStreamDataWriter.scala:96-100`);
+    * `parquet` lands columnar files — the Spark-native analogue of the
+    * reference's ORC storage (`HiveStreamingExample.scala:26-31`). The
+    * format is a per-WRITE choice: readers dispatch on each committed
+    * file's extension, so a table may mix epochs of both.
+    */
+  val FORMAT = "format"
+  val FORMAT_JSONL = "jsonl"
+  val FORMAT_PARQUET = "parquet"
 
   /** Parse + validate, with the reference's required-option error behavior
     * (`HiveOptions.scala:90-103` throws IllegalArgumentException listing the
@@ -122,6 +136,13 @@ object GraftSinkOptions {
       principal = principal,
       keytab = keytab,
       keepaliveIntervalMs = options.getLong(KEEPALIVE_INTERVAL_MS, 0L),
-      commitEpoch = Option(options.get(COMMIT_EPOCH)).map(_.toLong))
+      commitEpoch = Option(options.get(COMMIT_EPOCH)).map(_.toLong),
+      format = Option(options.get(FORMAT)).map(_.trim.toLowerCase)
+        .getOrElse(FORMAT_JSONL) match {
+          case f @ (FORMAT_JSONL | FORMAT_PARQUET) => f
+          case other => throw new IllegalArgumentException(
+            s"Option '$FORMAT' must be one of: $FORMAT_JSONL, " +
+              s"$FORMAT_PARQUET; got '$other'")
+        })
   }
 }

@@ -1,0 +1,119 @@
+package graft.sink
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.format.converter.ParquetMetadataConverter
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter, ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.types.StructType
+
+/** Columnar landing mode for the sink — parity with the reference's physical
+  * storage, which is ORC written by Hive's ACID machinery
+  * (`HiveStreamingExample.scala:26-31` `stored as orc`;
+  * `HiveWriter.scala:70-77`). Graft's columnar format is parquet (Spark's
+  * native default), written and read through Spark's own row↔parquet
+  * converters so every Spark type the JSONL path supports round-trips
+  * identically:
+  *
+  *  - write: parquet-hadoop `ParquetWriter` over Spark's
+  *    `ParquetWriteSupport` (the exact `InternalRow` consumer Spark's own
+  *    parquet datasource uses), snappy-compressed, dictionary-encoded;
+  *  - read: `ParquetReader` over Spark's `ParquetReadSupport` with the
+  *    requested schema pushed into the parquet scan — column pruning reaches
+  *    the page level, so a 2-column projection of a 20-column table reads 2
+  *    column chunks, not 20 (the scan story JSONL structurally cannot have);
+  *  - compact: `ParquetFileWriter.appendFile` row-group concatenation — a
+  *    byte-level copy of the compressed pages with no decode/re-encode, the
+  *    columnar analogue of the JSONL byte-concat.
+  *
+  * Rebase modes are pinned to CORRECTED and timestamps to TIMESTAMP_MICROS
+  * on both sides, so files are self-consistent regardless of the session
+  * conf of whoever reads them back.
+  */
+object ParquetIO {
+
+  /** Parquet files the sink writes always carry proleptic-Gregorian
+    * (CORRECTED) dates/timestamps as int64 micros; `init` of both Spark
+    * write- and read-support asserts these keys are present.
+    */
+  private def pinnedConf(base: Configuration, schema: StructType): Configuration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new Configuration(base)
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.defaultValueString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.defaultValueString)
+    conf
+  }
+
+  private final class RowWriterBuilder(path: Path, conf: Configuration)
+    extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](path) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  /** One open parquet segment. `rowGroupSize` is deliberately small
+    * (16 MiB) for a STREAMING writer: an epoch's worth of one partition's
+    * rows is typically far below the 128 MiB batch default, and a row group
+    * buffers entirely in executor memory until flushed.
+    */
+  def createWriter(
+      path: Path, schema: StructType, conf: Configuration): ParquetWriter[InternalRow] =
+    new RowWriterBuilder(path, conf)
+      .withConf(pinnedConf(conf, schema))
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withWriteMode(ParquetFileWriter.Mode.CREATE)
+      .withRowGroupSize(16L * 1024 * 1024)
+      .build()
+
+  /** Reader returning `InternalRow`s in `requestedSchema` field order.
+    * The requested schema is pushed into the parquet scan (only its column
+    * chunks are read); fields absent from the file materialize as null.
+    */
+  def createReader(
+      path: Path, requestedSchema: StructType,
+      conf: Configuration): ParquetReader[InternalRow] = {
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new Configuration(conf)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requestedSchema.json)
+    // the parquet→catalyst schema converter asserts these are present (its
+    // Configuration ctor does a bare .toBoolean on each); pin defaults
+    Seq(SQLConf.CASE_SENSITIVE, SQLConf.PARQUET_BINARY_AS_STRING,
+      SQLConf.PARQUET_INT96_AS_TIMESTAMP, SQLConf.PARQUET_FIELD_ID_READ_ENABLED,
+      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
+      SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION,
+      SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION)
+      .foreach(e => c.set(e.key, e.defaultValueString))
+    // no-arg ParquetReadSupport pins datetimeRebase=CORRECTED — the mode
+    // every file this sink writes was written with
+    ParquetReader.builder(new ParquetReadSupport(), path).withConf(c).build()
+  }
+
+  /** Row-group-level merge of same-schema parquet files into `target` —
+    * compressed pages are copied byte-for-byte, never decoded. Footer
+    * key-value metadata (including Spark's schema record) is carried from
+    * the first input.
+    */
+  def merge(inputs: Seq[Path], target: Path, conf: Configuration): Unit = {
+    require(inputs.nonEmpty, "nothing to merge")
+    val footer = ParquetFileReader.readFooter(
+      conf, inputs.head, ParquetMetadataConverter.NO_FILTER)
+    val writer = new ParquetFileWriter(
+      conf, footer.getFileMetaData.getSchema, target,
+      ParquetFileWriter.Mode.CREATE)
+    writer.start()
+    inputs.foreach(p => writer.appendFile(HadoopInputFile.fromPath(p, conf)))
+    writer.end(footer.getFileMetaData.getKeyValueMetaData)
+  }
+}

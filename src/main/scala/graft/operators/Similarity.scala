@@ -219,10 +219,11 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
     * centroid, then search only the probe's `nprobe` nearest inverted lists
-    * with exact cosine — the classic two-level index (centroids here are
-    * the per-label means from [[centroids]]; at 100 TB they come from a
-    * k-means job and the assignment feeds a bucketed table layout, so a
-    * probe reads `nprobe` buckets instead of the corpus).
+    * with exact cosine — the classic two-level index. The default codebook
+    * is the per-label means (the fixture quantizer); at 100 TB train one
+    * with [[trainKMeans]] and pass it to the codebook overload of
+    * [[ivfOn]] — the assignment feeds a bucketed table layout, so a probe
+    * reads `nprobe` buckets instead of the corpus.
     *
     * Assignment compares FP distances, which is not oracle-stable across
     * engines → rows-only driver check; the ScalaTest suite asserts recall
@@ -246,14 +247,88 @@ object Similarity {
       probeVec: Seq[Double]): DataFrame =
     ivfImpl(vecs, k, nprobe, Some(probeVec))
 
+  /** [[ivf]] with a TRAINED coarse codebook — `(c_id, cv: array<double>)`,
+    * e.g. from [[trainKMeans]] — instead of deriving cells from `label`:
+    * vectors are quantized against the given centroids and the probe scans
+    * its `nprobe` nearest inverted lists, exactly the production IVF shape
+    * (train once on a sample, assign the corpus, bucket the table by
+    * `list_id`).
+    */
+  def ivfOn(vecs: DataFrame, k: Int, nprobe: Int,
+      probeVec: Seq[Double], codebook: DataFrame): DataFrame =
+    ivfImpl(vecs, k, nprobe, Some(probeVec), Some(codebook))
+
+  /** Lloyd's k-means over the embedding column — the codebook trainer IVF
+    * needs at 100 TB (labels are a stand-in quantizer only on the fixture).
+    * Spark-shaped per iteration: ONE corpus pass — broadcast-codebook
+    * assignment (map-side argmax, no shuffle of vectors), then per-(cell,
+    * dim) mean whose shuffle is bounded by k×dim partial aggregates per
+    * partition, never by corpus size. Centroids live on the driver between
+    * iterations (k×dim doubles — bounded metadata, the same residence
+    * MLlib's k-means uses), so each iteration's plan is flat rather than a
+    * lineage chain over all previous iterations.
+    *
+    * Deterministic: seeding picks the k vectors with the smallest
+    * `xxhash64(vec_id, seed)` (a uniform pseudo-random sample chosen by one
+    * TakeOrdered pass), ties in assignment break toward the lower cell
+    * index, and empty cells retain their previous centroid — same inputs,
+    * same codebook, every run.
+    *
+    * @return `(c_id: int, cv: array<double>)`, `c_id` in `[0, k)`.
+    */
+  def trainKMeans(vecs: DataFrame, k: Int, iters: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val e = vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Int, Seq[Double])] = e
+        .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
+        .limit(k)
+        .select("v").collect()
+        .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
+      for (_ <- 1 to iters) {
+        val cb = broadcast(cents.toDF("c_idx", "cv")
+          .withColumn("c_nrm", dot(col("cv"), col("cv"))))
+        val csim = dot(col("v"), col("cv")) /
+          (sqrt(col("nrm")) * sqrt(greatest(col("c_nrm"), lit(1e-300))))
+        val means = e.crossJoin(cb)
+          .withColumn("csim", csim)
+          .groupBy("vec_id")
+          .agg(max_by(struct(col("c_idx"), col("v")),
+            struct(col("csim"), (-col("c_idx")).as("neg_c"))).as("m"))
+          .select(col("m.c_idx").as("cell"),
+            posexplode(col("m.v")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim").agg(avg("x").as("c"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+          .select(col("cell"), transform(col("pairs"), p => p("c")).as("cv"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        cents = cents.map { case (i, old) => i -> means.getOrElse(i, old) }
+      }
+      cents.toDF("c_id", "cv")
+    } finally e.unpersist()
+  }
+
   private def ivfImpl(vecs: DataFrame, k: Int, nprobe: Int,
-      probeVec: Option[Seq[Double]]): DataFrame = {
+      probeVec: Option[Seq[Double]],
+      codebook: Option[DataFrame] = None): DataFrame = {
     val s = vecs.sparkSession
     val e = vecs
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
-    // centroid table: one 64-dim mean vector per label (the coarse codebook)
-    val cents = e
+    // coarse codebook: supplied trained centroids, else one 64-dim mean
+    // vector per label (the fixture quantizer)
+    val cents = codebook.map { cb =>
+      cb.select(col("c_id"), asDouble(col("cv")).as("cv"))
+        .withColumn("c_nrm", dot(col("cv"), col("cv")))
+        .withColumn("c_idx", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("c_id"))))
+    }.getOrElse(e
       .select(col("label").as("c_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("c_id", "dim").agg(avg("x").as("c"))
       .groupBy("c_id")
@@ -265,7 +340,7 @@ object Similarity {
       // cannot be expressed by negating c_id; the codebook is tiny by
       // construction, so this single-partition window moves metadata only
       .withColumn("c_idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("c_id"))))
+        org.apache.spark.sql.expressions.Window.orderBy(col("c_id")))))
     // assign: nearest centroid by cosine (broadcast codebook — it is tiny
     // by construction; k-means codebooks are ≤ a few thousand entries)
     val simToC = dot(col("v"), col("cv")) /

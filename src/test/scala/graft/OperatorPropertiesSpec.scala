@@ -469,6 +469,37 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(overlap >= 3, s"IVF recall too low: $overlap/10 (exact=$exact ivf=$ivf)")
   }
 
+  test("k-means codebook: deterministic, k cells, recall >= label codebook") {
+    import graft.Tables
+    val vecs = Tables.embeddings(spark, sf0001)
+    val cb = Similarity.trainKMeans(vecs, k = 10, iters = 5, seed = 42L)
+    val rows = cb.collect()
+    assert(rows.length === 10, "one centroid per cell")
+    assert(rows.forall(_.getSeq[Double](1).length === 64), "64-dim centroids")
+    // determinism: identical seed → bit-identical codebook
+    val cb2 = Similarity.trainKMeans(vecs, k = 10, iters = 5, seed = 42L)
+    assert(cb.exceptAll(cb2).isEmpty && cb2.exceptAll(cb).isEmpty,
+      "same seed must reproduce the codebook exactly")
+    // a trained codebook must serve IVF at least as well as the fixture's
+    // label means (the recall floor the label codebook is held to)
+    val exact = Similarity.cosineTopK(spark, sf0001, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val labelIvf = Similarity.ivf(spark, sf0001, k = 10, nprobe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val probe = vecs.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    val trainedIvf = Similarity.ivfOn(
+        vecs.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0),
+        k = 10, nprobe = 3, probeVec = probe, codebook = cb)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val labelRecall = (exact & labelIvf).size
+    val trainedRecall = (exact & trainedIvf).size
+    assert(trainedRecall >= 3 && trainedRecall >= labelRecall - 1,
+      s"trained-codebook recall $trainedRecall/10 must not trail the label " +
+        s"codebook's $labelRecall/10")
+    spark.catalog.clearCache()
+  }
+
   test("brute-force cosine top-k dominates the ANN shortlist (recall sanity)") {
     val exact = Similarity.cosineTopK(spark, sf0001, k = 20)
       .select("vec_id", "cosine").collect()

@@ -53,12 +53,78 @@ object BandIndex {
     * scale; a 100 TB ingest raises this (it is a layout constant of the
     * table, fixed at creation) so each epoch's read stays a few files —
     * the per-epoch read scales with batch key spread, never corpus size.
+    *
+    * The value in force at creation is PERSISTED in `_banddex/_meta` and
+    * validated on every writer entry ([[ensureMeta]]): a jar rebuilt with a
+    * different constant would otherwise silently mis-bucket an existing
+    * table — probes would read the wrong buckets and near-dups re-land.
     */
   val NumBuckets = 64
 
   val DirName = "_banddex"
 
+  val MetaName = "_meta"
+
   private val PartName = "epoch-(-?\\d+)-\\d+\\.parquet".r
+
+  /** The layout constants baked into this index's files: the bucket
+    * fan-out (directory layout) and the banding parameters (key
+    * semantics — [[StreamingNearDedup]]'s MinHash construction). A change
+    * to ANY of these makes existing index files unreadable-as-intended.
+    */
+  private def metaProps: Seq[(String, String)] = Seq(
+    "numBuckets" -> NumBuckets.toString,
+    "numHashes" -> StreamingNearDedup.NumHashes.toString,
+    "numBands" -> StreamingNearDedup.NumBands.toString,
+    "bandSize" -> StreamingNearDedup.BandSize.toString)
+
+  /** Validate this jar's layout constants against the table's persisted
+    * `_banddex/_meta`, creating it when absent.
+    *
+    *  - meta present + any recorded key differs → fail LOUDLY naming the
+    *    keys (the alternative is silent mis-bucketing: probes read the
+    *    wrong `bucket=` dirs and every near-dup of the old corpus
+    *    re-lands);
+    *  - meta absent but the index dir exists (table written by a pre-meta
+    *    jar) → one-time heal: record the current constants, which are the
+    *    only layout any pre-meta jar ever shipped;
+    *  - neither exists → created together (table creation).
+    *
+    * Unknown keys in the file are ignored so future jars can extend the
+    * format without breaking this one.
+    */
+  private[graft] def ensureMeta(fs: FileSystem, tableDir: String): Unit = {
+    val idxDir = new Path(dir(tableDir))
+    val meta = new Path(idxDir, MetaName)
+    if (fs.exists(meta)) {
+      val recorded = graft.sink.CommitLog.readFully(fs, meta)
+        .split("\n").filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }.toMap
+      val diffs = metaProps.filter { case (k, v) =>
+        recorded.get(k).exists(_ != v)
+      }
+      if (diffs.nonEmpty) {
+        throw new IllegalStateException(
+          s"band index layout mismatch for $tableDir: this build uses " +
+            diffs.map { case (k, v) =>
+              s"$k=$v but the table was created with $k=${recorded(k)}"
+            }.mkString("; ") +
+            ". Reading it with different constants would silently " +
+            "mis-bucket probes. Rebuild with the recorded constants, or " +
+            "re-create the index (delete _banddex and let ensureBackfilled " +
+            "rebuild it from the committed rows).")
+      }
+    } else {
+      fs.mkdirs(idxDir)
+      // write-temp + rename so no concurrent reader observes a partial file
+      val tmp = new Path(idxDir, s".$MetaName.${UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(metaProps.map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, meta)) fs.delete(tmp, false)
+    }
+  }
 
   /** Epoch id under which [[backfill]] publishes pre-index keys. */
   val BackfillEpoch: Long = -1L
@@ -180,7 +246,7 @@ object BandIndex {
     val spark = keys.sparkSession
     val fs = fsFor(spark, tableDir)
     val idxDir = new Path(dir(tableDir))
-    fs.mkdirs(idxDir)
+    ensureMeta(fs, tableDir)
     cleanOrphans(fs, idxDir)
     val tmp = new Path(idxDir, s".epoch-$epochId.tmp-${UUID.randomUUID}")
     // one file per populated bucket: the repartition clusters each bucket
@@ -267,6 +333,7 @@ object BandIndex {
     val fs = fsFor(spark, tableDir)
     val idxDir = new Path(dir(tableDir))
     if (!fs.exists(idxDir)) return
+    ensureMeta(fs, tableDir)
     cleanOrphans(fs, idxDir)
     val state = listIndex(fs, idxDir)
     if (state.isEmpty) return
@@ -304,6 +371,22 @@ object BandIndex {
     */
   private[graft] case class IndexStats(
       deltaEpochs: Int, runs: Int, maxFilesPerBucket: Int)
+
+  /** Live runs (ids ≤ -2) grouped into their size classes — the ladder's
+    * actual invariant surface: after [[compact]] reaches its fixpoint,
+    * every class holds FEWER than [[TierFanout]] runs. The TOTAL run count
+    * is bounded by TierFanout · (occupied classes) = O(log₄ corpus), not
+    * by TierFanout alone: a mixed-size workload legitimately holds runs in
+    * several classes at once.
+    */
+  private[graft] def runClassCounts(
+      spark: SparkSession, tableDir: String): Map[Int, Int] = {
+    val fs = fsFor(spark, tableDir)
+    listIndex(fs, new Path(dir(tableDir)))
+      .filter(_._1 <= -2L)
+      .groupBy { case (_, fl) => sizeClass(fl.map(_._2).sum) }
+      .map { case (c, m) => c -> m.size }
+  }
 
   private[graft] def stats(spark: SparkSession, tableDir: String): IndexStats = {
     val fs = fsFor(spark, tableDir)
@@ -367,6 +450,10 @@ object BandIndex {
       // re-backfill structurally impossible
       fs.mkdirs(idxDir)
     }
+    // every-epoch layout validation (and the one-time meta heal for
+    // pre-meta tables): a rebuilt jar with different constants must fail
+    // HERE, before its first mis-bucketed probe
+    ensureMeta(fs, tableDir)
   }
 
   // ---- single-writer lease ------------------------------------------------
@@ -388,6 +475,14 @@ object BandIndex {
     finally out.close()
   }
 
+  /** After breaking a stale lease, a taker waits this long and re-reads:
+    * a renew whose read predated the break but whose write lands inside
+    * this window is detected here (the taker aborts, the woken writer
+    * keeps the lease — it is demonstrably alive). See the safety note on
+    * [[acquireLease]].
+    */
+  private[graft] val TakeoverGraceMs = 300L
+
   /** Take the single-writer lease or fail fast. A live lease (younger than
     * `staleMs`, held by someone else) aborts the start — the documented
     * alternative is index corruption from two writers racing the
@@ -397,11 +492,27 @@ object BandIndex {
     * starters can never both reclaim — delete-then-create would let the
     * loser delete the winner's fresh lock (the same reasoning as the sink
     * compactor's lock, `Compact.scala`).
+    *
+    * SAFETY ASSUMPTION (load-bearing, filesystem primitives cannot close
+    * it entirely): `staleMs` must exceed the longest pause a live writer
+    * can suffer (GC, fs stall). The heartbeat renews at `staleMs / 4`, so
+    * a lease only goes stale when its holder has been silent for ≥ staleMs.
+    * The residual race — a holder stalled past staleMs whose in-flight
+    * `renewLease` write lands AFTER a taker's create — is bounded by two
+    * guards: the taker re-verifies after [[TakeoverGraceMs]] (catching any
+    * renew whose write lands inside the grace window; the taker aborts and
+    * the demonstrably-alive holder keeps the lease), and the renew itself
+    * verifies after writing (catching a taker whose create lands after the
+    * renew's write). Both writers surviving requires the stalled renew's
+    * read→write span to straddle the ENTIRE grace window — a second
+    * multi-hundred-ms stall inside the first — and even then the holder's
+    * next per-epoch renew detects the takeover and stops the query.
     */
   def acquireLease(spark: SparkSession, tableDir: String,
       owner: String, staleMs: Long): Unit = {
     val fs = fsFor(spark, tableDir)
     val p = lockPath(tableDir)
+    var brokeStale = false
     readLock(fs, p).foreach { holder =>
       val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
       if (holder != owner && age < staleMs)
@@ -412,7 +523,7 @@ object BandIndex {
             "stop the other query first, or wait for its lease to go stale.")
       val claimed = new Path(p.getParent,
         s".${p.getName}.stale-${UUID.randomUUID}")
-      if (fs.rename(p, claimed)) fs.delete(claimed, false)
+      if (fs.rename(p, claimed)) { fs.delete(claimed, false); brokeStale = true }
       // rename lost → another contender claimed the stale lease first; the
       // create below races them and exactly one proceeds
     }
@@ -425,18 +536,49 @@ object BandIndex {
         s"lease on $tableDir was taken by a concurrent starter — " +
           "exactly one writer may proceed; retry after it stops.", e)
     }
+    if (brokeStale) {
+      // grace re-verify: if the stale holder was merely stalled and its
+      // delayed renew overwrote our fresh lock, detect it here and abort
+      // the takeover — the holder is alive, it keeps the lease
+      Thread.sleep(TakeoverGraceMs)
+      if (!readLock(fs, p).contains(owner))
+        throw new IllegalStateException(
+          s"lease takeover on $tableDir lost to the original holder: its " +
+            "delayed renew landed during the takeover grace window — the " +
+            "holder is alive after all; not starting a second writer.")
+    }
   }
 
   /** Per-epoch heartbeat + ownership check: bumps the lease mtime and
     * fails the query if another writer broke a stale lease and took over
     * (split-brain guard — the usurped writer must stop, not keep
-    * publishing).
+    * publishing). Verifies AFTER writing as well: a taker that created a
+    * fresh lock between this renew's write and its verify is detected and
+    * this writer stops, rather than both continuing. The combined
+    * guarantees (and the staleMs assumption they rest on) are documented
+    * on [[acquireLease]].
     */
-  def renewLease(spark: SparkSession, tableDir: String, owner: String): Unit = {
+  def renewLease(spark: SparkSession, tableDir: String, owner: String): Unit =
+    renewLease(spark, tableDir, owner, () => ())
+
+  /** Test seam: `betweenReadAndWrite` runs inside the classic TOCTOU
+    * window so specs can interleave a takeover deterministically.
+    */
+  private[graft] def renewLease(spark: SparkSession, tableDir: String,
+      owner: String, betweenReadAndWrite: () => Unit): Unit = {
     val fs = fsFor(spark, tableDir)
     val p = lockPath(tableDir)
     readLock(fs, p) match {
-      case Some(h) if h == owner => writeLock(fs, p, owner, overwrite = true)
+      case Some(h) if h == owner =>
+        betweenReadAndWrite()
+        writeLock(fs, p, owner, overwrite = true)
+        // verify-after-write: a takeover that re-created the lock after our
+        // write wins — we must observe our own content or stop
+        if (!readLock(fs, p).contains(owner))
+          throw new IllegalStateException(
+            s"writer $owner lost the lease on $tableDir during renew " +
+              "(another writer re-created the lock after our write); " +
+              "this query must stop.")
       case other => throw new IllegalStateException(
         s"writer $owner lost the lease on $tableDir (now held by " +
           s"${other.getOrElse("nobody")}): another writer took over after " +

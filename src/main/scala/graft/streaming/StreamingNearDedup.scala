@@ -38,6 +38,13 @@ object StreamingNearDedup {
   val NumBands = 8
   val BandSize = 4
 
+  /** Consecutive in-loop table-compaction failures tolerated before the
+    * query fails: transient FS faults skip the cycle and retry next time;
+    * this bounds how long a persistent fault can silently disable
+    * compaction.
+    */
+  val MaxCompactionFailures = 5
+
   /** Adds band_0..band_7 LSH key columns derived from `text` — the same
     * construction as `Dedup.minhashLsh`, factored over an arbitrary
     * DataFrame so batch corpora and streaming micro-batches band
@@ -101,6 +108,10 @@ object StreamingNearDedup {
       compactTableEvery: Int = 0): StreamingQuery = {
     val tableDir = s"$path/$db.$table"
     val owner = java.util.UUID.randomUUID.toString
+    // consecutive in-loop table-compaction failures: transient FS faults
+    // reset it; a PERSISTENT fault (programming error, dead mount) must
+    // eventually fail the query instead of silently never compacting again
+    val compactionFailures = new java.util.concurrent.atomic.AtomicInteger(0)
     // doubles as the monitor serializing every renew against the release:
     // without it the heartbeat could re-create the lock file in the window
     // right after stop() deleted it
@@ -177,15 +188,30 @@ object StreamingNearDedup {
           // FS fault mid-consolidation (IOException during the concat,
           // FileNotFoundException from ladder sizing under external file
           // drift) is equally recoverable — compaction is crash-safe by
-          // design, so skipping the cycle is always the right move; only
-          // the next cycle's retry needs to exist
-          try graft.sink.Compact.run(tableDir,
-            spark.sparkContext.hadoopConfiguration,
-            protectEpoch = epochId, deltasOnly = true)
+          // design, so skipping the cycle is the right move for a
+          // TRANSIENT fault. MaxCompactionFailures consecutive failures
+          // mean the fault is persistent (programming error, dead mount):
+          // rethrow and fail the query loudly rather than silently never
+          // compacting for the rest of an unbounded ingest.
+          try {
+            graft.sink.Compact.run(tableDir,
+              spark.sparkContext.hadoopConfiguration,
+              protectEpoch = epochId, deltasOnly = true)
+            compactionFailures.set(0)
+          }
           catch { case e if scala.util.control.NonFatal(e) =>
+            val n = compactionFailures.incrementAndGet()
+            // full class + stack trace: e.getMessage alone is null for NPE
+            // and hides where a persistent programming error lives
             System.err.println(
-              s"[graft] skipping in-loop table compaction (epoch $epochId): " +
-                e.getMessage)
+              s"[graft] skipping in-loop table compaction (epoch $epochId, " +
+                s"consecutive failure $n/$MaxCompactionFailures): $e")
+            e.printStackTrace()
+            if (n >= MaxCompactionFailures) throw new IllegalStateException(
+              s"in-loop table compaction of $tableDir failed " +
+                s"$MaxCompactionFailures consecutive cycles — the fault is " +
+                "persistent, not transient; failing the query instead of " +
+                "silently never compacting again.", e)
           }
         keys.unpersist()
         banded.unpersist()

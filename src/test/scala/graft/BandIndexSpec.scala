@@ -37,11 +37,14 @@ class BandIndexSpec extends SparkSpec {
         val runsBefore = B.stats(spark, tableDir).runs
         B.compact(spark, tableDir, protectEpoch = e.toLong)
         val st = B.stats(spark, tableDir)
-        // the ladder's invariant: TierFanout runs in one size class always
-        // merge, so the post-compact run count can never reach the fan-out
-        // ceiling for long (each L0 merge adds exactly one run per cycle)
-        assert(st.runs <= B.TierFanout,
-          s"after compact at epoch $e: ${st.runs} runs exceed the tier bound")
+        // the ladder's invariant is PER SIZE CLASS: a class reaching
+        // TierFanout runs always merges, so after the fixpoint every class
+        // holds fewer — the total may legitimately exceed TierFanout when
+        // runs span several classes (mixed-size test below pins that)
+        val classes = B.runClassCounts(spark, tableDir)
+        assert(classes.values.forall(_ < B.TierFanout),
+          s"after compact at epoch $e: a size class exceeds the tier " +
+            s"fan-out: $classes")
         if (st.runs < runsBefore + 1 && runsBefore > 0) sawTierMerge = true
         // probe-side bound: a bucket holds at most the runs + the protected
         // epoch's delta + the not-yet-compacted deltas of this cycle
@@ -100,14 +103,144 @@ class BandIndexSpec extends SparkSpec {
           // occasionally compact twice in a row — the second must be a
           // safe (often no-op) pass, never a corruption
           if (next(4) == 0) B.compact(spark, tableDir, protectEpoch = e.toLong)
-          val st = B.stats(spark, tableDir)
-          assert(st.runs <= B.TierFanout,
-            s"seed $seed epoch $e: ${st.runs} runs exceed the tier bound")
+          val classes = B.runClassCounts(spark, tableDir)
+          assert(classes.values.forall(_ < B.TierFanout),
+            s"seed $seed epoch $e: a size class exceeds the tier fan-out: " +
+              s"$classes")
         }
         assert(keysOf(tableDir) === expected.toSet,
           s"seed $seed epoch $e: key set diverged")
       }
     }
+  }
+
+  test("mixed-size epochs: runs span several size classes, each class under the fan-out") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("banddex_mixed").toString
+    val tableDir = s"$dir/corpus.docs"
+    // epoch sizes spanning orders of magnitude → L0 runs land in different
+    // log4-byte classes; each compact seals the in-flight cycle's deltas
+    val sizes = Seq(20000, 3, 15000, 5, 2, 25000, 4, 18000, 6, 3, 22000, 2)
+    var maxTotalRuns = 0
+    val expected = scala.collection.mutable.Set.empty[Long]
+    sizes.zipWithIndex.foreach { case (n, e) =>
+      val ks = (0 until n).map(i => e * 1000000L + i)
+      expected ++= ks
+      B.append(ks.map(k => (k, k)).toDF("doc_id", "bk"), tableDir, e.toLong)
+      B.compact(spark, tableDir, protectEpoch = e.toLong)
+      val classes = B.runClassCounts(spark, tableDir)
+      // the REAL invariant: per-class bound...
+      assert(classes.values.forall(_ < B.TierFanout),
+        s"epoch $e: a size class exceeds the fan-out: $classes")
+      maxTotalRuns = math.max(maxTotalRuns, classes.values.sum)
+      assert(keysOf(tableDir) === expected.toSet,
+        s"epoch $e: key set diverged under mixed-size compaction")
+    }
+    // ...and the fixture genuinely exercises it: at some point the TOTAL
+    // run count exceeded TierFanout (the old global assert would have
+    // fired) because runs legitimately spread across classes
+    assert(maxTotalRuns > B.TierFanout,
+      s"fixture too uniform: total runs never exceeded the fan-out " +
+        s"($maxTotalRuns) — it does not distinguish the per-class bound " +
+        "from the old global one")
+  }
+
+  test("layout meta: recorded at creation, validated on open, one-time heal for meta-less tables") {
+    val dir = java.nio.file.Files.createTempDirectory("banddex_meta").toString
+    val tableDir = s"$dir/corpus.docs"
+    val fs = fsOf(tableDir)
+    appendEpoch(tableDir, 0)
+    val metaPath = new Path(B.dir(tableDir), B.MetaName)
+    assert(fs.exists(metaPath), "append must record the layout meta")
+    val recorded = graft.sink.CommitLog.readFully(fs, metaPath)
+    assert(recorded.contains(s"numBuckets=${B.NumBuckets}"))
+    assert(recorded.contains("numBands="))
+    // a jar built with a DIFFERENT bucket constant must fail loudly on
+    // every entry point, not silently mis-bucket probes
+    val out = fs.create(metaPath, true)
+    try out.write(recorded.replace(
+      s"numBuckets=${B.NumBuckets}", "numBuckets=16").getBytes("UTF-8"))
+    finally out.close()
+    val e1 = intercept[IllegalStateException] { appendEpoch(tableDir, 1) }
+    assert(e1.getMessage.contains("numBuckets=16") &&
+      e1.getMessage.contains("mismatch"))
+    val e2 = intercept[IllegalStateException] {
+      B.compact(spark, tableDir, protectEpoch = 1L)
+    }
+    assert(e2.getMessage.contains("mismatch"))
+    val e3 = intercept[IllegalStateException] {
+      B.ensureBackfilled(spark, tableDir, replayingEpoch = 1L)
+    }
+    assert(e3.getMessage.contains("mismatch"))
+    // a PRE-META table (index dir exists, no _meta) heals exactly once
+    fs.delete(metaPath, false)
+    B.ensureBackfilled(spark, tableDir, replayingEpoch = 1L)
+    assert(fs.exists(metaPath), "meta-less table must heal on open")
+    assert(graft.sink.CommitLog.readFully(fs, metaPath)
+      .contains(s"numBuckets=${B.NumBuckets}"))
+    // healed table keeps working, keys intact
+    appendEpoch(tableDir, 1)
+    assert(keysOf(tableDir) === (0 to 1).flatMap(epochKeys).toSet)
+    // unknown keys from a FUTURE jar are tolerated
+    val out2 = fs.create(metaPath, true)
+    try out2.write((graft.sink.CommitLog.readFully(fs, metaPath) +
+      "\nfutureKnob=42").getBytes("UTF-8"))
+    finally out2.close()
+    appendEpoch(tableDir, 2)
+  }
+
+  test("lease takeover during a delayed renew converges to a single writer") {
+    val dir = java.nio.file.Files.createTempDirectory("banddex_toctou").toString
+    val tableDir = s"$dir/corpus.docs"
+    val fs = fsOf(tableDir)
+    // writer A holds the lease, then stalls past staleMs (no heartbeat)
+    B.acquireLease(spark, tableDir, "writer-A", staleMs = 100L)
+    Thread.sleep(150)
+    // A wakes INSIDE renewLease: its ownership read has already passed when
+    // B breaks the stale lease and takes over — the classic TOCTOU window,
+    // injected via the test seam. A's write then clobbers B's fresh lock.
+    B.renewLease(spark, tableDir, "writer-A", { () =>
+      B.acquireLease(spark, tableDir, "writer-B", staleMs = 100L)
+    })
+    // the takeover grace window is what resolves this: B's acquireLease
+    // re-verifies TakeoverGraceMs after its create... but here B's full
+    // acquire (grace included) fit inside A's read→write gap, so A's
+    // clobber landed after B returned. The system must still converge:
+    // exactly one writer survives its NEXT renew — A holds the lock file,
+    // so B's per-epoch tripwire fails and B stops.
+    val holder = graft.sink.CommitLog
+      .readFully(fs, B.lockPath(tableDir)).trim
+    assert(holder === "writer-A", "A's delayed renew re-took the lock")
+    val e = intercept[IllegalStateException] {
+      B.renewLease(spark, tableDir, "writer-B")
+    }
+    assert(e.getMessage.contains("lost the lease"),
+      "the clobbered taker must stop at its next renew — two writers " +
+        "never both continue past one renew period")
+    B.renewLease(spark, tableDir, "writer-A")
+    B.releaseLease(spark, tableDir, "writer-A")
+
+    // the common interleave the grace window DOES close: B's create lands,
+    // then A's delayed write lands INSIDE B's grace wait → B's re-verify
+    // sees the clobber and B aborts its start instead of running dual
+    val dir2 = java.nio.file.Files.createTempDirectory("banddex_toctou2").toString
+    val tableDir2 = s"$dir2/corpus.docs"
+    B.acquireLease(spark, tableDir2, "writer-A", staleMs = 100L)
+    Thread.sleep(150)
+    val clobber = new Thread(() => {
+      // A's renew write delayed into B's grace window
+      Thread.sleep(B.TakeoverGraceMs / 3)
+      val out = fs.create(B.lockPath(tableDir2), true)
+      try out.write("writer-A".getBytes("UTF-8")) finally out.close()
+    })
+    clobber.start()
+    val e2 = intercept[IllegalStateException] {
+      B.acquireLease(spark, tableDir2, "writer-B", staleMs = 100L)
+    }
+    clobber.join()
+    assert(e2.getMessage.contains("takeover") || e2.getMessage.contains("grace"),
+      s"B must abort when the original holder's renew lands in the grace " +
+        s"window: ${e2.getMessage}")
   }
 
   test("crash window: planted tmp dirs and stale attempt files are invisible, swept, and superseded") {

@@ -380,6 +380,70 @@ class StreamingSurfaceSpec extends SparkSpec {
       s"delta manifests must consolidate, got $epochs")
   }
 
+  test("in-loop compaction faults: a held lock skips the cycle, the stream survives and compacts later; persistent faults escalate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sndfault").toString
+    val tableDir = s"$dir/corpus.docs"
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mk = (seed: Int) => (100 to 123).map(i => s"w$seed-$i").mkString(" ")
+    // an EXTERNAL compactor's fresh lock is in place before the stream's
+    // first maintenance cycle → Compact.run throws, the NonFatal catch
+    // must skip the cycle, and the QUERY must keep ingesting
+    val lock = new org.apache.hadoop.fs.Path(tableDir,
+      s"${graft.sink.CommitLog.COMMITS_DIR}/.compaction.lock")
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close()
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingNearDedup.start(
+      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp",
+      compactTableEvery = 1)
+    in.addData((1L, mk(1))); q.processAllAvailable()
+    in.addData((2L, mk(2))); q.processAllAvailable()
+    assert(q.isActive, "a failing compaction cycle must not kill the query")
+    val log = new graft.sink.CommitLog(tableDir,
+      spark.sparkContext.hadoopConfiguration)
+    assert(log.committedEpochs().count(_ < 0) === 0,
+      "held lock: no minor manifest may have been published")
+    // the external compactor releases → the NEXT cycle compacts normally
+    fs.delete(lock, false)
+    in.addData((3L, mk(3))); q.processAllAvailable()
+    assert(log.committedEpochs().count(_ < 0) >= 1,
+      "after the lock clears, the next cycle must compact")
+    q.stop()
+    assert(graft.sink.CommitLog.readCommitted(spark, tableDir).count() === 3,
+      "all rows must have landed despite the skipped cycle")
+
+    // persistent fault: a lock that NEVER clears fails the query after
+    // MaxCompactionFailures consecutive cycles instead of silently never
+    // compacting again. (Fresh mtime each epoch so it never goes stale.)
+    val dir2 = java.nio.file.Files.createTempDirectory("sndfault2").toString
+    val tableDir2 = s"$dir2/corpus.docs"
+    val lock2 = new org.apache.hadoop.fs.Path(tableDir2,
+      s"${graft.sink.CommitLog.COMMITS_DIR}/.compaction.lock")
+    fs.mkdirs(lock2.getParent)
+    fs.create(lock2, false).close()
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingNearDedup.start(
+      in2.toDF().toDF("doc_id", "text"), dir2, "corpus", "docs", s"$dir2/_cp",
+      compactTableEvery = 1)
+    val failed = intercept[Exception] {
+      (1 to graft.streaming.StreamingNearDedup.MaxCompactionFailures + 1)
+        .foreach { i =>
+          fs.setTimes(lock2, System.currentTimeMillis(), -1)
+          in2.addData((i.toLong, mk(i)))
+          q2.processAllAvailable()
+        }
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(failed).exists(_.contains("consecutive cycles")),
+      s"persistent compaction faults must escalate: ${messages(failed)}")
+    q2.stop()
+  }
+
   test("streaming NEAR-dedup matches the policy simulation over the 500-doc corpus") {
     // the fixture test pins the policy on hand-built chains; this runs the
     // REAL documents table (sf0.001, 500 docs with organic near-dups)

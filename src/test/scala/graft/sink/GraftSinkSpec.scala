@@ -398,6 +398,48 @@ class GraftSinkSpec extends SparkSpec {
     assert(spark.read.json(log.committedFiles(): _*).count() === 3)
   }
 
+  test("compaction survives externally-deleted data files: dangling references heal") {
+    val dir = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableDir = s"$dir/t.t"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def writeData(name: String, rows: Seq[String]): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$tableDir/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      out.write((rows.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
+      p.toString
+    }
+    val log = new CommitLog(tableDir, conf)
+    val f1 = writeData("a.jsonl", Seq("""{"id":1}"""))
+    val f2 = writeData("b.jsonl", Seq("""{"id":2}"""))
+    val f3 = writeData("c.jsonl", Seq("""{"id":3}"""))
+    assert(log.commit(0L, Seq(f1)) && log.commit(1L, Seq(f2)) &&
+      log.commit(2L, Seq(f3)))
+    // foreign tooling deletes a manifest-listed data file out from under
+    // the table — an EXTERNAL Compact.run must heal, not die (previously:
+    // ladder sizing and the concat both threw FileNotFoundException)
+    fs.delete(new org.apache.hadoop.fs.Path(f2), false)
+    val res = Compact.run(tableDir, conf, retainMillis = 0L)
+    assert(res.supersededEpochs === 3,
+      "all manifests must be consumed, the dangling one included")
+    // the dangling reference is GONE from the live set; surviving rows intact
+    val live = log.committedFiles()
+    assert(live.size === 1 && live.head.contains("compact-"))
+    val ids = spark.read.json(live: _*)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L), "surviving rows must compact normally")
+    // deltas-only path (the in-loop shape) heals the same way
+    val f4 = writeData("d.jsonl", Seq("""{"id":4}"""))
+    val f5 = writeData("e.jsonl", Seq("""{"id":5}"""))
+    assert(log.commit(3L, Seq(f4)) && log.commit(4L, Seq(f5)))
+    fs.delete(new org.apache.hadoop.fs.Path(f4), false)
+    Compact.run(tableDir, conf, retainMillis = 0L, deltasOnly = true)
+    val ids2 = spark.read.json(log.committedFiles(): _*)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids2 === Set(1L, 3L, 5L))
+  }
+
   test("foreachBatch commit.epoch: deduped rows are tailable and replay-safe") {
     import spark.implicits._
     val dir = tmp()

@@ -371,7 +371,12 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the cluster path owns the shingle base's lifecycle: the arrays are
     // the query's largest cached object and are only needed until the
-    // (tiny) pair graph is materialized inside clusterPairs' first job
+    // (tiny) pair graph is materialized inside clusterPairs' first job.
+    // Level stays MEMORY_AND_DISK: the round-10 A/B of the r8/r9
+    // cold-first-sample residual switched every shingle cache to
+    // MEMORY_AND_DISK_SER and LOST on both cold and warm samples
+    // (ABLOG_r10.md) — the kryo/serialization cost of the string arrays
+    // exceeds what the smaller blocks save.
     val base = blockedShingles(docs).persist(MEMORY_AND_DISK)
     clusterPairs(
       ngramPairs(base, threshold = 0.2, hotCap = 25)
@@ -513,10 +518,15 @@ object Dedup {
     * embedding: array&lt;float|double&gt;) frame.
     */
   def embedCosineOn(vecs: DataFrame, threshold: Double = 0.3): DataFrame = {
-    // NOT persisted: caching (v, nrm, band keys) for every vector was
-    // A/B'd in round 5 and LOST to recomputation (2.59 s → 3.12 s focused)
-    // — the three consumers each prune to a 2-3 column subset, and the
-    // pruned parquet re-scans beat materializing the full cached rows
+    // NOT persisted: caching (v, nrm, band keys) for every vector lost its
+    // A/B twice — round 5 (MEMORY_AND_DISK, 2.59 s → 3.12 s focused) and
+    // round 10 (MEMORY_AND_DISK_SER, 1.44 s → 1.76 s median at sf0.1;
+    // ABLOG_r10.md) — the three consumers each prune to a 2-3 column
+    // subset, and the pruned parquet re-scans beat materializing the full
+    // cached rows. Stage profile (round 10): at sf0.1 the query is
+    // orchestration-bound — 2000 vectors, 1.4 MiB total shuffle, ~5
+    // sequential AQE stages; stage count is constant in corpus size, so
+    // the gap vs the single-process baseline does not widen at 100 TB.
     // native array cast, not transform(_.cast): the HOF is CodegenFallback
     // and would poison whole-stage codegen for the band-key explode stage
     val e = vecs.select(col("vec_id"),

@@ -25,6 +25,13 @@ final case class GraftSinkOptions(
     db: String,
     table: String,
     partitionColumns: Seq[String],
+    // whether `partition.columns` was explicitly passed: an ABSENT option
+    // resolves from the table's recorded layout (the reference reads
+    // partition columns from the metastore, HiveSourceProvider.scala:46-53
+    // — re-declaring them per stream is graft-only surface a mismatch
+    // could corrupt); `false` + non-empty partitionColumns never occurs
+    // from parsing, only from a resolved copy()
+    partitionColumnsSpecified: Boolean = true,
     batchSize: Int,
     txnPerBatch: Int,
     autoCreatePartitions: Boolean,
@@ -106,9 +113,9 @@ object GraftSinkOptions {
       }
       v
     }
-    val partCols = Option(options.get(PARTITION_COLUMNS))
+    val declaredPartCols = Option(options.get(PARTITION_COLUMNS))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+    val partCols = declaredPartCols.getOrElse(Seq.empty)
     val principal = Option(options.get(PRINCIPAL)).filter(_.nonEmpty)
     val keytab = Option(options.get(KEYTAB)).filter(_.nonEmpty)
     // reference behavior (HiveOptions.scala:61-75): both-or-neither, and the
@@ -130,6 +137,7 @@ object GraftSinkOptions {
       db = required(DB),
       table = required(TABLE),
       partitionColumns = partCols,
+      partitionColumnsSpecified = declaredPartCols.isDefined,
       batchSize = positiveInt(BATCH_SIZE, 10000),
       txnPerBatch = positiveInt(TXN_PER_BATCH, 100),
       autoCreatePartitions = options.getBoolean(AUTO_CREATE_PARTITIONS, true),

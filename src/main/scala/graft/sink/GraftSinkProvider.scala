@@ -124,6 +124,70 @@ object SchemaRegistry {
     def fromJson(json: String): StructType =
       org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
   }
+
+  // ---- partition layout record (`_partitioning`) --------------------------
+  // The reference resolves partition columns from the metastore table
+  // (HiveSourceProvider.scala:46-53); the filesystem analogue records them
+  // at first write so later streams resolve instead of re-declaring, and a
+  // CONFLICTING re-declaration fails instead of silently splitting the
+  // table into two physical layouts.
+
+  private def partitioningPath(opts: GraftSinkOptions) =
+    new Path(opts.tableDir, "_partitioning")
+
+  def loadPartitioning(opts: GraftSinkOptions): Option[Seq[String]] = {
+    val p = partitioningPath(opts)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else Some(CommitLog.readFully(fs, p).split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq)
+  }
+
+  def savePartitioningIfAbsent(opts: GraftSinkOptions, cols: Seq[String]): Unit = {
+    val p = partitioningPath(opts)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) return
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".partitioning.${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(cols.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    // losing the rename race means a concurrent first writer won; the
+    // caller re-validates against the winner's record
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+  }
+
+  /** Resolve the effective partition columns for a write: an explicit
+    * `partition.columns` is validated against the recorded layout (first
+    * writer records it); an ABSENT option inherits the record — the
+    * reference's metastore-resolution behavior.
+    */
+  def resolvePartitioning(opts: GraftSinkOptions): GraftSinkOptions = {
+    val recorded = loadPartitioning(opts)
+    (recorded, opts.partitionColumnsSpecified) match {
+      case (Some(rec), true) =>
+        if (rec != opts.partitionColumns) {
+          throw new IllegalStateException(
+            s"Table ${opts.db}.${opts.table} is partitioned by " +
+              s"(${rec.mkString(",")}) but this write declares " +
+              s"(${opts.partitionColumns.mkString(",")}). A second physical " +
+              "layout would corrupt partition routing — drop the option to " +
+              "inherit the table's layout, or write to a fresh table.")
+        }
+        opts
+      case (Some(rec), false) => opts.copy(partitionColumns = rec)
+      case (None, _) =>
+        savePartitioningIfAbsent(opts, opts.partitionColumns)
+        // re-validate against the record in case a concurrent first writer
+        // won the race with a different layout
+        loadPartitioning(opts).filter(_ != opts.partitionColumns).foreach { w =>
+          throw new IllegalStateException(
+            s"Concurrent writer recorded partitioning (${w.mkString(",")}) " +
+              s"different from this stream's (${opts.partitionColumns.mkString(",")})")
+        }
+        opts
+    }
+  }
 }
 
 final class GraftSinkTable(writeSchema: StructType, opts: GraftSinkOptions)
@@ -161,7 +225,11 @@ final class GraftSinkTable(writeSchema: StructType, opts: GraftSinkOptions)
             s"schema of the source dataframe (${got.toSeq.sorted.mkString(",")})")
       }
     }
-    opts.partitionColumns.foreach { c =>
+    // catalog-style layout resolution (reference reads partition columns
+    // from the metastore): absent option inherits the recorded layout,
+    // conflicting option fails, first write records
+    val resolved = SchemaRegistry.resolvePartitioning(opts)
+    resolved.partitionColumns.foreach { c =>
       if (!schema.fieldNames.contains(c)) {
         throw new IllegalArgumentException(
           s"Partition column '$c' is not present in the write schema " +
@@ -169,9 +237,9 @@ final class GraftSinkTable(writeSchema: StructType, opts: GraftSinkOptions)
       }
     }
     val hadoopConf = SparkSession.active.sparkContext.hadoopConfiguration
-    SchemaRegistry.saveIfAbsent(opts, schema)
+    SchemaRegistry.saveIfAbsent(resolved, schema)
     new WriteBuilder {
-      override def build(): Write = new GraftWrite(schema, opts, hadoopConf)
+      override def build(): Write = new GraftWrite(schema, resolved, hadoopConf)
     }
   }
 }

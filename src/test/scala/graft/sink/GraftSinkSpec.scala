@@ -111,6 +111,47 @@ class GraftSinkSpec extends SparkSpec {
     assert(out.filter($"region" === "US").count() === 50)
   }
 
+  test("partition layout resolves from the table record (reference metastore behavior)") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    // first writer declares the layout → recorded
+    val in = MemoryStream[Int]
+    val q = in.toDS().map(i => (i, if (i % 2 == 0) "EU" else "US", s"m$i"))
+      .toDF("id", "region", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir, "partition.columns" -> "region"))
+      .option("checkpointLocation", s"$dir/_cp").start()
+    in.addData(1 to 10: _*); q.processAllAvailable(); q.stop()
+    // a later batch append WITHOUT the option inherits the recorded layout
+    (11 to 20).map(i => (i, if (i % 2 == 0) "EU" else "US", s"m$i"))
+      .toDF("id", "region", "msg")
+      .write.format("graft-streaming").options(opts(dir)).mode("append").save()
+    val files = new CommitLog(s"$dir/testdb.t",
+      spark.sparkContext.hadoopConfiguration).committedFiles()
+    assert(files.forall(f => f.contains("region=EU") || f.contains("region=US")),
+      s"resolved writes must keep routing into the recorded layout: $files")
+    val out = CommitLog.readCommitted(spark, s"$dir/testdb.t")
+    assert(out.count() === 20)
+    assert(out.filter($"region" === "EU").count() === 10)
+    // a CONFLICTING re-declaration fails loudly instead of splitting the
+    // table into two physical layouts (the user error the reference's
+    // metastore resolution structurally prevents)
+    val e = intercept[Exception] {
+      (21 to 25).map(i => (i, "EU", s"m$i")).toDF("id", "region", "msg")
+        .write.format("graft-streaming")
+        .options(opts(dir, "partition.columns" -> "msg")).mode("append").save()
+    }
+    def msgs(t: Throwable): String =
+      Option(t).map(x => x.getMessage + msgs(x.getCause)).getOrElse("")
+    assert(msgs(e).contains("partitioned by"), msgs(e))
+    // the identical re-declaration still works
+    (21 to 24).map(i => (i, "EU", s"m$i")).toDF("id", "region", "msg")
+      .write.format("graft-streaming")
+      .options(opts(dir, "partition.columns" -> "region")).mode("append").save()
+    assert(CommitLog.readCommitted(spark, s"$dir/testdb.t").count() === 24)
+  }
+
   test("A8 exactly-once: replayed epoch commit publishes no duplicates") {
     val dir = tmp()
     val conf = spark.sparkContext.hadoopConfiguration

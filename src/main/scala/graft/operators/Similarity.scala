@@ -247,6 +247,24 @@ object Similarity {
       probeVec: Seq[Double]): DataFrame =
     ivfImpl(vecs, k, nprobe, Some(probeVec))
 
+  /** The end-to-end TRAINED IVF fixture (registry `q_sim_ivf_trained`):
+    * train a [[trainKMeans]] codebook on the corpus, then answer the same
+    * probe contract as [[ivf]] (probe = vec 0, excluded from results)
+    * through the trained inverted lists — the production IVF shape
+    * exercised through the driver gate (rows-only: k-means assignment
+    * compares FP distances, same declared reason as `q_sim_ivf`).
+    */
+  def ivfTrained(s: SparkSession, dir: String,
+      k: Int = 10, nprobe: Int = 3, cells: Int = 10): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+    val cb = trainKMeans(vecs, k = cells, iters = 4)
+    // fixture-only 1-row driver lookup for the probe vector (the
+    // probe-as-parameter contract every at-scale overload takes)
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding"))).head.getSeq[Double](0).toSeq
+    ivfImpl(vecs.filter(col("vec_id") =!= 0), k, nprobe, Some(probe), Some(cb))
+  }
+
   /** [[ivf]] with a TRAINED coarse codebook — `(c_id, cv: array<double>)`,
     * e.g. from [[trainKMeans]] — instead of deriving cells from `label`:
     * vectors are quantized against the given centroids and the probe scans
@@ -274,7 +292,11 @@ object Similarity {
     * index, and empty cells retain their previous centroid — same inputs,
     * same codebook, every run.
     *
-    * @return `(c_id: int, cv: array<double>)`, `c_id` in `[0, k)`.
+    * @return `(c_id: int, cv: array<double>)`, `c_id` in
+    *         `[0, min(k, |corpus|))` — a corpus smaller than `k` seeds
+    *         (and therefore returns) one cell per vector; callers sizing
+    *         a bucket layout or `nprobe` against `k` must use the
+    *         returned row count, not the requested `k`.
     */
   def trainKMeans(vecs: DataFrame, k: Int, iters: Int = 8,
       seed: Long = 42L): DataFrame = {
@@ -318,8 +340,18 @@ object Similarity {
       probeVec: Option[Seq[Double]],
       codebook: Option[DataFrame] = None): DataFrame = {
     val s = vecs.sparkSession
+    // `label` is the quantizer only on the label-codebook path; with a
+    // supplied codebook it is a passthrough output column, so a production
+    // (vec_id, embedding) frame without one must still work
+    val labelCol =
+      if (vecs.columns.contains("label")) col("label")
+      else if (codebook.isDefined) lit(null).cast("string").as("label")
+      else throw new IllegalArgumentException(
+        "ivf without a codebook derives its cells from a 'label' column; " +
+          "this frame has none — pass a trained codebook (trainKMeans) " +
+          "or add a label column")
     val e = vecs
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), labelCol, asDouble(col("embedding")).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
     // coarse codebook: supplied trained centroids, else one 64-dim mean
     // vector per label (the fixture quantizer)

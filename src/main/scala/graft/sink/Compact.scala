@@ -172,7 +172,14 @@ object Compact {
       retainMillis: Long): Result = {
     val fs = fileSystem
     val oldFiles = live.flatMap(_.files)
-    if (oldFiles.isEmpty) return Result(0, 0, 0)
+    // a consolidation must CONSUME its manifests even when they list no
+    // (surviving) files — empty manifests arise from zero-row epochs and
+    // from the missing-file healing below, and leaving them live would (a)
+    // accumulate one per epoch on an idle stream and (b) let the tier
+    // ladder select the same empty class forever, spinning doRun's
+    // fixpoint loop. Only a SINGLE empty manifest short-circuits: folding
+    // it would just mint a new empty manifest each cycle.
+    if (oldFiles.isEmpty && live.size <= 1) return Result(0, 0, 0)
     val raw = fs match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
@@ -192,15 +199,20 @@ object Compact {
     }
     val written = scala.collection.mutable.ArrayBuffer.empty[Path]
     val newFiles =
-      try byDirExt.map { case ((dir, ext), files) =>
-        val target = new Path(dir,
-          s"compact-${java.util.UUID.randomUUID.toString.take(8)}.$ext")
-        written += target
+      try byDirExt.flatMap { case ((dir, ext), files) =>
+        val stem = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
         if (ext == "parquet") {
           // row-group concat: compressed pages copied byte-for-byte — the
-          // columnar analogue of the JSONL byte-concat below
-          ParquetIO.merge(files.map(new Path(_)), target, fs.getConf)
+          // columnar analogue of the JSONL byte-concat below. One output
+          // per distinct physical schema (name-set validation permits
+          // field-order drift across lineages; see ParquetIO.merge)
+          val targets = ParquetIO.merge(files.map(new Path(_)),
+            i => { val t = new Path(dir, s"$stem-$i.parquet"); written += t; t },
+            fs.getConf)
+          targets.map(_.toString)
         } else {
+          val target = new Path(dir, s"$stem.jsonl")
+          written += target
           val out = raw.create(target, false)
           try {
             val buf = new Array[Byte](1 << 16)
@@ -212,8 +224,8 @@ object Compact {
               } finally in.close()
             }
           } finally out.close()
+          Seq(target.toString)
         }
-        target.toString
       }.toSeq
       catch {
         // nothing is published until the manifest commit below, so a
@@ -279,7 +291,7 @@ object Compact {
     // later run, giving IN-FLIGHT readers that already planned against
     // the old file list time to finish.
     live.foreach(m => log.deleteManifestTransitively(m.epochId))
-    if (retainMillis <= 0) log.deleteFiles(oldFiles)
+    if (retainMillis <= 0 || oldFiles.isEmpty) log.deleteFiles(oldFiles)
     else {
       // uuid suffix: one doRun can consolidate several times (first-stage
       // fold + ladder folds), and two ledgers created in the same

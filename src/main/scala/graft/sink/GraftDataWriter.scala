@@ -299,7 +299,10 @@ final class GraftDataWriter(
   override def abort(): Unit = synchronized {
     heartbeat.foreach(_.shutdown())
     segments.values.foreach(_.discard())
-    files.foreach(p => try dataFs.delete(new Path(p), false) catch { case _: Throwable => })
+    // delete through the CHECKSUM fs: parquet segments are created through
+    // it (a raw-fs delete would orphan their .crc sidecars forever); for
+    // raw-created JSONL segments the two deletes are identical
+    files.foreach(p => try fs.delete(new Path(p), false) catch { case _: Throwable => })
   }
 
   override def close(): Unit = synchronized {

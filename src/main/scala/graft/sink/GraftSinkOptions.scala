@@ -132,6 +132,25 @@ object GraftSinkOptions {
         }
       case _ =>
     }
+    val format = Option(options.get(FORMAT)).map(_.trim.toLowerCase)
+      .getOrElse(FORMAT_JSONL) match {
+        case f @ (FORMAT_JSONL | FORMAT_PARQUET) => f
+        case other => throw new IllegalArgumentException(
+          s"Option '$FORMAT' must be one of: $FORMAT_JSONL, " +
+            s"$FORMAT_PARQUET; got '$other'")
+      }
+    val keepalive = options.getLong(KEEPALIVE_INTERVAL_MS, 0L)
+    // a parquet file cannot flush mid-write (pages buffer until a row
+    // group completes), so the A11 keep-alive would be a silent no-op —
+    // reject the combination instead of letting a user believe their
+    // long-epoch rows are durable mid-epoch
+    if (format == FORMAT_PARQUET && keepalive > 0) {
+      throw new IllegalArgumentException(
+        s"Option '$KEEPALIVE_INTERVAL_MS' is not supported with " +
+          s"$FORMAT='$FORMAT_PARQUET': parquet segments cannot flush " +
+          "mid-file. Use the jsonl landing for mid-epoch durability, or " +
+          "drop the keep-alive (epoch-scoped durability needs none).")
+    }
     GraftSinkOptions(
       path = required(PATH),
       db = required(DB),
@@ -143,14 +162,8 @@ object GraftSinkOptions {
       autoCreatePartitions = options.getBoolean(AUTO_CREATE_PARTITIONS, true),
       principal = principal,
       keytab = keytab,
-      keepaliveIntervalMs = options.getLong(KEEPALIVE_INTERVAL_MS, 0L),
+      keepaliveIntervalMs = keepalive,
       commitEpoch = Option(options.get(COMMIT_EPOCH)).map(_.toLong),
-      format = Option(options.get(FORMAT)).map(_.trim.toLowerCase)
-        .getOrElse(FORMAT_JSONL) match {
-          case f @ (FORMAT_JSONL | FORMAT_PARQUET) => f
-          case other => throw new IllegalArgumentException(
-            s"Option '$FORMAT' must be one of: $FORMAT_JSONL, " +
-              s"$FORMAT_PARQUET; got '$other'")
-        })
+      format = format)
   }
 }

@@ -100,20 +100,41 @@ object ParquetIO {
     ParquetReader.builder(new ParquetReadSupport(), path).withConf(c).build()
   }
 
-  /** Row-group-level merge of same-schema parquet files into `target` —
-    * compressed pages are copied byte-for-byte, never decoded. Footer
-    * key-value metadata (including Spark's schema record) is carried from
-    * the first input.
+  /** Row-group-level merge of parquet files — compressed pages are copied
+    * byte-for-byte, never decoded. `appendFile` requires byte-identical
+    * physical schemas, but the sink's schema contract is NAME-SET only
+    * (column order and types deliberately unchecked, reference
+    * `HiveSourceProvider.scala:55-58`), so epochs written by different
+    * lineages may legitimately differ in field order — inputs are grouped
+    * by their footer schema and each group merges into its own output
+    * (readers dispatch per file, so a multi-schema directory stays fully
+    * readable). Footer key-value metadata (including Spark's schema
+    * record) is carried from each group's first input.
+    *
+    * @param targetFor output path for the i-th schema group; almost always
+    *                  called once (single-lineage tables have one schema).
+    * @return the written file paths.
     */
-  def merge(inputs: Seq[Path], target: Path, conf: Configuration): Unit = {
+  def merge(inputs: Seq[Path], targetFor: Int => Path,
+      conf: Configuration): Seq[Path] = {
     require(inputs.nonEmpty, "nothing to merge")
-    val footer = ParquetFileReader.readFooter(
-      conf, inputs.head, ParquetMetadataConverter.NO_FILTER)
-    val writer = new ParquetFileWriter(
-      conf, footer.getFileMetaData.getSchema, target,
-      ParquetFileWriter.Mode.CREATE)
-    writer.start()
-    inputs.foreach(p => writer.appendFile(HadoopInputFile.fromPath(p, conf)))
-    writer.end(footer.getFileMetaData.getKeyValueMetaData)
+    val byFooter = inputs
+      .map(p => p -> ParquetFileReader.readFooter(
+        conf, p, ParquetMetadataConverter.NO_FILTER))
+      .groupBy(_._2.getFileMetaData.getSchema)
+      .values.toSeq
+    byFooter.zipWithIndex.map { case (group, i) =>
+      val target = targetFor(i)
+      val footer = group.head._2
+      val writer = new ParquetFileWriter(
+        conf, footer.getFileMetaData.getSchema, target,
+        ParquetFileWriter.Mode.CREATE)
+      writer.start()
+      group.foreach { case (p, _) =>
+        writer.appendFile(HadoopInputFile.fromPath(p, conf))
+      }
+      writer.end(footer.getFileMetaData.getKeyValueMetaData)
+      target
+    }
   }
 }

@@ -199,19 +199,30 @@ object StreamingNearDedup {
               protectEpoch = epochId, deltasOnly = true)
             compactionFailures.set(0)
           }
-          catch { case e if scala.util.control.NonFatal(e) =>
-            val n = compactionFailures.incrementAndGet()
-            // full class + stack trace: e.getMessage alone is null for NPE
-            // and hides where a persistent programming error lives
-            System.err.println(
-              s"[graft] skipping in-loop table compaction (epoch $epochId, " +
-                s"consecutive failure $n/$MaxCompactionFailures): $e")
-            e.printStackTrace()
-            if (n >= MaxCompactionFailures) throw new IllegalStateException(
-              s"in-loop table compaction of $tableDir failed " +
-                s"$MaxCompactionFailures consecutive cycles — the fault is " +
-                "persistent, not transient; failing the query instead of " +
-                "silently never compacting again.", e)
+          catch {
+            // a held compactor lock is COORDINATION, not a fault: an
+            // external compaction (or a crash leftover that goes stale on
+            // the lock's own 30-min clock) legitimately spans many fast
+            // epochs, and counting it toward escalation would kill the
+            // ingest on a state that self-heals by design. Skip, never
+            // escalate.
+            case e: IllegalStateException =>
+              System.err.println(
+                s"[graft] skipping in-loop table compaction (epoch " +
+                  s"$epochId): ${e.getMessage}")
+            case e if scala.util.control.NonFatal(e) =>
+              val n = compactionFailures.incrementAndGet()
+              // full class + stack trace: e.getMessage alone is null for
+              // NPE and hides where a persistent programming error lives
+              System.err.println(
+                s"[graft] skipping in-loop table compaction (epoch $epochId, " +
+                  s"consecutive failure $n/$MaxCompactionFailures): $e")
+              e.printStackTrace()
+              if (n >= MaxCompactionFailures) throw new IllegalStateException(
+                s"in-loop table compaction of $tableDir failed " +
+                  s"$MaxCompactionFailures consecutive cycles — the fault is " +
+                  "persistent, not transient; failing the query instead of " +
+                  "silently never compacting again.", e)
           }
         keys.unpersist()
         banded.unpersist()

@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class EntryContractSpec extends AnyFunSuite {
 
-  // the 6 hash-/FP-dependent queries that are rows-only BY DESIGN, each
+  // the 7 hash-/FP-dependent queries that are rows-only BY DESIGN, each
   // covered by a named property test (SURVEY §2.C)
   private val rowsOnlyByDesign = Set(
     "q_agg_approx", "q_agg_approx_pct", "q_dedup_near", "q_dedup_simhash",
-    "q_sim_ivf", "q_fingerprint_rolling")
+    "q_sim_ivf", "q_sim_ivf_trained", "q_fingerprint_rolling")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -26,7 +26,7 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 65)
+    assert(SparkEntry.queries.size === 66)
     assert(SparkEntry.oracleSql.size === 59)
   }
 }

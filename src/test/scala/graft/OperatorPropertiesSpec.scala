@@ -497,6 +497,20 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(trainedRecall >= 3 && trainedRecall >= labelRecall - 1,
       s"trained-codebook recall $trainedRecall/10 must not trail the label " +
         s"codebook's $labelRecall/10")
+    // production shape: a (vec_id, embedding) frame WITHOUT a label column
+    // works with a supplied codebook (label is only the fixture quantizer)
+    val noLabel = Similarity.ivfOn(
+        vecs.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
+          .select("vec_id", "embedding"),
+        k = 10, nprobe = 3, probeVec = probe, codebook = cb)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(noLabel === trainedIvf,
+      "a label-less frame must answer identically through a trained codebook")
+    // the registry fixture runs end-to-end and honors the probe contract
+    val fixture = Similarity.ivfTrained(spark, sf0001)
+    assert(fixture.count() === 10)
+    assert(!fixture.select("vec_id").collect().map(_.getLong(0)).contains(0L),
+      "the probe vector itself must be excluded")
     spark.catalog.clearCache()
   }
 

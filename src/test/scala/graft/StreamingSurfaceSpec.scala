@@ -415,9 +415,9 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(graft.sink.CommitLog.readCommitted(spark, tableDir).count() === 3,
       "all rows must have landed despite the skipped cycle")
 
-    // persistent fault: a lock that NEVER clears fails the query after
-    // MaxCompactionFailures consecutive cycles instead of silently never
-    // compacting again. (Fresh mtime each epoch so it never goes stale.)
+    // lock contention held across MANY cycles is coordination, not a
+    // fault: it must never escalate (an external compactor legitimately
+    // spans epochs; a crash leftover heals on the lock's own 30-min clock)
     val dir2 = java.nio.file.Files.createTempDirectory("sndfault2").toString
     val tableDir2 = s"$dir2/corpus.docs"
     val lock2 = new org.apache.hadoop.fs.Path(tableDir2,
@@ -428,12 +428,34 @@ class StreamingSurfaceSpec extends SparkSpec {
     val q2 = graft.streaming.StreamingNearDedup.start(
       in2.toDF().toDF("doc_id", "text"), dir2, "corpus", "docs", s"$dir2/_cp",
       compactTableEvery = 1)
+    (1 to graft.streaming.StreamingNearDedup.MaxCompactionFailures + 2)
+      .foreach { i =>
+        fs.setTimes(lock2, System.currentTimeMillis(), -1)
+        in2.addData((i.toLong, mk(i)))
+        q2.processAllAvailable()
+      }
+    assert(q2.isActive,
+      "a held compactor lock must never escalate into a query failure")
+    q2.stop()
+
+    // a genuinely persistent NON-coordination fault (here: a corrupt
+    // trash ledger — a directory where a file must be — that every cycle
+    // trips over) fails the query after MaxCompactionFailures consecutive
+    // cycles instead of silently never compacting again
+    val dir3 = java.nio.file.Files.createTempDirectory("sndfault3").toString
+    val tableDir3 = s"$dir3/corpus.docs"
+    val badTrash = new org.apache.hadoop.fs.Path(tableDir3,
+      s"${graft.sink.CommitLog.COMMITS_DIR}/.trash-1-corrupt")
+    fs.mkdirs(badTrash) // ts=1 → always expired → purge opens it each cycle
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = graft.streaming.StreamingNearDedup.start(
+      in3.toDF().toDF("doc_id", "text"), dir3, "corpus", "docs", s"$dir3/_cp",
+      compactTableEvery = 1)
     val failed = intercept[Exception] {
       (1 to graft.streaming.StreamingNearDedup.MaxCompactionFailures + 1)
         .foreach { i =>
-          fs.setTimes(lock2, System.currentTimeMillis(), -1)
-          in2.addData((i.toLong, mk(i)))
-          q2.processAllAvailable()
+          in3.addData((i.toLong, mk(i)))
+          q3.processAllAvailable()
         }
     }
     def messages(t: Throwable): Seq[String] =
@@ -441,7 +463,7 @@ class StreamingSurfaceSpec extends SparkSpec {
         Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(failed).exists(_.contains("consecutive cycles")),
       s"persistent compaction faults must escalate: ${messages(failed)}")
-    q2.stop()
+    q3.stop()
   }
 
   test("streaming NEAR-dedup matches the policy simulation over the 500-doc corpus") {

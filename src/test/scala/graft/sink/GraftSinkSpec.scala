@@ -481,6 +481,27 @@ class GraftSinkSpec extends SparkSpec {
     assert(ids2 === Set(1L, 3L, 5L))
   }
 
+  test("empty manifests fold away: zero-row epochs and all-healed folds stay bounded") {
+    val dir = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableDir = s"$dir/t.t"
+    val log = new CommitLog(tableDir, conf)
+    // zero-row streaming epochs commit empty manifests (the streaming
+    // commit path publishes them; only batch writes skip empties)
+    (0L to 4L).foreach(e => assert(log.commit(e, Seq.empty)))
+    val res = Compact.run(tableDir, conf, retainMillis = 0L, deltasOnly = true)
+    assert(res.supersededEpochs === 5,
+      "empty delta manifests must be consumed, not accumulate per epoch")
+    assert(log.manifests().size === 1, s"got ${log.committedEpochs()}")
+    // repeated cycles with nothing new must terminate and stay at one
+    // manifest — the all-empty size class must never spin the tier ladder
+    (5L to 8L).foreach(e => assert(log.commit(e, Seq.empty)))
+    Compact.run(tableDir, conf, retainMillis = 0L, deltasOnly = true)
+    Compact.run(tableDir, conf, retainMillis = 0L, deltasOnly = true)
+    assert(log.manifests().size <= 2,
+      s"empty-manifest folds must stay bounded: ${log.committedEpochs()}")
+  }
+
   test("foreachBatch commit.epoch: deduped rows are tailable and replay-safe") {
     import spark.implicits._
     val dir = tmp()

@@ -217,6 +217,68 @@ class ParquetLandingSpec extends SparkSpec {
       "parquet and jsonl landings must read back identically")
   }
 
+  test("parquet compaction tolerates field-order drift across lineages") {
+    // the schema contract is NAME-SET only, so two lineages may write the
+    // same columns in different physical order; row-group merge must not
+    // die on it — each physical schema folds into its own compact file
+    val dir = tmp()
+    def land(epoch: Long, flip: Boolean): Unit = {
+      val schema =
+        if (flip) StructType(Seq(
+          StructField("msg", StringType), StructField("id", IntegerType)))
+        else StructType(Seq(
+          StructField("id", IntegerType), StructField("msg", StringType)))
+      val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))
+      val w = new GraftWrite(schema, o, hconf).toStreaming
+      val f = w.createStreamingWriterFactory(new PhysicalWriteInfo {
+        override def numPartitions(): Int = 1
+      })
+      val dw = f.createWriter(0, epoch, epoch)
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(schema)
+      (1 to 10).foreach { i =>
+        val r =
+          if (flip) org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"m${epoch * 100 + i}"),
+            (epoch * 100 + i).toInt)
+          else org.apache.spark.sql.catalyst.InternalRow(
+            (epoch * 100 + i).toInt,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"m${epoch * 100 + i}"))
+        dw.write(proj(r))
+      }
+      w.commit(epoch, Array(dw.commit()))
+    }
+    val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))
+    SchemaRegistry.saveIfAbsent(o, StructType(Seq(
+      StructField("id", IntegerType), StructField("msg", StringType))))
+    land(0L, flip = false)
+    land(1L, flip = true)
+    land(2L, flip = false)
+    val tableDir = s"$dir/testdb.t"
+    val res = Compact.run(tableDir, hconf, retainMillis = 0L)
+    assert(res.supersededEpochs === 3)
+    assert(res.consolidatedFiles === 2,
+      "one merged parquet per distinct physical schema")
+    val out = CommitLog.readCommitted(spark, tableDir)
+    assert(out.count() === 30)
+    assert(out.select("id").collect().map(_.getInt(0)).toSet
+      === ((1 to 10) ++ (101 to 110) ++ (201 to 210)).toSet)
+  }
+
+  test("keepalive is rejected with the parquet landing (silent no-op guard)") {
+    val e = intercept[IllegalArgumentException] {
+      GraftSinkOptions.from(new CaseInsensitiveStringMap(
+        Map("path" -> "/x", "db" -> "d", "table" -> "t",
+          "format" -> "parquet", "keepalive.interval.ms" -> "5000").asJava))
+    }
+    assert(e.getMessage.contains("keepalive"))
+    // jsonl keeps supporting it
+    val ok = GraftSinkOptions.from(new CaseInsensitiveStringMap(
+      Map("path" -> "/x", "db" -> "d", "table" -> "t",
+        "keepalive.interval.ms" -> "5000").asJava))
+    assert(ok.keepaliveIntervalMs === 5000L)
+  }
+
   test("A9 parquet abort: staged parquet files deleted, nothing visible") {
     val dir = tmp()
     val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))

@@ -84,11 +84,10 @@ final class GraftScan(
       new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
         .sparkContext.hadoopConfiguration))
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val plannedFiles: Seq[(String, Map[String, String])] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    val files = new CommitLog(opts.tableDir, conf).committedFiles()
-    files.flatMap { f =>
+    new CommitLog(opts.tableDir, conf).committedFiles().flatMap { f =>
       // Hive-style col=value segments below the table root only (the
       // warehouse base path may itself contain k=v-shaped directories)
       val parts = CommitLog
@@ -98,28 +97,104 @@ final class GraftScan(
       val pruned = partitionPredicates.exists { case (k, v) =>
         parts.get(k).exists(_ != v)
       }
-      if (pruned) None
-      else Some(GraftInputPartition(f, parts): InputPartition)
-    }.toArray
+      if (pruned) None else Some(f -> parts)
+    }
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedFiles.map { case (f, parts) =>
+      GraftInputPartition(f, parts): InputPartition
+    }.toArray
+
+  /** Columnar (vectorized) batches when EVERY planned file is parquet and
+    * the projection is batch-decodable — Spark requires a scan's
+    * partitions to be uniformly columnar or row-based, so one JSONL epoch
+    * in a mixed table keeps the whole scan on the row path.
+    */
+  private lazy val columnar: Boolean =
+    plannedFiles.nonEmpty && requiredSchema.nonEmpty &&
+      plannedFiles.forall(_._1.endsWith(".parquet")) &&
+      ParquetIO.batchReadSupported(requiredSchema)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(requiredSchema,
       new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
-        .sparkContext.hadoopConfiguration))
+        .sparkContext.hadoopConfiguration),
+      columnar = columnar)
 }
 
 final case class GraftInputPartition(
     file: String, partitionValues: Map[String, String]) extends InputPartition
 
 final case class GraftReaderFactory(
-    requiredSchema: StructType, conf: SerializableHadoopConf)
+    requiredSchema: StructType, conf: SerializableHadoopConf,
+    columnar: Boolean = false)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p, requiredSchema, conf)
   }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarReader(p, requiredSchema, conf)
+  }
+}
+
+/** Vectorized parquet scan of one committed file: Spark's columnar decoder
+  * fills `ColumnVector`s straight from the column chunks (no row
+  * materialization), partition columns ride along as constant vectors, and
+  * the batch's columns are re-ordered to the projection's field order
+  * (`initBatch` appends partition columns at the end).
+  */
+final class GraftColumnarReader(
+    partition: GraftInputPartition, requiredSchema: StructType,
+    conf: SerializableHadoopConf)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val isPart: Array[Boolean] =
+    requiredSchema.fields.map(f => partition.partitionValues.contains(f.name))
+  private val fileSchema = StructType(
+    requiredSchema.fields.zip(isPart).collect { case (f, false) => f })
+  private val partSchema = StructType(
+    requiredSchema.fields.zip(isPart).collect { case (f, true) => f })
+  private val partRow = new GenericInternalRow(
+    partSchema.fields.map(f => GraftPartitionReader.fromPathString(
+      partition.partitionValues(f.name), f.dataType)).toArray[Any])
+  // batch column i of the projection lives at: fileIdx within the file
+  // columns, or fileCount + partIdx for partition constants
+  private val reorder: Array[Int] = {
+    var fi = 0; var pi = 0
+    requiredSchema.fields.indices.map { i =>
+      if (isPart(i)) { val r = fileSchema.length + pi; pi += 1; r }
+      else { val r = fi; fi += 1; r }
+    }.toArray
+  }
+
+  private val reader = ParquetIO.createVectorizedReader(
+    new Path(partition.file), fileSchema, partSchema, partRow, conf.value)
+  private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (!reader.nextKeyValue()) { batch = null; false }
+    else {
+      val b = reader.getCurrentValue
+        .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+      batch =
+        if (reorder.indices.forall(i => reorder(i) == i)) b
+        else new org.apache.spark.sql.vectorized.ColumnarBatch(
+          reorder.map(b.column), b.numRows())
+      true
+    }
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+
+  override def close(): Unit = reader.close()
 }
 
 final class GraftPartitionReader(

@@ -100,6 +100,57 @@ object ParquetIO {
     ParquetReader.builder(new ParquetReadSupport(), path).withConf(c).build()
   }
 
+  /** VECTORIZED batch reader over one sink parquet file — Spark's own
+    * columnar decoder (`VectorizedParquetRecordReader`), the scan engine
+    * behind its native parquet source: column chunks decode straight into
+    * `ColumnVector`s, rows are never materialized, and downstream
+    * whole-stage codegen consumes the batches directly. Partition columns
+    * are appended as constant vectors via `initBatch`. Rebase pins match
+    * [[createWriter]] (CORRECTED / UTC), so the files this sink writes
+    * round-trip bit-exactly.
+    */
+  def createVectorizedReader(
+      path: Path, fileSchema: StructType,
+      partitionSchema: StructType, partitionValues: InternalRow,
+      conf: Configuration)
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new Configuration(conf)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, fileSchema.json)
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    Seq(SQLConf.CASE_SENSITIVE, SQLConf.PARQUET_BINARY_AS_STRING,
+      SQLConf.PARQUET_INT96_AS_TIMESTAMP, SQLConf.PARQUET_FIELD_ID_READ_ENABLED,
+      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
+      SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION,
+      SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION)
+      .foreach(e => c.set(e.key, e.defaultValueString))
+    val len = path.getFileSystem(c).getFileStatus(path).getLen
+    // the old-API split class: it extends the mapreduce one, and Spark's
+    // base reader downcasts to it for its locality accessors
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      path, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      c, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val reader = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(
+        java.time.ZoneId.of("UTC"), "CORRECTED", "UTC", "CORRECTED", "UTC",
+        /* useOffHeap = */ false, /* capacity = */ 4096)
+    reader.initialize(split, ctx)
+    reader.initBatch(partitionSchema, partitionValues)
+    reader.enableReturningBatches()
+    reader
+  }
+
+  /** Whether Spark's vectorized decoder supports every column of the
+    * projection (plan-side gate for the columnar path).
+    */
+  def batchReadSupported(schema: StructType): Boolean =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetUtils
+      .isBatchReadSupportedForSchema(
+        org.apache.spark.sql.internal.SQLConf.get, schema)
+
   /** Row-group-level merge of parquet files — compressed pages are copied
     * byte-for-byte, never decoded. `appendFile` requires byte-identical
     * physical schemas, but the sink's schema contract is NAME-SET only

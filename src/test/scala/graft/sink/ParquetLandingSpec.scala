@@ -279,6 +279,33 @@ class ParquetLandingSpec extends SparkSpec {
     assert(ok.keepaliveIntervalMs === 5000L)
   }
 
+  test("all-parquet tables scan COLUMNAR; mixed tables fall back to rows") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS().map(i => (i, s"m$i")).toDF("id", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir))
+      .option("checkpointLocation", s"$dir/_cp").start()
+    in.addData(1 to 100: _*); q.processAllAvailable(); q.stop()
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val pq = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(planOf(pq.select("id", "msg")).contains("ColumnarToRow"),
+      "an all-parquet table must plan a vectorized columnar scan")
+    assert(pq.select("msg").count() === 100)
+    // a JSONL epoch lands in the same table → the scan must fall back to
+    // rows uniformly (Spark requires all partitions to agree)
+    (101 to 110).map(i => (i, s"m$i")).toDF("id", "msg")
+      .write.format("graft-streaming")
+      .options(opts(dir, "format" -> "jsonl")).mode("append").save()
+    val mixed = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(!planOf(mixed.select("id", "msg")).contains("ColumnarToRow"),
+      "a mixed-format table must scan on the row path")
+    assert(mixed.count() === 110)
+  }
+
   test("A9 parquet abort: staged parquet files deleted, nothing visible") {
     val dir = tmp()
     val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))

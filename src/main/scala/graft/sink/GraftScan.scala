@@ -28,6 +28,7 @@ final class GraftScanBuilder(tableSchema: StructType, opts: GraftSinkOptions)
 
   private var required: StructType = tableSchema
   private var partitionPredicates: Seq[(String, String)] = Seq.empty
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve our field metadata/order; keep only requested names
@@ -54,6 +55,9 @@ final class GraftScanBuilder(tableSchema: StructType, opts: GraftSinkOptions)
         }
         attr -> encoded
     }.toSeq
+    // kept for parquet row-group/page skipping (converted per file against
+    // its physical schema at read time); JSONL partitions ignore them
+    pushed = filters
     filters
   }
 
@@ -64,14 +68,15 @@ final class GraftScanBuilder(tableSchema: StructType, opts: GraftSinkOptions)
     }.toArray
 
   override def build(): Scan =
-    new GraftScan(tableSchema, required, opts, partitionPredicates)
+    new GraftScan(tableSchema, required, opts, partitionPredicates, pushed)
 }
 
 final class GraftScan(
     tableSchema: StructType,
     requiredSchema: StructType,
     opts: GraftSinkOptions,
-    partitionPredicates: Seq[(String, String)] = Seq.empty)
+    partitionPredicates: Seq[(String, String)] = Seq.empty,
+    pushedSourceFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -120,7 +125,8 @@ final class GraftScan(
     GraftReaderFactory(requiredSchema,
       new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
         .sparkContext.hadoopConfiguration),
-      columnar = columnar)
+      columnar = columnar,
+      filters = pushedSourceFilters)
 }
 
 final case class GraftInputPartition(
@@ -128,7 +134,8 @@ final case class GraftInputPartition(
 
 final case class GraftReaderFactory(
     requiredSchema: StructType, conf: SerializableHadoopConf,
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -141,7 +148,7 @@ final case class GraftReaderFactory(
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftColumnarReader(p, requiredSchema, conf)
+    new GraftColumnarReader(p, requiredSchema, conf, filters)
   }
 }
 
@@ -153,7 +160,8 @@ final case class GraftReaderFactory(
   */
 final class GraftColumnarReader(
     partition: GraftInputPartition, requiredSchema: StructType,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val isPart: Array[Boolean] =
@@ -176,7 +184,8 @@ final class GraftColumnarReader(
   }
 
   private val reader = ParquetIO.createVectorizedReader(
-    new Path(partition.file), fileSchema, partSchema, partRow, conf.value)
+    new Path(partition.file), fileSchema, partSchema, partRow, conf.value,
+    filters.toSeq)
   private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
 
   override def next(): Boolean = {

@@ -112,7 +112,8 @@ object ParquetIO {
   def createVectorizedReader(
       path: Path, fileSchema: StructType,
       partitionSchema: StructType, partitionValues: InternalRow,
-      conf: Configuration)
+      conf: Configuration,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
       : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
     import org.apache.spark.sql.internal.SQLConf
     val c = new Configuration(conf)
@@ -126,6 +127,32 @@ object ParquetIO {
       SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION,
       SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION)
       .foreach(e => c.set(e.key, e.defaultValueString))
+    // push the query's filters into the parquet scan: row groups whose
+    // column statistics contradict a predicate are skipped whole, and
+    // column indexes prune at page granularity — at 100 TB this is the
+    // difference between touching every committed byte and touching the
+    // matching slice. Converted against THIS file's physical schema
+    // (files may drift in field order across lineages); predicates on
+    // columns absent from the file simply don't convert. Safe by
+    // construction: the scan reports every filter as residual, so Spark
+    // re-applies them post-scan — pushdown only removes IO, never rows it
+    // shouldn't.
+    if (filters.nonEmpty) {
+      val schema = ParquetFileReader.readFooter(
+        c, path, ParquetMetadataConverter.SKIP_ROW_GROUPS)
+        .getFileMetaData.getSchema
+      val converter = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFilters(schema, /* pushDownDate = */ true,
+          /* pushDownTimestamp = */ true, /* pushDownDecimal = */ true,
+          /* pushDownStringPredicate = */ true,
+          /* pushDownInFilterThreshold = */ 10, /* caseSensitive = */ false,
+          org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
+            org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED))
+      filters.flatMap(f => converter.createFilter(f))
+        .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+        .foreach(p => org.apache.parquet.hadoop.ParquetInputFormat
+          .setFilterPredicate(c, p))
+    }
     val len = path.getFileSystem(c).getFileStatus(path).getLen
     // the old-API split class: it extends the mapreduce one, and Spark's
     // base reader downcasts to it for its locality accessors

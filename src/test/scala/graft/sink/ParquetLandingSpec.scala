@@ -306,6 +306,36 @@ class ParquetLandingSpec extends SparkSpec {
     assert(mixed.count() === 110)
   }
 
+  test("pushed filters through the columnar scan: exact results over multi-file ranges") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS().map(i => (i.toLong, s"m$i", i % 2 == 0))
+      .toDF("id", "msg", "even")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir))
+      .option("checkpointLocation", s"$dir/_cp").start()
+    // several epochs → several files with DISJOINT id ranges, so row-group
+    // statistics can actually exclude whole files
+    (0 until 5).foreach { e =>
+      in.addData(e * 1000 until e * 1000 + 100: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val t = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(t.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // numeric range straddling two files
+    assert(t.filter($"id" >= 3050 && $"id" < 4010).count() === 60)
+    assert(t.filter($"id" === 2042).select("msg").as[String].collect()
+      === Array("m2042"))
+    // string + boolean predicates (pushed as stats/dictionary filters)
+    assert(t.filter($"msg" === "m1001").count() === 1)
+    assert(t.filter($"even" && $"id" < 1000).count() === 50)
+    // a filter matching nothing anywhere
+    assert(t.filter($"id" === 999999).count() === 0)
+  }
+
   test("A9 parquet abort: staged parquet files deleted, nothing visible") {
     val dir = tmp()
     val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))

@@ -56,7 +56,8 @@ final class CommitLog(tableDir: String, conf: Configuration) {
       epochId: Long, files: Seq[String],
       supersedes: Seq[Long] = Seq.empty,
       watermark: Option[Long] = None,
-      tombstoneCeiling: Option[Long] = None): Boolean = {
+      tombstoneCeiling: Option[Long] = None,
+      fileStats: Map[String, String] = Map.empty): Boolean = {
     val f = fs
     f.mkdirs(commitsDir)
     val target = manifestPath(epochId)
@@ -86,8 +87,15 @@ final class CommitLog(tableDir: String, conf: Configuration) {
        else Seq.empty) ++
       watermark.map(w => s"#watermark:$w") ++
       tombstoneCeiling.map(c => s"#tombstone_ceiling:$c")
+    // a file line optionally carries its serialized column stats after a
+    // tab ([[FileStats]] — plan-time file skipping); paths can never
+    // contain tabs (writer-generated names, control chars percent-encoded
+    // in partition values), so the split is unambiguous, and readers that
+    // predate stats simply took the whole line as the path
+    val lines = files.map(f =>
+      fileStats.get(f).filter(_.nonEmpty).map(s => s"$f\t$s").getOrElse(f))
     val out = f.create(tmp, false)
-    try out.write((header ++ files).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write((header ++ lines).mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // rename is the atomicity point. HDFS/S3A rename fails onto an existing
     // target; RawLocalFileSystem REPLACES it (POSIX), so re-check right
@@ -100,12 +108,15 @@ final class CommitLog(tableDir: String, conf: Configuration) {
   }
 
   /** One parsed manifest: its data files, the epochs it supersedes
-    * (compaction), the streaming watermark it preserves, and the positive-
-    * epoch tombstone ceiling it carries forward.
+    * (compaction), the streaming watermark it preserves, the positive-
+    * epoch tombstone ceiling it carries forward, and per-file column
+    * statistics for plan-time skipping (absent for JSONL files and for
+    * manifests written before stats existed).
     */
   case class Manifest(epochId: Long, files: Seq[String],
       supersedes: Seq[Long], watermark: Option[Long],
-      tombstoneCeiling: Option[Long] = None)
+      tombstoneCeiling: Option[Long] = None,
+      fileStats: Map[String, FileStats] = Map.empty)
 
   /** Max positive-epoch tombstone ceiling across the given manifests:
     * every streaming epoch ≤ this is consumed (Long.MinValue when none).
@@ -133,8 +144,14 @@ final class CommitLog(tableDir: String, conf: Configuration) {
       case l if l.startsWith("#tombstone_ceiling:") =>
         l.stripPrefix("#tombstone_ceiling:").toLong
     }
-    Some(Manifest(epochId, lines.filterNot(_.startsWith("#")), supersedes,
-      watermark, ceiling))
+    val fileLines = lines.filterNot(_.startsWith("#"))
+    val files = fileLines.map(_.takeWhile(_ != '\t'))
+    val stats = fileLines.flatMap { l =>
+      val toks = l.split('\t')
+      if (toks.length < 2) None
+      else FileStats.parse(toks.drop(1).toSeq).map(toks(0) -> _)
+    }.toMap
+    Some(Manifest(epochId, files, supersedes, watermark, ceiling, stats))
   }
 
   /** Every readable manifest, superseded ones included. */
@@ -197,6 +214,10 @@ final class CommitLog(tableDir: String, conf: Configuration) {
 
   /** All files published across all live epochs. */
   def committedFiles(): Seq[String] = manifests().flatMap(_.files)
+
+  /** Live files with their recorded column stats (None → never skip). */
+  def committedFilesWithStats(): Seq[(String, Option[FileStats])] =
+    manifests().flatMap(m => m.files.map(f => f -> m.fileStats.get(f)))
 
   /** Files published by one specific live epoch (empty if uncommitted or
     * compacted away).

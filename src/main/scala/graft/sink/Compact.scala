@@ -198,6 +198,7 @@ object Compact {
       (new Path(f).getParent, if (f.endsWith(".parquet")) "parquet" else "jsonl")
     }
     val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val newStats = scala.collection.mutable.HashMap.empty[String, String]
     val newFiles =
       try byDirExt.flatMap { case ((dir, ext), files) =>
         val stem = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
@@ -209,6 +210,17 @@ object Compact {
           val targets = ParquetIO.merge(files.map(new Path(_)),
             i => { val t = new Path(dir, s"$stem-$i.parquet"); written += t; t },
             fs.getConf)
+          // re-derive column stats from the consolidated footer (appendFile
+          // carries the input row groups' stats through) so plan-time file
+          // skipping survives compaction; one metadata read per output
+          targets.foreach { t =>
+            try newStats(t.toString) = FileStats.fromFooter(
+              org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                fs.getConf, t,
+                org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER))
+              .serialize
+            catch { case scala.util.control.NonFatal(_) => } // stats are optional
+          }
           targets.map(_.toString)
         } else {
           val target = new Path(dir, s"$stem.jsonl")
@@ -278,7 +290,8 @@ object Compact {
     while (!log.commit(epoch, newFiles,
         supersedes = tombstones,
         watermark = if (watermark >= 0) Some(watermark) else None,
-        tombstoneCeiling = if (ceiling > Long.MinValue) Some(ceiling) else None)) {
+        tombstoneCeiling = if (ceiling > Long.MinValue) Some(ceiling) else None,
+        fileStats = newStats.toMap)) {
       epoch -= 1
     }
     // lazy cleanup — the compaction manifest is visible, so NEW readers no

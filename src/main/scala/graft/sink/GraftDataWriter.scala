@@ -10,8 +10,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
 import org.apache.spark.sql.types.StructType
 
-/** Files written by one task, reported to the driver for the epoch commit. */
-final case class GraftCommitMessage(files: Seq[String], rows: Long)
+/** Files written by one task, reported to the driver for the epoch commit,
+  * with each parquet file's serialized column stats ([[FileStats]]) riding
+  * along so the manifest can record them for plan-time file skipping.
+  */
+final case class GraftCommitMessage(files: Seq[String], rows: Long,
+    stats: Map[String, String] = Map.empty)
     extends WriterCommitMessage
 
 /** Per-task writer: partition routing → JSON encode → batched append —
@@ -124,26 +128,38 @@ final class GraftDataWriter(
         .BoundReference(i, schema(i).dataType, nullable = true)).toArray)
     private val maxRowsPerFile = opts.batchSize.toLong * opts.txnPerBatch
     private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+    private var file: Path = _
     private var rowsInFile = 0L
     private var seq = 0
 
     private def open(): Unit = {
-      val file = segmentFile(segmentDir(partDir), seq, "parquet")
+      file = segmentFile(segmentDir(partDir), seq, "parquet")
       writer = ParquetIO.createWriter(file, dataSchema, conf)
       seq += 1
       rowsInFile = 0L
       files += file.toString
     }
 
+    /** Close the open file and record its column stats from the footer the
+      * writer just built in memory — zero extra IO, and the stats land in
+      * the epoch manifest for plan-time file skipping.
+      */
+    private def closeFile(): Unit = {
+      writer.close()
+      statsByFile(file.toString) =
+        FileStats.fromFooter(writer.getFooter).serialize
+      writer = null
+    }
+
     override def write(row: InternalRow): Unit = {
       if (writer == null) open()
       writer.write(project(row))
       rowsInFile += 1
-      if (rowsInFile >= maxRowsPerFile) { writer.close(); writer = null }
+      if (rowsInFile >= maxRowsPerFile) closeFile()
     }
 
     override def close(): Unit =
-      if (writer != null) { writer.close(); writer = null }
+      if (writer != null) closeFile()
 
     override def discard(): Unit =
       if (writer != null) {
@@ -230,6 +246,7 @@ final class GraftDataWriter(
 
   private val segments = mutable.HashMap.empty[String, Segment]
   private val files = mutable.ArrayBuffer.empty[String]
+  private val statsByFile = mutable.HashMap.empty[String, String]
   private var rowCount = 0L
   private val uid = java.util.UUID.randomUUID().toString.take(8)
 
@@ -290,7 +307,7 @@ final class GraftDataWriter(
     segments.values.foreach(_.close())
     logInfo(s"task commit: epoch=$epochId partition=$partitionId " +
       s"rows=$rowCount files=${files.size}")
-    GraftCommitMessage(files.toSeq, rowCount)
+    GraftCommitMessage(files.toSeq, rowCount, statsByFile.toMap)
   }
 
   /** Task abort: close and delete everything this task wrote (reference

@@ -92,17 +92,24 @@ final class GraftScan(
   private lazy val plannedFiles: Seq[(String, Map[String, String])] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    new CommitLog(opts.tableDir, conf).committedFiles().flatMap { f =>
-      // Hive-style col=value segments below the table root only (the
-      // warehouse base path may itself contain k=v-shaped directories)
-      val parts = CommitLog
-        .partitionSegments(f, s"${opts.db}.${opts.table}").toMap
-      // partition pruning: drop files whose directory values contradict a
-      // pushed equality predicate (values compared in path encoding)
-      val pruned = partitionPredicates.exists { case (k, v) =>
-        parts.get(k).exists(_ != v)
-      }
-      if (pruned) None else Some(f -> parts)
+    new CommitLog(opts.tableDir, conf).committedFilesWithStats().flatMap {
+      case (f, stats) =>
+        // Hive-style col=value segments below the table root only (the
+        // warehouse base path may itself contain k=v-shaped directories)
+        val parts = CommitLog
+          .partitionSegments(f, s"${opts.db}.${opts.table}").toMap
+        // partition pruning: drop files whose directory values contradict a
+        // pushed equality predicate (values compared in path encoding)
+        val pruned = partitionPredicates.exists { case (k, v) =>
+          parts.get(k).exists(_ != v)
+        } ||
+          // FILE SKIPPING on manifest-recorded column stats: a pushed
+          // predicate that provably excludes every row of a file (min/max/
+          // null counts, [[FileStats]]) drops it before an input partition
+          // exists — no footer opened, no task scheduled. Filters are all
+          // re-applied post-scan, so this only ever removes IO
+          stats.exists(st => pushedSourceFilters.exists(st.prunes))
+        if (pruned) None else Some(f -> parts)
     }
   }
 
@@ -303,6 +310,11 @@ object GraftPartitionReader {
         s"Partition column type $other is not supported")
     }
   }
+
+  /** [[unsanitize]] for the other percent-encoded consumers (manifest
+    * stats tokens share the path encoding).
+    */
+  private[sink] def unsanitizePublic(s: String): String = unsanitize(s)
 
   private def unsanitize(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)

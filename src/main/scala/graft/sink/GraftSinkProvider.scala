@@ -265,7 +265,9 @@ final class GraftWrite(schema: StructType, opts: GraftSinkOptions, conf: Configu
       */
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
-      if (!commitLog.commit(epochId, files)) {
+      val stats = messages.collect { case m: GraftCommitMessage => m.stats }
+        .foldLeft(Map.empty[String, String])(_ ++ _)
+      if (!commitLog.commit(epochId, files, fileStats = stats)) {
         logWarning(s"epoch $epochId already committed (replay); " +
           s"discarding ${files.size} replayed files")
         commitLog.deleteFiles(files)
@@ -285,6 +287,8 @@ final class GraftWrite(schema: StructType, opts: GraftSinkOptions, conf: Configu
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect { case m: GraftCommitMessage => m.files }.flatten.toSeq
+      val stats = messages.collect { case m: GraftCommitMessage => m.stats }
+        .foldLeft(Map.empty[String, String])(_ ++ _)
       // nothing written → no manifest: foreachBatch pipelines with
       // mostly-duplicate batches would otherwise grow the commit log with
       // empty manifests every reader must list and parse
@@ -295,7 +299,7 @@ final class GraftWrite(schema: StructType, opts: GraftSinkOptions, conf: Configu
         // re-executed foreachBatch is idempotent (replay discarded) and the
         // rows remain visible to tailing readers
         case Some(e) =>
-          if (!commitLog.commit(e, files)) {
+          if (!commitLog.commit(e, files, fileStats = stats)) {
             logWarning(s"epoch $e already committed (foreachBatch replay); " +
               s"discarding ${files.size} replayed files")
             commitLog.deleteFiles(files)
@@ -306,7 +310,7 @@ final class GraftWrite(schema: StructType, opts: GraftSinkOptions, conf: Configu
         // this batch's manifest
         case None =>
           var epoch = -math.abs(System.nanoTime())
-          while (!commitLog.commit(epoch, files)) epoch -= 1
+          while (!commitLog.commit(epoch, files, fileStats = stats)) epoch -= 1
       }
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -1,0 +1,245 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.sources._
+
+import graft.SparkSpec
+
+/** Plan-time file skipping over manifest-recorded column stats
+  * ([[FileStats]]): parquet epochs record per-file min/max/null-count in
+  * the commit manifest at write time, and the batch scan drops whole files
+  * whose stats contradict a pushed predicate BEFORE planning an input
+  * partition. Correctness is conservative-by-construction (Spark re-applies
+  * every filter post-scan), so these tests pin both halves: results stay
+  * exact, and the planned partition count actually shrinks.
+  */
+class FileSkippingSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-skip").toString
+
+  private def opts(path: String, extra: (String, String)*): Map[String, String] =
+    Map("path" -> path, "db" -> "testdb", "table" -> "t",
+      "format" -> "parquet") ++ extra.toMap
+
+  private def log(dir: String) =
+    new CommitLog(s"$dir/testdb.t", spark.sparkContext.hadoopConfiguration)
+
+  /** Write `epochs` disjoint-range epochs through the streaming sink. */
+  private def writeEpochs(dir: String, epochs: Int, perEpoch: Int = 100): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS()
+      .map(i => (i.toLong, s"m$i", i % 2 == 0,
+        if (i % 10 == 0) null else s"tag$i", i / 100.0))
+      .toDF("id", "msg", "even", "tag", "score")
+      .writeStream.format("graft-streaming").options(opts(dir))
+      .option("checkpointLocation", s"$dir/_cp").start()
+    (0 until epochs).foreach { e =>
+      in.addData(e * 1000 until e * 1000 + perEpoch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+  }
+
+  /** Planned input partitions for a read with `filters` pushed. */
+  private def planned(dir: String, filters: Filter*): Int = {
+    val df = spark.read.format("graft-streaming").options(opts(dir)).load()
+    val builder = new GraftScanBuilder(df.schema,
+      GraftSinkOptions.from(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(opts(dir)).asJava)))
+    builder.pushFilters(filters.toArray)
+    builder.build().asInstanceOf[GraftScan].planInputPartitions().length
+  }
+
+  test("stats land in the manifest for every parquet file") {
+    val dir = tmp()
+    writeEpochs(dir, 2)
+    val ms = log(dir).manifests()
+    val withFiles = ms.filter(_.files.nonEmpty)
+    assert(withFiles.nonEmpty)
+    withFiles.foreach { m =>
+      m.files.foreach { f =>
+        val st = m.fileStats.get(f)
+        assert(st.isDefined, s"no stats recorded for $f")
+        val id = st.get.cols("id")
+        assert(id.min.exists(_.startsWith("l")) && id.max.exists(_.startsWith("l")))
+        assert(id.nullCount.contains(0L))
+        // the all-nulls-every-10th column records its null count
+        assert(st.get.cols("tag").nullCount.exists(_ > 0L))
+        assert(st.get.cols("msg").min.exists(_.startsWith("s")))
+        assert(st.get.cols("score").min.exists(_.startsWith("d")))
+      }
+    }
+  }
+
+  test("planning skips files a predicate provably excludes") {
+    val dir = tmp()
+    writeEpochs(dir, 5)
+    val all = planned(dir)
+    assert(all >= 5, s"expected >=5 planned files, got $all")
+    // point lookup: exactly one epoch's range contains 2042
+    assert(planned(dir, EqualTo("id", 2042L)) === 1)
+    // range straddling two epochs
+    assert(planned(dir, GreaterThanOrEqual("id", 3050L), LessThan("id", 4010L)) === 2)
+    // nothing anywhere
+    assert(planned(dir, EqualTo("id", 999999L)) === 0)
+    assert(planned(dir, GreaterThan("id", 999999L)) === 0)
+    assert(planned(dir, LessThan("id", 0L)) === 0)
+    // In over two epochs' ranges
+    assert(planned(dir, In("id", Array[Any](5L, 3005L))) === 2)
+    // string equality: file min/max bound the per-epoch msg range loosely
+    // (lexicographic), but a value above every max must plan zero
+    assert(planned(dir, EqualTo("msg", "zzz")) === 0)
+    assert(planned(dir, StringStartsWith("msg", "zzz")) === 0)
+    // double range
+    assert(planned(dir, GreaterThan("score", 100.0)) === 0)
+    // And/Or composition
+    assert(planned(dir, Or(EqualTo("id", 5L), EqualTo("id", 4005L))) === 2)
+    assert(planned(dir, And(IsNotNull("id"), EqualTo("id", 5L))) === 1)
+    // filters that cannot prune keep every file: Long-vs-double domain
+    // mismatch is refused, unknown columns are ignored
+    assert(planned(dir, EqualTo("even", true)) === all)
+    assert(planned(dir, EqualTo("nope", 1)) === all)
+  }
+
+  test("skipped plans still return exact results") {
+    import spark.implicits._
+    val dir = tmp()
+    writeEpochs(dir, 5)
+    val t = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(t.filter($"id" === 2042L).select("msg").as[String].collect() === Array("m2042"))
+    assert(t.filter($"id" >= 3050L && $"id" < 4010L).count() === 60)
+    assert(t.filter($"id" === 999999L).count() === 0)
+    assert(t.filter($"tag".isNull).count() === 50)
+    assert(t.filter($"tag".isNotNull && $"id" < 1000L).count() === 90)
+  }
+
+  test("null-count pruning: IsNull skips all-valued files, IsNotNull skips all-null ones") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS()
+      .map(i => (i.toLong, if (i < 1000) null else s"v$i"))
+      .toDF("id", "v")
+      .writeStream.format("graft-streaming").options(opts(dir))
+      .option("checkpointLocation", s"$dir/_cp").start()
+    in.addData(0 until 100: _*) // epoch 0: v all null
+    q.processAllAvailable()
+    in.addData(1000 until 1100: _*) // epoch 1: v never null
+    q.processAllAvailable()
+    q.stop()
+    assert(planned(dir, IsNull("v")) === 1)
+    assert(planned(dir, IsNotNull("v")) === 1)
+    val t = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(t.filter($"v".isNull).count() === 100)
+    assert(t.filter($"v".isNotNull).count() === 100)
+  }
+
+  test("compaction carries stats: skipping still works on consolidated files") {
+    val dir = tmp()
+    writeEpochs(dir, 4)
+    val r = Compact.run(s"$dir/testdb.t", spark.sparkContext.hadoopConfiguration)
+    assert(r.supersededEpochs > 0)
+    // all four epochs folded into one file — whole-table filters hit it,
+    // out-of-range filters plan nothing
+    val all = planned(dir)
+    assert(all === 1, s"expected 1 consolidated file, got $all")
+    assert(planned(dir, EqualTo("id", 999999L)) === 0)
+    assert(planned(dir, EqualTo("id", 2042L)) === 1)
+    import spark.implicits._
+    val t = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(t.filter($"id" === 2042L).select("msg").as[String].collect() === Array("m2042"))
+  }
+
+  test("JSONL files carry no stats and are never skipped; mixed tables stay exact") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    // epoch 0 lands JSONL, epoch 1 parquet (format is a per-write option)
+    val q1 = in.toDS().map(i => (i.toLong, s"m$i")).toDF("id", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir, "format" -> "jsonl"))
+      .option("checkpointLocation", s"$dir/_cp1").start()
+    in.addData(0 until 100: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // parquet epoch via the batch append path (a second streaming lineage
+    // would restart at epoch 0 and be discarded as a replay, by design);
+    // batch commits record stats the same way
+    (1000 until 1100).map(i => (i.toLong, s"m$i")).toDF("id", "msg")
+      .write.format("graft-streaming").options(opts(dir))
+      .mode("append").save()
+    // a predicate excluding the parquet epoch still plans the JSONL file
+    assert(planned(dir, EqualTo("id", 5L)) === 1)
+    assert(planned(dir, EqualTo("id", 999999L)) === 1)
+    val t = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(t.filter($"id" === 5L).count() === 1)
+    assert(t.filter($"id" === 1005L).count() === 1)
+    assert(t.count() === 200)
+  }
+
+  test("serialize/parse round-trips hostile names and values") {
+    val st = FileStats(42L, Map(
+      "col:with\ttabs" -> ColStats(Some(3L), Some("sa\tb:c"), Some("sz%z=/")),
+      "плain" -> ColStats(None, Some("l-7"), Some("l9000")),
+      "-" -> ColStats(Some(0L), None, Some("d1.5"))))
+    val tokens = st.serialize.split('\t').toSeq
+    val back = FileStats.parse(tokens)
+    assert(back.contains(st))
+    // malformed input declines instead of failing
+    assert(FileStats.parse(Seq("garbage")).isEmpty)
+    assert(FileStats.parse(Seq("R:notanumber")).isEmpty)
+    assert(FileStats.parse(Seq.empty).isEmpty)
+  }
+
+  test("pruning logic edge cases: nulls, NaN refusal, boundary compares") {
+    val st = FileStats(10L, Map(
+      "a" -> ColStats(Some(0L), Some("l10"), Some("l20")),
+      "s" -> ColStats(Some(2L), Some("sbb"), Some("sdd")),
+      "d" -> ColStats(Some(0L), Some("d-0.0"), Some("d2.5")),
+      "allnull" -> ColStats(Some(10L), None, None)))
+    // boundaries are inclusive
+    assert(!st.prunes(EqualTo("a", 10)))
+    assert(!st.prunes(EqualTo("a", 20L)))
+    assert(st.prunes(EqualTo("a", 9)))
+    assert(st.prunes(EqualTo("a", 21)))
+    assert(st.prunes(LessThan("a", 10)))
+    assert(!st.prunes(LessThanOrEqual("a", 10)))
+    assert(st.prunes(GreaterThan("a", 20)))
+    assert(!st.prunes(GreaterThanOrEqual("a", 20)))
+    // -0.0 min vs 0.0 filter: IEEE-equal, must NOT prune GreaterThanOrEqual
+    assert(!st.prunes(LessThanOrEqual("d", 0.0)))
+    // NaN filter value refuses to prune
+    assert(!st.prunes(EqualTo("d", Double.NaN)))
+    // Long filter against double-tagged bound refused (2^53 rounding)
+    assert(!st.prunes(EqualTo("d", 9007199254740993L)))
+    // all-null column: every value predicate prunes, IsNotNull prunes
+    assert(st.prunes(EqualTo("allnull", 1)))
+    assert(st.prunes(IsNotNull("allnull")))
+    assert(!st.prunes(IsNull("allnull")))
+    assert(st.prunes(IsNull("a")))
+    // strings
+    assert(st.prunes(EqualTo("s", "aa")))
+    assert(!st.prunes(EqualTo("s", "cc")))
+    assert(st.prunes(StringStartsWith("s", "a")))
+    assert(st.prunes(StringStartsWith("s", "e")))
+    assert(!st.prunes(StringStartsWith("s", "c")))
+    // prefix-truncation min side: min "bb" truncated to |"b"| is "b" == p
+    assert(!st.prunes(StringStartsWith("s", "b")))
+    // null-comparing predicates match nothing → always prunable
+    assert(st.prunes(EqualTo("a", null)))
+    // unknown column or un-statted type: never prune
+    assert(!st.prunes(EqualTo("zz", 1)))
+    assert(!st.prunes(Not(EqualTo("a", 1))))
+    // And prunes if either side does; Or only if both do
+    assert(st.prunes(And(EqualTo("a", 9), EqualTo("zz", 1))))
+    assert(!st.prunes(Or(EqualTo("a", 9), EqualTo("zz", 1))))
+    assert(st.prunes(Or(EqualTo("a", 9), EqualTo("a", 21))))
+  }
+}

@@ -86,6 +86,24 @@ object SinkBench {
     table.selectExpr("sum(id)", "avg(length(msg))").collect()
     val readSec = (System.nanoTime() - r0) / 1e9
 
+    // plan-time file skipping: a point lookup on the (monotone) id column
+    // must plan only the one epoch's files whose manifest stats contain
+    // the probe — on the pre-compaction table that is ~1/batches of the
+    // committed files, the multi-file state an always-on ingest is in
+    val probeId = warm.toLong + perBatch.toLong * batches / 2 + 1
+    val log = new graft.sink.CommitLog(s"$dir/bench.events",
+      spark.sparkContext.hadoopConfiguration)
+    val withStats = log.committedFilesWithStats()
+    val filesTotal = withStats.size
+    val probeFilter = org.apache.spark.sql.sources.EqualTo("id", probeId)
+    val filesPlanned = withStats.count {
+      case (_, st) => !st.exists(_.prunes(probeFilter))
+    }
+    val f0 = System.nanoTime()
+    val hits = table.where(s"id = $probeId").count()
+    val readFilteredSec = (System.nanoTime() - f0) / 1e9
+    require(hits == 1L, s"point lookup found $hits rows for id=$probeId")
+
     // the same read after compaction folds the ~batches×partitions small
     // epoch files into one file per partition dir — the table state a
     // maintained deployment scans, where per-file reader setup no longer
@@ -98,7 +116,7 @@ object SinkBench {
     require(table.count() == expected, "compaction changed the row count")
 
     val rps = perBatch.toLong * batches / sec
-    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"batch_size":$batchSize,"format":"$format","seconds":$sec,"read_seconds":$readSec,"read_rows_per_sec":${(landed / readSec).round},"read_compacted_seconds":$readCompactSec,"read_compacted_rows_per_sec":${(landed / readCompactSec).round},"partitions":8,"verified_rows":$landed}""")
+    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"batch_size":$batchSize,"format":"$format","seconds":$sec,"read_seconds":$readSec,"read_rows_per_sec":${(landed / readSec).round},"read_compacted_seconds":$readCompactSec,"read_compacted_rows_per_sec":${(landed / readCompactSec).round},"read_filtered_seconds":$readFilteredSec,"files_total":$filesTotal,"files_planned":$filesPlanned,"partitions":8,"verified_rows":$landed}""")
     spark.stop()
   }
 }

@@ -115,8 +115,38 @@ object SinkBench {
     val readCompactSec = (System.nanoTime() - r1) / 1e9
     require(table.count() == expected, "compaction changed the row count")
 
+    // clustered rewrite (parquet only): `user` is UNcorrelated with arrival,
+    // so neither epoch files nor compacted concat can ever prune on it —
+    // only the sort-rewrite gives disjoint per-file ranges. The measured
+    // pair (files planned, lookup seconds) is the post-maintenance serving
+    // story for a selective non-time predicate
+    val clusterJson = if (format == "parquet") {
+      // size the target off the actual table bytes so the rewrite yields ~4
+      // files per partition dir at ANY bench scale (at production scale the
+      // 128 MiB default does this naturally; the bench table is ~10 MiB)
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tableBytes = log.committedFiles()
+        .map(f => fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+      val c0 = System.nanoTime()
+      graft.sink.Compact.cluster(spark, s"$dir/bench.events", Seq("user"),
+        targetFileBytes = math.max(1L, tableBytes / 32), retainMillis = 0L)
+      val clusterSec = (System.nanoTime() - c0) / 1e9
+      val clustered = log.committedFilesWithStats()
+      val userProbe = org.apache.spark.sql.sources.EqualTo("user", "user-5000")
+      val planned = clustered.count {
+        case (_, st) => !st.exists(_.prunes(userProbe))
+      }
+      val c1 = System.nanoTime()
+      val userHits = table.where("user = 'user-5000'").count()
+      val readClusteredSec = (System.nanoTime() - c1) / 1e9
+      require(userHits > 0, "clustered point lookup found no rows")
+      require(table.count() == expected, "cluster changed the row count")
+      s""","cluster_seconds":$clusterSec,"files_clustered":${clustered.size},"files_planned_clustered":$planned,"read_clustered_seconds":$readClusteredSec"""
+    } else ""
+
     val rps = perBatch.toLong * batches / sec
-    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"batch_size":$batchSize,"format":"$format","seconds":$sec,"read_seconds":$readSec,"read_rows_per_sec":${(landed / readSec).round},"read_compacted_seconds":$readCompactSec,"read_compacted_rows_per_sec":${(landed / readCompactSec).round},"read_filtered_seconds":$readFilteredSec,"files_total":$filesTotal,"files_planned":$filesPlanned,"partitions":8,"verified_rows":$landed}""")
+    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"batch_size":$batchSize,"format":"$format","seconds":$sec,"read_seconds":$readSec,"read_rows_per_sec":${(landed / readSec).round},"read_compacted_seconds":$readCompactSec,"read_compacted_rows_per_sec":${(landed / readCompactSec).round},"read_filtered_seconds":$readFilteredSec,"files_total":$filesTotal,"files_planned":$filesPlanned$clusterJson,"partitions":8,"verified_rows":$landed}""")
     spark.stop()
   }
 }

@@ -65,18 +65,37 @@ object Compact {
     *                     their own tombstones, so no carry-forward is
     *                     needed; a periodic FULL run (deltasOnly = false)
     *                     folds the accumulated minor files together.
+    * @param targetFileBytes consolidated outputs split at this many
+    *                     accumulated input bytes (on input-file
+    *                     boundaries) instead of growing one file per
+    *                     partition dir forever — at scale an unbounded
+    *                     output makes every later compaction an O(table)
+    *                     rewrite and defeats plan-time file skipping.
+    *                     Inputs fold in epoch order, so outputs keep
+    *                     tight stat ranges for arrival-correlated columns.
     */
   def run(tableDir: String, conf: Configuration,
       retainMillis: Long = 10 * 60 * 1000L,
       lockStaleMillis: Long = 30 * 60 * 1000L,
       protectEpoch: Long = Long.MinValue,
-      deltasOnly: Boolean = false): Result = {
+      deltasOnly: Boolean = false,
+      targetFileBytes: Long = DefaultTargetFileBytes): Result = {
     val log = new CommitLog(tableDir, conf)
     val fs = new Path(tableDir).getFileSystem(conf)
-    // one compactor at a time: exclusive-create lock. Stale-lock reclaim is
-    // RENAME-based — rename succeeds for exactly one contender, so two
-    // compactors can never both reclaim and run (delete-then-create would
-    // let the loser delete the winner's fresh lock).
+    withCompactionLock(fs, tableDir, lockStaleMillis) {
+      doRun(log, fs, tableDir, retainMillis, protectEpoch, deltasOnly,
+        targetFileBytes)
+    }
+  }
+
+  /** One compactor at a time: exclusive-create lock. Stale-lock reclaim is
+    * RENAME-based — rename succeeds for exactly one contender, so two
+    * compactors can never both reclaim and run (delete-then-create would
+    * let the loser delete the winner's fresh lock).
+    */
+  private def withCompactionLock[T](
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      lockStaleMillis: Long)(body: => T): T = {
     val lock = new Path(tableDir, s"${CommitLog.COMMITS_DIR}/.compaction.lock")
     if (fs.exists(lock) &&
         System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
@@ -92,8 +111,139 @@ object Compact {
           s"Another compaction holds $lock; concurrent compactions would " +
             "duplicate every row")
     }
-    try doRun(log, fs, tableDir, retainMillis, protectEpoch, deltasOnly)
-    finally fs.delete(lock, false)
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Default consolidated-file split threshold — matches Spark's
+    * `spark.sql.files.maxPartitionBytes` default, so one compacted file is
+    * one well-sized scan partition.
+    */
+  val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** CLUSTERED rewrite of an all-parquet table — the OPTIMIZE/CLUSTER BY
+    * maintenance operation of log-structured table formats, and the step
+    * that makes plan-time file skipping ([[FileStats]]) effective AFTER
+    * compaction: byte-level consolidation preserves arrival order, so
+    * a column uncorrelated with arrival (a user id, a join key) spans
+    * every file's min/max range and nothing prunes. This rewrite
+    * range-partitions and sorts each partition directory's rows by
+    * `clusterBy`, splitting at `targetFileBytes`, so each output covers a
+    * narrow, mostly-disjoint slice — a point/range query then plans only
+    * the files whose manifest stats contain it.
+    *
+    * The rewrite is a DISTRIBUTED Spark job per partition directory (the
+    * shuffle sorts on the cluster; the driver only renames files and
+    * commits the manifest) — at 100 TB this is a wide sort-rewrite, which
+    * is exactly what it must be. It shares the compaction lock, the
+    * supersede/tombstone protocol, and the lazy-cleanup ledger with
+    * [[run]]; streaming tails and the watermark survive identically.
+    *
+    * Decode/re-encode makes this strictly more expensive than [[run]]'s
+    * byte-concat — it is an explicit maintenance call, not the in-loop
+    * posture. Partition columns live in the directory path (already
+    * "clustered" by routing) and cannot appear in `clusterBy`.
+    */
+  def cluster(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      clusterBy: Seq[String],
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      retainMillis: Long = 10 * 60 * 1000L,
+      lockStaleMillis: Long = 30 * 60 * 1000L,
+      protectEpoch: Long = Long.MinValue): Result = {
+    require(clusterBy.nonEmpty, "clusterBy must name at least one column")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val log = new CommitLog(tableDir, conf)
+    val fs = new Path(tableDir).getFileSystem(conf)
+    withCompactionLock(fs, tableDir, lockStaleMillis) {
+      purgeExpiredTrash(fs, tableDir, retainMillis)
+      val allAtStart = log.manifests()
+      val live = allAtStart.filter(_.epochId != protectEpoch).sortBy(epochOrder)
+      val oldFiles = live.flatMap(_.files)
+      if (oldFiles.isEmpty && live.size <= 1) Result(0, 0, 0)
+      else {
+        val present = oldFiles.filter(f => fs.exists(new Path(f)))
+        require(present.forall(_.endsWith(".parquet")),
+          s"clustered compaction requires an all-parquet table; $tableDir " +
+            "holds JSONL epochs (run byte-level Compact.run on those, or " +
+            "land with option(\"format\",\"parquet\"))")
+        val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+        val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+        val newStats = scala.collection.mutable.HashMap.empty[String, String]
+        // pin the physical-format session confs for the rewrite so files
+        // stay self-consistent with the sink writer's pins (CORRECTED
+        // rebase, int64-micros timestamps) regardless of caller session
+        val pins = Seq(
+          "spark.sql.parquet.datetimeRebaseModeInWrite" -> "CORRECTED",
+          "spark.sql.parquet.int96RebaseModeInWrite" -> "CORRECTED",
+          "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+          "spark.sql.parquet.writeLegacyFormat" -> "false")
+        val saved = pins.map { case (k, _) =>
+          k -> spark.conf.getOption(k)
+        }
+        val newFiles =
+          try {
+            pins.foreach { case (k, v) => spark.conf.set(k, v) }
+            present.groupBy(f => new Path(f).getParent).toSeq.flatMap {
+              case (dir, files) =>
+                val totalBytes = files.map(f =>
+                  fs.getFileStatus(new Path(f)).getLen).sum
+                val nOut = math.max(1L,
+                  (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+                val df = spark.read.option("mergeSchema", "true")
+                  .parquet(files: _*)
+                val missing = clusterBy.filterNot(c =>
+                  df.columns.exists(_.equalsIgnoreCase(c)))
+                require(missing.isEmpty,
+                  s"cluster column(s) ${missing.mkString(", ")} not in the " +
+                    s"data schema ${df.columns.mkString("[", ", ", "]")} — " +
+                    "partition columns live in the directory path and are " +
+                    "already clustered by routing")
+                val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+                val tmpOut = new Path(dir,
+                  s".cluster-${java.util.UUID.randomUUID.toString.take(8)}")
+                tmpDirs += tmpOut
+                df.repartitionByRange(nOut, cols: _*)
+                  .sortWithinPartitions(cols: _*)
+                  .write.mode("overwrite").parquet(tmpOut.toString)
+                val stem = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
+                val parts = fs.listStatus(tmpOut).map(_.getPath)
+                  .filter(p => p.getName.startsWith("part-") &&
+                    p.getName.endsWith(".parquet"))
+                  .sortBy(_.getName)
+                parts.zipWithIndex.map { case (p, k) =>
+                  val target = new Path(dir, s"$stem-$k.parquet")
+                  written += target
+                  if (!fs.rename(p, target)) throw new java.io.IOException(
+                    s"failed to place clustered file $target")
+                  try newStats(target.toString) = FileStats.fromFooter(
+                    org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                      fs.getConf, target,
+                      org.apache.parquet.format.converter
+                        .ParquetMetadataConverter.NO_FILTER)).serialize
+                  catch { case scala.util.control.NonFatal(_) => }
+                  target.toString
+                }.toSeq
+            }
+          } catch {
+            // nothing is published until the manifest commit — don't leak
+            // unreferenced rewrite outputs on a mid-job failure
+            case t: Throwable =>
+              written.foreach(p =>
+                try fs.delete(p, false) catch { case _: Throwable => })
+              throw t
+          } finally {
+            tmpDirs.foreach(d =>
+              try fs.delete(d, true) catch { case _: Throwable => })
+            saved.foreach {
+              case (k, Some(v)) => spark.conf.set(k, v)
+              case (k, None) => spark.conf.unset(k)
+            }
+          }
+        publish(log, fs, tableDir, live, allAtStart, newFiles,
+          newStats.toMap, retainMillis)
+      }
+    }
   }
 
   /** Minor (deltas-only) results in the same log₄ size class fold once
@@ -114,7 +264,8 @@ object Compact {
       tableDir: String,
       retainMillis: Long,
       protectEpoch: Long,
-      deltasOnly: Boolean): Result = {
+      deltasOnly: Boolean,
+      targetFileBytes: Long): Result = {
     val fs = fileSystem
     purgeExpiredTrash(fs, tableDir, retainMillis)
     val allAtStart = log.manifests()
@@ -123,7 +274,8 @@ object Compact {
         (!deltasOnly || m.epochId >= 0))
     var result =
       if (first.size <= 1) Result(0, 0, 0)
-      else consolidate(log, fs, tableDir, first, allAtStart, retainMillis)
+      else consolidate(log, fs, tableDir, first, allAtStart, retainMillis,
+        targetFileBytes)
     if (deltasOnly) {
       // tier ladder over the accumulated minor manifests: fold the lowest
       // log₄ size class holding ≥ TierFanout of them, to a fixpoint (a
@@ -145,7 +297,8 @@ object Compact {
           }.sum))
         classes.filter(_._2.size >= TierFanout).keys.minOption match {
           case Some(c) =>
-            val r = consolidate(log, fs, tableDir, classes(c), allNow, retainMillis)
+            val r = consolidate(log, fs, tableDir, classes(c), allNow,
+              retainMillis, targetFileBytes)
             result = Result(
               result.consolidatedFiles + r.consolidatedFiles,
               result.supersededEpochs + r.supersededEpochs,
@@ -163,14 +316,25 @@ object Compact {
     * detection for the ceiling clamp) — passed in rather than re-listing
     * and re-parsing every manifest per fold on the hot in-loop path.
     */
+  /** Chronological manifest order: compaction results (negative nanoTime
+    * ids — older run ⇒ smaller nanoTime ⇒ LARGER id) hold the oldest rows
+    * and come first, then streaming epochs ascending. Folding in this
+    * order keeps consolidated outputs' stat ranges tight for any column
+    * that correlates with arrival time.
+    */
+  private def epochOrder(m: CommitLog#Manifest): (Int, Long) =
+    if (m.epochId < 0) (0, -m.epochId) else (1, m.epochId)
+
   private def consolidate(
       log: CommitLog,
       fileSystem: org.apache.hadoop.fs.FileSystem,
       tableDir: String,
-      live: Seq[CommitLog#Manifest],
+      liveUnordered: Seq[CommitLog#Manifest],
       allLive: Seq[CommitLog#Manifest],
-      retainMillis: Long): Result = {
+      retainMillis: Long,
+      targetFileBytes: Long): Result = {
     val fs = fileSystem
+    val live = liveUnordered.sortBy(epochOrder)
     val oldFiles = live.flatMap(_.files)
     // a consolidation must CONSUME its manifests even when they list no
     // (surviving) files — empty manifests arise from zero-row epochs and
@@ -206,10 +370,11 @@ object Compact {
           // row-group concat: compressed pages copied byte-for-byte — the
           // columnar analogue of the JSONL byte-concat below. One output
           // per distinct physical schema (name-set validation permits
-          // field-order drift across lineages; see ParquetIO.merge)
+          // field-order drift across lineages; see ParquetIO.merge),
+          // split at the size target
           val targets = ParquetIO.merge(files.map(new Path(_)),
             i => { val t = new Path(dir, s"$stem-$i.parquet"); written += t; t },
-            fs.getConf)
+            fs.getConf, targetFileBytes)
           // re-derive column stats from the consolidated footer (appendFile
           // carries the input row groups' stats through) so plan-time file
           // skipping survives compaction; one metadata read per output
@@ -223,20 +388,32 @@ object Compact {
           }
           targets.map(_.toString)
         } else {
-          val target = new Path(dir, s"$stem.jsonl")
-          written += target
-          val out = raw.create(target, false)
+          // byte-concat, split at the size target on input-file boundaries
+          // (inputs end in newline, so outputs stay valid JSONL)
+          val targets = scala.collection.mutable.ArrayBuffer.empty[Path]
+          var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          var outBytes = 0L
           try {
             val buf = new Array[Byte](1 << 16)
             files.foreach { f =>
+              if (out != null && outBytes > 0 &&
+                  outBytes + fs.getFileStatus(new Path(f)).getLen > targetFileBytes) {
+                out.close(); out = null
+              }
+              if (out == null) {
+                val target = new Path(dir, s"$stem-${targets.size}.jsonl")
+                written += target; targets += target
+                out = raw.create(target, false)
+                outBytes = 0L
+              }
               val in = raw.open(new Path(f))
               try {
                 var n = in.read(buf)
-                while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+                while (n >= 0) { out.write(buf, 0, n); outBytes += n; n = in.read(buf) }
               } finally in.close()
             }
-          } finally out.close()
-          Seq(target.toString)
+          } finally if (out != null) out.close()
+          targets.map(_.toString).toSeq
         }
       }.toSeq
       catch {
@@ -248,6 +425,25 @@ object Compact {
           throw t
       }
 
+    publish(log, fs, tableDir, live, allLive, newFiles, newStats.toMap,
+      retainMillis)
+  }
+
+  /** Steps 3-4 of the protocol, shared by byte-level consolidation and the
+    * clustered rewrite: publish ONE manifest superseding `live` (watermark
+    * + bounded tombstone carry), then lazily clean the superseded state.
+    */
+  private def publish(
+      log: CommitLog,
+      fileSystem: org.apache.hadoop.fs.FileSystem,
+      tableDir: String,
+      live: Seq[CommitLog#Manifest],
+      allLive: Seq[CommitLog#Manifest],
+      newFiles: Seq[String],
+      newStats: Map[String, String],
+      retainMillis: Long): Result = {
+    val fs = fileSystem
+    val oldFiles = live.flatMap(_.files)
     val watermark = log.streamingWatermark()
     // Tombstone bookkeeping stays BOUNDED over an unbounded run:
     //  - supersedes lists only the DIRECTLY consumed ids (never the
@@ -291,7 +487,7 @@ object Compact {
         supersedes = tombstones,
         watermark = if (watermark >= 0) Some(watermark) else None,
         tombstoneCeiling = if (ceiling > Long.MinValue) Some(ceiling) else None,
-        fileStats = newStats.toMap)) {
+        fileStats = newStats)) {
       epoch -= 1
     }
     // lazy cleanup — the compaction manifest is visible, so NEW readers no

@@ -1,5 +1,7 @@
 package graft.sink
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.format.converter.ParquetMetadataConverter
@@ -189,30 +191,57 @@ object ParquetIO {
     * readable). Footer key-value metadata (including Spark's schema
     * record) is carried from each group's first input.
     *
-    * @param targetFor output path for the i-th schema group; almost always
-    *                  called once (single-lineage tables have one schema).
+    * Outputs are SIZE-BOUNDED: a schema group whose accumulated input bytes
+    * exceed `targetBytes` splits into several consolidated files on input
+    * boundaries — one ever-growing file per partition dir would make every
+    * later full compaction rewrite the whole partition and leave plan-time
+    * file skipping nothing to skip. Inputs are kept in the caller's
+    * (epoch) order, so when a column correlates with arrival time — ids,
+    * event timestamps, the common case for a streaming table — consecutive
+    * outputs inherit tight, mostly-disjoint min/max ranges for free.
+    *
+    * @param targetFor output path for the i-th output file; called once
+    *                  per (schema group × size chunk).
+    * @param targetBytes split threshold on accumulated compressed input
+    *                    bytes (block sizes from the footers already in
+    *                    hand); `Long.MaxValue` restores one-per-group.
     * @return the written file paths.
     */
   def merge(inputs: Seq[Path], targetFor: Int => Path,
-      conf: Configuration): Seq[Path] = {
+      conf: Configuration, targetBytes: Long = Long.MaxValue): Seq[Path] = {
     require(inputs.nonEmpty, "nothing to merge")
     val byFooter = inputs
       .map(p => p -> ParquetFileReader.readFooter(
         conf, p, ParquetMetadataConverter.NO_FILTER))
       .groupBy(_._2.getFileMetaData.getSchema)
       .values.toSeq
-    byFooter.zipWithIndex.map { case (group, i) =>
-      val target = targetFor(i)
-      val footer = group.head._2
-      val writer = new ParquetFileWriter(
-        conf, footer.getFileMetaData.getSchema, target,
-        ParquetFileWriter.Mode.CREATE)
-      writer.start()
-      group.foreach { case (p, _) =>
-        writer.appendFile(HadoopInputFile.fromPath(p, conf))
+    var outIdx = -1
+    byFooter.flatMap { group =>
+      // greedy chunking on input-file boundaries: close a chunk once it
+      // holds something and the next input would push it past the target
+      val chunks = group.foldLeft(
+        (Vector.empty[Vector[(Path, org.apache.parquet.hadoop.metadata.ParquetMetadata)]], 0L)) {
+        case ((acc, bytes), in @ (_, footer)) =>
+          val sz = footer.getBlocks.asScala.map(_.getCompressedSize).sum
+          if (acc.nonEmpty && acc.last.nonEmpty && bytes + sz > targetBytes)
+            (acc :+ Vector(in), sz)
+          else if (acc.isEmpty) (Vector(Vector(in)), sz)
+          else (acc.init :+ (acc.last :+ in), bytes + sz)
+      }._1
+      chunks.map { chunk =>
+        outIdx += 1
+        val target = targetFor(outIdx)
+        val footer = chunk.head._2
+        val writer = new ParquetFileWriter(
+          conf, footer.getFileMetaData.getSchema, target,
+          ParquetFileWriter.Mode.CREATE)
+        writer.start()
+        chunk.foreach { case (p, _) =>
+          writer.appendFile(HadoopInputFile.fromPath(p, conf))
+        }
+        writer.end(footer.getFileMetaData.getKeyValueMetaData)
+        target
       }
-      writer.end(footer.getFileMetaData.getKeyValueMetaData)
-      target
     }
   }
 }

@@ -150,7 +150,8 @@ object Compact {
       targetFileBytes: Long = DefaultTargetFileBytes,
       retainMillis: Long = 10 * 60 * 1000L,
       lockStaleMillis: Long = 30 * 60 * 1000L,
-      protectEpoch: Long = Long.MinValue): Result = {
+      protectEpoch: Long = Long.MinValue,
+      dirParallelism: Int = 8): Result = {
     require(clusterBy.nonEmpty, "clusterBy must name at least one column")
     val conf = spark.sparkContext.hadoopConfiguration
     val log = new CommitLog(tableDir, conf)
@@ -167,78 +168,103 @@ object Compact {
           s"clustered compaction requires an all-parquet table; $tableDir " +
             "holds JSONL epochs (run byte-level Compact.run on those, or " +
             "land with option(\"format\",\"parquet\"))")
+        // appended from rewrite threads; guard every mutation with its own
+        // monitor (the cleanup paths below read them after all threads stop)
         val written = scala.collection.mutable.ArrayBuffer.empty[Path]
         val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
         val newStats = scala.collection.mutable.HashMap.empty[String, String]
-        // pin the physical-format session confs for the rewrite so files
-        // stay self-consistent with the sink writer's pins (CORRECTED
-        // rebase, int64-micros timestamps) regardless of caller session
-        val pins = Seq(
+        // the rewrite runs on a CLONED session — shared SparkContext,
+        // private SQLConf — so the physical-format pins (CORRECTED rebase,
+        // int64-micros timestamps, matching the sink writer's ParquetIO
+        // pins) scope to the rewrite's own jobs and can never bleed into a
+        // concurrent parquet write in the caller's session
+        val rw = spark.newSession()
+        Seq(
           "spark.sql.parquet.datetimeRebaseModeInWrite" -> "CORRECTED",
           "spark.sql.parquet.int96RebaseModeInWrite" -> "CORRECTED",
           "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
           "spark.sql.parquet.writeLegacyFormat" -> "false")
-        val saved = pins.map { case (k, _) =>
-          k -> spark.conf.getOption(k)
+          .foreach { case (k, v) => rw.conf.set(k, v) }
+        def rewriteDir(dir: Path, files: Seq[String]): Seq[String] = {
+          val totalBytes = files.map(f =>
+            fs.getFileStatus(new Path(f)).getLen).sum
+          val nOut = math.max(1L,
+            (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          val df = rw.read.option("mergeSchema", "true")
+            .parquet(files: _*)
+          val missing = clusterBy.filterNot(c =>
+            df.columns.exists(_.equalsIgnoreCase(c)))
+          require(missing.isEmpty,
+            s"cluster column(s) ${missing.mkString(", ")} not in the " +
+              s"data schema ${df.columns.mkString("[", ", ", "]")} — " +
+              "partition columns live in the directory path and are " +
+              "already clustered by routing")
+          val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+          val tmpOut = new Path(dir,
+            s".cluster-${java.util.UUID.randomUUID.toString.take(8)}")
+          tmpDirs.synchronized { tmpDirs += tmpOut }
+          df.repartitionByRange(nOut, cols: _*)
+            .sortWithinPartitions(cols: _*)
+            .write.mode("overwrite").parquet(tmpOut.toString)
+          val stem = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
+          val parts = fs.listStatus(tmpOut).map(_.getPath)
+            .filter(p => p.getName.startsWith("part-") &&
+              p.getName.endsWith(".parquet"))
+            .sortBy(_.getName)
+          parts.zipWithIndex.map { case (p, k) =>
+            val target = new Path(dir, s"$stem-$k.parquet")
+            written.synchronized { written += target }
+            if (!fs.rename(p, target)) throw new java.io.IOException(
+              s"failed to place clustered file $target")
+            try {
+              val st = FileStats.fromFooter(
+                org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                  fs.getConf, target,
+                  org.apache.parquet.format.converter
+                    .ParquetMetadataConverter.NO_FILTER)).serialize
+              newStats.synchronized { newStats(target.toString) = st }
+            } catch { case scala.util.control.NonFatal(_) => }
+            target.toString
+          }.toSeq
         }
+        // Per-directory rewrites submit CONCURRENTLY (bounded by
+        // `dirParallelism`): each is an independent distributed sort job,
+        // and serial submission made clustering wall-time linear in
+        // partition-dir count on the driver — a many-dir table spent most
+        // of the clock waiting on one job's tail while 31 cores idled.
+        // Overlapping jobs fill the scheduler instead; per-dir isolation
+        // (own tmp dir, own output stem) makes them commutative.
+        val dirGroups = present.groupBy(f => new Path(f).getParent).toSeq
         val newFiles =
           try {
-            pins.foreach { case (k, v) => spark.conf.set(k, v) }
-            present.groupBy(f => new Path(f).getParent).toSeq.flatMap {
-              case (dir, files) =>
-                val totalBytes = files.map(f =>
-                  fs.getFileStatus(new Path(f)).getLen).sum
-                val nOut = math.max(1L,
-                  (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-                val df = spark.read.option("mergeSchema", "true")
-                  .parquet(files: _*)
-                val missing = clusterBy.filterNot(c =>
-                  df.columns.exists(_.equalsIgnoreCase(c)))
-                require(missing.isEmpty,
-                  s"cluster column(s) ${missing.mkString(", ")} not in the " +
-                    s"data schema ${df.columns.mkString("[", ", ", "]")} — " +
-                    "partition columns live in the directory path and are " +
-                    "already clustered by routing")
-                val cols = clusterBy.map(org.apache.spark.sql.functions.col)
-                val tmpOut = new Path(dir,
-                  s".cluster-${java.util.UUID.randomUUID.toString.take(8)}")
-                tmpDirs += tmpOut
-                df.repartitionByRange(nOut, cols: _*)
-                  .sortWithinPartitions(cols: _*)
-                  .write.mode("overwrite").parquet(tmpOut.toString)
-                val stem = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
-                val parts = fs.listStatus(tmpOut).map(_.getPath)
-                  .filter(p => p.getName.startsWith("part-") &&
-                    p.getName.endsWith(".parquet"))
-                  .sortBy(_.getName)
-                parts.zipWithIndex.map { case (p, k) =>
-                  val target = new Path(dir, s"$stem-$k.parquet")
-                  written += target
-                  if (!fs.rename(p, target)) throw new java.io.IOException(
-                    s"failed to place clustered file $target")
-                  try newStats(target.toString) = FileStats.fromFooter(
-                    org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-                      fs.getConf, target,
-                      org.apache.parquet.format.converter
-                        .ParquetMetadataConverter.NO_FILTER)).serialize
-                  catch { case scala.util.control.NonFatal(_) => }
-                  target.toString
-                }.toSeq
-            }
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.max(1, math.min(dirGroups.size, dirParallelism)))
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            // each rewrite completes (or fails) INSIDE its Try, so the
+            // Await below always sees every thread quiesced — a failed dir
+            // can never race the cleanup against a sibling still writing
+            val tries =
+              try scala.concurrent.Await.result(
+                scala.concurrent.Future.sequence(dirGroups.map {
+                  case (dir, files) =>
+                    scala.concurrent.Future(
+                      scala.util.Try(rewriteDir(dir, files)))
+                }), scala.concurrent.duration.Duration.Inf)
+              finally pool.shutdown()
+            tries.collectFirst { case scala.util.Failure(t) => t }
+              .foreach(throw _)
+            tries.collect { case scala.util.Success(s) => s }.flatten
           } catch {
             // nothing is published until the manifest commit — don't leak
             // unreferenced rewrite outputs on a mid-job failure
             case t: Throwable =>
-              written.foreach(p =>
+              written.synchronized(written.toSeq).foreach(p =>
                 try fs.delete(p, false) catch { case _: Throwable => })
               throw t
           } finally {
-            tmpDirs.foreach(d =>
+            tmpDirs.synchronized(tmpDirs.toSeq).foreach(d =>
               try fs.delete(d, true) catch { case _: Throwable => })
-            saved.foreach {
-              case (k, Some(v)) => spark.conf.set(k, v)
-              case (k, None) => spark.conf.unset(k)
-            }
           }
         publish(log, fs, tableDir, live, allAtStart, newFiles,
           newStats.toMap, retainMillis)

@@ -172,6 +172,52 @@ class CompactClusterSpec extends SparkSpec {
     assert(e.getMessage.contains("partition columns"))
   }
 
+  test("cluster rewrites many partition directories concurrently and intact") {
+    val dir = tmp()
+    // 12 partition dirs (id % 12), interleaved ids within each — the
+    // many-dir shape whose serial per-dir submission was wall-time linear
+    // in dir count; the concurrent path must preserve per-dir routing,
+    // per-dir sort ranges, and the full row set
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS()
+      .map(i => (i, s"g${i % 12}", s"m$i"))
+      .toDF("id", "grp", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir, "partition.columns" -> "grp"))
+      .option("checkpointLocation", s"$dir/_cp")
+      .start()
+    (0 until 3).foreach { e =>
+      in.addData(e until 600 by 3: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val tableDir = s"$dir/testdb.t"
+    val log = new CommitLog(tableDir, hconf)
+    val dirsBefore = log.committedFiles()
+      .map(f => new Path(f).getParent.getName).toSet
+    assert(dirsBefore.size === 12)
+
+    val res = Compact.cluster(spark, tableDir, Seq("id"),
+      targetFileBytes = 1L << 12, retainMillis = 0L, dirParallelism = 8)
+    assert(res.supersededEpochs === 3)
+    val after = log.committedFilesWithStats()
+    assert(after.map(p => new Path(p._1).getParent.getName).toSet === dirsBefore,
+      "every partition directory must survive the concurrent rewrite")
+    // within each dir the clustered ranges must be pairwise disjoint
+    after.groupBy(p => new Path(p._1).getParent).foreach { case (_, fs0) =>
+      val bounds = fs0.flatMap(_._2.map(idBounds)).sortBy(_._1)
+      bounds.sliding(2).foreach {
+        case Seq((_, max1), (min2, _)) => assert(max1 < min2)
+        case _ =>
+      }
+    }
+    val out = CommitLog.readCommitted(spark, tableDir)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === (0L until 600L))
+    assert(out.filter($"grp" === "g7").count() === 50)
+  }
+
   test("cluster rejects a table with JSONL epochs") {
     val dir = tmp()
     land(dir, epochs = 2, e => e * 10 until (e + 1) * 10, "format" -> "jsonl")

@@ -41,7 +41,16 @@ object ParquetIO {
   /** Parquet files the sink writes always carry proleptic-Gregorian
     * (CORRECTED) dates/timestamps as int64 micros; `init` of both Spark
     * write- and read-support asserts these keys are present.
+    *
+    * Public so a writer with a fixed schema (one segment of a streaming
+    * task) pins ONCE and reuses the result across file rotations — a
+    * `new Configuration(base)` copy walks every property of the base conf,
+    * which is pure per-file overhead when repeated for thousands of small
+    * streaming segments.
     */
+  def pinnedWriterConf(base: Configuration, schema: StructType): Configuration =
+    pinnedConf(base, schema)
+
   private def pinnedConf(base: Configuration, schema: StructType): Configuration = {
     import org.apache.spark.sql.internal.SQLConf
     val conf = new Configuration(base)

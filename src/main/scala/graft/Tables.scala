@@ -19,16 +19,28 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = t(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = t(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = t(s, dir, "lineitem")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and rebuild
-    * a micros-precision TimestampType column via integer division — the ms
-    * grain every query compares at survives the floor identically in Spark
-    * and DuckDB.
+  /** events.parquet's physical ts type has varied across fixture
+    * generations: INT64 TIMESTAMP(NANOS) (rejected by Spark's vectorized
+    * reader unless read as raw longs) and plain timestamp[us] (surfacing as
+    * TIMESTAMP_NTZ under Spark 4's NTZ inference). Mirror the reference's
+    * read-what-the-table-serves behavior (HiveSourceProvider.scala:46-58) by
+    * dispatching on the type the scan actually reports and normalizing to a
+    * session-zone TimestampType — the ms grain every query compares at is
+    * identical in all branches under the UTC session.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long fixtures: floor to micros and rebuild a timestamp
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] fixtures: NTZ wall-clock == instant under UTC session
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")

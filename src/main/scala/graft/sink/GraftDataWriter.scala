@@ -127,6 +127,10 @@ final class GraftDataWriter(
       .create(dataIdx.map(i => org.apache.spark.sql.catalyst.expressions
         .BoundReference(i, schema(i).dataType, nullable = true)).toArray)
     private val maxRowsPerFile = opts.batchSize.toLong * opts.txnPerBatch
+    // pin the writer conf ONCE per segment: the schema is fixed for the
+    // segment's lifetime, and the Configuration copy-walk is pure per-file
+    // overhead when repeated across thousands of streaming rotations
+    private val pinned = ParquetIO.pinnedWriterConf(conf, dataSchema)
     private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
     private var file: Path = _
     private var rowsInFile = 0L
@@ -134,7 +138,7 @@ final class GraftDataWriter(
 
     private def open(): Unit = {
       file = segmentFile(segmentDir(partDir), seq, "parquet")
-      writer = ParquetIO.createWriter(file, dataSchema, conf)
+      writer = ParquetIO.createWriterPinned(file, pinned)
       seq += 1
       rowsInFile = 0L
       files += file.toString
@@ -179,6 +183,10 @@ final class GraftDataWriter(
     // long-lived here (the per-epoch files themselves must close at commit)
     val buf: StringBuilder = GraftDataWriter.bufferPool.getOrCreate(GraftDataWriter.BufKey)
     private var recycled = false
+    // per-file column stats for manifest-level skipping — the encoder walks
+    // every value anyway; parquet segments get these from the footer
+    private val stats = new FileStats.Running(schema, dataIdx)
+    private var rowsInFile = 0L
     var rowsInBuf = 0
     var flushes = 0
     var seq = 0
@@ -188,6 +196,7 @@ final class GraftDataWriter(
       out = dataFs.create(file, false)
       seq += 1
       flushes = 0
+      rowsInFile = 0L
       files += file.toString
     }
 
@@ -195,6 +204,8 @@ final class GraftDataWriter(
       if (out == null) open()
       encoder.encode(row, buf)
       buf.append('\n')
+      stats.observe(row)
+      rowsInFile += 1
       rowsInBuf += 1
       if (rowsInBuf >= opts.batchSize) flush()
     }
@@ -209,11 +220,17 @@ final class GraftDataWriter(
 
     // lazy rotation: close now, reopen on the next write — avoids trailing
     // empty files when the batch ends exactly on a rotation boundary
-    def rotate(): Unit = { out.close(); out = null }
+    def rotate(): Unit = {
+      out.close(); out = null
+      statsByFile(file.toString) = stats.snapshotAndReset(rowsInFile)
+    }
 
     override def close(): Unit = {
       flush()
-      if (out != null) { out.close(); out = null }
+      if (out != null) {
+        out.close(); out = null
+        statsByFile(file.toString) = stats.snapshotAndReset(rowsInFile)
+      }
       recycleBuf()
     }
 
@@ -316,9 +333,9 @@ final class GraftDataWriter(
   override def abort(): Unit = synchronized {
     heartbeat.foreach(_.shutdown())
     segments.values.foreach(_.discard())
-    // delete through the CHECKSUM fs: parquet segments are created through
-    // it (a raw-fs delete would orphan their .crc sidecars forever); for
-    // raw-created JSONL segments the two deletes are identical
+    // both landings create through the raw fs (no .crc sidecars exist);
+    // deleting through the checksum-layered `fs` is still correct — it
+    // removes a sidecar if one exists and the data file either way
     files.foreach(p => try fs.delete(new Path(p), false) catch { case _: Throwable => })
   }
 

@@ -66,12 +66,39 @@ object ParquetIO {
     conf
   }
 
-  private final class RowWriterBuilder(path: Path, conf: Configuration)
-    extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](path) {
+  private final class RowWriterBuilder(file: org.apache.parquet.io.OutputFile)
+    extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](file) {
     override def self(): RowWriterBuilder = this
     override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
       new ParquetWriteSupport
   }
+
+  /** OutputFile over an EXPLICIT filesystem instead of
+    * `path.getFileSystem(conf)` — so segment writes can go through the raw
+    * fs when the resolved one layers client-side checksums (local fs).
+    * Measured on the streaming-segment shape (88 × ~11 k-row files): the
+    * checksummed create+close is ~12 ms/file — the dominant per-file cost,
+    * 3× the parquet encode itself — because every segment becomes two files
+    * (data + .crc sidecar) plus redundant client-side checksumming. On
+    * HDFS/S3A the resolved fs is already raw (server-side integrity) and
+    * this changes nothing. Mirrors the JSONL path's `dataFs`.
+    */
+  private final class RawFsOutputFile(fs: org.apache.hadoop.fs.FileSystem, path: Path)
+    extends org.apache.parquet.io.OutputFile {
+    override def create(blockSizeHint: Long): org.apache.parquet.io.PositionOutputStream =
+      org.apache.parquet.hadoop.util.HadoopStreams.wrap(fs.create(path, false))
+    override def createOrOverwrite(blockSizeHint: Long): org.apache.parquet.io.PositionOutputStream =
+      org.apache.parquet.hadoop.util.HadoopStreams.wrap(fs.create(path, true))
+    override def supportsBlockSize(): Boolean = true
+    override def defaultBlockSize(): Long = fs.getDefaultBlockSize(path)
+    override def getPath: String = path.toString
+  }
+
+  private def rawFs(path: Path, conf: Configuration): org.apache.hadoop.fs.FileSystem =
+    path.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
 
   /** One open parquet segment. `rowGroupSize` is deliberately small
     * (16 MiB) for a STREAMING writer: an epoch's worth of one partition's
@@ -80,8 +107,16 @@ object ParquetIO {
     */
   def createWriter(
       path: Path, schema: StructType, conf: Configuration): ParquetWriter[InternalRow] =
-    new RowWriterBuilder(path, conf)
-      .withConf(pinnedConf(conf, schema))
+    createWriterPinned(path, pinnedConf(conf, schema))
+
+  /** Same, but over an ALREADY-PINNED conf ([[pinnedWriterConf]]) — a
+    * fixed-schema caller (one streaming segment) pins once and skips the
+    * per-file Configuration walk across rotations.
+    */
+  def createWriterPinned(
+      path: Path, pinned: Configuration): ParquetWriter[InternalRow] =
+    new RowWriterBuilder(new RawFsOutputFile(rawFs(path, pinned), path))
+      .withConf(pinned)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .withWriteMode(ParquetFileWriter.Mode.CREATE)
       .withRowGroupSize(16L * 1024 * 1024)

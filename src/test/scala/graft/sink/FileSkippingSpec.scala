@@ -156,7 +156,7 @@ class FileSkippingSpec extends SparkSpec {
     assert(t.filter($"id" === 2042L).select("msg").as[String].collect() === Array("m2042"))
   }
 
-  test("JSONL files carry no stats and are never skipped; mixed tables stay exact") {
+  test("JSONL epochs record stats too: skipping works across mixed formats") {
     import spark.implicits._
     val dir = tmp()
     implicit val sqlCtx = spark.sqlContext
@@ -175,13 +175,56 @@ class FileSkippingSpec extends SparkSpec {
     (1000 until 1100).map(i => (i.toLong, s"m$i")).toDF("id", "msg")
       .write.format("graft-streaming").options(opts(dir))
       .mode("append").save()
-    // a predicate excluding the parquet epoch still plans the JSONL file
+    // JSONL epochs accumulate row-at-a-time stats ([[FileStats.Running]]),
+    // so point lookups skip the out-of-range file REGARDLESS of format
     assert(planned(dir, EqualTo("id", 5L)) === 1)
-    assert(planned(dir, EqualTo("id", 999999L)) === 1)
+    assert(planned(dir, EqualTo("id", 1005L)) === 1)
+    assert(planned(dir, EqualTo("id", 999999L)) === 0)
     val t = spark.read.format("graft-streaming").options(opts(dir)).load()
     assert(t.filter($"id" === 5L).count() === 1)
     assert(t.filter($"id" === 1005L).count() === 1)
     assert(t.count() === 200)
+  }
+
+  test("JSONL stats match the parquet domains: lookups, ranges, nulls, NaN") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS()
+      .map(i => (i.toLong, s"m$i", i % 2 == 0,
+        if (i % 10 == 0) null else s"tag$i",
+        if (i % 100 == 7) Double.NaN else i / 100.0))
+      .toDF("id", "msg", "even", "tag", "score")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir, "format" -> "jsonl"))
+      .option("checkpointLocation", s"$dir/_cp").start()
+    (0 until 5).foreach { e =>
+      in.addData(e * 1000 until e * 1000 + 100: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val ms = log(dir).manifests().filter(_.files.nonEmpty)
+    assert(ms.nonEmpty)
+    ms.foreach(m => m.files.foreach { f =>
+      val st = m.fileStats.get(f)
+      assert(st.isDefined, s"no stats recorded for JSONL $f")
+      assert(st.get.cols("id").min.exists(_.startsWith("l")))
+      assert(st.get.cols("msg").min.exists(_.startsWith("s")))
+      assert(st.get.cols("tag").nullCount.exists(_ > 0L))
+      // NaN in every file poisons double min/max, exactly like parquet
+      assert(st.get.cols("score").min.isEmpty)
+      assert(st.get.cols("score").nullCount.contains(0L))
+    })
+    assert(planned(dir, EqualTo("id", 2042L)) === 1)
+    assert(planned(dir, GreaterThanOrEqual("id", 3050L), LessThan("id", 4010L)) === 2)
+    assert(planned(dir, EqualTo("id", 999999L)) === 0)
+    assert(planned(dir, EqualTo("msg", "zzz")) === 0)
+    // NaN-poisoned double column never prunes
+    assert(planned(dir, GreaterThan("score", 100.0)) === 5)
+    val t = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(t.filter($"id" === 2042L).select("msg").as[String].collect() === Array("m2042"))
+    assert(t.filter($"tag".isNull).count() === 50)
   }
 
   test("serialize/parse round-trips hostile names and values") {

@@ -385,7 +385,10 @@ object Compact {
     // per-file decode dispatch stay intact; a dir holding epochs of both
     // formats folds into one consolidated file of each
     val byDirExt = presentFiles.groupBy { f =>
-      (new Path(f).getParent, if (f.endsWith(".parquet")) "parquet" else "jsonl")
+      (new Path(f).getParent,
+        if (f.endsWith(".parquet")) "parquet"
+        else if (f.endsWith(".orc")) "orc"
+        else "jsonl")
     }
     val written = scala.collection.mutable.ArrayBuffer.empty[Path]
     val newStats = scala.collection.mutable.HashMap.empty[String, String]
@@ -413,6 +416,30 @@ object Compact {
             catch { case scala.util.control.NonFatal(_) => } // stats are optional
           }
           targets.map(_.toString)
+        } else if (ext == "orc") {
+          // stripe-level concat (compressed stripes copied without decode
+          // — OrcIO.merge, the ORC analogue of the parquet row-group
+          // concat), one output per (file schema × size chunk)
+          val (targets, consumed) = OrcIO.merge(files.map(new Path(_)),
+            i => { val t = new Path(dir, s"$stem-$i.orc"); written += t; t },
+            fs.getConf, targetFileBytes)
+          // every input must end up superseded (publish deletes them all):
+          // a file the merger declined (foreign writer version /
+          // compression) is byte-copied to a fresh target instead
+          val consumedSet = consumed.map(_.toString).toSet
+          val carried = files.filterNot(consumedSet.contains).map { f =>
+            val t = new Path(dir, s"$stem-c${written.size}.orc")
+            written += t
+            org.apache.hadoop.fs.FileUtil.copy(
+              fs, new Path(f), fs, t, false, fs.getConf)
+            t
+          }
+          val outputs = targets ++ carried
+          outputs.foreach { t =>
+            try newStats(t.toString) = OrcIO.statsFromFile(t, fs.getConf)
+            catch { case scala.util.control.NonFatal(_) => } // stats optional
+          }
+          outputs.map(_.toString)
         } else {
           // byte-concat, split at the size target on input-file boundaries
           // (inputs end in newline, so outputs stay valid JSONL)

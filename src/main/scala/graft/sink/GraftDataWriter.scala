@@ -95,7 +95,9 @@ final class GraftDataWriter(
   }
 
   private def newSegment(partDir: String): Segment =
-    if (opts.isParquet) new ParquetSegment(partDir) else new JsonlSegment(partDir)
+    if (opts.isParquet) new ParquetSegment(partDir)
+    else if (opts.isOrc) new OrcSegment(partDir)
+    else new JsonlSegment(partDir)
 
   private def segmentDir(partDir: String): Path = {
     val dir = if (partDir.isEmpty) tablePath else new Path(tablePath, partDir)
@@ -168,6 +170,55 @@ final class GraftDataWriter(
     override def discard(): Unit =
       if (writer != null) {
         try writer.close() catch { case _: Throwable => }
+        writer = null
+      }
+
+    override def heartbeatFlush(): Unit = ()
+  }
+
+  /** ORC landing — the reference's LITERAL storage format (`stored as
+    * orc`, `HiveStreamingExample.scala:26-31`). Same lifecycle as the
+    * parquet segment: size-bounded rotation by rows-per-file, stats from
+    * the writer's in-memory file statistics at close, no mid-file flush
+    * (keep-alive is rejected at option parse).
+    */
+  private final class OrcSegment(partDir: String) extends Segment {
+    private val dataSchema = StructType(dataIdx.map(schema(_)).toArray)
+    private val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(dataIdx.map(i => org.apache.spark.sql.catalyst.expressions
+        .BoundReference(i, schema(i).dataType, nullable = true)).toArray)
+    private val maxRowsPerFile = opts.batchSize.toLong * opts.txnPerBatch
+    private var writer: OrcIO.RowWriter = _
+    private var file: Path = _
+    private var rowsInFile = 0L
+    private var seq = 0
+
+    private def open(): Unit = {
+      file = segmentFile(segmentDir(partDir), seq, "orc")
+      writer = new OrcIO.RowWriter(file, dataSchema, conf)
+      seq += 1
+      rowsInFile = 0L
+      files += file.toString
+    }
+
+    private def closeFile(): Unit = {
+      statsByFile(file.toString) = writer.closeWithStats()
+      writer = null
+    }
+
+    override def write(row: InternalRow): Unit = {
+      if (writer == null) open()
+      writer.write(project(row))
+      rowsInFile += 1
+      if (rowsInFile >= maxRowsPerFile) closeFile()
+    }
+
+    override def close(): Unit =
+      if (writer != null) closeFile()
+
+    override def discard(): Unit =
+      if (writer != null) {
+        writer.abort()
         writer = null
       }
 

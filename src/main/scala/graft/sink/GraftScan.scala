@@ -266,8 +266,20 @@ final class GraftPartitionReader(
     override def close(): Unit = reader.close()
   }
 
+  /** ORC scan: like parquet, `fileSchema` drives an include mask pushed
+    * into the ORC read, so only projected streams are decoded
+    * ([[OrcIO.RowReader]]).
+    */
+  private final class OrcSource extends RowSource {
+    private val reader = new OrcIO.RowReader(path, fileSchema, conf.value)
+    override def nextRow(): InternalRow = reader.read()
+    override def close(): Unit = reader.close()
+  }
+
   private val source: RowSource =
-    if (partition.file.endsWith(".parquet")) new ParquetSource else new JsonlSource
+    if (partition.file.endsWith(".parquet")) new ParquetSource
+    else if (partition.file.endsWith(".orc")) new OrcSource
+    else new JsonlSource
   private var current: InternalRow = _
 
   override def next(): Boolean = {

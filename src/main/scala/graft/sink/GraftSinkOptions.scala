@@ -42,6 +42,7 @@ final case class GraftSinkOptions(
     format: String = GraftSinkOptions.FORMAT_JSONL) {
 
   def isParquet: Boolean = format == GraftSinkOptions.FORMAT_PARQUET
+  def isOrc: Boolean = format == GraftSinkOptions.FORMAT_ORC
 
   /** Table root directory: `<path>/<db>.<table>` */
   def tableDir: String = s"$path/$db.$table"
@@ -84,13 +85,16 @@ object GraftSinkOptions {
   /** Landing format for data files. `jsonl` is the reference-shaped default
     * (row-at-a-time JSON text, `HiveStreamDataWriter.scala:96-100`);
     * `parquet` lands columnar files — the Spark-native analogue of the
-    * reference's ORC storage (`HiveStreamingExample.scala:26-31`). The
-    * format is a per-WRITE choice: readers dispatch on each committed
-    * file's extension, so a table may mix epochs of both.
+    * reference's ORC storage (`HiveStreamingExample.scala:26-31`); `orc`
+    * lands the reference's LITERAL format for migrating deployments
+    * ([[OrcIO]]). The format is a per-WRITE choice: readers dispatch on
+    * each committed file's extension, so a table may mix epochs of all
+    * three.
     */
   val FORMAT = "format"
   val FORMAT_JSONL = "jsonl"
   val FORMAT_PARQUET = "parquet"
+  val FORMAT_ORC = "orc"
 
   /** Parse + validate, with the reference's required-option error behavior
     * (`HiveOptions.scala:90-103` throws IllegalArgumentException listing the
@@ -134,20 +138,20 @@ object GraftSinkOptions {
     }
     val format = Option(options.get(FORMAT)).map(_.trim.toLowerCase)
       .getOrElse(FORMAT_JSONL) match {
-        case f @ (FORMAT_JSONL | FORMAT_PARQUET) => f
+        case f @ (FORMAT_JSONL | FORMAT_PARQUET | FORMAT_ORC) => f
         case other => throw new IllegalArgumentException(
           s"Option '$FORMAT' must be one of: $FORMAT_JSONL, " +
-            s"$FORMAT_PARQUET; got '$other'")
+            s"$FORMAT_PARQUET, $FORMAT_ORC; got '$other'")
       }
     val keepalive = options.getLong(KEEPALIVE_INTERVAL_MS, 0L)
     // a parquet file cannot flush mid-write (pages buffer until a row
     // group completes), so the A11 keep-alive would be a silent no-op —
     // reject the combination instead of letting a user believe their
     // long-epoch rows are durable mid-epoch
-    if (format == FORMAT_PARQUET && keepalive > 0) {
+    if (format != FORMAT_JSONL && keepalive > 0) {
       throw new IllegalArgumentException(
         s"Option '$KEEPALIVE_INTERVAL_MS' is not supported with " +
-          s"$FORMAT='$FORMAT_PARQUET': parquet segments cannot flush " +
+          s"$FORMAT='$format': columnar segments cannot flush " +
           "mid-file. Use the jsonl landing for mid-epoch durability, or " +
           "drop the keep-alive (epoch-scoped durability needs none).")
     }

@@ -1,0 +1,355 @@
+package graft.sink
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.hive.ql.exec.vector._
+import org.apache.orc.{OrcFile, TypeDescription}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ORC landing mode — LITERAL storage parity with the reference, whose
+  * tables are `stored as orc` and written through Hive's ACID machinery
+  * (reference `example/.../HiveStreamingExample.scala:26-31`,
+  * `HiveWriter.scala:70-77`). A user migrating a reference deployment can
+  * keep the bytes-on-disk format: `option("format", "orc")`.
+  *
+  * Built on the PUBLIC orc-core API (`OrcFile` + `VectorizedRowBatch`) —
+  * no Spark internals are reachable for ORC the way `ParquetWriteSupport`
+  * is for parquet, and the sink's supported surface is scalar columns only
+  * (the reference's JSON-scalar contract), so the row↔vector conversion
+  * is a small closed type dispatch.
+  *
+  * Determinism pins, mirroring ParquetIO's CORRECTED/UTC stance:
+  * timestamps write and read with `useUTCTimestamp(true)` on BOTH sides,
+  * so epoch micros round-trip bit-exactly regardless of host zone. Both
+  * TimestampType and TimestampNTZType land as ORC `timestamp` (the sink's
+  * JSONL path also collapses the two on read-back; the UTC session makes
+  * the instant identical).
+  */
+object OrcIO {
+
+  /** sink StructType (scalars only) → ORC schema. */
+  def typeDescription(schema: StructType): TypeDescription = {
+    val root = TypeDescription.createStruct()
+    schema.fields.foreach { f =>
+      val td = f.dataType match {
+        case StringType => TypeDescription.createString()
+        case IntegerType => TypeDescription.createInt()
+        case LongType => TypeDescription.createLong()
+        case ShortType => TypeDescription.createShort()
+        case ByteType => TypeDescription.createByte()
+        case DoubleType => TypeDescription.createDouble()
+        case FloatType => TypeDescription.createFloat()
+        case BooleanType => TypeDescription.createBoolean()
+        case d: DecimalType =>
+          TypeDescription.createDecimal()
+            .withPrecision(d.precision).withScale(d.scale)
+        case TimestampType | TimestampNTZType => TypeDescription.createTimestamp()
+        case DateType => TypeDescription.createDate()
+        case BinaryType => TypeDescription.createBinary()
+        case other => throw new IllegalArgumentException(
+          s"graft-streaming ORC landing supports scalar columns only; got $other")
+      }
+      root.addField(f.name, td)
+    }
+    root
+  }
+
+  private type Filler = (ColumnVector, Int, InternalRow, Int) => Unit
+
+  private def fillerFor(dt: DataType): Filler = dt match {
+    case StringType => (v, r, row, i) =>
+      v.asInstanceOf[BytesColumnVector].setVal(r, row.getUTF8String(i).getBytes)
+    case IntegerType => (v, r, row, i) =>
+      v.asInstanceOf[LongColumnVector].vector(r) = row.getInt(i).toLong
+    case LongType => (v, r, row, i) =>
+      v.asInstanceOf[LongColumnVector].vector(r) = row.getLong(i)
+    case ShortType => (v, r, row, i) =>
+      v.asInstanceOf[LongColumnVector].vector(r) = row.getShort(i).toLong
+    case ByteType => (v, r, row, i) =>
+      v.asInstanceOf[LongColumnVector].vector(r) = row.getByte(i).toLong
+    case DoubleType => (v, r, row, i) =>
+      v.asInstanceOf[DoubleColumnVector].vector(r) = row.getDouble(i)
+    case FloatType => (v, r, row, i) =>
+      v.asInstanceOf[DoubleColumnVector].vector(r) = row.getFloat(i).toDouble
+    case BooleanType => (v, r, row, i) =>
+      v.asInstanceOf[LongColumnVector].vector(r) = if (row.getBoolean(i)) 1L else 0L
+    case d: DecimalType => (v, r, row, i) =>
+      v.asInstanceOf[DecimalColumnVector].vector(r).set(
+        org.apache.hadoop.hive.common.`type`.HiveDecimal.create(
+          row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal))
+    case TimestampType | TimestampNTZType => (v, r, row, i) => {
+      val micros = row.getLong(i)
+      val tv = v.asInstanceOf[TimestampColumnVector]
+      tv.time(r) = Math.floorDiv(micros, 1000L)
+      tv.nanos(r) = (Math.floorMod(micros, 1000000L) * 1000L).toInt
+    }
+    case DateType => (v, r, row, i) =>
+      v.asInstanceOf[LongColumnVector].vector(r) = row.getInt(i).toLong
+    case BinaryType => (v, r, row, i) =>
+      v.asInstanceOf[BytesColumnVector].setVal(r, row.getBinary(i))
+    case other => throw new IllegalArgumentException(
+      s"graft-streaming ORC landing supports scalar columns only; got $other")
+  }
+
+  /** Streaming row writer over one ORC segment file. Same lifecycle as the
+    * parquet segment writer: create through the RAW fs (no client-side
+    * `.crc` sidecars — measured the dominant per-file cost on the parquet
+    * path), rows buffer into a 1024-row `VectorizedRowBatch`, stripes
+    * flush at the writer's default 64 MiB.
+    */
+  final class RowWriter(path: Path, schema: StructType, conf: Configuration) {
+    private val td = typeDescription(schema)
+    private val fillers: Array[Filler] = schema.fields.map(f => fillerFor(f.dataType))
+    private val writer = {
+      val fs = path.getFileSystem(conf) match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case other => other
+      }
+      OrcFile.createWriter(path, OrcFile.writerOptions(conf)
+        .setSchema(td)
+        .fileSystem(fs)
+        .compress(org.apache.orc.CompressionKind.SNAPPY)
+        .useUTCTimestamp(true)
+        .overwrite(false))
+    }
+    private val batch = td.createRowBatch(1024)
+    private var rows = 0L
+
+    def write(row: InternalRow): Unit = {
+      val r = batch.size
+      var i = 0
+      while (i < fillers.length) {
+        val v = batch.cols(i)
+        if (row.isNullAt(i)) { v.noNulls = false; v.isNull(r) = true }
+        else fillers(i)(v, r, row, i)
+        i += 1
+      }
+      batch.size += 1
+      rows += 1
+      if (batch.size == batch.getMaxSize) flushBatch()
+    }
+
+    private def flushBatch(): Unit = if (batch.size > 0) {
+      writer.addRowBatch(batch)
+      batch.reset()
+    }
+
+    def rowCount: Long = rows
+
+    /** Close and return the file's serialized column stats, mapped from
+      * the writer's in-memory file statistics — zero extra IO, the ORC
+      * analogue of `FileStats.fromFooter`.
+      */
+    def closeWithStats(): String = {
+      flushBatch()
+      writer.close()
+      fromOrcStatistics(rows, td, writer.getStatistics).serialize
+    }
+
+    def abort(): Unit = {
+      try writer.close() catch { case _: Throwable => }
+    }
+  }
+
+  private type Extractor = (ColumnVector, Int) => Any
+
+  private def extractorFor(dt: DataType): Extractor = dt match {
+    case StringType => (v, r) => {
+      val bv = v.asInstanceOf[BytesColumnVector]
+      UTF8String.fromBytes(bv.vector(r), bv.start(r), bv.length(r))
+    }
+    case IntegerType => (v, r) => v.asInstanceOf[LongColumnVector].vector(r).toInt
+    case LongType => (v, r) => v.asInstanceOf[LongColumnVector].vector(r)
+    case ShortType => (v, r) => v.asInstanceOf[LongColumnVector].vector(r).toShort
+    case ByteType => (v, r) => v.asInstanceOf[LongColumnVector].vector(r).toByte
+    case DoubleType => (v, r) => v.asInstanceOf[DoubleColumnVector].vector(r)
+    case FloatType => (v, r) => v.asInstanceOf[DoubleColumnVector].vector(r).toFloat
+    case BooleanType => (v, r) => v.asInstanceOf[LongColumnVector].vector(r) != 0L
+    case d: DecimalType => (v, r) =>
+      org.apache.spark.sql.types.Decimal(
+        v.asInstanceOf[DecimalColumnVector].vector(r)
+          .getHiveDecimal.bigDecimalValue, d.precision, d.scale)
+    case TimestampType | TimestampNTZType => (v, r) => {
+      val tv = v.asInstanceOf[TimestampColumnVector]
+      Math.floorDiv(tv.time(r), 1000L) * 1000000L + tv.nanos(r) / 1000L
+    }
+    case DateType => (v, r) => v.asInstanceOf[LongColumnVector].vector(r).toInt
+    case BinaryType => (v, r) => {
+      val bv = v.asInstanceOf[BytesColumnVector]
+      java.util.Arrays.copyOfRange(bv.vector(r), bv.start(r), bv.start(r) + bv.length(r))
+    }
+    case other => throw new IllegalArgumentException(
+      s"graft-streaming ORC landing supports scalar columns only; got $other")
+  }
+
+  /** Row reader over one committed ORC file, returning `InternalRow`s in
+    * `requestedSchema` field order. COLUMN PRUNING is pushed into the ORC
+    * scan via the include mask (only projected streams are read and
+    * decoded); fields are matched BY NAME against the file schema
+    * (name-set contract — field order may drift across lineages), and
+    * fields absent from the file materialize as null.
+    */
+  final class RowReader(path: Path, requestedSchema: StructType, conf: Configuration) {
+    private val reader = OrcFile.createReader(path,
+      OrcFile.readerOptions(conf).useUTCTimestamp(true))
+    private val fileTd = reader.getSchema
+    private val fileNames = fileTd.getFieldNames.asScala.toIndexedSeq
+    // requested field i ← file column fileCol(i), or -1 when absent
+    private val fileCol: Array[Int] =
+      requestedSchema.fields.map(f => fileNames.indexOf(f.name))
+    private val extractors: Array[Extractor] =
+      requestedSchema.fields.map(f => extractorFor(f.dataType))
+    private val include = {
+      val inc = new Array[Boolean](fileTd.getMaximumId + 1)
+      inc(0) = true
+      fileCol.foreach { c =>
+        if (c >= 0) {
+          val child = fileTd.getChildren.get(c)
+          (child.getId to child.getMaximumId).foreach(id => inc(id) = true)
+        }
+      }
+      inc
+    }
+    // useUTCTimestamp rides the reader options above; Row-level Options
+    // only carries the projection mask
+    private val rows = reader.rows(reader.options.include(include))
+    private val batch = fileTd.createRowBatch(1024)
+    private var pos = 0
+
+    /** Next row, or null at EOF. */
+    def read(): InternalRow = {
+      if (pos >= batch.size) {
+        if (!rows.nextBatch(batch)) return null
+        pos = 0
+      }
+      val values = new Array[Any](fileCol.length)
+      var i = 0
+      while (i < fileCol.length) {
+        val c = fileCol(i)
+        if (c >= 0) {
+          val v = batch.cols(c)
+          val r = if (v.isRepeating) 0 else pos
+          values(i) =
+            if (!v.noNulls && v.isNull(r)) null
+            else extractors(i)(v, r)
+        }
+        i += 1
+      }
+      pos += 1
+      new GenericInternalRow(values)
+    }
+
+    def close(): Unit = { rows.close(); reader.close() }
+  }
+
+  /** ORC `ColumnStatistics` → manifest [[FileStats]], same tags/domains as
+    * the parquet footer mapping: integers/dates/timestamp-micros → 'l',
+    * doubles → 'd' (NaN-poisoned stats surface as null min/max upstream),
+    * strings → 's', booleans → 'b'; decimals/binary record null counts
+    * only. `stats(0)` is the root struct (row count); field i's stats sit
+    * at the field's type id.
+    */
+  def fromOrcStatistics(
+      rows: Long, td: TypeDescription,
+      stats: Array[org.apache.orc.ColumnStatistics]): FileStats = {
+    import org.apache.orc._
+    val names = td.getFieldNames.asScala
+    val children = td.getChildren.asScala
+    val cols = names.zip(children).flatMap { case (name, child) =>
+      val id = child.getId
+      if (id >= stats.length) None
+      else {
+        val st = stats(id)
+        val nulls = Some(rows - st.getNumberOfValues)
+        val empty = st.getNumberOfValues == 0L
+        val (mn, mx) = st match {
+          case _ if empty => (None, None)
+          case s: IntegerColumnStatistics =>
+            (Some("l" + s.getMinimum), Some("l" + s.getMaximum))
+          case s: DoubleColumnStatistics =>
+            // ORC drops NaN from min/max silently; a file whose every value
+            // is NaN reports min > max — guard on ordering
+            if (s.getMinimum <= s.getMaximum)
+              (Some("d" + s.getMinimum), Some("d" + s.getMaximum))
+            else (None, None)
+          case s: StringColumnStatistics
+              if s.getMinimum != null && s.getMaximum != null =>
+            // null min/max with values present = truncated bounds
+            // (lower/upperBound only) — decline rather than mis-prune
+            (Some("s" + s.getMinimum), Some("s" + s.getMaximum))
+          case s: BooleanColumnStatistics =>
+            (Some("b" + (s.getFalseCount == 0L)), Some("b" + (s.getTrueCount > 0L)))
+          case s: DateColumnStatistics
+              if s.getMinimumDayOfEpoch <= s.getMaximumDayOfEpoch =>
+            (Some("l" + s.getMinimumDayOfEpoch), Some("l" + s.getMaximumDayOfEpoch))
+          case s: TimestampColumnStatistics
+              if s.getMinimumUTC != null && s.getMaximumUTC != null =>
+            // millis from ORC stats; widen to micros bounds conservatively
+            // (floor the min, ceil the max) so they bracket every value
+            (Some("l" + s.getMinimumUTC.getTime * 1000L),
+              Some("l" + (s.getMaximumUTC.getTime * 1000L + 999L)))
+          case _ => (None, None)
+        }
+        Some(name -> ColStats(nulls, mn, mx))
+      }
+    }.toMap
+    FileStats(rows, cols)
+  }
+
+  /** Stripe-level merge of ORC files (compressed stripes copied without
+    * decode — the ORC analogue of `ParquetIO.merge`). Inputs are grouped
+    * by file schema (name-set validation permits drift across lineages),
+    * each group size-bounded into chunks on input boundaries, and each
+    * chunk merged via `OrcFile.mergeFiles`. A file the merger rejects
+    * (incompatible compression/version) stays live unmerged rather than
+    * failing the cycle.
+    *
+    * @return (written target paths, input paths actually consumed)
+    */
+  def merge(inputs: Seq[Path], targetFor: Int => Path, conf: Configuration,
+      targetBytes: Long = Long.MaxValue): (Seq[Path], Seq[Path]) = {
+    require(inputs.nonEmpty, "nothing to merge")
+    val bySchema = inputs.map { p =>
+      val r = OrcFile.createReader(p, OrcFile.readerOptions(conf))
+      try (p, r.getSchema.toString, r.getContentLength)
+      finally r.close()
+    }.groupBy(_._2).values.toSeq
+    var outIdx = -1
+    val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val consumed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    bySchema.foreach { group =>
+      // greedy size chunking on input boundaries, like ParquetIO.merge
+      val chunks = group.foldLeft((Vector.empty[Vector[(Path, String, Long)]], 0L)) {
+        case ((acc, bytes), in @ (_, _, sz)) =>
+          if (acc.nonEmpty && acc.last.nonEmpty && bytes + sz > targetBytes)
+            (acc :+ Vector(in), sz)
+          else if (acc.isEmpty) (Vector(Vector(in)), sz)
+          else (acc.init :+ (acc.last :+ in), bytes + sz)
+      }._1
+      chunks.foreach { chunk =>
+        outIdx += 1
+        val target = targetFor(outIdx)
+        val merged = OrcFile.mergeFiles(target,
+          OrcFile.writerOptions(conf).useUTCTimestamp(true),
+          chunk.map(_._1).asJava)
+        written += target
+        consumed ++= merged.asScala
+      }
+    }
+    (written.toSeq, consumed.toSeq)
+  }
+
+  /** Re-derive manifest stats for a merged file from its footer metadata
+    * (one metadata read, no data decode).
+    */
+  def statsFromFile(path: Path, conf: Configuration): String = {
+    val r = OrcFile.createReader(path, OrcFile.readerOptions(conf))
+    try fromOrcStatistics(r.getNumberOfRows, r.getSchema, r.getStatistics).serialize
+    finally r.close()
+  }
+}

@@ -6,47 +6,40 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.SparkSpec
 
-/** The columnar landing mode (`option("format","parquet")`) — storage parity
-  * with the reference's ORC tables (`HiveStreamingExample.scala:26-31`
-  * `stored as orc`). Every guarantee the JSONL path carries (exactly-once
-  * replay, partition routing, compaction atomicity, tailing) must hold
-  * byte-for-byte identically in parquet mode, plus read-back equality
-  * BETWEEN the two modes on the same rows.
+/** The ORC landing mode (`option("format","orc")`) — LITERAL storage parity
+  * with the reference's tables (`HiveStreamingExample.scala:26-31`
+  * `stored as orc`). The parquet landing's guarantees must hold
+  * identically: exactly-once replay, partition routing, manifest stats +
+  * plan-time skipping, compaction atomicity, abort hygiene, and read-back
+  * equality against the other two landings on the shared type surface.
   */
-class ParquetLandingSpec extends SparkSpec {
+class OrcLandingSpec extends SparkSpec {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-parquet").toString
+    Files.createTempDirectory("graft-orc").toString
 
   private def opts(path: String, extra: (String, String)*): Map[String, String] =
     (Map("path" -> path, "db" -> "testdb", "table" -> "t",
-      "format" -> "parquet") ++ extra.toMap)
+      "format" -> "orc") ++ extra.toMap)
 
   private def hconf = spark.sparkContext.hadoopConfiguration
 
-  test("option parsing: format accepts jsonl/parquet/orc, rejects others") {
-    val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(
-      Map("path" -> "/x", "db" -> "d", "table" -> "t",
-        "format" -> "PARQUET").asJava))
-    assert(o.isParquet)
-    val orc = GraftSinkOptions.from(new CaseInsensitiveStringMap(
-      Map("path" -> "/x", "db" -> "d", "table" -> "t",
-        "format" -> "orc").asJava))
-    assert(orc.isOrc)
+  test("keepalive is rejected with the orc landing (silent no-op guard)") {
     val e = intercept[IllegalArgumentException] {
       GraftSinkOptions.from(new CaseInsensitiveStringMap(
         Map("path" -> "/x", "db" -> "d", "table" -> "t",
-          "format" -> "avro").asJava))
+          "format" -> "orc", "keepalive.interval.ms" -> "5000").asJava))
     }
-    assert(e.getMessage.contains("format"))
+    assert(e.getMessage.contains("keepalive"))
   }
 
-  test("parquet e2e: streamed rows land as .parquet, partition-routed, read back") {
+  test("orc e2e: streamed rows land as .orc, partition-routed, read back") {
     import spark.implicits._
     val dir = tmp()
     implicit val sqlCtx = spark.sqlContext
@@ -65,7 +58,7 @@ class ParquetLandingSpec extends SparkSpec {
     q.stop()
     val files = new CommitLog(s"$dir/testdb.t", hconf).committedFiles()
     assert(files.nonEmpty)
-    assert(files.forall(_.endsWith(".parquet")), s"non-parquet landing: $files")
+    assert(files.forall(_.endsWith(".orc")), s"non-orc landing: $files")
     assert(files.forall(f => f.contains("region=EU") || f.contains("region=US")))
     val out = CommitLog.readCommitted(spark, s"$dir/testdb.t")
     assert(out.columns.toSet === Set("id", "msg", "region"))
@@ -74,7 +67,7 @@ class ParquetLandingSpec extends SparkSpec {
     assert(out.filter($"region" === "EU").count() === 100)
   }
 
-  test("parquet exactly-once: replayed epoch publishes no duplicates") {
+  test("orc exactly-once: replayed epoch publishes no duplicates") {
     val dir = tmp()
     val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))
     val schema = StructType(Seq(
@@ -108,7 +101,47 @@ class ParquetLandingSpec extends SparkSpec {
     assert(leftover.isEmpty, s"replay files not cleaned: $leftover")
   }
 
-  test("parquet compaction: row-group merge preserves rows, tailing intact") {
+  test("orc stats land in the manifest; point lookups skip files") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS()
+      .map(i => (i.toLong, s"m$i", if (i % 10 == 0) null else s"tag$i"))
+      .toDF("id", "msg", "tag")
+      .writeStream.format("graft-streaming").options(opts(dir))
+      .option("checkpointLocation", s"$dir/_cp").start()
+    (0 until 5).foreach { e =>
+      in.addData(e * 1000 until e * 1000 + 100: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val log = new CommitLog(s"$dir/testdb.t", hconf)
+    val ms = log.manifests().filter(_.files.nonEmpty)
+    assert(ms.nonEmpty)
+    ms.foreach(m => m.files.foreach { f =>
+      val st = m.fileStats.get(f)
+      assert(st.isDefined, s"no stats recorded for ORC $f")
+      assert(st.get.cols("id").min.exists(_.startsWith("l")))
+      assert(st.get.cols("msg").min.exists(_.startsWith("s")))
+      assert(st.get.cols("tag").nullCount.exists(_ > 0L))
+    })
+    def planned(filters: Filter*): Int = {
+      val df = spark.read.format("graft-streaming").options(opts(dir)).load()
+      val builder = new GraftScanBuilder(df.schema,
+        GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava)))
+      builder.pushFilters(filters.toArray)
+      builder.build().asInstanceOf[GraftScan].planInputPartitions().length
+    }
+    assert(planned() === 5)
+    assert(planned(EqualTo("id", 2042L)) === 1)
+    assert(planned(EqualTo("id", 999999L)) === 0)
+    assert(planned(EqualTo("msg", "zzz")) === 0)
+    val t = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(t.filter($"id" === 2042L).select("msg").as[String].collect() === Array("m2042"))
+  }
+
+  test("orc compaction: stripe merge preserves rows, stats survive, idempotent") {
     import spark.implicits._
     val dir = tmp()
     implicit val sqlCtx = spark.sqlContext
@@ -127,66 +160,32 @@ class ParquetLandingSpec extends SparkSpec {
     val log = new CommitLog(tableDir, hconf)
     val before = log.committedFiles()
     assert(before.size > 2)
-    val hwmBefore = log.streamingWatermark()
 
     val res = Compact.run(tableDir, hconf, retainMillis = 0L)
     assert(res.supersededEpochs === 5)
-    assert(res.consolidatedFiles === 2, "one merged parquet per partition dir")
+    assert(res.consolidatedFiles === 2, "one merged orc per partition dir")
 
     val after = log.committedFiles()
     assert(after.size === 2)
-    assert(after.forall(f => f.contains("compact-") && f.endsWith(".parquet")))
+    assert(after.forall(f => f.contains("compact-") && f.endsWith(".orc")))
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
     assert(before.forall(f => !fs.exists(new org.apache.hadoop.fs.Path(f))))
+    // merged files re-derive manifest stats from their footers
+    log.committedFilesWithStats().foreach { case (f, st) =>
+      assert(st.isDefined, s"no stats on compacted $f")
+      assert(st.get.cols("id").min.exists(_.startsWith("l")))
+    }
     val out = spark.read.format("graft-streaming").options(opts(dir)).load()
     assert(out.count() === 100)
     assert(out.select("id").as[Long].collect().sorted.toSeq === (1L to 100L))
     assert(out.filter($"region" === "EU").count() === 50)
-    assert(log.streamingWatermark() === hwmBefore)
     assert(Compact.run(tableDir, hconf) === Compact.Result(0, 0, 0))
   }
 
-  test("mixed-format table: jsonl and parquet epochs read together, compact per format") {
+  test("landing-format equality: orc agrees with parquet and jsonl on typed rows") {
     import spark.implicits._
     val dir = tmp()
     implicit val sqlCtx = spark.sqlContext
-    // epoch set 1: jsonl landing
-    val in1 = MemoryStream[Int]
-    val q1 = in1.toDS().map(i => (i, s"m$i")).toDF("id", "msg")
-      .writeStream.format("graft-streaming")
-      .options(opts(dir, "format" -> "jsonl"))
-      .option("checkpointLocation", s"$dir/_cp1").start()
-    in1.addData(1 to 50: _*); q1.processAllAvailable(); q1.stop()
-    // second landing: parquet via the BATCH append path (negative
-    // pseudo-epoch — a second streaming lineage would restart at epoch 0
-    // and be discarded as a replay, by design)
-    (51 to 100).map(i => (i, s"m$i")).toDF("id", "msg")
-      .write.format("graft-streaming")
-      .options(opts(dir)).mode("append").save()
-
-    val tableDir = s"$dir/testdb.t"
-    val log = new CommitLog(tableDir, hconf)
-    val exts = log.committedFiles().map(f => f.substring(f.lastIndexOf('.'))).toSet
-    assert(exts === Set(".jsonl", ".parquet"))
-    val out = CommitLog.readCommitted(spark, tableDir)
-    assert(out.select("id").as[Long].collect().sorted.toSeq === (1L to 100L))
-
-    // compaction folds each format separately in the shared dir
-    val res = Compact.run(tableDir, hconf, retainMillis = 0L)
-    assert(res.consolidatedFiles === 2, "one compact file per landing format")
-    val after = log.committedFiles()
-    assert(after.map(f => f.substring(f.lastIndexOf('.'))).toSet
-      === Set(".jsonl", ".parquet"))
-    val out2 = CommitLog.readCommitted(spark, tableDir)
-    assert(out2.select("id").as[Long].collect().sorted.toSeq === (1L to 100L))
-  }
-
-  test("landing-format equality: parquet and jsonl tables agree on typed rows") {
-    import spark.implicits._
-    val dir = tmp()
-    implicit val sqlCtx = spark.sqlContext
-    // exercise the type surface both encoders share: integral, floating,
-    // boolean, string (with escapes), date, timestamp, binary, decimal
     val df = spark.range(0, 300).selectExpr(
       "id",
       "cast(id as int) as i",
@@ -211,20 +210,22 @@ class ParquetLandingSpec extends SparkSpec {
       q.processAllAvailable()
       q.stop()
     }
+    land("orc", "orc")
     land("pq", "parquet")
     land("js", "jsonl")
+    val orc = CommitLog.readCommitted(spark, s"$dir/fmt.orc")
     val pq = CommitLog.readCommitted(spark, s"$dir/fmt.pq")
     val js = CommitLog.readCommitted(spark, s"$dir/fmt.js")
-    assert(pq.count() === 300)
-    // full-row equality across landings (order-insensitive)
-    assert(pq.exceptAll(js).isEmpty && js.exceptAll(pq).isEmpty,
-      "parquet and jsonl landings must read back identically")
+    assert(orc.count() === 300)
+    assert(orc.exceptAll(pq).isEmpty && pq.exceptAll(orc).isEmpty,
+      "orc and parquet landings must read back identically")
+    assert(orc.exceptAll(js).isEmpty && js.exceptAll(orc).isEmpty,
+      "orc and jsonl landings must read back identically")
   }
 
-  test("parquet compaction tolerates field-order drift across lineages") {
-    // the schema contract is NAME-SET only, so two lineages may write the
-    // same columns in different physical order; row-group merge must not
-    // die on it — each physical schema folds into its own compact file
+  test("column pruning + field-order drift: projection served by name") {
+    // name-set contract: a second lineage writes (msg, id) instead of
+    // (id, msg); the reader matches fields by name per file
     val dir = tmp()
     def land(epoch: Long, flip: Boolean): Unit = {
       val schema =
@@ -257,90 +258,18 @@ class ParquetLandingSpec extends SparkSpec {
       StructField("id", IntegerType), StructField("msg", StringType))))
     land(0L, flip = false)
     land(1L, flip = true)
-    land(2L, flip = false)
-    val tableDir = s"$dir/testdb.t"
-    val res = Compact.run(tableDir, hconf, retainMillis = 0L)
-    assert(res.supersededEpochs === 3)
-    assert(res.consolidatedFiles === 2,
-      "one merged parquet per distinct physical schema")
-    val out = CommitLog.readCommitted(spark, tableDir)
-    assert(out.count() === 30)
+    val out = CommitLog.readCommitted(spark, s"$dir/testdb.t")
+    assert(out.count() === 20)
     assert(out.select("id").collect().map(_.getInt(0)).toSet
-      === ((1 to 10) ++ (101 to 110) ++ (201 to 210)).toSet)
+      === ((1 to 10) ++ (101 to 110)).toSet)
+    // compaction groups by physical schema: two outputs
+    val res = Compact.run(s"$dir/testdb.t", hconf, retainMillis = 0L)
+    assert(res.consolidatedFiles === 2,
+      "one merged orc per distinct physical schema")
+    assert(CommitLog.readCommitted(spark, s"$dir/testdb.t").count() === 20)
   }
 
-  test("keepalive is rejected with the parquet landing (silent no-op guard)") {
-    val e = intercept[IllegalArgumentException] {
-      GraftSinkOptions.from(new CaseInsensitiveStringMap(
-        Map("path" -> "/x", "db" -> "d", "table" -> "t",
-          "format" -> "parquet", "keepalive.interval.ms" -> "5000").asJava))
-    }
-    assert(e.getMessage.contains("keepalive"))
-    // jsonl keeps supporting it
-    val ok = GraftSinkOptions.from(new CaseInsensitiveStringMap(
-      Map("path" -> "/x", "db" -> "d", "table" -> "t",
-        "keepalive.interval.ms" -> "5000").asJava))
-    assert(ok.keepaliveIntervalMs === 5000L)
-  }
-
-  test("all-parquet tables scan COLUMNAR; mixed tables fall back to rows") {
-    import spark.implicits._
-    val dir = tmp()
-    implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[Int]
-    val q = in.toDS().map(i => (i, s"m$i")).toDF("id", "msg")
-      .writeStream.format("graft-streaming")
-      .options(opts(dir))
-      .option("checkpointLocation", s"$dir/_cp").start()
-    in.addData(1 to 100: _*); q.processAllAvailable(); q.stop()
-    def planOf(df: org.apache.spark.sql.DataFrame): String =
-      df.queryExecution.executedPlan.toString
-    val pq = spark.read.format("graft-streaming").options(opts(dir)).load()
-    assert(planOf(pq.select("id", "msg")).contains("ColumnarToRow"),
-      "an all-parquet table must plan a vectorized columnar scan")
-    assert(pq.select("msg").count() === 100)
-    // a JSONL epoch lands in the same table → the scan must fall back to
-    // rows uniformly (Spark requires all partitions to agree)
-    (101 to 110).map(i => (i, s"m$i")).toDF("id", "msg")
-      .write.format("graft-streaming")
-      .options(opts(dir, "format" -> "jsonl")).mode("append").save()
-    val mixed = spark.read.format("graft-streaming").options(opts(dir)).load()
-    assert(!planOf(mixed.select("id", "msg")).contains("ColumnarToRow"),
-      "a mixed-format table must scan on the row path")
-    assert(mixed.count() === 110)
-  }
-
-  test("pushed filters through the columnar scan: exact results over multi-file ranges") {
-    import spark.implicits._
-    val dir = tmp()
-    implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[Int]
-    val q = in.toDS().map(i => (i.toLong, s"m$i", i % 2 == 0))
-      .toDF("id", "msg", "even")
-      .writeStream.format("graft-streaming")
-      .options(opts(dir))
-      .option("checkpointLocation", s"$dir/_cp").start()
-    // several epochs → several files with DISJOINT id ranges, so row-group
-    // statistics can actually exclude whole files
-    (0 until 5).foreach { e =>
-      in.addData(e * 1000 until e * 1000 + 100: _*)
-      q.processAllAvailable()
-    }
-    q.stop()
-    val t = spark.read.format("graft-streaming").options(opts(dir)).load()
-    assert(t.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
-    // numeric range straddling two files
-    assert(t.filter($"id" >= 3050 && $"id" < 4010).count() === 60)
-    assert(t.filter($"id" === 2042).select("msg").as[String].collect()
-      === Array("m2042"))
-    // string + boolean predicates (pushed as stats/dictionary filters)
-    assert(t.filter($"msg" === "m1001").count() === 1)
-    assert(t.filter($"even" && $"id" < 1000).count() === 50)
-    // a filter matching nothing anywhere
-    assert(t.filter($"id" === 999999).count() === 0)
-  }
-
-  test("A9 parquet abort: staged parquet files deleted, nothing visible") {
+  test("A9 orc abort: staged orc files deleted, nothing visible") {
     val dir = tmp()
     val o = GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava))
     val schema = StructType(Seq(
@@ -361,5 +290,35 @@ class ParquetLandingSpec extends SparkSpec {
     w.abort()
     w.close()
     assert(CommitLog.readCommitted(spark, s"$dir/testdb.t").count() === 0)
+  }
+
+  test("mixed table: orc epochs coexist with jsonl/parquet, compact per format") {
+    import spark.implicits._
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in1 = MemoryStream[Int]
+    val q1 = in1.toDS().map(i => (i, s"m$i")).toDF("id", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir))
+      .option("checkpointLocation", s"$dir/_cp1").start()
+    in1.addData(1 to 50: _*); q1.processAllAvailable(); q1.stop()
+    (51 to 100).map(i => (i, s"m$i")).toDF("id", "msg")
+      .write.format("graft-streaming")
+      .options(opts(dir, "format" -> "parquet")).mode("append").save()
+    (101 to 150).map(i => (i, s"m$i")).toDF("id", "msg")
+      .write.format("graft-streaming")
+      .options(opts(dir, "format" -> "jsonl")).mode("append").save()
+
+    val tableDir = s"$dir/testdb.t"
+    val log = new CommitLog(tableDir, hconf)
+    val exts = log.committedFiles().map(f => f.substring(f.lastIndexOf('.'))).toSet
+    assert(exts === Set(".orc", ".parquet", ".jsonl"))
+    val out = CommitLog.readCommitted(spark, tableDir)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === (1L to 150L))
+
+    val res = Compact.run(tableDir, hconf, retainMillis = 0L)
+    assert(res.consolidatedFiles === 3, "one compact file per landing format")
+    val out2 = CommitLog.readCommitted(spark, tableDir)
+    assert(out2.select("id").as[Long].collect().sorted.toSeq === (1L to 150L))
   }
 }

@@ -100,7 +100,18 @@ object OrcIO {
     * parquet segment writer: create through the RAW fs (no client-side
     * `.crc` sidecars — measured the dominant per-file cost on the parquet
     * path), rows buffer into a 1024-row `VectorizedRowBatch`, stripes
-    * flush at the writer's default 64 MiB.
+    * flush at 16 MiB to match the parquet segment's row-group sizing (a
+    * stripe buffers entirely in executor memory per open segment; the orc
+    * default 64 MiB would give a streaming writer with many concurrent
+    * partition segments ~4x the parquet path's footprint).
+    *
+    * Known upstream encoding limitation: timestamps in the one-second
+    * window before the epoch (1969-12-31 23:59:59.000001–.999999) read
+    * back +1s off. ORC's TimestampTreeWriter truncates `time/1000`
+    * (secs=0 instead of -1) and the reader's negative-millis compensation
+    * cannot fire once reconstructed millis >= 0, making the file encoding
+    * ambiguous with +0.999999s. Not fixable client-side; the parquet and
+    * JSONL landings store exact micros and are unaffected.
     */
   final class RowWriter(path: Path, schema: StructType, conf: Configuration) {
     private val td = typeDescription(schema)
@@ -114,6 +125,7 @@ object OrcIO {
         .setSchema(td)
         .fileSystem(fs)
         .compress(org.apache.orc.CompressionKind.SNAPPY)
+        .stripeSize(16L * 1024 * 1024)
         .useUTCTimestamp(true)
         .overwrite(false))
     }
@@ -272,9 +284,13 @@ object OrcIO {
           case s: IntegerColumnStatistics =>
             (Some("l" + s.getMinimum), Some("l" + s.getMaximum))
           case s: DoubleColumnStatistics =>
-            // ORC drops NaN from min/max silently; a file whose every value
-            // is NaN reports min > max — guard on ordering
-            if (s.getMinimum <= s.getMaximum)
+            // ORC drops NaN from min/max silently, so [1.0, NaN] records
+            // min=max=1.0 — but Spark orders NaN above every double, so a
+            // pushed `> x` predicate would wrongly prune the file. The sum
+            // accumulates every value, so any NaN poisons it: decline
+            // min/max whenever the sum is NaN (also covers the all-NaN
+            // case, where min > max).
+            if (!java.lang.Double.isNaN(s.getSum) && s.getMinimum <= s.getMaximum)
               (Some("d" + s.getMinimum), Some("d" + s.getMaximum))
             else (None, None)
           case s: StringColumnStatistics

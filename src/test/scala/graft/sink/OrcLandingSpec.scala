@@ -141,6 +141,52 @@ class OrcLandingSpec extends SparkSpec {
     assert(t.filter($"id" === 2042L).select("msg").as[String].collect() === Array("m2042"))
   }
 
+  test("orc double stats: mixed NaN poisons min/max, never mis-prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.GreaterThan
+    val dir = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    // every file carries non-NaN values AND a NaN: orc-core seeds min/max
+    // from the first value and silently skips later NaNs, so without the
+    // sum-based poison check the file would record a finite min/max that
+    // excludes the NaN rows (Spark orders NaN above every double)
+    val q = in.toDS()
+      .map(i => (i.toLong, if (i % 100 == 7) Double.NaN else i / 100.0))
+      .toDF("id", "score")
+      .writeStream.format("graft-streaming").options(opts(dir))
+      .option("checkpointLocation", s"$dir/_cp").start()
+    (0 until 3).foreach { e =>
+      in.addData(e * 1000 until e * 1000 + 100: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val log = new CommitLog(s"$dir/testdb.t", hconf)
+    val ms = log.manifests().filter(_.files.nonEmpty)
+    assert(ms.nonEmpty)
+    ms.foreach(m => m.files.foreach { f =>
+      val st = m.fileStats.get(f)
+      assert(st.isDefined, s"no stats recorded for ORC $f")
+      // id stats survive; NaN-poisoned score declines min/max entirely
+      assert(st.get.cols("id").min.exists(_.startsWith("l")))
+      assert(st.get.cols("score").min.isEmpty)
+      assert(st.get.cols("score").max.isEmpty)
+      assert(st.get.cols("score").nullCount.contains(0L))
+    })
+    def planned(filters: Filter*): Int = {
+      val df = spark.read.format("graft-streaming").options(opts(dir)).load()
+      val builder = new GraftScanBuilder(df.schema,
+        GraftSinkOptions.from(new CaseInsensitiveStringMap(opts(dir).asJava)))
+      builder.pushFilters(filters.toArray)
+      builder.build().asInstanceOf[GraftScan].planInputPartitions().length
+    }
+    // a > predicate that only NaN rows satisfy must not prune any file
+    assert(planned(GreaterThan("score", 100.0)) === 3)
+    val t = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(t.filter($"score" > 100.0).count() === 3) // the NaN rows
+    assert(t.filter($"score".isNaN).count() === 3)
+  }
+
   test("orc compaction: stripe merge preserves rows, stats survive, idempotent") {
     import spark.implicits._
     val dir = tmp()

@@ -292,18 +292,36 @@ object Similarity {
     * index, and empty cells retain their previous centroid — same inputs,
     * same codebook, every run.
     *
+    * `sampleFraction` < 1 trains on a deterministic hash-based subsample
+    * of the corpus — the 100 TB posture: a codebook only needs enough
+    * vectors to place k centroids stably (k × a few hundred is plenty),
+    * so every Lloyd's pass should touch a bounded sample, never the full
+    * corpus; the corpus is then assigned ONCE against the trained
+    * codebook by [[ivfOn]]. Membership is `xxhash64(vec_id, seed) mod 1e6
+    * < fraction*1e6` — a property of the row, not of partitioning or
+    * execution order, so the same corpus + seed + fraction trains the
+    * same codebook on any cluster layout.
+    *
     * @return `(c_id: int, cv: array<double>)`, `c_id` in
-    *         `[0, min(k, |corpus|))` — a corpus smaller than `k` seeds
-    *         (and therefore returns) one cell per vector; callers sizing
-    *         a bucket layout or `nprobe` against `k` must use the
-    *         returned row count, not the requested `k`.
+    *         `[0, min(k, |sample|))` — a (sampled) corpus smaller than
+    *         `k` seeds (and therefore returns) one cell per vector;
+    *         callers sizing a bucket layout or `nprobe` against `k` must
+    *         use the returned row count, not the requested `k`.
     */
   def trainKMeans(vecs: DataFrame, k: Int, iters: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, sampleFraction: Double = 1.0): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
-    val e = vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1]; got $sampleFraction")
+    val corpus = vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sampled =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.filter(
+        pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000L)) <
+          lit((sampleFraction * 1e6).toLong))
+    val e = sampled
       .withColumn("nrm", dot(col("v"), col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -514,6 +514,43 @@ class OperatorPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sampled k-means: fraction 0.1 trains a codebook that holds the recall floor") {
+    import graft.Tables
+    val vecs = Tables.embeddings(spark, sf0001)
+    // the 100 TB posture: every Lloyd's pass touches only the hash-sample;
+    // the corpus is assigned once against the trained codebook
+    val cb = Similarity.trainKMeans(vecs, k = 10, iters = 5, seed = 42L,
+      sampleFraction = 0.1)
+    val rows = cb.collect()
+    assert(rows.length === 10, "one centroid per cell (sample of ~50 >> k)")
+    assert(rows.forall(_.getSeq[Double](1).length === 64))
+    // determinism: sample membership is a row property (hash of vec_id), so
+    // the same corpus + seed + fraction reproduces the codebook exactly
+    val cb2 = Similarity.trainKMeans(vecs, k = 10, iters = 5, seed = 42L,
+      sampleFraction = 0.1)
+    assert(cb.exceptAll(cb2).isEmpty && cb2.exceptAll(cb).isEmpty,
+      "same seed + fraction must reproduce the codebook exactly")
+    // recall floor: the sampled codebook must serve IVF at the same floor
+    // the full-corpus codebook is held to (>= 3/10 against brute force)
+    val exact = Similarity.cosineTopK(spark, sf0001, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val probe = vecs.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    val sampledIvf = Similarity.ivfOn(
+        vecs.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0),
+        k = 10, nprobe = 3, probeVec = probe, codebook = cb)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & sampledIvf).size
+    assert(recall >= 3,
+      s"sampled-codebook recall too low: $recall/10 (exact=$exact ivf=$sampledIvf)")
+    // guard the contract edges: fraction must be validated
+    intercept[IllegalArgumentException] {
+      Similarity.trainKMeans(vecs, k = 10, sampleFraction = 0.0) }
+    intercept[IllegalArgumentException] {
+      Similarity.trainKMeans(vecs, k = 10, sampleFraction = 1.5) }
+    spark.catalog.clearCache()
+  }
+
   test("brute-force cosine top-k dominates the ANN shortlist (recall sanity)") {
     val exact = Similarity.cosineTopK(spark, sf0001, k = 20)
       .select("vec_id", "cosine").collect()

@@ -41,6 +41,35 @@ object ProfileEmbed {
       Dedup.bucketPairs(keys, Seq("band", "bkey"), cap = 100).count()
     }
     time("full query") { Dedup.embedCosine(spark, dir).count() }
+
+    // === scale sweep (round-13: the flat-gap-at-scale measurement) ===
+    // Independent deterministic pseudo-random 64-dim vectors (sin-hash per
+    // (id, dim)) — NOT jittered copies of the fixture, which would add a
+    // quadratically-growing population of genuine near-dups and measure
+    // the workload change, not the pipeline. With independent vectors the
+    // only growth term is random band-key collisions:
+    // E[pairs] = C(n,2)·bands·2^-bits.
+    println("[profile] === embed scale sweep (independent random corpus) ===")
+    for (bits <- Seq(8, 16); mult <- Seq(1, 3, 10, 32)) {
+      val n0 = 2000 * mult
+      // fract(sin(a*12.9898 + b*78.233)*43758.5453): uniform-ish in [0,1),
+      // decorrelated across both id and dim (plain sin(id*c) left adjacent
+      // ids nearly parallel and measured the cap guard, not the pipeline)
+      val scaled = spark.range(n0).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j => {
+          val h = sin(col("id") * 12.9898 + j * 78.233) * 43758.5453
+          (h - floor(h)) * 2.0 - 1.0
+        }).as("embedding"))
+      var n = 0L
+      val q = () => {
+        n = Dedup.embedCosineOn(scaled, numBands = 8, bitsPerBand = bits).count(); n }
+      q() // warm
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); q(); (System.nanoTime() - t0) / 1e9 }
+      println(f"[profile] bits=$bits%-2d scale x$mult%-3d vecs=$n0%-6d " +
+        f"sec=${samples.sorted.apply(1)}%7.3f  pairs=$n%d  " +
+        s"samples=${samples.map(t => f"$t%.2f").mkString(",")}")
+    }
     spark.stop()
   }
 }

@@ -516,8 +516,19 @@ object Dedup {
 
   /** [[embedCosine]] over an arbitrary (vec_id: long,
     * embedding: array&lt;float|double&gt;) frame.
+    *
+    * `numBands` × `bitsPerBand` sizes the LSH banding to the corpus
+    * (default: the fixture's declared 8×8, which the oracle SQL embeds).
+    * Expected RANDOM candidate pairs are C(n,2)·bands·2^-bits — quadratic
+    * in corpus size at fixed width — so a larger corpus must widen the
+    * keys (bits ≈ log2(n)) to keep the candidate join O(n·bands); the
+    * round-13 scale sweep (ABLOG_r13) measured 8-bit keys going
+    * collision-bound past ~10× the fixture corpus while 16-bit keys hold
+    * near-linear growth over the same sweep.
     */
-  def embedCosineOn(vecs: DataFrame, threshold: Double = 0.3): DataFrame = {
+  def embedCosineOn(vecs: DataFrame, threshold: Double = 0.3,
+      numBands: Int = Hyperplanes.NumBands,
+      bitsPerBand: Int = Hyperplanes.BitsPerBand): DataFrame = {
     // NOT persisted: caching (v, nrm, band keys) for every vector lost its
     // A/B twice — round 5 (MEMORY_AND_DISK, 2.59 s → 3.12 s focused) and
     // round 10 (MEMORY_AND_DISK_SER, 1.44 s → 1.76 s median at sf0.1;
@@ -534,7 +545,8 @@ object Dedup {
     // band keys cost 64 hyperplane dots per vector; computed once for the
     // two sides of the self-join
     val keys = e.select(col("vec_id").as("doc_id"),
-      posexplode(Hyperplanes.bandKeys(col("v"))).as(Seq("band", "bkey")))
+      posexplode(Hyperplanes.bandKeysWide(col("v"), numBands, bitsPerBand))
+        .as(Seq("band", "bkey")))
     // map-side capped pair expansion (same guard as every other dedup
     // path): a degenerate bucket — e.g. many zero/near-identical vectors
     // collapsing to one band key — is skipped above 100 members instead of

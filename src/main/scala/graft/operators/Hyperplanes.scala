@@ -22,10 +22,19 @@ object Hyperplanes {
   val BitsPerBand = 8
   val NumBands: Int = NumPlanes / BitsPerBand // 8
 
-  /** ±1 matrix [plane][dim], fixed seed → identical in oracle SQL. */
+  /** Widest banding the fixed family supports (wide-band keys for large
+    * corpora; see [[bandKeysWide]]).
+    */
+  val MaxPlanes = 256
+
+  /** ±1 matrix [plane][dim], fixed seed → identical in oracle SQL.
+    * Row-major fill from one PRNG stream, so the first [[NumPlanes]] rows
+    * are bit-identical whether or not the wide tail is ever used — the
+    * 8×8 fixture banding (and the oracle SQL embedding it) is stable.
+    */
   val W: Array[Array[Double]] = {
     val rnd = new scala.util.Random(20240612L)
-    Array.fill(NumPlanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    Array.fill(MaxPlanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
   /** dot(v, W[h]) with the left-fold accumulation order of DuckDB's
@@ -57,11 +66,34 @@ object Hyperplanes {
   def bandKeys(v: Column): Column =
     array((0 until NumBands).map(b => bandKey(v, b)): _*)
 
-  /** DuckDB CTE fragment `(VALUES (0, [..]), ...) AS w(h, wv)` with the same
-    * matrix, for oracle SQL generation.
+  /** Band keys for an arbitrary (numBands × bitsPerBand) banding over the
+    * fixed family — the corpus-size knob. Random pairs collide in a given
+    * band with p ≈ 2^-bits, so expected random candidate pairs are
+    * C(n,2)·bands·2^-bits: QUADRATIC in corpus at fixed width. Sizing
+    * bits ≈ log2(n) keeps the candidate set O(n·bands) — at the fixture's
+    * 2k vectors 8 bits suffices; a 100 TB corpus wants 24+ bits (and more
+    * bands to hold recall, the standard LSH bands×width tradeoff). Key
+    * width caps at 31 bits (int key).
+    */
+  def bandKeysWide(v: Column, numBands: Int, bitsPerBand: Int): Column = {
+    require(numBands > 0 && bitsPerBand > 0 && bitsPerBand <= 31,
+      s"need numBands > 0, 0 < bitsPerBand <= 31; got $numBands x $bitsPerBand")
+    require(numBands * bitsPerBand <= MaxPlanes,
+      s"banding $numBands x $bitsPerBand needs ${numBands * bitsPerBand} " +
+        s"planes; the fixed family has $MaxPlanes")
+    array((0 until numBands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        when(planeDot(v, b * bitsPerBand + i) >= 0.0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** DuckDB CTE fragment `(VALUES (0, [..]), ...) AS w(h, wv)` with the
+    * fixture's 64-plane prefix (the declared 8×8 banding), for oracle SQL
+    * generation — the wide tail is a scale knob, never oracle semantics.
     */
   def sqlValues: String =
-    W.zipWithIndex.map { case (row, h) =>
+    W.take(NumPlanes).zipWithIndex.map { case (row, h) =>
       s"($h, [${row.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
     }.mkString("(VALUES ", ", ", ") AS w(h, wv)")
 

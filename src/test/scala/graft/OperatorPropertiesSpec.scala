@@ -30,6 +30,47 @@ class OperatorPropertiesSpec extends SparkSpec {
     } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
   }
 
+  test("wide-band sign-LSH: 8x8 is the declared fixture banding; wide keys verify exactly") {
+    import graft.operators.{Dedup, Hyperplanes}
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val vecs = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val e = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    // bandKeysWide(8, 8) must be bit-identical to the fixture bandKeys —
+    // the oracle SQL embeds exactly this banding
+    val a = e.select(col("vec_id"), Hyperplanes.bandKeys(col("v")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = e.select(col("vec_id"),
+        Hyperplanes.bandKeysWide(col("v"), 8, 8).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a === b, "8x8 wide banding must equal the declared fixture banding")
+    // a wider banding changes CANDIDATE generation only: every emitted pair
+    // still carries its exact verified cosine >= threshold (no false
+    // positives at any width)
+    val exactPairs = {
+      val en = e.select(col("vec_id"), col("v"))
+      val brute = en.select(col("vec_id").as("a_id"), col("v").as("va"))
+        .crossJoin(en.select(col("vec_id").as("b_id"), col("v").as("vb")))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (Hyperplanes.dot64(col("va"), col("vb")) /
+            (org.apache.spark.sql.functions.sqrt(Hyperplanes.dot64(col("va"), col("va"))) *
+             org.apache.spark.sql.functions.sqrt(Hyperplanes.dot64(col("vb"), col("vb"))))).as("c"))
+        .filter(col("c") >= 0.3)
+      brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val wide = Dedup.embedCosineOn(vecs, threshold = 0.3,
+        numBands = 12, bitsPerBand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.subsetOf(exactPairs),
+      s"wide-band candidates must verify exactly; extras=${wide -- exactPairs}")
+    // banding bounds are validated
+    intercept[IllegalArgumentException] {
+      Hyperplanes.bandKeysWide(col("v"), 8, 33) }
+    intercept[IllegalArgumentException] {
+      Hyperplanes.bandKeysWide(col("v"), 17, 16) } // 272 > 256 planes
+  }
+
   test("minhash LSH pairs are contained in the exact-Jaccard pair set") {
     val got = Dedup.minhashLsh(spark, sf0001, threshold = 0.4)
       .select("a_id", "b_id", "jaccard").collect()

@@ -120,7 +120,8 @@ object Compact {
     */
   val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
 
-  /** CLUSTERED rewrite of an all-parquet table — the OPTIMIZE/CLUSTER BY
+  /** CLUSTERED rewrite of a columnar (parquet and/or ORC) table — the
+    * OPTIMIZE/CLUSTER BY
     * maintenance operation of log-structured table formats, and the step
     * that makes plan-time file skipping ([[FileStats]]) effective AFTER
     * compaction: byte-level consolidation preserves arrival order, so
@@ -164,10 +165,11 @@ object Compact {
       if (oldFiles.isEmpty && live.size <= 1) Result(0, 0, 0)
       else {
         val present = oldFiles.filter(f => fs.exists(new Path(f)))
-        require(present.forall(_.endsWith(".parquet")),
-          s"clustered compaction requires an all-parquet table; $tableDir " +
+        require(present.forall(f =>
+            f.endsWith(".parquet") || f.endsWith(".orc")),
+          s"clustered compaction requires a columnar table; $tableDir " +
             "holds JSONL epochs (run byte-level Compact.run on those, or " +
-            "land with option(\"format\",\"parquet\"))")
+            "land with option(\"format\",\"parquet\") or \"orc\")")
         // appended from rewrite threads; guard every mutation with its own
         // monitor (the cleanup paths below read them after all threads stop)
         val written = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -183,15 +185,24 @@ object Compact {
           "spark.sql.parquet.datetimeRebaseModeInWrite" -> "CORRECTED",
           "spark.sql.parquet.int96RebaseModeInWrite" -> "CORRECTED",
           "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
-          "spark.sql.parquet.writeLegacyFormat" -> "false")
+          "spark.sql.parquet.writeLegacyFormat" -> "false",
+          // ORC rewrites keep the landing segments' codec so later
+          // byte-level OrcIO.merge passes can concat clustered outputs
+          // with fresh segments (the merger groups by compression)
+          "spark.sql.orc.compression.codec" -> "snappy")
           .foreach { case (k, v) => rw.conf.set(k, v) }
-        def rewriteDir(dir: Path, files: Seq[String]): Seq[String] = {
+        def rewriteDir(dir: Path, files: Seq[String], ext: String): Seq[String] = {
           val totalBytes = files.map(f =>
             fs.getFileStatus(new Path(f)).getLen).sum
           val nOut = math.max(1L,
             (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-          val df = rw.read.option("mergeSchema", "true")
-            .parquet(files: _*)
+          // both columnar readers honor mergeSchema (name-set validation
+          // already permits field-order drift across segment lineages)
+          val df =
+            if (ext == "orc") rw.read.option("mergeSchema", "true")
+              .orc(files: _*)
+            else rw.read.option("mergeSchema", "true")
+              .parquet(files: _*)
           val missing = clusterBy.filterNot(c =>
             df.columns.exists(_.equalsIgnoreCase(c)))
           require(missing.isEmpty,
@@ -203,25 +214,29 @@ object Compact {
           val tmpOut = new Path(dir,
             s".cluster-${java.util.UUID.randomUUID.toString.take(8)}")
           tmpDirs.synchronized { tmpDirs += tmpOut }
-          df.repartitionByRange(nOut, cols: _*)
+          val sorted = df.repartitionByRange(nOut, cols: _*)
             .sortWithinPartitions(cols: _*)
-            .write.mode("overwrite").parquet(tmpOut.toString)
+            .write.mode("overwrite")
+          if (ext == "orc") sorted.orc(tmpOut.toString)
+          else sorted.parquet(tmpOut.toString)
           val stem = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
           val parts = fs.listStatus(tmpOut).map(_.getPath)
             .filter(p => p.getName.startsWith("part-") &&
-              p.getName.endsWith(".parquet"))
+              p.getName.endsWith(s".$ext"))
             .sortBy(_.getName)
           parts.zipWithIndex.map { case (p, k) =>
-            val target = new Path(dir, s"$stem-$k.parquet")
+            val target = new Path(dir, s"$stem-$k.$ext")
             written.synchronized { written += target }
             if (!fs.rename(p, target)) throw new java.io.IOException(
               s"failed to place clustered file $target")
             try {
-              val st = FileStats.fromFooter(
-                org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-                  fs.getConf, target,
-                  org.apache.parquet.format.converter
-                    .ParquetMetadataConverter.NO_FILTER)).serialize
+              val st =
+                if (ext == "orc") OrcIO.statsFromFile(target, fs.getConf)
+                else FileStats.fromFooter(
+                  org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                    fs.getConf, target,
+                    org.apache.parquet.format.converter
+                      .ParquetMetadataConverter.NO_FILTER)).serialize
               newStats.synchronized { newStats(target.toString) = st }
             } catch { case scala.util.control.NonFatal(_) => }
             target.toString
@@ -234,7 +249,13 @@ object Compact {
         // of the clock waiting on one job's tail while 31 cores idled.
         // Overlapping jobs fill the scheduler instead; per-dir isolation
         // (own tmp dir, own output stem) makes them commutative.
-        val dirGroups = present.groupBy(f => new Path(f).getParent).toSeq
+        // one rewrite job per (directory × format): a mixed-landing table
+        // clusters its parquet and ORC lineages independently, like
+        // Compact.run's per-format consolidation
+        val dirGroups = present
+          .groupBy(f => (new Path(f).getParent,
+            f.substring(f.lastIndexOf('.') + 1)))
+          .toSeq
         val newFiles =
           try {
             val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -247,9 +268,9 @@ object Compact {
             val tries =
               try scala.concurrent.Await.result(
                 scala.concurrent.Future.sequence(dirGroups.map {
-                  case (dir, files) =>
+                  case ((dir, ext), files) =>
                     scala.concurrent.Future(
-                      scala.util.Try(rewriteDir(dir, files)))
+                      scala.util.Try(rewriteDir(dir, files, ext)))
                 }), scala.concurrent.duration.Duration.Inf)
               finally pool.shutdown()
             tries.collectFirst { case scala.util.Failure(t) => t }

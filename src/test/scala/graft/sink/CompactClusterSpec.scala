@@ -42,7 +42,10 @@ class CompactClusterSpec extends SparkSpec {
       .toDF("id", "region", "msg")
       .writeStream.format("graft-streaming")
       .options(opts(dir, extra: _*))
-      .option("checkpointLocation", s"$dir/_cp")
+      // unique per call: a test landing two lineages runs two queries, and
+      // a second query must not resume the first one's checkpoint
+      .option("checkpointLocation",
+        s"$dir/_cp${CompactClusterSpec.cpSeq.incrementAndGet()}")
       .start()
     (0 until epochs).foreach { e =>
       in.addData(idsOf(e): _*)
@@ -143,6 +146,76 @@ class CompactClusterSpec extends SparkSpec {
     assert(log.streamingWatermark() === hwmBefore, "watermark survives cluster")
   }
 
+  test("cluster on an ORC table: sort-rewrite + per-file pruning, like parquet") {
+    val dir = tmp()
+    // interleaved ids: nothing prunable before clustering (the reference's
+    // own storage format — stored-as-orc tables — gets the same
+    // OPTIMIZE/CLUSTER BY path as parquet landings)
+    land(dir, epochs = 5, e => (e until 500 by 5), "format" -> "orc")
+    val tableDir = s"$dir/testdb.t"
+    val log = new CommitLog(tableDir, hconf)
+    val probe = EqualTo("id", 250)
+    val preStats = log.committedFilesWithStats()
+    assert(preStats.count { case (_, st) => !st.exists(_.prunes(probe)) } === 5,
+      "interleaved landing: no ORC file prunable before clustering")
+    val before = log.committedFiles()
+    assert(before.forall(_.endsWith(".orc")))
+    val fs = new Path(tableDir).getFileSystem(hconf)
+    val total = before.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+
+    val res = Compact.cluster(spark, tableDir, Seq("id"),
+      targetFileBytes = math.max(1L, total / 4), retainMillis = 0L)
+    assert(res.supersededEpochs === 5)
+    assert(res.consolidatedFiles >= 2, "the size target must split the rewrite")
+
+    val withStats = log.committedFilesWithStats()
+    assert(withStats.forall { case (f, st) =>
+      f.contains("compact-") && f.endsWith(".orc") && st.nonEmpty
+    }, "clustered outputs stay ORC with re-derived stats")
+    val bounds = withStats.map(p => idBounds(p._2.get)).sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Seq((_, max1), (min2, _)) =>
+        assert(max1 < min2, s"overlapping clustered ranges: $bounds")
+      case _ =>
+    }
+    assert(withStats.count { case (_, st) => !st.exists(_.prunes(probe)) } === 1,
+      "a point probe must plan exactly one clustered ORC file")
+
+    import spark.implicits._
+    val out = CommitLog.readCommitted(spark, tableDir)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === (0L until 500L))
+    assert(out.filter($"id" === 250).select("msg").as[String].collect()
+      === Array("m250"))
+    assert(before.forall(f => !fs.exists(new Path(f))), "old ORC files cleaned")
+  }
+
+  test("cluster on a mixed parquet+orc table rewrites each format in place") {
+    val dir = tmp()
+    // two landing lineages in one table: streamed parquet epochs, then a
+    // batch-landed ORC append (a second stream would collide on epoch ids)
+    land(dir, epochs = 2, e => (e until 300 by 3))
+    locally {
+      import spark.implicits._
+      (2 until 300 by 3).map(i => (i, if (i % 2 == 0) "EU" else "US", s"m$i"))
+        .toDF("id", "region", "msg")
+        .write.format("graft-streaming")
+        .options(opts(dir, "format" -> "orc")).mode("append").save()
+    }
+    val tableDir = s"$dir/testdb.t"
+    val log = new CommitLog(tableDir, hconf)
+    val exts = log.committedFiles().map(_.split('.').last).toSet
+    assert(exts === Set("parquet", "orc"), s"need both lineages, got $exts")
+
+    val res = Compact.cluster(spark, tableDir, Seq("id"), retainMillis = 0L)
+    assert(res.supersededEpochs === 3)
+    val after = log.committedFiles()
+    assert(after.map(_.split('.').last).toSet === Set("parquet", "orc"),
+      "each format clusters into its own outputs")
+    import spark.implicits._
+    val out = CommitLog.readCommitted(spark, tableDir)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === (0L until 300L))
+  }
+
   test("cluster keeps files in their partition directories") {
     val dir = tmp()
     land(dir, epochs = 4, e => (e until 400 by 4),
@@ -224,6 +297,10 @@ class CompactClusterSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Compact.cluster(spark, s"$dir/testdb.t", Seq("id"))
     }
-    assert(e.getMessage.contains("all-parquet"))
+    assert(e.getMessage.contains("columnar"))
   }
+}
+
+object CompactClusterSpec {
+  val cpSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 }

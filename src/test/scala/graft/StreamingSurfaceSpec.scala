@@ -501,6 +501,52 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(kept.toSeq === expected.toSeq)
   }
 
+  test("continuous trigger e2e: rate source -> graft sink, rows land exactly-once " +
+      "(reference RateStreamingExample.scala:81)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-continuous").toString
+    // the reference demonstrates Trigger.Continuous(3000) into its sink;
+    // prove the graft sink under the same execution mode: continuous
+    // epochs call the SAME StreamingWrite.commit(epochId, _) contract the
+    // micro-batch path uses, so the epoch-idempotent manifest gives
+    // exactly-once here too (the reference's no-op commit is what makes
+    // its own sink at-least-once)
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "200")
+      .option("numPartitions", "2")
+      .load()
+      .select(col("value").as("id"),
+        concat(lit("m"), col("value")).as("msg"))
+      .writeStream.format("graft-streaming")
+      .option("path", dir).option("db", "contdb").option("table", "t")
+      .option("checkpointLocation", s"$dir/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("500 milliseconds"))
+      .start()
+    // continuous queries have no processAllAvailable; wait until data lands
+    val deadline = System.currentTimeMillis() + 60000
+    def landed(): Long =
+      try graft.sink.CommitLog.readCommitted(spark, s"$dir/contdb.t").count()
+      catch { case _: Throwable => 0L }
+    while (landed() == 0 && System.currentTimeMillis() < deadline &&
+      q.exception.isEmpty) Thread.sleep(250)
+    q.exception.foreach(e => fail(s"continuous query failed: $e"))
+    q.stop()
+    val out = graft.sink.CommitLog.readCommitted(spark, s"$dir/contdb.t")
+    val n = out.count()
+    assert(n > 0, "continuous epochs must land rows")
+    // exactly-once: every rate value appears at most once, and the landed
+    // set is dense from 0 (rate emits 0,1,2,... per partition interleaved)
+    assert(out.select("id").distinct().count() === n,
+      "continuous replay must never duplicate rows")
+    val ids = out.select("id").as[Long].collect().sorted
+    assert(ids.head === 0L && ids.last === n - 1,
+      s"landed ids must be the dense rate prefix 0..${n - 1}")
+    // the landing epochs are streaming manifests (non-negative epoch ids)
+    val log = new graft.sink.CommitLog(s"$dir/contdb.t",
+      spark.sparkContext.hadoopConfiguration)
+    assert(log.manifests().exists(m => m.epochId >= 0 && m.files.nonEmpty))
+  }
+
   test("socket source scan e2e (reference HiveStreamingExample.scala:63-66)") {
     import spark.implicits._
     val server = new java.net.ServerSocket(0)

@@ -79,4 +79,23 @@ object Norm {
     * epoch_ms(ts). Avoids all timezone / render-format divergence.
     */
   def ms(c: Column): Column = unix_millis(c)
+
+  /** Total order over `cols` for the deterministic cross-engine dump,
+    * expressed as explicit repartitionByRange + sortWithinPartitions
+    * rather than orderBy: orderBy's ENSURE_REQUIREMENTS range exchange is
+    * AQE-partition-coalesced whenever the result sits under the 64 MB
+    * advisory size — i.e. for every fixture-scale dump — which collapses
+    * the final sort into ONE task (measured 1.03 s vs 0.67 s on
+    * q_scan_project, and the r12 scan/math/from_json perf regressions). A
+    * REPARTITION_BY_NUM shuffle is exempt from coalescing, so the sort
+    * stays parallel at every scale; range partitioning over the full sort
+    * key makes partition-index concatenation a total order — the same
+    * contract orderBy gives, which Verify's coalesce(1) dump relies on.
+    */
+  def totalOrder(df: org.apache.spark.sql.DataFrame, cols: String*)
+      : org.apache.spark.sql.DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(n, cols.map(col): _*)
+      .sortWithinPartitions(cols.head, cols.tail: _*)
+  }
 }

@@ -52,7 +52,14 @@ object Scalars {
     * transcendentals rounded to kill cross-libm ulp drift.
     */
   def mathFuncs(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
+    // dump order BEFORE the math (same round-13 shape as q_from_json):
+    // sorting the derived rows makes the range-sampling pass evaluate all
+    // eight expressions and ships them through the shuffle; sorting the
+    // two raw columns first evaluates each expression exactly once,
+    // post-shuffle, and Norm.totalOrder keeps the sort parallel under AQE.
+    Norm.totalOrder(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+      "o_orderkey")
       .select(
         col("o_orderkey"),
         Norm.r2(col("o_totalprice")).as("price_r1"),
@@ -63,7 +70,6 @@ object Scalars {
         Norm.r4(ln(col("o_totalprice"))).as("price_ln"),
         Norm.r4(sqrt(col("o_totalprice"))).as("price_sqrt"),
         pmod(col("o_orderkey"), lit(97L)).as("key_mod"))
-      .orderBy("o_orderkey")
 
   /** Higher-order array functions over the 64-dim embedding vectors:
     * size/slice/transform/aggregate (fold) — the dot-product building blocks
@@ -108,10 +114,18 @@ object Scalars {
     * `get_json_object` calls would).
     */
   def fromJson(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    // dump order BEFORE the parse: ordering the parsed rows instead makes
+    // the range-exchange sampling pass AND the shuffle map side both
+    // evaluate from_json, so every document parsed ~twice and the parsed
+    // structs rode the wire. Sorting the raw (event_id, props) projection
+    // samples only cheap parquet columns and parses each document exactly
+    // once, post-shuffle (projection preserves intra-partition order).
+    // Interleaved A/B at sf0.1, round 13: 0.95 s -> 0.27 s median of 3×3.
+    Norm.totalOrder(
+      Tables.events(s, dir).select(col("event_id"), col("props")),
+      "event_id")
       .select(col("event_id"),
         from_json(col("props"), "k INT", Map.empty[String, String])
           .getField("k").as("k"))
       .withColumn("k_bucket", col("k") % 10)
-      .orderBy("event_id")
 }

@@ -21,27 +21,24 @@ object Relational {
     * Spark truncates double→int, DuckDB rounds — floor makes both exact.
     *
     * The trailing total order (needed for the deterministic cross-engine
-    * dump; (l_orderkey, l_linenumber) is NOT unique in the fixtures) is
-    * expressed as explicit repartitionByRange + sortWithinPartitions
-    * rather than orderBy: under AQE, orderBy's ENSURE_REQUIREMENTS range
-    * exchange gets partition-coalesced (the whole table is far under the
-    * 64 MB advisory size), serializing the sort into one task — measured
-    * 1.03 s vs 0.67 s at sf0.1. A REPARTITION_BY_NUM shuffle is exempt
-    * from AQE coalescing, keeping the sort parallel at every scale; range
-    * partitioning over the full sort key makes the partition-index
-    * concatenation a total order, identical to orderBy's contract.
+    * dump; (l_orderkey, l_linenumber) is NOT unique in the fixtures) goes
+    * through [[Norm.totalOrder]] — parallel sort exempt from AQE
+    * partition-coalescing, same contract as orderBy — applied to the RAW
+    * columns, with the projection after the sort: ordering by l_quantity
+    * refines ordering by floor(l_quantity) (rows equal on every OUTPUT
+    * column may permute freely), and the sampling pass then reads only
+    * parquet columns instead of evaluating the projection.
     */
-  def scanProject(s: SparkSession, dir: String): DataFrame = {
-    val n = s.sessionState.conf.numShufflePartitions
-    Tables.lineitem(s, dir)
+  def scanProject(s: SparkSession, dir: String): DataFrame =
+    Norm.totalOrder(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag")),
+      "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         floor(col("l_quantity")).cast("int").as("qty_int"),
         col("l_returnflag").as("flag"))
-      .repartitionByRange(n, col("l_orderkey"), col("l_linenumber"),
-        col("qty_int"), col("flag"))
-      .sortWithinPartitions("l_orderkey", "l_linenumber", "qty_int", "flag")
-  }
 
   /** Compound predicate filter (AND/OR + null-safe + timestamp compare);
     * pushed to the parquet scan as PushedFilters.

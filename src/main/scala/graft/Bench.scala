@@ -106,10 +106,25 @@ object Bench {
     // still converges to the honest time on a quiet host.
     val HeavyFamilies = Set("dedup", "fingerprint")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val repeats =
-        if (HeavyFamilies(name.split("_")(1))) math.max(Repeats, 5) else Repeats
+      val heavy = HeavyFamilies(name.split("_")(1))
+      val repeats = if (heavy) math.max(Repeats, 5) else Repeats
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
+      // heavy-family queries get ONE untimed warm run first: their plans
+      // span ~10 codegen'd stages plus iterative sub-plans (label
+      // propagation), and the first execution pays all of that compilation
+      // — measured as the persistent 2-3x first-sample outlier
+      // (q_dedup_cluster [12.1, 6.1, 4.5, 7.1, 5.9] in the r12 driver run).
+      // Warming compiles the steady state the samples are meant to measure;
+      // the trimmed median then sees spread from the host, not the JIT.
+      if (heavy) {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed (warm): ${e.getMessage}")
+          failed = true
+        }
+        reclaim()
+      }
       var i = 0
       while (i < repeats && !failed) {
         val t0 = System.nanoTime()

@@ -94,18 +94,28 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** approx_count_distinct (HyperLogLog++) — sketch, no SQL oracle; the
-    * ScalaTest spec asserts ±5% of the exact count. Rows-only driver check.
+    * ScalaTest spec asserts ±5% of the exact count. Rows-only driver
+    * check, made SELF-DESCRIBING (r12 queue #8): the exact count and the
+    * relative error ride along as columns, so the dumped artifact itself
+    * evidences the tolerance instead of pointing at the test. The exact
+    * companion is fixture-gate instrumentation — at 100 TB you run the
+    * sketch alone; that production shape is what the ±5% property pins.
     */
   def aggApprox(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"),
+        countDistinct(col("l_partkey")).as("exact_nd_part"))
+      .withColumn("rel_err", Norm.r4(
+        abs(col("approx_nd_part") - col("exact_nd_part")) /
+          col("exact_nd_part")))
       .orderBy("l_returnflag")
 
   /** approx_percentile (KLL-style quantile sketch) — the other core sketch
-    * of large-scale aggregation. Sketch-dependent → rows-only driver check;
-    * the ScalaTest spec asserts each quantile within the configured
-    * relative-error bound of the exact percentile.
+    * of large-scale aggregation. Sketch-dependent → rows-only driver
+    * check; self-describing like [[aggApprox]]: the exact percentiles and
+    * relative errors ride along (fixture-gate instrumentation — the
+    * production shape is the sketch alone).
     */
   def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -114,7 +124,13 @@ object Relational {
         approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("p50_approx"),
         approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000))
-          .as("p95_approx"))
+          .as("p95_approx"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50_exact"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95_exact"))
+      .withColumn("p50_rel_err",
+        Norm.r4(abs(col("p50_approx") - col("p50_exact")) / col("p50_exact")))
+      .withColumn("p95_rel_err",
+        Norm.r4(abs(col("p95_approx") - col("p95_exact")) / col("p95_exact")))
       .orderBy("l_returnflag")
 
   /** Exact per-(flag, status) partials for the grouping-set family: sums

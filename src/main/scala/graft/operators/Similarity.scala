@@ -230,7 +230,8 @@ object Similarity {
     * against brute-force top-k.
     */
   def ivf(s: SparkSession, dir: String, k: Int = 10, nprobe: Int = 3): DataFrame =
-    ivfImpl(Tables.embeddings(s, dir), k, nprobe, None)
+    withExactTopkFlag(s, dir, k,
+      ivfImpl(Tables.embeddings(s, dir), k, nprobe, None))
 
   /** Probe-as-parameter overload: the probe's `nprobe` inverted lists are
     * chosen by scoring the literal vector against the broadcast codebook —
@@ -262,7 +263,27 @@ object Similarity {
     // probe-as-parameter contract every at-scale overload takes)
     val probe = vecs.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding"))).head.getSeq[Double](0).toSeq
-    ivfImpl(vecs.filter(col("vec_id") =!= 0), k, nprobe, Some(probe), Some(cb))
+    withExactTopkFlag(s, dir, k,
+      ivfImpl(vecs.filter(col("vec_id") =!= 0), k, nprobe, Some(probe), Some(cb)))
+  }
+
+  /** Fixture-gate evidence column for the two rows-only IVF registry
+    * queries (r12 queue #8): flag each returned row by membership in the
+    * brute-force exact top-k for the same probe (vec 0, excluded), so the
+    * dumped artifact itself shows the recall (count of `in_exact_topk`)
+    * instead of pointing at the ScalaTest floor. Both result sets are k
+    * rows — the comparison is metadata-sized. The production `ivfOn`
+    * overloads stay pure: at 100 TB there is no brute-force companion.
+    */
+  private def withExactTopkFlag(s: SparkSession, dir: String, k: Int,
+      res: DataFrame): DataFrame = {
+    val exact = cosineTopK(s, dir, k)
+      .select(col("vec_id").as("exact_id"))
+    res
+      .join(broadcast(exact), col("vec_id") === col("exact_id"), "left")
+      .withColumn("in_exact_topk", col("exact_id").isNotNull)
+      .drop("exact_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
   }
 
   /** [[ivf]] with a TRAINED coarse codebook — `(c_id, cv: array<double>)`,

@@ -204,8 +204,14 @@ object Text {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      // n_tokens is carried as an INDEPENDENTLY-derived column (size of
+      // the split array, not a count of window rows): the dumped artifact
+      // then evidences the structural property n_shingles = n_tokens - 4
+      // per row — every 5-gram counted exactly once (r12 queue #8)
       .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(col("doc_id"), col("n_tokens"),
         concat_ws(" ", col("w0") +:
           (1 until n).map(j => lead(col("w0"), j).over(w)): _*).as("g"),
         lead(col("w0"), n - 1).over(w).as("tail"))
@@ -213,10 +219,12 @@ object Text {
       // must be dropped explicitly (docs with < n tokens drop out entirely,
       // matching the old size(tk) >= n filter)
       .filter(col("tail").isNotNull)
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
-      .groupBy("doc_id")
+      .select(col("doc_id"), col("n_tokens"), xxhash64(col("g")).as("h"))
+      .groupBy("doc_id", "n_tokens")
       .agg(min(col("h")).as("min_hash"), max(col("h")).as("max_hash"),
         count(lit(1)).cast("int").as("n_shingles"))
+      .select(col("doc_id"), col("min_hash"), col("max_hash"),
+        col("n_shingles"), col("n_tokens"))
       .orderBy("doc_id")
   }
 

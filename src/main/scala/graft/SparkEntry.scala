@@ -72,6 +72,7 @@ object SparkEntry {
     "q_dedup_simhash"  -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "q_dedup_ngram"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_dedup_embed"    -> ((s: SparkSession, d: String) => Dedup.embedCosine(s, d)),
+    "q_dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
     "q_dedup_cluster"  -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     // similarity search
     "q_sim_cosine"     -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
@@ -364,6 +365,21 @@ object SparkEntry {
         |  FROM cand JOIN d da ON cand.a_id = da.doc_id
         |  JOIN d db ON cand.b_id = db.doc_id) t
         |WHERE jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_substring" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |               FOR i IN generate_series(1, len(tk) - 2)]) AS grams
+        |           FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |                 FROM documents) s WHERE len(tk) >= 3),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+        |f AS (SELECT gram, COUNT(1) AS nd FROM g GROUP BY 1)
+        |SELECT doc_id, n_grams, dup_grams, dup_frac, dup_frac < 0.8 AS keep FROM (
+        |  SELECT g.doc_id, COUNT(1) AS n_grams,
+        |    CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+        |    ROUND(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(1), 4) AS dup_frac
+        |  FROM g JOIN f USING (gram) GROUP BY g.doc_id) t
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cluster" ->
       """WITH RECURSIVE d AS (SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS blk,

@@ -314,6 +314,55 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Cross-document duplicated-SUBSTRING fraction per doc: what share of a
+    * document's distinct word-3-grams also occur in at least one OTHER
+    * document, plus a keep/drop gate at `dropAt` — the per-doc signal of
+    * exact-substring dedup (the RefinedWeb/MassiveText pipeline stage that
+    * drops documents dominated by spans repeated verbatim across the
+    * corpus; Penedo et al. 2023 §3.3, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" §4.1 — public papers).
+    *
+    * Scale shape: per-doc distinct grams derive map-side from the shared
+    * shingle arrays ([[shingledOf]]), document frequency is one
+    * gram-keyed aggregate with map-side partials, and the only join is
+    * gram-stream ⋈ gram-frequency — counters all the way, never a pair
+    * expansion, so boilerplate grams shared by millions of docs cost one
+    * skewed-join key (AQE-splittable), not O(n²) candidates. Contrast the
+    * suffix-array formulation of the papers: a distributed engine gets the
+    * same per-doc signal from two shuffles.
+    */
+  def substringDup(s: SparkSession, dir: String,
+      dropAt: Double = 0.8): DataFrame =
+    substringDupOn(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), dropAt)
+
+  /** [[substringDup]] over an arbitrary (doc_id, text) frame. */
+  def substringDupOn(docs: DataFrame, dropAt: Double = 0.8): DataFrame = {
+    // one persisted materialization of the per-doc distinct gram arrays —
+    // the same base discipline as [[ngramJaccardOn]] (two consumers:
+    // the document-frequency aggregate and the join's probe side), and
+    // ALSO the optimizer barrier that keeps InferFiltersFromGenerate's
+    // non-empty-array filter from collapsing the whole shingle pipeline
+    // into a per-row scan predicate: un-persisted, the inferred
+    // size(array_distinct(transform(...))) > 0 condition inlines
+    // split(text) PER GRAM ACCESS in both branches — O(tokens²) per doc
+    // in a filter, measured 8.6 s vs 1.9 s for the same query at sf0.1
+    val base = shingledOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = base.select(col("doc_id"), explode(col("shingles")).as("gram"))
+    // per-doc arrays are distinct, so count(1) here = docs containing gram
+    val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("nd"))
+    grams.join(docFreq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_frac", Norm.r4(col("dup_grams") / col("n_grams")))
+      // gate on the ROUNDED fraction (dup_frac is the declared output; a
+      // boundary doc must not flip between the column and its own flag)
+      .withColumn("keep", col("dup_frac") < dropAt)
+      .orderBy("doc_id")
+  }
+
   /** Core of [[ngramJaccard]] over an already-persisted shingle base —
     * factored out so [[nearDupClusters]] can own the base's lifecycle and
     * unpersist the (large) shingle arrays the moment the (tiny) pair graph

@@ -152,8 +152,11 @@ object Compact {
       retainMillis: Long = 10 * 60 * 1000L,
       lockStaleMillis: Long = 30 * 60 * 1000L,
       protectEpoch: Long = Long.MinValue,
-      dirParallelism: Int = 8): Result = {
+      dirParallelism: Int = 8,
+      zorder: Boolean = false): Result = {
     require(clusterBy.nonEmpty, "clusterBy must name at least one column")
+    require(!zorder || clusterBy.size >= 2,
+      "zorder = true needs >= 2 clusterBy columns (one column is a plain sort)")
     val conf = spark.sparkContext.hadoopConfiguration
     val log = new CommitLog(tableDir, conf)
     val fs = new Path(tableDir).getFileSystem(conf)
@@ -210,12 +213,18 @@ object Compact {
               s"data schema ${df.columns.mkString("[", ", ", "]")} — " +
               "partition columns live in the directory path and are " +
               "already clustered by routing")
-          val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+          // z-order: range-partition and sort on the Morton-interleaved
+          // key instead of the lexicographic column tuple — every
+          // clustered column then gets a narrow per-file range (the key is
+          // a sort expression only; it never lands in the files)
+          val sortKeys =
+            if (zorder) Seq(ZOrder.zColumn(df, clusterBy))
+            else clusterBy.map(org.apache.spark.sql.functions.col)
           val tmpOut = new Path(dir,
             s".cluster-${java.util.UUID.randomUUID.toString.take(8)}")
           tmpDirs.synchronized { tmpDirs += tmpOut }
-          val sorted = df.repartitionByRange(nOut, cols: _*)
-            .sortWithinPartitions(cols: _*)
+          val sorted = df.repartitionByRange(nOut, sortKeys: _*)
+            .sortWithinPartitions(sortKeys: _*)
             .write.mode("overwrite")
           if (ext == "orc") sorted.orc(tmpOut.toString)
           else sorted.parquet(tmpOut.toString)

@@ -685,4 +685,43 @@ class OperatorPropertiesSpec extends SparkSpec {
     val litAnn = rows(Similarity.annLsh(spark, sf0001, 11, 4, probeVec = p))
     assert((litAnn - 0L) === fixAnn)
   }
+
+  test("substringDup equals driver-side brute force; exact dup docs score 1.0") {
+    // brute force: per-doc distinct 3-gram sets, gram -> containing-doc
+    // count, per-doc duplicated fraction (test-only driver loop)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= 3)
+      .map { case (id, tk) => id -> tk.sliding(3).map(_.mkString(" ")).toSet }
+    val docFreq = docs.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+    val expected = docs.map { case (id, grams) =>
+      val dup = grams.count(g => docFreq(g) >= 2)
+      id -> ((grams.size.toLong, dup.toLong,
+        BigDecimal(dup.toDouble / grams.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = Dedup.substringDup(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, (n, dup, frac, keep)) =>
+      val (en, edup, efrac) = expected(id)
+      assert(n === en, s"doc $id gram count")
+      assert(dup === edup, s"doc $id dup-gram count")
+      assert(math.abs(frac - efrac) <= 1e-9, s"doc $id dup fraction")
+      assert(keep === (frac < 0.8), s"doc $id keep flag derives from dup_frac")
+    }
+    // an exact duplicate pair saturates both docs' fractions at 1.0
+    val twin = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")))
+      .toDF("doc_id", "text")
+    val tw = Dedup.substringDupOn(twin).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(tw(1L) === 1.0 && tw(2L) === 1.0)
+    assert(tw(3L) === 0.0)
+  }
 }

@@ -291,6 +291,72 @@ class CompactClusterSpec extends SparkSpec {
     assert(out.filter($"grp" === "g7").count() === 50)
   }
 
+  test("zorder cluster: every clustered column prunes; linear only the first") {
+    // 20x20 grid of independent keys (a, b): after a LINEAR (a, b) sort
+    // each size-split file holds a narrow a-range but ALL b values, so
+    // b-predicates can never prune; the z-order rewrite gives both columns
+    // narrow per-file ranges
+    def landGrid(dir: String): Unit = {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Int]
+      val q = in.toDS()
+        .map(i => (i, i % 20, (i / 20) % 20, s"m$i"))
+        .toDF("id", "a", "b", "msg")
+        .writeStream.format("graft-streaming")
+        .options(opts(dir))
+        .option("checkpointLocation",
+          s"$dir/_cp${CompactClusterSpec.cpSeq.incrementAndGet()}")
+        .start()
+      (0 until 2).foreach { e =>
+        in.addData(e until 400 by 2: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+    }
+    def nonPruned(log: CommitLog, probe: org.apache.spark.sql.sources.Filter): Int =
+      log.committedFilesWithStats().count { case (_, st) => !st.exists(_.prunes(probe)) }
+    def rewrite(dir: String, zorder: Boolean): CommitLog = {
+      landGrid(dir)
+      val tableDir = s"$dir/testdb.t"
+      val log = new CommitLog(tableDir, hconf)
+      val fs = new Path(tableDir).getFileSystem(hconf)
+      val total = log.committedFiles()
+        .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      Compact.cluster(spark, tableDir, Seq("a", "b"),
+        targetFileBytes = math.max(1L, total / 8), retainMillis = 0L,
+        zorder = zorder)
+      log
+    }
+    val aProbe = EqualTo("a", 10)
+    val bProbe = EqualTo("b", 10)
+
+    val linear = rewrite(tmp(), zorder = false)
+    val nLinear = linear.committedFiles().size
+    assert(nLinear >= 4, s"size target must split the linear rewrite, got $nLinear")
+    assert(nonPruned(linear, aProbe) < nLinear, "linear prunes on the lead key")
+    assert(nonPruned(linear, bProbe) === nLinear,
+      "linear sort leaves the trailing key unprunable — the gap z-order closes")
+
+    val zed = rewrite(tmp(), zorder = true)
+    val nZ = zed.committedFiles().size
+    assert(nZ >= 4, s"size target must split the z-order rewrite, got $nZ")
+    val (zA, zB) = (nonPruned(zed, aProbe), nonPruned(zed, bProbe))
+    assert(zA < nZ, s"z-order must prune on a: planned $zA of $nZ")
+    assert(zB < nZ, s"z-order must prune on b: planned $zB of $nZ")
+    assert(zB.toDouble / nZ < nonPruned(linear, bProbe).toDouble / nLinear,
+      "z-order must plan a smaller file fraction than linear for the trailing key")
+
+    // the z-value is a sort key only: the data read back is unchanged
+    import spark.implicits._
+    Seq(linear, zed).foreach { log =>
+      val tableDir = log.committedFiles().head.split("/testdb.t/").head + "/testdb.t"
+      val out = CommitLog.readCommitted(spark, tableDir)
+      assert(out.columns.toSeq === Seq("id", "a", "b", "msg"))
+      assert(out.select("id").as[Long].collect().sorted.toSeq === (0L until 400L))
+    }
+  }
+
   test("cluster rejects a table with JSONL epochs") {
     val dir = tmp()
     land(dir, epochs = 2, e => e * 10 until (e + 1) * 10, "format" -> "jsonl")

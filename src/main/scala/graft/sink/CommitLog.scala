@@ -275,7 +275,10 @@ final class CommitLog(tableDir: String, conf: Configuration) {
   /** Delete the given files (replayed-epoch discard / task abort). */
   def deleteFiles(files: Seq[String]): Unit = {
     val f = fs
-    files.foreach(p => f.delete(new Path(p), false))
+    files.foreach { p =>
+      f.delete(new Path(p), false)
+      Bloom.deleteSidecar(f, p) // bloom sidecars ride their data file
+    }
   }
 }
 

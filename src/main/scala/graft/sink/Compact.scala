@@ -445,6 +445,11 @@ object Compact {
               .serialize
             catch { case scala.util.control.NonFatal(_) => } // stats are optional
           }
+          // bloom-of-a-union = OR of blooms: a single consolidated output
+          // inherits its inputs' sidecars so point-lookup skipping
+          // survives compaction (multi-output splits decline — absence
+          // just means no bloom skip for those files)
+          Bloom.tryMergeSidecars(fs, files, targets)
           targets.map(_.toString)
         } else if (ext == "orc") {
           // stripe-level concat (compressed stripes copied without decode
@@ -469,6 +474,7 @@ object Compact {
             try newStats(t.toString) = OrcIO.statsFromFile(t, fs.getConf)
             catch { case scala.util.control.NonFatal(_) => } // stats optional
           }
+          Bloom.tryMergeSidecars(fs, files, outputs)
           outputs.map(_.toString)
         } else {
           // byte-concat, split at the size target on input-file boundaries
@@ -496,6 +502,7 @@ object Compact {
               } finally in.close()
             }
           } finally if (out != null) out.close()
+          Bloom.tryMergeSidecars(fs, files, targets.toSeq)
           targets.map(_.toString).toSeq
         }
       }.toSeq
@@ -504,7 +511,10 @@ object Compact {
         // mid-consolidate failure must not leak unreferenced target files
         // (one orphan set per retried cycle, with no GC that ever sees them)
         case t: Throwable =>
-          written.foreach(p => try fs.delete(p, false) catch { case _: Throwable => })
+          written.foreach { p =>
+            try fs.delete(p, false) catch { case _: Throwable => }
+            Bloom.deleteSidecar(fs, p.toString)
+          }
           throw t
       }
 
@@ -611,8 +621,10 @@ object Compact {
           .takeWhile(_.isDigit).toLong
         if (now - ts > retainMillis) {
           val text = CommitLog.readFully(fs, st.getPath)
-          text.split("\n").filter(_.nonEmpty)
-            .foreach(f => fs.delete(new Path(f), false))
+          text.split("\n").filter(_.nonEmpty).foreach { f =>
+            fs.delete(new Path(f), false)
+            Bloom.deleteSidecar(fs, f)
+          }
           fs.delete(st.getPath, false)
         }
       }

@@ -92,6 +92,18 @@ final class GraftDataWriter(
     def discard(): Unit
     /** Push buffered rows toward durability mid-epoch (A11 keep-alive). */
     def heartbeatFlush(): Unit
+
+    /** Bloom sidecar accumulator ([[Bloom.Running]]), shared by all three
+      * landings: observe the FULL row (pre-projection — bloom columns
+      * resolve against the stream schema) per write, snapshot to
+      * `<file>.bloom` at every file close/rotation.
+      */
+    protected val bloom: Option[Bloom.Running] =
+      if (opts.bloomColumns.isEmpty) None
+      else Some(new Bloom.Running(schema, opts.bloomColumns, opts.bloomBits))
+
+    protected def writeBloomSidecar(dataFile: String): Unit =
+      bloom.foreach(b => Bloom.write(fs, dataFile, b.snapshotAndReset()))
   }
 
   private def newSegment(partDir: String): Segment =
@@ -154,12 +166,14 @@ final class GraftDataWriter(
       writer.close()
       statsByFile(file.toString) =
         FileStats.fromFooter(writer.getFooter).serialize
+      writeBloomSidecar(file.toString)
       writer = null
     }
 
     override def write(row: InternalRow): Unit = {
       if (writer == null) open()
       writer.write(project(row))
+      bloom.foreach(_.observe(row))
       rowsInFile += 1
       if (rowsInFile >= maxRowsPerFile) closeFile()
     }
@@ -203,12 +217,14 @@ final class GraftDataWriter(
 
     private def closeFile(): Unit = {
       statsByFile(file.toString) = writer.closeWithStats()
+      writeBloomSidecar(file.toString)
       writer = null
     }
 
     override def write(row: InternalRow): Unit = {
       if (writer == null) open()
       writer.write(project(row))
+      bloom.foreach(_.observe(row))
       rowsInFile += 1
       if (rowsInFile >= maxRowsPerFile) closeFile()
     }
@@ -256,6 +272,7 @@ final class GraftDataWriter(
       encoder.encode(row, buf)
       buf.append('\n')
       stats.observe(row)
+      bloom.foreach(_.observe(row))
       rowsInFile += 1
       rowsInBuf += 1
       if (rowsInBuf >= opts.batchSize) flush()
@@ -274,6 +291,7 @@ final class GraftDataWriter(
     def rotate(): Unit = {
       out.close(); out = null
       statsByFile(file.toString) = stats.snapshotAndReset(rowsInFile)
+      writeBloomSidecar(file.toString)
     }
 
     override def close(): Unit = {
@@ -281,6 +299,7 @@ final class GraftDataWriter(
       if (out != null) {
         out.close(); out = null
         statsByFile(file.toString) = stats.snapshotAndReset(rowsInFile)
+        writeBloomSidecar(file.toString)
       }
       recycleBuf()
     }
@@ -387,7 +406,10 @@ final class GraftDataWriter(
     // both landings create through the raw fs (no .crc sidecars exist);
     // deleting through the checksum-layered `fs` is still correct — it
     // removes a sidecar if one exists and the data file either way
-    files.foreach(p => try fs.delete(new Path(p), false) catch { case _: Throwable => })
+    files.foreach { p =>
+      try fs.delete(new Path(p), false) catch { case _: Throwable => }
+      Bloom.deleteSidecar(fs, p)
+    }
   }
 
   override def close(): Unit = synchronized {

@@ -92,6 +92,13 @@ final class GraftScan(
   private lazy val plannedFiles: Seq[(String, Map[String, String])] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
+    // bloom sidecars are probed only when a membership-shaped predicate is
+    // pushed, and only for files that SURVIVE min/max pruning — the
+    // driver-side sidecar IO of a point lookup is bounded by its stats
+    // survivor count, and a scan with no equality predicates reads none
+    lazy val bloomFs = new org.apache.hadoop.fs.Path(opts.tableDir)
+      .getFileSystem(conf)
+    val membership = pushedSourceFilters.exists(hasMembershipShape)
     new CommitLog(opts.tableDir, conf).committedFilesWithStats().flatMap {
       case (f, stats) =>
         // Hive-style col=value segments below the table root only (the
@@ -108,10 +115,28 @@ final class GraftScan(
           // null counts, [[FileStats]]) drops it before an input partition
           // exists — no footer opened, no task scheduled. Filters are all
           // re-applied post-scan, so this only ever removes IO
-          stats.exists(st => pushedSourceFilters.exists(st.prunes))
+          stats.exists(st => pushedSourceFilters.exists(st.prunes)) ||
+          // BLOOM SKIPPING on per-file sidecars ([[Bloom]]): a membership
+          // predicate whose value the file's bloom proves absent drops the
+          // file — the high-cardinality complement of min/max (same
+          // conservative contract: missing/foreign sidecars never skip)
+          (membership && Bloom.read(bloomFs, f).exists(b =>
+            pushedSourceFilters.exists(b.prunes)))
         if (pruned) None else Some(f -> parts)
     }
   }
+
+  private def hasMembershipShape(f: org.apache.spark.sql.sources.Filter): Boolean =
+    f match {
+      case org.apache.spark.sql.sources.And(l, r) =>
+        hasMembershipShape(l) || hasMembershipShape(r)
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        hasMembershipShape(l) && hasMembershipShape(r)
+      case _: org.apache.spark.sql.sources.EqualTo => true
+      case _: org.apache.spark.sql.sources.EqualNullSafe => true
+      case _: org.apache.spark.sql.sources.In => true
+      case _ => false
+    }
 
   override def planInputPartitions(): Array[InputPartition] =
     plannedFiles.map { case (f, parts) =>

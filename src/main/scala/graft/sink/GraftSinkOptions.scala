@@ -39,7 +39,9 @@ final case class GraftSinkOptions(
     keytab: Option[String] = None,
     keepaliveIntervalMs: Long = 0L,
     commitEpoch: Option[Long] = None,
-    format: String = GraftSinkOptions.FORMAT_JSONL) {
+    format: String = GraftSinkOptions.FORMAT_JSONL,
+    bloomColumns: Seq[String] = Seq.empty,
+    bloomBits: Int = Bloom.DefaultBits) {
 
   def isParquet: Boolean = format == GraftSinkOptions.FORMAT_PARQUET
   def isOrc: Boolean = format == GraftSinkOptions.FORMAT_ORC
@@ -81,6 +83,17 @@ object GraftSinkOptions {
   val KEYTAB = "keytab"
   val KEEPALIVE_INTERVAL_MS = "keepalive.interval.ms"
   val COMMIT_EPOCH = "commit.epoch"
+
+  /** Per-file bloom-filter sidecars for the named columns ([[Bloom]]):
+    * point-lookup predicates then skip committed files whose sidecar
+    * proves the value absent — the data-skipping complement of min/max
+    * stats for high-cardinality columns uncorrelated with arrival.
+    * `bloom.bits` sizes each column's filter (bits per file, multiple of
+    * 64; default 2^20 — scale with rows-per-file, ~10 bits/row for ~1%
+    * false positives).
+    */
+  val BLOOM_COLUMNS = "bloom.columns"
+  val BLOOM_BITS = "bloom.bits"
 
   /** Landing format for data files. `jsonl` is the reference-shaped default
     * (row-at-a-time JSON text, `HiveStreamDataWriter.scala:96-100`);
@@ -168,6 +181,15 @@ object GraftSinkOptions {
       keytab = keytab,
       keepaliveIntervalMs = keepalive,
       commitEpoch = Option(options.get(COMMIT_EPOCH)).map(_.toLong),
-      format = format)
+      format = format,
+      bloomColumns = Option(options.get(BLOOM_COLUMNS))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty),
+      bloomBits = {
+        val b = positiveInt(BLOOM_BITS, Bloom.DefaultBits)
+        if (b % 64 != 0) throw new IllegalArgumentException(
+          s"Option '$BLOOM_BITS' must be a multiple of 64, got $b")
+        b
+      })
   }
 }

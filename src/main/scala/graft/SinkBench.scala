@@ -30,6 +30,11 @@ object SinkBench {
     val batches = sys.env.getOrElse("SPARK_GRAFT_SINK_BATCHES", "10").toInt
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_SINK_BATCHSIZE", "10000").toInt
     val format = sys.env.getOrElse("SPARK_GRAFT_SINK_FORMAT", "jsonl")
+    // opt-in bloom sidecars (comma column list, e.g. "msg"): the write
+    // path then pays the per-row observe + per-file sidecar, and the bench
+    // measures what it buys — a point lookup on a unique-per-row column
+    // planning 1 file where min/max stats plan all of them
+    val bloomCols = sys.env.getOrElse("SPARK_GRAFT_SINK_BLOOM", "")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,6 +57,8 @@ object SinkBench {
       .option("partition.columns", "etype")
       .option("batch.size", batchSize.toString)
       .option("format", format)
+      .options(if (bloomCols.nonEmpty)
+        Map("bloom.columns" -> bloomCols) else Map.empty[String, String])
       .option("checkpointLocation", s"$dir/_cp")
       .start()
 
@@ -104,6 +111,30 @@ object SinkBench {
     val readFilteredSec = (System.nanoTime() - f0) / 1e9
     require(hits == 1L, s"point lookup found $hits rows for id=$probeId")
 
+    // bloom skipping: msg is UNIQUE per row and interleaved, so min/max
+    // stats can never prune it — only the sidecar can. Measured before and
+    // after compaction (the OR-merged sidecar must keep answering)
+    def bloomPlanned(probe: org.apache.spark.sql.sources.Filter): (Int, Int) = {
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val all = log.committedFilesWithStats()
+      val n = all.count { case (f, st) =>
+        !(st.exists(_.prunes(probe)) ||
+          graft.sink.Bloom.read(fsys, f).exists(_.prunes(probe)))
+      }
+      (n, all.size)
+    }
+    val bloomJson = if (bloomCols.nonEmpty) {
+      val probeMsg = s"msg payload for row $probeId with some width"
+      val probe = org.apache.spark.sql.sources.EqualTo("msg", probeMsg)
+      val (planned, total) = bloomPlanned(probe)
+      val b0 = System.nanoTime()
+      val bHits = table.where(s"msg = '$probeMsg'").count()
+      val bloomLookupSec = (System.nanoTime() - b0) / 1e9
+      require(bHits == 1L, s"bloom point lookup found $bHits rows")
+      s""","bloom_columns":"$bloomCols","bloom_files_planned":$planned,"bloom_files_total":$total,"bloom_lookup_seconds":$bloomLookupSec"""
+    } else ""
+
     // the same read after compaction folds the ~batches×partitions small
     // epoch files into one file per partition dir — the table state a
     // maintained deployment scans, where per-file reader setup no longer
@@ -114,6 +145,17 @@ object SinkBench {
     table.selectExpr("sum(id)", "avg(length(msg))").collect()
     val readCompactSec = (System.nanoTime() - r1) / 1e9
     require(table.count() == expected, "compaction changed the row count")
+
+    // post-compaction bloom probe: each partition dir folded to one file,
+    // whose sidecar is the OR of its inputs' — skipping must survive
+    val bloomCompactJson = if (bloomCols.nonEmpty) {
+      val probeMsg = s"msg payload for row $probeId with some width"
+      val probe = org.apache.spark.sql.sources.EqualTo("msg", probeMsg)
+      val (planned, total) = bloomPlanned(probe)
+      require(table.where(s"msg = '$probeMsg'").count() == 1L,
+        "bloom lookup after compaction lost the row")
+      s""","bloom_files_planned_compacted":$planned,"bloom_files_total_compacted":$total"""
+    } else ""
 
     // clustered rewrite (parquet only): `user` is UNcorrelated with arrival,
     // so neither epoch files nor compacted concat can ever prune on it —
@@ -146,7 +188,7 @@ object SinkBench {
     } else ""
 
     val rps = perBatch.toLong * batches / sec
-    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"batch_size":$batchSize,"format":"$format","seconds":$sec,"read_seconds":$readSec,"read_rows_per_sec":${(landed / readSec).round},"read_compacted_seconds":$readCompactSec,"read_compacted_rows_per_sec":${(landed / readCompactSec).round},"read_filtered_seconds":$readFilteredSec,"files_total":$filesTotal,"files_planned":$filesPlanned$clusterJson,"partitions":8,"verified_rows":$landed}""")
+    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"batch_size":$batchSize,"format":"$format","seconds":$sec,"read_seconds":$readSec,"read_rows_per_sec":${(landed / readSec).round},"read_compacted_seconds":$readCompactSec,"read_compacted_rows_per_sec":${(landed / readCompactSec).round},"read_filtered_seconds":$readFilteredSec,"files_total":$filesTotal,"files_planned":$filesPlanned$bloomJson$bloomCompactJson$clusterJson,"partitions":8,"verified_rows":$landed}""")
     spark.stop()
   }
 }

@@ -236,10 +236,22 @@ object Bloom {
     } finally out.close()
   }
 
-  /** None on a missing/foreign/corrupt sidecar — the file just never
-    * bloom-skips.
+  /** Geometry sanity for a sidecar read off disk: a foreign/bit-flipped
+    * header must DECLINE (None) at read time, never throw at probe time
+    * (bits = 0 would divide by zero in mightContain). The upper bound
+    * (2^28 bits = 32 MiB/column) also stops a corrupt length from
+    * allocating unbounded driver memory.
     */
-  def read(fs: FileSystem, dataFile: String): Option[FileBloom] =
+  private def validGeometry(bits: Int): Boolean =
+    bits > 0 && bits % 64 == 0 && bits <= (1 << 28)
+
+  /** None on a missing/foreign/corrupt sidecar — the file just never
+    * bloom-skips. `wanted` restricts which columns' bitsets are LOADED
+    * (others are skipped over): a point-lookup plan pass only pays for
+    * the columns its predicates actually name, a header-read otherwise.
+    */
+  def read(fs: FileSystem, dataFile: String,
+      wanted: Option[Set[String]] = None): Option[FileBloom] =
     try {
       val p = sidecarPath(dataFile)
       if (!fs.exists(p)) None
@@ -250,20 +262,54 @@ object Bloom {
               in.readInt() != NumHashes) None
           else {
             val n = in.readInt()
-            val cols = (0 until n).map { _ =>
-              val name = in.readUTF()
-              val tag = in.readByte().toChar
-              val bits = in.readInt()
-              val words = new Array[Long](bits / 64)
+            if (n < 0 || n > 10000) None
+            else {
+              val cols = Seq.newBuilder[(String, ColBloom)]
+              var ok = true
               var i = 0
-              while (i < words.length) { words(i) = in.readLong(); i += 1 }
-              name -> new ColBloom(tag, bits, words)
-            }.toMap
-            Some(new FileBloom(cols))
+              while (ok && i < n) {
+                val name = in.readUTF()
+                val tag = in.readByte().toChar
+                val bits = in.readInt()
+                if (!validGeometry(bits)) ok = false
+                else if (wanted.exists(!_.contains(name))) {
+                  // not referenced by any pushed membership filter: skip
+                  // the bitset bytes without materializing them
+                  var toSkip = bits / 8
+                  while (toSkip > 0) {
+                    val skipped = in.skipBytes(toSkip)
+                    if (skipped <= 0) throw new java.io.EOFException()
+                    toSkip -= skipped
+                  }
+                } else {
+                  val words = new Array[Long](bits / 64)
+                  var j = 0
+                  while (j < words.length) { words(j) = in.readLong(); j += 1 }
+                  cols += name -> new ColBloom(tag, bits, words)
+                }
+                i += 1
+              }
+              if (ok) Some(new FileBloom(cols.result().toMap)) else None
+            }
           }
         } finally in.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Attribute names a membership-shaped filter can probe — the `wanted`
+    * set for [[read]].
+    */
+  def membershipAttributes(filters: Seq[Filter]): Set[String] = {
+    def walk(f: Filter): Seq[String] = f match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case Or(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, _) => Seq(a)
+      case EqualNullSafe(a, _) => Seq(a)
+      case In(a, _) => Seq(a)
+      case _ => Seq.empty
+    }
+    filters.flatMap(walk).toSet
+  }
 
   /** OR the input files' sidecars into the single consolidated output's
     * sidecar — only when every input has one and all geometries agree

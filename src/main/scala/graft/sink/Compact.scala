@@ -157,6 +157,9 @@ object Compact {
     require(clusterBy.nonEmpty, "clusterBy must name at least one column")
     require(!zorder || clusterBy.size >= 2,
       "zorder = true needs >= 2 clusterBy columns (one column is a plain sort)")
+    require(!zorder || clusterBy.size * ZOrder.BitsPerDim <= 63,
+      s"zorder = true supports at most ${63 / ZOrder.BitsPerDim} columns " +
+        s"(the Morton key must fit a long); got ${clusterBy.size}")
     val conf = spark.sparkContext.hadoopConfiguration
     val log = new CommitLog(tableDir, conf)
     val fs = new Path(tableDir).getFileSystem(conf)

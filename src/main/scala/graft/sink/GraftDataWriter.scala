@@ -408,7 +408,10 @@ final class GraftDataWriter(
     // removes a sidecar if one exists and the data file either way
     files.foreach { p =>
       try fs.delete(new Path(p), false) catch { case _: Throwable => }
-      Bloom.deleteSidecar(fs, p)
+      // this writer knows whether it created sidecars — don't pay a
+      // delete RPC per file when blooms are off (the manifest-side delete
+      // paths can't know and stay unconditional)
+      if (opts.bloomColumns.nonEmpty) Bloom.deleteSidecar(fs, p)
     }
   }
 

@@ -99,6 +99,9 @@ final class GraftScan(
     lazy val bloomFs = new org.apache.hadoop.fs.Path(opts.tableDir)
       .getFileSystem(conf)
     val membership = pushedSourceFilters.exists(hasMembershipShape)
+    // only the columns named by membership predicates are worth loading
+    // from a sidecar — others' bitsets are skipped at read ([[Bloom.read]])
+    val bloomWanted = Bloom.membershipAttributes(pushedSourceFilters.toSeq)
     new CommitLog(opts.tableDir, conf).committedFilesWithStats().flatMap {
       case (f, stats) =>
         // Hive-style col=value segments below the table root only (the
@@ -120,7 +123,7 @@ final class GraftScan(
           // predicate whose value the file's bloom proves absent drops the
           // file — the high-cardinality complement of min/max (same
           // conservative contract: missing/foreign sidecars never skip)
-          (membership && Bloom.read(bloomFs, f).exists(b =>
+          (membership && Bloom.read(bloomFs, f, Some(bloomWanted)).exists(b =>
             pushedSourceFilters.exists(b.prunes)))
         if (pruned) None else Some(f -> parts)
     }

@@ -53,6 +53,14 @@ object ZOrder {
   def zColumn(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.size >= 2,
       "z-order needs >= 2 columns (a single column is a plain sort)")
+    // the interleaved key must fit a signed long: position i*d + (d-1-di)
+    // tops out at d*BitsPerDim - 1, and Spark's shiftleft wraps its shift
+    // amount mod 64 (Java semantics) — 8+ columns would silently collide
+    // bit positions and scramble the curve instead of failing
+    require(cols.size * BitsPerDim <= 63,
+      s"z-order supports at most ${63 / BitsPerDim} columns at " +
+        s"$BitsPerDim bits each (the Morton key must fit a long); " +
+        s"got ${cols.size}")
     val projs = cols.map(c => projection(df, c))
     val bounds = df.agg(
       projs.flatMap(p => Seq(min(p), max(p))).head,

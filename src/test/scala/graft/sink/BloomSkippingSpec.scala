@@ -135,6 +135,32 @@ class BloomSkippingSpec extends SparkSpec {
     assert(out.count() === 400)
   }
 
+  test("corrupt sidecar geometry declines at read time, never throws at plan time") {
+    val dir = tmp()
+    land(dir, epochs = 2, "format" -> "parquet")
+    val tableDir = s"$dir/testdb.t"
+    val log = new CommitLog(tableDir, hconf)
+    val victim = log.committedFiles().head
+    val f = fs(tableDir)
+    // overwrite the sidecar with a header that parses but declares an
+    // invalid geometry (bits = 0): probing it would divide by zero if the
+    // reader ever constructed the bloom
+    val out = new java.io.DataOutputStream(
+      f.create(Bloom.sidecarPath(victim), true))
+    try {
+      out.writeInt(Bloom.Magic); out.writeInt(Bloom.Version)
+      out.writeInt(Bloom.NumHashes); out.writeInt(1)
+      out.writeUTF("key"); out.writeByte('s'.toInt); out.writeInt(0)
+    } finally out.close()
+    assert(Bloom.read(f, victim).isEmpty, "invalid geometry must decline")
+    // plan-time: the corrupt file declines to skip (conservative — still
+    // planned even for an absent probe value), the healthy one prunes
+    assert(planned(dir, EqualTo("key", "k-151x")) === 1)
+    // and a PRESENT value still finds its row end-to-end
+    val outDf = spark.read.format("graft-streaming").options(opts(dir)).load()
+    assert(outDf.filter(outDf("key") === keyOf(123)).count() === 1)
+  }
+
   test("geometry mismatch declines the merge; unsupported column type fails loudly") {
     val dir = tmp()
     // two lineages with different bloom.bits → OR-merge must decline

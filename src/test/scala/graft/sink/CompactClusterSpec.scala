@@ -357,6 +357,16 @@ class CompactClusterSpec extends SparkSpec {
     }
   }
 
+  test("zorder rejects > 7 columns (Morton key must fit a long)") {
+    val dir = tmp()
+    land(dir, epochs = 1, e => 0 until 10)
+    val e = intercept[IllegalArgumentException] {
+      Compact.cluster(spark, s"$dir/testdb.t",
+        (1 to 8).map(i => s"c$i"), zorder = true)
+    }
+    assert(e.getMessage.contains("at most"))
+  }
+
   test("cluster rejects a table with JSONL epochs") {
     val dir = tmp()
     land(dir, epochs = 2, e => e * 10 until (e + 1) * 10, "format" -> "jsonl")

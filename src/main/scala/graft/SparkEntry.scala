@@ -43,6 +43,7 @@ object SparkEntry {
     "q_join_left"      -> (Relational.joinLeft _),
     "q_join_semi"      -> (Relational.joinSemi _),
     "q_join_anti"      -> (Relational.joinAnti _),
+    "q_join_full"      -> (Relational.joinFull _),
     "q_join_range"     -> (TimeOps.rangeJoin _),
     "q_join_asof"      -> (TimeOps.asofJoin _),
     // set ops
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_partition_route" -> (TimeOps.partitionRoute _),
     // dedup
     "q_dedup_exact"    -> (Dedup.exact _),
+    "q_dedup_norm"     -> (Dedup.normalizeDedup _),
     "q_dedup_near"     -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"  -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "q_dedup_ngram"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -97,6 +99,7 @@ object SparkEntry {
     "q_pii_scrub"      -> (TrainPrep.piiScrub _),
     "q_sample_stratified" -> (TrainPrep.sampleStratified _),
     "q_source_mix"     -> (TrainPrep.sourceMix _),
+    "q_mix_temperature" -> (TrainPrep.mixTemperature _),
     "q_profile_stats"  -> ((s, dir) => TrainPrep.profileStats(s, dir)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
     // multimodal
@@ -192,6 +195,17 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """WITH u AS (SELECT o_custkey AS uk, COUNT(1) AS urgent_cnt FROM orders
+        |           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        |     f AS (SELECT o_custkey AS fk, COUNT(1) AS finished_cnt FROM orders
+        |           WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+        |SELECT COALESCE(uk, fk) AS custkey,
+        |  COALESCE(urgent_cnt, 0) AS urgent_cnt,
+        |  COALESCE(finished_cnt, 0) AS finished_cnt
+        |FROM u FULL OUTER JOIN f ON uk = fk
+        |ORDER BY custkey""".stripMargin,
 
     "q_join_range" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events)
@@ -344,6 +358,21 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY epoch_ms(ts), event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_dedup_norm" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |     variants AS (SELECT doc_id + 1000000 AS doc_id,
+        |                    '  ' || upper(text) || ' ' || chr(9) AS text
+        |                  FROM base WHERE doc_id % 5 = 0),
+        |     all_docs AS (SELECT doc_id, text FROM base
+        |                  UNION ALL SELECT doc_id, text FROM variants),
+        |     keyed AS (SELECT doc_id, text,
+        |                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_key
+        |               FROM all_docs)
+        |SELECT norm_key, COUNT(1) AS n_docs, COUNT(DISTINCT text) AS n_raw_forms,
+        |  MIN(doc_id) AS keep_id
+        |FROM keyed GROUP BY norm_key HAVING COUNT(1) > 1
+        |ORDER BY keep_id""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS blk,
@@ -586,6 +615,21 @@ object SparkEntry {
         |  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 4) AS doc_share,
         |  ROUND(CAST(sum_tokens AS DOUBLE) / SUM(sum_tokens) OVER (), 4) AS token_share
         |FROM a ORDER BY source, lang""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH a AS (SELECT lang, COUNT(1) AS n_docs,
+        |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |           FROM documents GROUP BY lang),
+        |     b AS (SELECT lang, n_docs, sum_tokens,
+        |             CAST(sum_tokens AS DOUBLE) / SUM(sum_tokens) OVER () AS p,
+        |             POWER(CAST(sum_tokens AS DOUBLE) / SUM(sum_tokens) OVER (), 0.3) AS pa
+        |           FROM a),
+        |     c AS (SELECT lang, n_docs, sum_tokens, p, pa / SUM(pa) OVER () AS w FROM b)
+        |SELECT lang, n_docs, sum_tokens,
+        |  ROUND(p * 10000) / 10000 AS p_raw,
+        |  ROUND(w * 10000) / 10000 AS p_weight,
+        |  ROUND(w / p * 10000) / 10000 AS upsample
+        |FROM c ORDER BY lang""".stripMargin,
 
     "q_split_assign" ->
       """SELECT lang, split, COUNT(1) AS docs FROM (

@@ -127,6 +127,43 @@ object Dedup {
       .orderBy("user_id", "event_type")
   }
 
+  /** Normalization-aware exact dedup: case-fold + whitespace-collapse +
+    * trim BEFORE keying, so trivially-reformatted copies (the most common
+    * scrape duplicates: casing, doubled spaces, stray tabs) collapse onto
+    * one key that byte-exact dedup misses. The fixture corpus is already
+    * byte-distinct, so deterministic variants (every 5th doc re-emitted
+    * uppercased with noisy whitespace, id + 1e6) are injected first — the
+    * oracle applies the identical injection, so the groups the normalizer
+    * must find are known. Output: one row per normalized key with > 1
+    * members — n_docs, distinct raw forms, and the kept (minimum) doc id.
+    *
+    * Scale shape: pure map-side normalization + one hash aggregate on the
+    * normalized key (md5 — constant width regardless of doc length, so the
+    * shuffle carries 16 bytes + counters per doc, never the text).
+    */
+  def normalizeDedup(s: SparkSession, dir: String): DataFrame =
+    normalizeDedupOn(Tables.documents(s, dir).select("doc_id", "text"))
+
+  /** [[normalizeDedup]] over an arbitrary (doc_id: long, text: string)
+    * frame (ASCII normalization semantics: `\s` and case folding match
+    * Java and RE2 for ASCII; extend with ICU transforms off-fixture).
+    */
+  def normalizeDedupOn(docs: DataFrame): DataFrame = {
+    val variants = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" \t")).as("text"))
+    docs.select(col("doc_id"), col("text")).union(variants)
+      .select(col("doc_id"), col("text"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("norm_key"))
+      .groupBy("norm_key")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_raw_forms"),
+        min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("keep_id")
+  }
+
   /** MinHash + LSH near-dup: 32 xxhash64 min-signatures over word shingles,
     * banded 4×4; docs sharing any band hash become candidates
     * (shuffle join on the band key — the LSH bucket-join); candidates are

@@ -269,6 +269,29 @@ object Relational {
       .select("c_custkey", "c_mktsegment")
       .orderBy("c_custkey")
 
+  /** Full outer join: per-customer URGENT-order count vs finished-order
+    * count — customers appearing on either side survive, absent sides
+    * null-extend and are coalesced to 0. Both inputs are aggregated to one
+    * row per key BEFORE the join (same discipline as [[joinInner]]), so the
+    * full-outer shuffle moves |distinct custkey| rows per side, not the
+    * fact table — the shape that holds when orders is 100 TB.
+    */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("uk"))
+      .agg(count(lit(1)).as("urgent_cnt"))
+    val finished = orders.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("fk"))
+      .agg(count(lit(1)).as("finished_cnt"))
+    urgent
+      .join(finished, col("uk") === col("fk"), "full_outer")
+      .select(coalesce(col("uk"), col("fk")).as("custkey"),
+        coalesce(col("urgent_cnt"), lit(0L)).as("urgent_cnt"),
+        coalesce(col("finished_cnt"), lit(0L)).as("finished_cnt"))
+      .orderBy("custkey")
+  }
+
   // -------------------------------------------------------------- set ops
 
   /** UNION (distinct) of two key sets. Dataset.union is UNION ALL, so the

@@ -312,6 +312,36 @@ object TrainPrep {
       .orderBy("source", "lang")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual data-mix policy
+    * (mT5/XLM-R style): raw token share p_i per language is flattened to
+    * w_i = p_i^α / Σ p_j^α (α < 1 upsamples the tail), and `upsample` =
+    * w_i / p_i is the epoch multiplier a sampler applies per language.
+    * Aggregate-then-normalize like [[sourceMixOn]]: the corpus is touched
+    * once by a map-side token count + one hash aggregate; the power/share
+    * windows run over |langs| rows — metadata, at any corpus size.
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame =
+    mixTemperatureOn(Tables.documents(s, dir), alpha = 0.3)
+
+  /** [[mixTemperature]] over an arbitrary (lang, text) frame. */
+  def mixTemperatureOn(docs: DataFrame, alpha: Double): DataFrame = {
+    val grouped = docs
+      .select(col("lang"), size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"))
+    val wAll = Window.partitionBy()
+    grouped
+      .withColumn("p", col("sum_tokens") / sum(col("sum_tokens")).over(wAll))
+      .withColumn("w", pow(col("p"), lit(alpha)) /
+        sum(pow(col("p"), lit(alpha))).over(wAll))
+      .select(col("lang"), col("n_docs"), col("sum_tokens"),
+        Norm.r4(col("p")).as("p_raw"),
+        Norm.r4(col("w")).as("p_weight"),
+        Norm.r4(col("w") / col("p")).as("upsample"))
+      .orderBy("lang")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates decided by
     * a content-hash bucket (md5 hex prefix), so the sample is reproducible
     * across runs AND engines, and duplicate texts land on the same side of

@@ -237,5 +237,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("min_hashes"), MinHashes.info,
       MinHashes.builder _))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_stats"), ShingleStats.info,
+      ShingleStats.builder _))
   }
 }

@@ -192,39 +192,34 @@ object Text {
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame =
     rollingFingerprintOn(Tables.documents(s, dir))
 
-  /** [[rollingFingerprint]] over an arbitrary (doc_id, text) frame. */
+  /** [[rollingFingerprint]] over an arbitrary (doc_id, text) frame.
+    *
+    * One codegen'd pass per document ([[graft.functions.ShingleStats]]) —
+    * no tokens, gram strings, shuffle, or window ever materialize. The
+    * previous formulation posexploded every token and reassembled each
+    * 5-gram with a lead window (a full doc_id shuffle + per-doc sort,
+    * ~1.9 s of the sf0.1 bench); before that, the HOF-lambda version ran
+    * interpreted (23.5 s). Bit-identity of all four output columns to the
+    * window formulation is pinned by OperatorPropertiesSpec.
+    *
+    * n_shingles/n_tokens come from the same single scan, and the dumped
+    * artifact still evidences n_shingles = n_tokens − 4 per row
+    * (r12 queue #8).
+    */
   def rollingFingerprintOn(docs: DataFrame): DataFrame = {
-    val n = 5
-    // posexplode + lead-window 5-grams instead of a per-element HOF lambda:
-    // transform(sequence(...), i => xxhash64(...)) runs INTERPRETED per
-    // shingle (HOF lambdas don't codegen), measured 23.5 s at sf0.1; the
-    // window formulation keeps concat_ws/xxhash64 inside codegen. The
-    // doc_id window shuffle doubles as the groupBy partitioning, so the
-    // min/max aggregation below adds no second exchange.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    val st = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ShingleStats(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text")), 5))
     docs
-      // n_tokens is carried as an INDEPENDENTLY-derived column (size of
-      // the split array, not a count of window rows): the dumped artifact
-      // then evidences the structural property n_shingles = n_tokens - 4
-      // per row — every 5-gram counted exactly once (r12 queue #8)
+      .select(col("doc_id"), st.as("st"))
+      // docs with < 5 tokens have no shingle and drop out, matching the
+      // window formulation's trailing-null filter
+      .filter(col("st").isNotNull)
       .select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_tokens"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
-      .select(col("doc_id"), col("n_tokens"),
-        concat_ws(" ", col("w0") +:
-          (1 until n).map(j => lead(col("w0"), j).over(w)): _*).as("g"),
-        lead(col("w0"), n - 1).over(w).as("tail"))
-      // concat_ws skips nulls, so trailing windows shorter than n tokens
-      // must be dropped explicitly (docs with < n tokens drop out entirely,
-      // matching the old size(tk) >= n filter)
-      .filter(col("tail").isNotNull)
-      .select(col("doc_id"), col("n_tokens"), xxhash64(col("g")).as("h"))
-      .groupBy("doc_id", "n_tokens")
-      .agg(min(col("h")).as("min_hash"), max(col("h")).as("max_hash"),
-        count(lit(1)).cast("int").as("n_shingles"))
-      .select(col("doc_id"), col("min_hash"), col("max_hash"),
-        col("n_shingles"), col("n_tokens"))
+        col("st.min_hash").as("min_hash"),
+        col("st.max_hash").as("max_hash"),
+        col("st.n_shingles").as("n_shingles"),
+        col("st.n_tokens").as("n_tokens"))
       .orderBy("doc_id")
   }
 

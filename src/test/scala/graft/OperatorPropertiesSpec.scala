@@ -458,6 +458,43 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("shingle_stats expression is bit-identical to the window 5-gram " +
+      "formulation, including empty tokens and multi-byte UTF-8") {
+    import spark.implicits._
+    val n = 5
+    // adversarial strings: sub-n docs (dropped), doubled/leading/trailing
+    // spaces (empty tokens), a tab inside a token (NOT a separator), and
+    // multi-byte UTF-8 (byte-slice boundaries must stay on 0x20)
+    val edges = Seq(
+      (10001L, ""), (10002L, "one two three four"),
+      (10003L, "a b c d e"), (10004L, "a  b c d e f"),
+      (10005L, " lead b c d e"), (10006L, "trail b c d e "),
+      (10007L, "a\tb c d e f"),
+      (10008L, "naïve café über 汉字 emoji✨ six"))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(edges.toDF("doc_id", "text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val legacy = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(col("doc_id"), col("n_tokens"),
+        concat_ws(" ", col("w0") +:
+          (1 until n).map(j => lead(col("w0"), j).over(w)): _*).as("g"),
+        lead(col("w0"), n - 1).over(w).as("tail"))
+      .filter(col("tail").isNotNull)
+      .select(col("doc_id"), col("n_tokens"), xxhash64(col("g")).as("h"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(min(col("h")).as("min_hash"), max(col("h")).as("max_hash"),
+        count(lit(1)).cast("int").as("n_shingles"))
+      .select(col("doc_id"), col("min_hash"), col("max_hash"),
+        col("n_shingles"), col("n_tokens"))
+      .orderBy("doc_id").collect()
+    val fast = graft.operators.Text.rollingFingerprintOn(docs).collect()
+    assert(fast.toSeq === legacy.toSeq)
+  }
+
   test("batched decoder path agrees with the expression decode pipeline") {
     val expr = graft.operators.Multimodal.decodePipeline(spark, sf0001).collect()
     val batched = graft.operators.Multimodal.decodeBatched(spark, sf0001).collect()

@@ -103,9 +103,18 @@ object Relational {
     */
   def aggApprox(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      // pre-dedup (flag, partkey) first: HLL++ registers are insensitive
+      // to duplicates, so the sketch over the distinct pairs is the SAME
+      // sketch as over the raw multiset — and the exact companion becomes
+      // a plain count(1). The single-aggregate formulation mixed a
+      // distinct (countDistinct) with a non-distinct (the sketch)
+      // aggregate, which plans an Expand that ships every input row twice
+      // through the shuffle; here the first aggregate's map-side partial
+      // dedup collapses the fact table before anything moves.
+      .select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"),
-        countDistinct(col("l_partkey")).as("exact_nd_part"))
+        count(lit(1)).as("exact_nd_part"))
       .withColumn("rel_err", Norm.r4(
         abs(col("approx_nd_part") - col("exact_nd_part")) /
           col("exact_nd_part")))
@@ -116,17 +125,25 @@ object Relational {
     * check; self-describing like [[aggApprox]]: the exact percentiles and
     * relative errors ride along (fixture-gate instrumentation — the
     * production shape is the sketch alone).
+    *
+    * Both quantiles come from ONE sketch and ONE exact aggregate via the
+    * percentage-array form: per-quantile aggregate calls each built their
+    * own buffer over the full column (two QuantileSummaries, two 600 k
+    * OpenHashMaps + sorts — the query's dominant cost, 3 s of 4 s at
+    * sf0.1); the array form builds each buffer once and reads both
+    * quantiles out of it, with per-quantile values bit-identical.
     */
   def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("p50_approx"),
-        approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000))
-          .as("p95_approx"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("p50_exact"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("p95_exact"))
+        approx_percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("pa"),
+        percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95))).as("pe"))
+      .select(col("l_returnflag"),
+        col("pa")(0).as("p50_approx"), col("pa")(1).as("p95_approx"),
+        col("pe")(0).as("p50_exact"), col("pe")(1).as("p95_exact"))
       .withColumn("p50_rel_err",
         Norm.r4(abs(col("p50_approx") - col("p50_exact")) / col("p50_exact")))
       .withColumn("p95_rel_err",

@@ -33,6 +33,7 @@ object SparkEntry {
     "q_agg_distinct"   -> (Relational.aggDistinct _),
     "q_agg_approx"     -> (Relational.aggApprox _),
     "q_agg_approx_pct" -> (Relational.aggApproxPercentile _),
+    "q_agg_pct_exact"  -> (Quantiles.aggPercentileExact _),
     "q_agg_rollup"     -> (Relational.aggRollup _),
     "q_agg_cube"       -> (Relational.aggCube _),
     "q_agg_gsets"      -> (Relational.aggGroupingSets _),
@@ -195,6 +196,16 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_agg_pct_exact" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.5) AS p50,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS p, ROUND(p50 * 10000) / 10000 AS pct FROM q
+        |UNION ALL
+        |SELECT l_returnflag, CAST(0.95 AS DOUBLE) AS p, ROUND(p95 * 10000) / 10000 AS pct FROM q
+        |ORDER BY l_returnflag, p""".stripMargin,
 
     "q_join_full" ->
       """WITH u AS (SELECT o_custkey AS uk, COUNT(1) AS urgent_cnt FROM orders

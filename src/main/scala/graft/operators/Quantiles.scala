@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Norm, Tables}
+
+/** Exact distributed quantiles by BRACKET-AND-VERIFY — the formulation
+  * that stays exact at 100 TB.
+  *
+  * Spark's built-in exact `percentile` aggregate accumulates a per-group
+  * value-count map (every distinct value lives in one aggregation buffer,
+  * serialized through the shuffle) and DuckDB's `quantile_cont` sorts the
+  * group — both single-node shapes that break on a 100 TB column. Here the
+  * corpus is only ever touched by two map-side passes:
+  *
+  *   1. one `approx_percentile` sketch per group brackets each target
+  *      quantile: the GK summary guarantees rank error ≤ n/accuracy, so
+  *      the sketch values at p ± 2/accuracy enclose the true quantile's
+  *      neighbourhood;
+  *   2. a second pass classifies each row against its group's bracket
+  *      (below / inside / above) and aggregates ONLY (distinct value,
+  *      count) pairs inside the bracket plus a below-count — by the rank
+  *      guarantee, at most ~4·n/accuracy ranks, so the shuffle and the
+  *      final per-group candidate set are metadata-sized regardless of
+  *      corpus size (value ties collapse into one counter).
+  *
+  * The exact interpolated quantile is then assembled from the candidates'
+  * cumulative ranks with the same `lower + (t − ⌊t⌋)·(upper − lower)`
+  * rule as Spark `percentile` / DuckDB `quantile_cont`, so results are
+  * oracle-comparable. The trailing window runs over ≤ |groups|·|ps|·
+  * bracket-width rows — bounded by construction, never by the corpus.
+  */
+object Quantiles {
+
+  /** q_agg_pct_exact: exact interpolated p50/p95 of l_extendedprice per
+    * return flag, long form (flag, p, pct) — oracled against DuckDB's
+    * `quantile_cont` on both quantiles.
+    */
+  def aggPercentileExact(s: SparkSession, dir: String): DataFrame =
+    exactPercentilesOn(Tables.lineitem(s, dir),
+      "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+      .select(col("g").as("l_returnflag"), col("p"),
+        Norm.r4(col("pct")).as("pct"))
+      .orderBy("l_returnflag", "p")
+
+  /** Exact interpolated quantiles `ps` of `valueCol` per `groupCol`,
+    * returned long-form as (g, p, pct). `accuracy` trades bracket size
+    * (≈ 4·n/accuracy ranks shuffled per group) against sketch cost.
+    * A null `pct` means the sketch's rank guarantee was violated —
+    * impossible for Spark's GK implementation at the declared accuracy,
+    * and loudly caught by the oracle/spec rather than silently absorbed.
+    */
+  def exactPercentilesOn(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val delta = 2.0 / accuracy
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+
+    // pass 1: per-group count + one sketch evaluated at every bracket edge
+    val edges: Seq[Double] = ps.flatMap(p =>
+      Seq(math.max(0.0, p - delta), math.min(1.0, p + delta)))
+    val pass1 = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      approx_percentile(col("v"), array(edges.map(lit): _*), lit(accuracy))
+        .as("qs"))
+    val brackets = pass1.select(col("g"), col("n"),
+      explode(array(ps.indices.map(i => struct(
+        lit(ps(i)).as("p"),
+        col("qs")(i * 2).as("vlo"),
+        col("qs")(i * 2 + 1).as("vhi"))): _*)).as("b"))
+      .select(col("g"), col("n"),
+        col("b.p").as("p"), col("b.vlo").as("vlo"), col("b.vhi").as("vhi"))
+
+    // pass 2: classify map-side against the broadcast brackets. The
+    // shuffle carries one (value, count) partial per in-bracket DISTINCT
+    // value plus one below / one above row per map partition — the
+    // below-count and the bracket's immediate NEIGHBOR values (min above,
+    // max below) ride the same aggregate. The neighbors matter at small n
+    // or duplicate-heavy boundaries, where the sketch's returned value
+    // can sit one rank short of an interpolation endpoint (measured at
+    // sf0.001: all three p95 brackets excluded one endpoint); carrying
+    // them makes the assembly exact whenever the bracket misses by at
+    // most one distinct value — a miss of two or more (impossible within
+    // the sketch's rank guarantee) surfaces loudly as a null.
+    val classified = base.join(broadcast(brackets), "g")
+      .select(col("g"), col("p"), col("n"), col("v"),
+        when(col("v") < col("vlo"), lit(-1))
+          .when(col("v") > col("vhi"), lit(1)).otherwise(lit(0)).as("cls"))
+      .groupBy(col("g"), col("p"), col("n"), col("cls"),
+        when(col("cls") === 0, col("v")).as("cv"))
+      .agg(count(lit(1)).as("c"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+
+    val meta = classified.groupBy("g", "p").agg(
+      sum(when(col("cls") === -1, col("c")).otherwise(lit(0L))).as("below"),
+      max(when(col("cls") === -1, col("mx"))).as("prevv"),
+      min(when(col("cls") === 1, col("mn"))).as("nextv"))
+
+    // candidate value cv covers 0-based ranks [cum_end - c, cum_end)
+    val wCum = Window.partitionBy("g", "p").orderBy("cv")
+    classified.filter(col("cls") === 0)
+      .withColumn("cum_in", sum(col("c")).over(wCum))
+      .join(meta, Seq("g", "p"))
+      .withColumn("t", (col("n") - 1) * col("p"))
+      .withColumn("cum_end", col("below") + col("cum_in"))
+      .withColumn("cum_start", col("cum_end") - col("c"))
+      .groupBy("g", "p")
+      .agg(first(col("t")).as("t"),
+        first(col("below")).as("below"),
+        first(col("prevv")).as("prevv"),
+        first(col("nextv")).as("nextv"),
+        sum(col("c")).as("csum"),
+        max(when(col("cum_start") <= floor(col("t")) &&
+          floor(col("t")) < col("cum_end"), col("cv"))).as("v_l0"),
+        max(when(col("cum_start") <= ceil(col("t")) &&
+          ceil(col("t")) < col("cum_end"), col("cv"))).as("v_u0"))
+      // rank below−1 is the below-class maximum; rank below+csum is the
+      // above-class minimum
+      .withColumn("v_l", coalesce(col("v_l0"),
+        when(floor(col("t")) === col("below") - 1, col("prevv"))))
+      .withColumn("v_u", coalesce(col("v_u0"),
+        when(ceil(col("t")) === col("below") + col("csum"), col("nextv"))))
+      .select(col("g"), col("p"),
+        (col("v_l") + (col("t") - floor(col("t"))) *
+          (col("v_u") - col("v_l"))).as("pct"))
+  }
+}

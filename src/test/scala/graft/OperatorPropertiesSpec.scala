@@ -458,6 +458,24 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("bracketed exact percentile equals Spark's exact percentile " +
+      "aggregate bit-for-bit") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val mine = graft.operators.Quantiles.exactPercentilesOn(
+      li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val ref = li.groupBy(col("l_returnflag").as("g"))
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95))).as("pe"))
+      .collect().flatMap { r =>
+        val pe = r.getSeq[Double](1)
+        Seq((r.getString(0), 0.5) -> pe(0), (r.getString(0), 0.95) -> pe(1))
+      }.toMap
+    assert(mine === ref,
+      "bracket-and-verify must reproduce the value-map aggregate exactly")
+  }
+
   test("shingle_stats expression is bit-identical to the window 5-gram " +
       "formulation, including empty tokens and multi-byte UTF-8") {
     import spark.implicits._

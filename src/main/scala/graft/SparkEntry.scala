@@ -377,10 +377,10 @@ object SparkEntry {
         |                  FROM base WHERE doc_id % 5 = 0),
         |     all_docs AS (SELECT doc_id, text FROM base
         |                  UNION ALL SELECT doc_id, text FROM variants),
-        |     keyed AS (SELECT doc_id, text,
+        |     keyed AS (SELECT doc_id, md5(text) AS raw_key,
         |                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_key
         |               FROM all_docs)
-        |SELECT norm_key, COUNT(1) AS n_docs, COUNT(DISTINCT text) AS n_raw_forms,
+        |SELECT norm_key, COUNT(1) AS n_docs, COUNT(DISTINCT raw_key) AS n_raw_forms,
         |  MIN(doc_id) AS keep_id
         |FROM keyed GROUP BY norm_key HAVING COUNT(1) > 1
         |ORDER BY keep_id""".stripMargin,

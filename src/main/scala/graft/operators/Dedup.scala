@@ -153,12 +153,15 @@ object Dedup {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("  "), upper(col("text")), lit(" \t")).as("text"))
     docs.select(col("doc_id"), col("text")).union(variants)
-      .select(col("doc_id"), col("text"),
+      // raw forms are counted by their md5, not the text itself, so the
+      // distinct aggregate ships two 16-byte hashes + a doc id per row —
+      // never the document
+      .select(col("doc_id"), md5(col("text")).as("raw_key"),
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
           .as("norm_key"))
       .groupBy("norm_key")
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("n_raw_forms"),
+        countDistinct(col("raw_key")).as("n_raw_forms"),
         min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") > 1)
       .orderBy("keep_id")

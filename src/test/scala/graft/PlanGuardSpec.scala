@@ -51,6 +51,37 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q_join_full joins pre-aggregated sides on their own partitioning") {
+    val plan = formatted("q_join_full")
+    assert(plan.contains("FullOuter"), s"join must be full outer:\n$plan")
+    // 2 pre-agg shuffles + the final sort exchange and NOTHING else: the
+    // full-outer join must consume the aggregates' hash partitioning
+    // directly (an extra exchange would mean the join re-shuffles the
+    // fact-table-sized sides at scale)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges == 3,
+      s"expected exactly 3 exchanges (2 agg + sort), got $exchanges:\n$plan")
+  }
+
+  test("q_dedup_norm never ships document text through a shuffle") {
+    val plan = formatted("q_dedup_norm")
+    val badExchange = "Exchange hashpartitioning\\([^)]*text#".r
+    assert(badExchange.findFirstIn(plan).isEmpty,
+      s"a shuffle carries raw text (must carry md5 keys only):\n$plan")
+  }
+
+  test("q_agg_pct_exact contains no exact value-map percentile aggregate") {
+    val df = SparkEntry.queries("q_agg_pct_exact")(spark, sf0001)
+    df.collect() // finalize AQE so runtime exchange reuse is visible
+    val plan = df.queryExecution.explainString(FormattedMode)
+    // the whole point: exactness WITHOUT Spark's per-group value-map
+    // aggregate (only the bracketing sketch may appear)
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty,
+      s"plan regressed to the exact percentile value-map aggregate:\n$plan")
+    assert(plan.contains("approx_percentile"),
+      s"bracket sketch missing from plan:\n$plan")
+  }
+
   test("q_contamination keeps the broadcast eval-gram semi-join") {
     val plan = formatted("q_contamination")
     assert(plan.contains("BroadcastHashJoin"),

@@ -101,6 +101,7 @@ object SparkEntry {
     "q_sample_stratified" -> (TrainPrep.sampleStratified _),
     "q_source_mix"     -> (TrainPrep.sourceMix _),
     "q_mix_temperature" -> (TrainPrep.mixTemperature _),
+    "q_sample_weighted" -> (TrainPrep.sampleWeighted _),
     "q_profile_stats"  -> ((s, dir) => TrainPrep.profileStats(s, dir)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
     // multimodal
@@ -641,6 +642,25 @@ object SparkEntry {
         |  ROUND(w * 10000) / 10000 AS p_weight,
         |  ROUND(w / p * 10000) / 10000 AS upsample
         |FROM c ORDER BY lang""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH a AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |           FROM documents GROUP BY lang),
+        |     b AS (SELECT lang, CAST(sum_tokens AS DOUBLE) / SUM(sum_tokens) OVER () AS p,
+        |             POWER(CAST(sum_tokens AS DOUBLE) / SUM(sum_tokens) OVER (), 0.3) AS pa
+        |           FROM a),
+        |     r AS (SELECT lang, LEAST(CAST(1.0 AS DOUBLE),
+        |             CAST(0.5 AS DOUBLE) * (pa / SUM(pa) OVER ()) / p) AS rate FROM b),
+        |     rt AS (SELECT lang, rate,
+        |             printf('%04x', CAST(FLOOR(rate * 65536) AS BIGINT)) AS thr FROM r),
+        |     k AS (SELECT d.lang, rt.rate,
+        |             CASE WHEN rt.rate >= 1.0 OR substr(md5(d.text), 1, 4) < rt.thr
+        |               THEN 1 ELSE 0 END AS kept
+        |           FROM documents d JOIN rt ON d.lang = rt.lang)
+        |SELECT lang, COUNT(1) AS n_docs, CAST(SUM(kept) AS BIGINT) AS kept_docs,
+        |  ROUND(MIN(rate) * 10000) / 10000 AS target_rate,
+        |  ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(1) * 10000) / 10000 AS kept_frac
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_split_assign" ->
       """SELECT lang, split, COUNT(1) AS docs FROM (

@@ -342,6 +342,51 @@ object TrainPrep {
       .orderBy("lang")
   }
 
+  /** APPLY the temperature mix policy ([[mixTemperatureOn]]) as a
+    * deterministic sampler: per-language keep rate = targetFrac · w/p
+    * (clipped at 1 — upsampling beyond 1 is an epoch-repetition decision,
+    * not a subsampling one), decided per document by its content-hash
+    * bucket (first 4 md5 hex digits < the rate's 4-digit hex threshold) —
+    * reproducible across runs AND engines, leakage-free for duplicate
+    * texts. The rates are DATA-DERIVED (one aggregate + metadata windows)
+    * and broadcast back onto the corpus, so no driver loop and one
+    * corpus-wide pass decide every document.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    sampleWeightedOn(Tables.documents(s, dir), alpha = 0.3, targetFrac = 0.5)
+
+  /** [[sampleWeighted]] over an arbitrary (lang, text) frame. */
+  def sampleWeightedOn(docs: DataFrame, alpha: Double,
+      targetFrac: Double): DataFrame = {
+    val wAll = Window.partitionBy()
+    val rates = docs
+      .select(col("lang"), size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy("lang")
+      .agg(sum(col("n_tokens")).cast("bigint").as("sum_tokens"))
+      .withColumn("p", col("sum_tokens") / sum(col("sum_tokens")).over(wAll))
+      .withColumn("w", pow(col("p"), lit(alpha)) /
+        sum(pow(col("p"), lit(alpha))).over(wAll))
+      .withColumn("rate",
+        least(lit(1.0), lit(targetFrac) * col("w") / col("p")))
+      // 4-hex-digit threshold for the lexical content-hash compare; a
+      // saturated rate keeps everything (the 5-digit "10000" threshold
+      // would compare wrong lexically, hence the explicit >= 1 branch)
+      .select(col("lang"), col("rate"),
+        format_string("%04x", floor(col("rate") * 65536).cast("long"))
+          .as("thr"))
+    docs
+      .join(broadcast(rates), "lang")
+      .select(col("lang"), col("rate"),
+        (col("rate") >= 1.0 ||
+          substring(md5(col("text")), 1, 4) < col("thr"))
+          .cast("int").as("kept"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("kept_docs"),
+        Norm.r4(first(col("rate"))).as("target_rate"))
+      .withColumn("kept_frac", Norm.r4(col("kept_docs") / col("n_docs")))
+      .orderBy("lang")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates decided by
     * a content-hash bucket (md5 hex prefix), so the sample is reproducible
     * across runs AND engines, and duplicate texts land on the same side of

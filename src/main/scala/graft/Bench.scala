@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark main: runs every declared query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
@@ -7,8 +9,43 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through the noop sink (format("noop")) rather than
   * count(): count() lets Catalyst collapse projection-only plans to a row
   * count, which would benchmark the scan instead of the operators.
+  *
+  * The artifact is SELF-ATTRIBUTING (r13 verdict #1): every timed sample
+  * also records task-attributed GC time, shuffle spill (memory + disk),
+  * shuffle bytes written, process-level GC delta, and the retained heap
+  * after reclamation — so a driver-vs-local residual (the r13 2.01× gate
+  * breach, concentrated in the dedup family's persist+shuffle window) can
+  * be read off the driver JSON alone: high wall + high gc/spill = memory
+  * pressure in-JVM; high wall + flat gc/spill/heap = host-side slowness
+  * (CPU steal, page-cache-starved shuffle reads) no code change can see.
   */
 object Bench {
+
+  /** Sums task-level metrics between resets. Registered once; the
+    * listener bus is async, so snapshots follow a short drain pause —
+    * per-sample values are attribution-grade, not accounting-grade.
+    */
+  private final class TaskTelemetry extends SparkListener {
+    val gcMs, spillMem, spillDisk, shufWrite = new AtomicLong
+    val peakExec = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        gcMs.addAndGet(m.jvmGCTime)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peakExec.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    def reset(): Unit =
+      Seq(gcMs, spillMem, spillDisk, shufWrite, peakExec).foreach(_.set(0L))
+  }
+
+  /** One timed sample's telemetry (bytes already scaled to MiB). */
+  private final case class Tele(gcMs: Long, procGcMs: Long, spillMb: Long,
+    shufMb: Long, peakExecMb: Long, heapAfterMb: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,6 +69,17 @@ object Bench {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val telemetry = new TaskTelemetry
+    spark.sparkContext.addSparkListener(telemetry)
+    val gcBeans = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    }
+    def procGcMs(): Long = gcBeans.map(_.getCollectionTime).filter(_ > 0).sum
+    def heapUsedMb(): Long = {
+      val r = Runtime.getRuntime
+      (r.totalMemory - r.freeMemory) >> 20
+    }
     // untimed warm-up: a REPRESENTATIVE query — full scan, shuffle,
     // hash + HLL aggregate — through the noop sink. The previous
     // 1000-row scan+noop left most of codegen/threadpool/shuffle
@@ -79,13 +127,18 @@ object Bench {
     // ones 2-8x in the round-4 run (q_from_json 8.6s in-run vs 1.7s
     // isolated) with no code change. Explicitly unpersist every cached
     // block (blocking), then force a GC and give the async cleaner thread
-    // a moment to drain shuffle/broadcast removals.
-    def reclaim(): Unit = {
+    // a moment to drain shuffle/broadcast removals. `deep` doubles the
+    // GC + drain cycle — used before each heavy-family query, the r13
+    // driver breach's window, so accumulated suite state from the ~40
+    // preceding queries is reclaimed before the memory-hungriest plans
+    // run rather than during them.
+    def reclaim(deep: Boolean = false): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
       Thread.sleep(300)
+      if (deep) { System.gc(); Thread.sleep(500) }
     }
     // Each query is timed REPEATS times back-to-back (reclamation between
     // runs) and scored by its MEDIAN. Single-shot timing let one transient
@@ -109,6 +162,7 @@ object Bench {
       val heavy = HeavyFamilies(name.split("_")(1))
       val repeats = if (heavy) math.max(Repeats, 5) else Repeats
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val teles = scala.collection.mutable.ArrayBuffer.empty[Tele]
       var failed = false
       // heavy-family queries get ONE untimed warm run first: their plans
       // span ~10 codegen'd stages plus iterative sub-plans (label
@@ -118,6 +172,7 @@ object Bench {
       // Warming compiles the steady state the samples are meant to measure;
       // the trimmed median then sees spread from the host, not the JIT.
       if (heavy) {
+        reclaim(deep = true)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed (warm): ${e.getMessage}")
@@ -127,6 +182,8 @@ object Bench {
       }
       var i = 0
       while (i < repeats && !failed) {
+        telemetry.reset()
+        val gc0 = procGcMs()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
@@ -134,8 +191,15 @@ object Bench {
           failed = true // a failure is not a sample; don't re-run a broken query
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        if (!failed) samples += elapsed
-        reclaim()
+        val gcDelta = procGcMs() - gc0
+        reclaim() // also drains the listener bus for the snapshot below
+        if (!failed) {
+          samples += elapsed
+          teles += Tele(telemetry.gcMs.get, gcDelta,
+            (telemetry.spillMem.get + telemetry.spillDisk.get) >> 20,
+            telemetry.shufWrite.get >> 20, telemetry.peakExec.get >> 20,
+            heapUsedMb())
+        }
         i += 1
       }
       val median = if (samples.isEmpty) 0.0 else {
@@ -146,7 +210,7 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
-      (name, median, samples.toSeq, failed)
+      (name, median, samples.toSeq, failed, teles.toSeq)
     }
     // A query with ZERO samples must not contribute its near-zero elapsed
     // time to the JSON (that would read as a speedup) — excluded from the
@@ -156,12 +220,12 @@ object Bench {
     // non-comparable) and is STILL listed in `failed` so the run is honest
     // about it.
     val scored = results.filter(_._3.nonEmpty)
-    val qs = scored.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = scored.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sampleJson = scored.map { case (k, _, ss, _) =>
+    val sampleJson = scored.map { case (k, _, ss, _, _) =>
       s"\"" + k + "\":" + ss.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, true) => s"\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, true, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = scored.map(_._2).sum
     // Per-family normalization summary so a reader can separate host noise
@@ -169,21 +233,62 @@ object Bench {
     // query family (the token after "q_"), the summed median, the query
     // count, and the floor-adjusted plan cost (sum - n*floor_sec — what the
     // family costs beyond the irreducible per-query scheduling price).
-    val famJson = scored.map { case (k, v, _, _) => (k.split("_")(1), v) }
+    val famJson = scored.map { case (k, v, _, _, _) => (k.split("_")(1), v) }
       .groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, rs) =>
         val s = rs.map(_._2).sum
         val adj = math.max(0.0, s - rs.size * floorSec)
         f"""\"$fam\":{\"sec\":$s%.3f,\"n\":${rs.size},\"above_floor\":$adj%.3f}"""
       }.mkString("{", ",", "}")
     // The driver's artifact keeps only the TAIL of the output, which
-    // truncates the full per-query samples map away — so re-emit just the
-    // 3 slowest queries' samples near the end of the line, where they
-    // survive. That is exactly the data a driver-vs-local residual
-    // analysis needs (the heavy lines are where host effects concentrate):
-    // uniform spread = host speed, one outlier sample = transient skew.
-    val slowSamples = scored.sortBy(-_._2).take(3).map { case (k, _, ss, _) =>
+    // truncates the full per-query samples map away — so re-emit the
+    // slowest queries' samples AND their per-sample telemetry near the end
+    // of the line, where they survive. That is exactly the data a
+    // driver-vs-local residual analysis needs (the heavy lines are where
+    // host effects concentrate): wall up + gc/spill up = in-JVM memory
+    // pressure; wall up + gc/spill/heap flat = host-side slowness.
+    val slowest = scored.sortBy(-_._2).take(5)
+    val slowSamples = slowest.map { case (k, _, ss, _, _) =>
       s"\"" + k + "\":" + ss.map(s => f"$s%.2f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val slowTele = slowest.map { case (k, _, _, _, ts) =>
+      def arr(f: Tele => Long) = ts.map(f).mkString("[", ",", "]")
+      s"\"" + k + "\":" +
+        s"""{"task_gc_ms":${arr(_.gcMs)},"proc_gc_ms":${arr(_.procGcMs)},""" +
+        s""""spill_mb":${arr(_.spillMb)},"shuf_mb":${arr(_.shufMb)},""" +
+        s""""peak_exec_mb":${arr(_.peakExecMb)},"heap_after_mb":${arr(_.heapAfterMb)}}"""
+    }.mkString("{", ",", "}")
+    // r12-#7 / r13-#6: the artifact self-reports its own sample stability.
+    // A query whose timed samples spread beyond 2x (max/min) saw a host
+    // transient the median had to absorb; the list names them so a verdict
+    // never needs a local re-run to ask "was the gate number stable".
+    val spreadViolations = scored.collect {
+      case (k, _, ss, _, _) if ss.min > 0 && ss.max / ss.min > 2.0 =>
+        f""""$k":${ss.max / ss.min}%.2f"""
+    }.mkString("{", ",", "}")
+    // heavy lines additionally report median AND trimmed mean: a sustained
+    // slow window (4 of 5 samples hit — the r13 driver signature) drags
+    // both, a single transient moves neither, and the pair's divergence
+    // separates the two cases in the artifact itself.
+    val heavyStats = scored.filter { case (k, _, _, _, _) =>
+      HeavyFamilies(k.split("_")(1)) }.map { case (k, med, ss, _, _) =>
+      val s0 = ss.sorted
+      val trimmed = if (s0.size >= 5) s0.slice(1, s0.size - 1) else s0
+      val tmean = trimmed.sum / trimmed.size
+      f""""$k":{"median":$med%.2f,"trimmed_mean":$tmean%.2f}"""
+    }.mkString("{", ",", "}")
+    // r13 verdict #3: q_sim_ivf_trained's timed line conflates codebook
+    // TRAINING (4 Lloyd's iterations, inherent to the declared semantics —
+    // nothing is cached) with probe cost. Time the same training call the
+    // query makes, report both shares; probe-only should be comparable to
+    // q_sim_ivf's label-quantizer path.
+    val ivfSplit = scored.find(_._1 == "q_sim_ivf_trained").map { case (_, med, _, _, _) =>
+      reclaim()
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.trainKMeans(
+        Tables.embeddings(spark, sfDir), k = 10, iters = 4).count()
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      f""","ivf_split":{"train_sec":$trainSec%.3f,"probe_sec":${math.max(0.0, med - trainSec)}%.3f}"""
+    }.getOrElse("")
     // self-report the declared-baseline ratio (BASELINE.md convention: sum
     // over the intersection of query names vs the pinned DuckDB totals)
     // whenever the pinned baseline for this scale factor is present
@@ -198,13 +303,13 @@ object Bench {
         val txt = java.nio.file.Files.readString(p)
         val baseQ = "\"(q_\\w+)\":\\s*([0-9.]+)".r
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val mine = scored.collect { case (k, v, _, _) if baseQ.contains(k) => k -> v }.toMap
+        val mine = scored.collect { case (k, v, _, _, _) if baseQ.contains(k) => k -> v }.toMap
         val (s1, s2) = (mine.values.sum, mine.keys.map(baseQ).sum)
         if (s2 > 0) s""","baseline_total":$s2,"baseline_queries":${mine.size},"vs_baseline":${s1 / s2}"""
         else ""
       } else ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"slow_samples":$slowSamples,"failed":$failed,"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$vsBaseline}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"slow_samples":$slowSamples,"slow_telemetry":$slowTele,"spread_violations":$spreadViolations,"heavy_stats":$heavyStats,"failed":$failed,"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$ivfSplit$vsBaseline}""")
     spark.stop()
   }
 }

@@ -652,7 +652,7 @@ object SparkEntry {
         |     r AS (SELECT lang, LEAST(CAST(1.0 AS DOUBLE),
         |             CAST(0.5 AS DOUBLE) * (pa / SUM(pa) OVER ()) / p) AS rate FROM b),
         |     rt AS (SELECT lang, rate,
-        |             printf('%04x', CAST(FLOOR(rate * 65536) AS BIGINT)) AS thr FROM r),
+        |             printf('%04x', CAST(FLOOR(ROUND(rate * 10000) / 10000 * 65536) AS BIGINT)) AS thr FROM r),
         |     k AS (SELECT d.lang, rt.rate,
         |             CASE WHEN rt.rate >= 1.0 OR substr(md5(d.text), 1, 4) < rt.thr
         |               THEN 1 ELSE 0 END AS kept

@@ -95,6 +95,24 @@ object Dedup {
   private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
     blockedShingles(Tables.documents(s, dir))
 
+  /** Replace each shingle STRING with its 64-bit xxhash64 fingerprint,
+    * map-side, before the arrays are persisted or any gram leaves its
+    * partition. Set distinctness, sizes, intersections, and document
+    * frequencies are all preserved under an injective-in-practice hash
+    * (collision odds across d distinct grams ≈ d²/2⁶⁵ — ~10⁻⁷ at the
+    * ~10⁶-gram fixture, and any collision would surface loudly as an
+    * oracle hash mismatch, never silently). What changes is the FOOTPRINT:
+    * a ~30-byte 3-word shingle string (plus JVM object overhead in a
+    * deserialized cache) becomes 8 bytes, so the persisted shingle base,
+    * the exploded gram stream, and every candidate-generation groupBy /
+    * co-count join shuffles longs instead of text — the r13→r14 driver
+    * bench breach concentrated exactly in this family's cache+shuffle
+    * pressure, and at 100 TB "fingerprints in the shuffle, never text" is
+    * the only shape that holds regardless of host memory headroom.
+    */
+  private[operators] def gramFingerprints(base: DataFrame): DataFrame =
+    base.withColumn("shingles", transform(col("shingles"), g => xxhash64(g)))
+
   /** |shingles(a) ∩ shingles(b)| per candidate pair via re-exploded
     * co-count: pair × a-grams, equi-joined against b-grams on (b_id, gram),
     * counted. No shingle ARRAY ever ships through a shuffle — the former
@@ -347,8 +365,10 @@ object Dedup {
     // a token-level Window.partitionBy(doc_id) sort shuffle feeding two
     // window leads plus a 4-column distinct groupBy — disappears entirely
     // (it was 29 s of the 93 s round-3 bench; the arrays compute the
-    // identical stream map-side).
-    val base = blockedShingles(docs)
+    // identical stream map-side). The persisted arrays hold gram
+    // FINGERPRINTS ([[gramFingerprints]]), not strings — the cache and
+    // every downstream shuffle carry 8-byte longs.
+    val base = gramFingerprints(blockedShingles(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ngramPairs(base, threshold, hotCap)
       .orderBy("a_id", "b_id")
@@ -386,8 +406,10 @@ object Dedup {
     // into a per-row scan predicate: un-persisted, the inferred
     // size(array_distinct(transform(...))) > 0 condition inlines
     // split(text) PER GRAM ACCESS in both branches — O(tokens²) per doc
-    // in a filter, measured 8.6 s vs 1.9 s for the same query at sf0.1
-    val base = shingledOf(docs)
+    // in a filter, measured 8.6 s vs 1.9 s for the same query at sf0.1.
+    // Grams are 64-bit fingerprints ([[gramFingerprints]]): the df
+    // aggregate keys and the join ship longs, never gram text.
+    val base = gramFingerprints(shingledOf(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = base.select(col("doc_id"), explode(col("shingles")).as("gram"))
     // per-doc arrays are distinct, so count(1) here = docs containing gram
@@ -465,8 +487,11 @@ object Dedup {
     // cold-first-sample residual switched every shingle cache to
     // MEMORY_AND_DISK_SER and LOST on both cold and warm samples
     // (ABLOG_r10.md) — the kryo/serialization cost of the string arrays
-    // exceeds what the smaller blocks save.
-    val base = blockedShingles(docs).persist(MEMORY_AND_DISK)
+    // exceeds what the smaller blocks save. r14 removes the strings
+    // instead of re-encoding them: the cached arrays are 64-bit gram
+    // fingerprints ([[gramFingerprints]]), the cheaper answer to the same
+    // footprint problem that A/B was probing.
+    val base = gramFingerprints(blockedShingles(docs)).persist(MEMORY_AND_DISK)
     clusterPairs(
       ngramPairs(base, threshold = 0.2, hotCap = 25)
         .select(col("a_id"), col("b_id")),

@@ -122,8 +122,19 @@ object Quantiles {
         when(floor(col("t")) === col("below") - 1, col("prevv"))))
       .withColumn("v_u", coalesce(col("v_u0"),
         when(ceil(col("t")) === col("below") + col("csum"), col("nextv"))))
+      // Integral t needs only ONE endpoint: floor(t)==ceil(t) means the
+      // exact answer is the value at that single rank, so either endpoint
+      // column that resolved carries it — coalesce instead of
+      // interpolating, otherwise a one-rank sketch miss that filled v_l
+      // (via prevv) but not v_u would null-propagate through
+      // `v_l + 0*(null - v_l)` even though the answer is known.
+      // Fractional t uses Spark Percentile's weighted form
+      // (1−frac)·lower + frac·higher (not lower + frac·(higher−lower)),
+      // keeping the bit-identity claim robust rather than 1-ulp-fragile.
+      .withColumn("frac", col("t") - floor(col("t")))
       .select(col("g"), col("p"),
-        (col("v_l") + (col("t") - floor(col("t"))) *
-          (col("v_u") - col("v_l"))).as("pct"))
+        when(col("frac") === 0.0, coalesce(col("v_l"), col("v_u")))
+          .otherwise((lit(1.0) - col("frac")) * col("v_l") +
+            col("frac") * col("v_u")).as("pct"))
   }
 }

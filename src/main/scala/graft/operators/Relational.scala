@@ -111,6 +111,10 @@ object Relational {
       // aggregate, which plans an Expand that ships every input row twice
       // through the shuffle; here the first aggregate's map-side partial
       // dedup collapses the fact table before anything moves.
+      // null partkeys are dropped so the exact count(1) companion keeps
+      // matching approx_count_distinct's null-ignoring semantics on
+      // null-bearing columns (a (flag, NULL) pair would otherwise count)
+      .filter(col("l_partkey").isNotNull)
       .select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Norm, Tables}
@@ -214,30 +214,39 @@ object TrainPrep {
 
   /** Data-profiling / validation report — the expectations stage a pipeline
     * runs before training: per-column null counts, exact cardinality, and
-    * numeric range over the fact table. ONE pass: a single wide aggregate
-    * computes every statistic (all map-side combinable; the distinct
-    * counts expand internally but stay one shuffle), and the per-column
-    * long-form rows are reshaped map-side from the 1-row result with
-    * `explode(array(struct(...)))` — never one scan per column.
+    * numeric range over the fact table.
     *
-    * Cardinalities are EXACT by default because the driver oracle demands
-    * it; `approx = true` swaps every `countDistinct` for
-    * `approx_count_distinct` (HLL sketch, no internal expand — the
-    * q_agg_approx path), which is the production trade at 100 TB where the
-    * five-way expand multiplies the scan. Everything else — schema, null
-    * counts, ranges, reshape — is identical, and a ±5% property test pins
-    * the sketch against the exact variant.
+    * EXACT default (the driver-oracle shape): ONE scan feeding a
+    * per-(column, value) two-level aggregate. The row is exploded into 5
+    * (col_name, value-as-string, value-as-double) structs in-stage; the
+    * first hash aggregate's MAP-SIDE partials collapse that stream to one
+    * row per distinct (column, value) — so the shuffle is O(Σ per-column
+    * cardinality), never O(rows) — and the second (tiny) aggregate reads
+    * every statistic out of the per-value counters: cardinality = row
+    * count, null count = the null-value group's counter, n_rows = Σ
+    * counters, range = min/max of the numeric mirror. This replaces the
+    * former single wide aggregate with 5 `countDistinct`s, whose
+    * multi-distinct rewrite pays a 5-way Expand + a 3-level aggregate
+    * over O(rows) expanded records (the r13 floor decomposition's ~0.65 s
+    * at sf0.1 and the worst driver-host line, 2.68 s in BENCH_r13) — and
+    * unlike that plan its shuffle stays metadata-sized at 100 TB.
+    *
+    * `approx = true` is the sketch variant — the single wide aggregate
+    * with `approx_count_distinct` per column (HLL, no expand, one 1-row
+    * result): the production trade when even per-value counters are not
+    * worth a shuffle; a ±5% property test pins it against the exact
+    * variant, and a plan guard pins both shapes Expand-free.
     */
   def profileStats(s: SparkSession, dir: String,
       approx: Boolean = false): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    if (!approx) return profileStatsExact(li)
     def nulls(c: String) =
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
     // rsd 0.02: the default 0.05 sketch misses ±5% on low-cardinality
     // columns (measured: 47 vs 50 on l_quantity); the tighter sketch is
     // still a constant-size HLL, trivially mergeable at 100 TB
-    def nd(c: org.apache.spark.sql.Column) =
-      if (approx) approx_count_distinct(c, 0.02) else countDistinct(c)
-    val li = Tables.lineitem(s, dir)
+    def nd(c: org.apache.spark.sql.Column) = approx_count_distinct(c, 0.02)
     val agg = li.agg(
       count(lit(1)).as("n"),
       nulls("l_quantity"), nd(col("l_quantity")).as("l_quantity_nd"),
@@ -281,6 +290,47 @@ object TrainPrep {
       // orderBy's range exchange (in-bench A/B round 13: 1.35 s vs 1.50 s
       // same host window)
       .sortWithinPartitions("col_name")
+  }
+
+  /** Exact [[profileStats]] core: per-(column, value) counters, then a
+    * per-column rollup. The distinct key is the value's STRING form
+    * (injective for double / timestamp / string inputs, and uniform so
+    * all 5 columns ride one exploded struct array); the numeric mirror
+    * (`vd`) carries the range stats — for `l_shipdate` that is the same
+    * per-row epoch-ms conversion the r13 A/B pinned as the cheaper
+    * placement, for the non-numeric `l_returnflag` it is null so the
+    * rollup's min/max emit the oracle's NULL range columns. A null value
+    * groups like any other (one group per column) and its counter IS the
+    * null count; `n_distinct` counts only the non-null groups, matching
+    * COUNT(DISTINCT)'s null-ignoring semantics.
+    */
+  private def profileStatsExact(li: DataFrame): DataFrame = {
+    val specs: Seq[(String, Column, Column)] = Seq(
+      ("l_quantity", col("l_quantity").cast("string"),
+        col("l_quantity").cast("double")),
+      ("l_discount", col("l_discount").cast("string"),
+        col("l_discount").cast("double")),
+      ("l_tax", col("l_tax").cast("string"),
+        col("l_tax").cast("double")),
+      ("l_shipdate", col("l_shipdate").cast("string"),
+        Norm.ms(col("l_shipdate").cast("timestamp")).cast("double")),
+      ("l_returnflag", col("l_returnflag"), lit(null).cast("double")))
+    li
+      .select(explode(array(specs.map { case (n, vs, vd) =>
+        struct(lit(n).as("c"), vs.as("vs"), vd.as("vd"))
+      }: _*)).as("e"))
+      .select(col("e.c").as("c"), col("e.vs").as("vs"), col("e.vd").as("vd"))
+      .groupBy("c", "vs")
+      .agg(count(lit(1)).as("cnt"), min(col("vd")).as("vd"))
+      .groupBy("c")
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(col("vs").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_nulls"),
+        count(when(col("vs").isNotNull, lit(1))).as("n_distinct"),
+        min(col("vd")).as("min_num"), max(col("vd")).as("max_num"))
+      .select(col("c").as("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_num"), col("max_num"))
+      .orderBy("col_name")
   }
 
   /** Corpus-mix report — the curation dashboard behind data-mix decisions:
@@ -370,10 +420,14 @@ object TrainPrep {
         least(lit(1.0), lit(targetFrac) * col("w") / col("p")))
       // 4-hex-digit threshold for the lexical content-hash compare; a
       // saturated rate keeps everything (the 5-digit "10000" threshold
-      // would compare wrong lexically, hence the explicit >= 1 branch)
+      // would compare wrong lexically, hence the explicit >= 1 branch).
+      // The rate is rounded to 4 decimals BEFORE the ×65536 floor — rate
+      // comes out of pow() plus an unordered double window-sum, and
+      // JVM-vs-DuckDB libm/accumulation-order differences could otherwise
+      // flip the floor at a bucket boundary, changing per-doc keeps.
       .select(col("lang"), col("rate"),
-        format_string("%04x", floor(col("rate") * 65536).cast("long"))
-          .as("thr"))
+        format_string("%04x",
+          floor(Norm.r4(col("rate")) * 65536).cast("long")).as("thr"))
     docs
       .join(broadcast(rates), "lang")
       .select(col("lang"), col("rate"),

@@ -227,11 +227,14 @@ class PlanGuardSpec extends SparkSpec {
       s"eval-gram join regressed to sort-merge:\n$plan")
   }
 
-  test("profileStats(approx = true) plans without an Expand") {
-    // the exact default pays a 5-way Expand for its countDistincts (the
-    // oracle-forced shape); the at-scale variant must swap ALL of them for
-    // mergeable HLL sketches — one Expand left behind means one column
-    // still multiplies the scan
+  test("profileStats plans without an Expand in BOTH variants") {
+    // the at-scale approx variant swaps every countDistinct for a
+    // mergeable HLL sketch (no multi-distinct rewrite, so no Expand); the
+    // exact default is the r14 per-(column, value) two-level aggregate —
+    // a Generate feeding a map-side-partial hash aggregate — so neither
+    // shape may multiply the scan through Expand, and the exact path must
+    // keep its Generate (losing it would mean the reshape collapsed back
+    // into a per-column plan)
     val approx = graft.operators.TrainPrep
       .profileStats(spark, sf0001, approx = true)
       .queryExecution.explainString(FormattedMode)
@@ -239,8 +242,10 @@ class PlanGuardSpec extends SparkSpec {
       s"approx profile must not expand the scan:\n$approx")
     val exact = graft.operators.TrainPrep.profileStats(spark, sf0001)
       .queryExecution.explainString(FormattedMode)
-    assert(exact.contains("Expand"),
-      "guard self-check: the exact default is the Expand-paying shape")
+    assert(!exact.contains("Expand"),
+      s"exact profile regressed to the multi-distinct Expand:\n$exact")
+    assert(exact.contains("Generate"),
+      s"exact profile lost its single-scan explode reshape:\n$exact")
   }
 
   test("literal-probe similarity plans derive no probe from the corpus") {

@@ -293,28 +293,36 @@ object TrainPrep {
   }
 
   /** Exact [[profileStats]] core: per-(column, value) counters, then a
-    * per-column rollup. The distinct key is the value's STRING form
-    * (injective for double / timestamp / string inputs, and uniform so
-    * all 5 columns ride one exploded struct array); the numeric mirror
-    * (`vd`) carries the range stats — for `l_shipdate` that is the same
-    * per-row epoch-ms conversion the r13 A/B pinned as the cheaper
-    * placement, for the non-numeric `l_returnflag` it is null so the
-    * rollup's min/max emit the oracle's NULL range columns. A null value
-    * groups like any other (one group per column) and its counter IS the
-    * null count; `n_distinct` counts only the non-null groups, matching
+    * per-column rollup. The distinct key is the value's 64-bit xxhash64
+    * FINGERPRINT (nulls kept as null so the null group stays its own
+    * counter): uniform across double / timestamp / string inputs so all 5
+    * columns ride one exploded struct array, 8 bytes in the aggregation
+    * buffer, and no per-row string materialization — the string-cast form
+    * of this key measured 1.7× slower at sf0.1 purely on cast+allocation
+    * cost. Injective in practice (collision odds across d distinct values
+    * ≈ d²/2⁶⁵; any collision undercounts a cardinality and surfaces as an
+    * oracle mismatch, never silently). The numeric mirror (`vd`) carries
+    * the range stats — for `l_shipdate` that is the same per-row epoch-ms
+    * conversion the r13 A/B pinned as the cheaper placement, for the
+    * non-numeric `l_returnflag` it is null so the rollup's min/max emit
+    * the oracle's NULL range columns. A null value groups like any other
+    * (one group per column) and its counter IS the null count;
+    * `n_distinct` counts only the non-null groups, matching
     * COUNT(DISTINCT)'s null-ignoring semantics.
     */
   private def profileStatsExact(li: DataFrame): DataFrame = {
+    def key(c: Column): Column =
+      when(c.isNull, lit(null).cast("long")).otherwise(xxhash64(c))
     val specs: Seq[(String, Column, Column)] = Seq(
-      ("l_quantity", col("l_quantity").cast("string"),
+      ("l_quantity", key(col("l_quantity")),
         col("l_quantity").cast("double")),
-      ("l_discount", col("l_discount").cast("string"),
+      ("l_discount", key(col("l_discount")),
         col("l_discount").cast("double")),
-      ("l_tax", col("l_tax").cast("string"),
+      ("l_tax", key(col("l_tax")),
         col("l_tax").cast("double")),
-      ("l_shipdate", col("l_shipdate").cast("string"),
+      ("l_shipdate", key(col("l_shipdate")),
         Norm.ms(col("l_shipdate").cast("timestamp")).cast("double")),
-      ("l_returnflag", col("l_returnflag"), lit(null).cast("double")))
+      ("l_returnflag", key(col("l_returnflag")), lit(null).cast("double")))
     li
       .select(explode(array(specs.map { case (n, vs, vd) =>
         struct(lit(n).as("c"), vs.as("vs"), vd.as("vd"))

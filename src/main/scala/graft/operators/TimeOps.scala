@@ -43,15 +43,24 @@ object TimeOps {
 
   /** Session windows per user, 30-minute gap — batch analogue via
     * lag + cumulative sum of session-break flags; matches streaming
-    * session_window gap semantics (gap measured event-to-event).
+    * session_window gap semantics (gap measured event-to-event; a gap of
+    * EXACTLY the threshold merges in both formulations — streaming merges
+    * sessions whose intervals touch, this breaks only on `> gap`;
+    * parity is pinned by the StreamingSurfaceSpec batch↔stream case).
     */
-  def session(s: SparkSession, dir: String): DataFrame = {
+  def session(s: SparkSession, dir: String): DataFrame =
+    sessionOn(Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        Norm.ms(col("ts")).as("ts_ms")))
+
+  /** [[session]] over an arbitrary (event_id, user_id, value, ts_ms)
+    * frame — event_id is the deterministic equal-timestamp tiebreak.
+    */
+  def sessionOn(events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts_ms").asc, col("event_id").asc)
-    val gapMs = 30L * 60 * 1000
-    Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("value"),
-        Norm.ms(col("ts")).as("ts_ms"))
+    events
       .withColumn("new_session",
         when(col("ts_ms") - lag("ts_ms", 1).over(byUser) > gapMs, 1)
           .when(lag("ts_ms", 1).over(byUser).isNull, 1).otherwise(0))

@@ -92,54 +92,9 @@ final class GraftScan(
   private lazy val plannedFiles: Seq[(String, Map[String, String])] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    // bloom sidecars are probed only when a membership-shaped predicate is
-    // pushed, and only for files that SURVIVE min/max pruning — the
-    // driver-side sidecar IO of a point lookup is bounded by its stats
-    // survivor count, and a scan with no equality predicates reads none
-    lazy val bloomFs = new org.apache.hadoop.fs.Path(opts.tableDir)
-      .getFileSystem(conf)
-    val membership = pushedSourceFilters.exists(hasMembershipShape)
-    // only the columns named by membership predicates are worth loading
-    // from a sidecar — others' bitsets are skipped at read ([[Bloom.read]])
-    val bloomWanted = Bloom.membershipAttributes(pushedSourceFilters.toSeq)
-    new CommitLog(opts.tableDir, conf).committedFilesWithStats().flatMap {
-      case (f, stats) =>
-        // Hive-style col=value segments below the table root only (the
-        // warehouse base path may itself contain k=v-shaped directories)
-        val parts = CommitLog
-          .partitionSegments(f, s"${opts.db}.${opts.table}").toMap
-        // partition pruning: drop files whose directory values contradict a
-        // pushed equality predicate (values compared in path encoding)
-        val pruned = partitionPredicates.exists { case (k, v) =>
-          parts.get(k).exists(_ != v)
-        } ||
-          // FILE SKIPPING on manifest-recorded column stats: a pushed
-          // predicate that provably excludes every row of a file (min/max/
-          // null counts, [[FileStats]]) drops it before an input partition
-          // exists — no footer opened, no task scheduled. Filters are all
-          // re-applied post-scan, so this only ever removes IO
-          stats.exists(st => pushedSourceFilters.exists(st.prunes)) ||
-          // BLOOM SKIPPING on per-file sidecars ([[Bloom]]): a membership
-          // predicate whose value the file's bloom proves absent drops the
-          // file — the high-cardinality complement of min/max (same
-          // conservative contract: missing/foreign sidecars never skip)
-          (membership && Bloom.read(bloomFs, f, Some(bloomWanted)).exists(b =>
-            pushedSourceFilters.exists(b.prunes)))
-        if (pruned) None else Some(f -> parts)
-    }
+    GraftScan.planFiles(opts.tableDir, s"${opts.db}.${opts.table}", conf,
+      partitionPredicates, pushedSourceFilters)
   }
-
-  private def hasMembershipShape(f: org.apache.spark.sql.sources.Filter): Boolean =
-    f match {
-      case org.apache.spark.sql.sources.And(l, r) =>
-        hasMembershipShape(l) || hasMembershipShape(r)
-      case org.apache.spark.sql.sources.Or(l, r) =>
-        hasMembershipShape(l) && hasMembershipShape(r)
-      case _: org.apache.spark.sql.sources.EqualTo => true
-      case _: org.apache.spark.sql.sources.EqualNullSafe => true
-      case _: org.apache.spark.sql.sources.In => true
-      case _ => false
-    }
 
   override def planInputPartitions(): Array[InputPartition] =
     plannedFiles.map { case (f, parts) =>
@@ -185,6 +140,67 @@ final case class GraftReaderFactory(
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftColumnarReader(p, requiredSchema, conf, filters)
   }
+}
+
+object GraftScan {
+
+  /** The driver-side FILE-PLANNING pass, shared verbatim between
+    * [[GraftScan.planInputPartitions]] and `graft.PlanScaleBench` (which
+    * times it at two file counts — at 100 TB this loop, not task launch,
+    * is the query's constant driver cost). Three-stage prune per committed
+    * file, cheapest test first and short-circuited:
+    *
+    *   1. PARTITION pruning — directory `col=value` segments against
+    *      pushed equality predicates; pure string work on the manifest
+    *      entry, no IO.
+    *   2. stats skipping — manifest-recorded min/max/null counts
+    *      ([[FileStats]]); no IO beyond the already-parsed manifest.
+    *   3. bloom skipping — per-file sidecar open + membership probe;
+    *      the ONLY per-file IO, paid solely by files that survive 1 and 2
+    *      under a membership-shaped predicate. A partition-pruned file
+    *      never opens its sidecar, so sidecar IO scales with the probed
+    *      partition's survivor count, never the table's file count.
+    *
+    * Filters are all re-applied post-scan, so every stage only ever
+    * removes IO, never rows it shouldn't.
+    */
+  private[graft] def planFiles(tableDir: String, dbTable: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      partitionPredicates: Seq[(String, String)],
+      pushedSourceFilters: Array[org.apache.spark.sql.sources.Filter])
+      : Seq[(String, Map[String, String])] = {
+    lazy val bloomFs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(conf)
+    val membership = pushedSourceFilters.exists(hasMembershipShape)
+    // only the columns named by membership predicates are worth loading
+    // from a sidecar — others' bitsets are skipped at read ([[Bloom.read]])
+    val bloomWanted = Bloom.membershipAttributes(pushedSourceFilters.toSeq)
+    new CommitLog(tableDir, conf).committedFilesWithStats().flatMap {
+      case (f, stats) =>
+        // Hive-style col=value segments below the table root only (the
+        // warehouse base path may itself contain k=v-shaped directories)
+        val parts = CommitLog.partitionSegments(f, dbTable).toMap
+        val pruned = partitionPredicates.exists { case (k, v) =>
+          parts.get(k).exists(_ != v)
+        } ||
+          stats.exists(st => pushedSourceFilters.exists(st.prunes)) ||
+          (membership && Bloom.read(bloomFs, f, Some(bloomWanted)).exists(b =>
+            pushedSourceFilters.exists(b.prunes)))
+        if (pruned) None else Some(f -> parts)
+    }
+  }
+
+  private def hasMembershipShape(f: org.apache.spark.sql.sources.Filter): Boolean =
+    f match {
+      case org.apache.spark.sql.sources.And(l, r) =>
+        hasMembershipShape(l) || hasMembershipShape(r)
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        hasMembershipShape(l) && hasMembershipShape(r)
+      case _: org.apache.spark.sql.sources.EqualTo => true
+      case _: org.apache.spark.sql.sources.EqualNullSafe => true
+      case _: org.apache.spark.sql.sources.In => true
+      case _ => false
+    }
 }
 
 /** Vectorized parquet scan of one committed file: Spark's columnar decoder

@@ -97,7 +97,34 @@ object OrcIO {
   }
 
   /** Streaming row writer over one ORC segment file. Same lifecycle as the
-    * parquet segment writer: create through the RAW fs (no client-side
+    * parquet segment writer.
+    *
+    * DECISION (r13 verdict #7) — bloom filters on ORC landings stay in the
+    * format-uniform SIDECAR ([[Bloom]]), and ORC's native writer blooms
+    * (`OrcFile.WriterOptions.bloomFilterColumns`) are deliberately NOT
+    * enabled:
+    *
+    *   - The sidecar serves DRIVER-side plan-time file skipping
+    *     ([[GraftScan.planFiles]] stage 3): a file is dropped before any
+    *     task is scheduled or footer opened. ORC native blooms live in
+    *     per-stripe footer metadata — reachable only AFTER a task has
+    *     opened the file, so they cannot participate in file planning at
+    *     all, and this reader ([[OrcIO.RowReader]]) deliberately decodes
+    *     whole committed segments (predicates re-applied by Spark
+    *     post-scan), so stripe-level skipping would also go unread.
+    *   - Compaction ([[Compact]]) OR-merges sidecars byte-wise without
+    *     decoding data files, identically for jsonl/parquet/orc inputs;
+    *     native blooms would force a format-aware re-derivation pass (read
+    *     every row back) to keep skipping alive across a fold.
+    *   - One mechanism, three formats: the sink's skipping behavior (and
+    *     its tests/bench evidence, SINKBENCH bloom lines) stays identical
+    *     whatever the landing format.
+    *
+    * If a stripe-level pushdown reader is ever added, native blooms become
+    * complementary (intra-file skipping after planning), not a
+    * replacement.
+    *
+    * Create through the RAW fs (no client-side
     * `.crc` sidecars — measured the dominant per-file cost on the parquet
     * path), rows buffer into a 1024-row `VectorizedRowBatch`, stripes
     * flush at 16 MiB to match the parquet segment's row-group sizing (a

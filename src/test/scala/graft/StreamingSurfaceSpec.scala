@@ -104,6 +104,58 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(rows === Set(("u1", 2L), ("u1", 1L), ("u2", 1L)))
   }
 
+  test("session windows: batch lag-cumsum analogue matches streaming session_window") {
+    // q_stream_session's batch formulation (TimeOps.sessionOn: lag +
+    // cumulative break-flag sum, break on gap > threshold) claims the
+    // SAME semantics as streaming session_window — including the exact-
+    // boundary case (gap == threshold merges: session_window merges
+    // touching intervals, the analogue breaks only on strict >). Run both
+    // over the same rows, boundary cases included, and compare sessions
+    // as (user, n_events, sum_value, start_ms) sets. Streaming
+    // window.end is start-of-last-event + gap while the batch analogue
+    // reports max event ts, so end times are intentionally not compared.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMin = 30
+    val rows = Seq(
+      // u1: 10:00, 10:29:59 (gap < 30m, same), 10:59:59 (== 30m exactly,
+      // must MERGE in both), 11:45 (> 30m, new session)
+      (1L, "u1", 1.0, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "u1", 2.0, Timestamp.valueOf("2024-01-01 10:29:59")),
+      (3L, "u1", 3.0, Timestamp.valueOf("2024-01-01 10:59:59")),
+      (4L, "u1", 4.0, Timestamp.valueOf("2024-01-01 11:45:00")),
+      // u2: one lone event, then one 30:01 later (> gap, new session)
+      (5L, "u2", 5.0, Timestamp.valueOf("2024-01-01 10:10:00")),
+      (6L, "u2", 6.0, Timestamp.valueOf("2024-01-01 10:40:01")))
+    val batchDf = rows.toDF("event_id", "user_id", "value", "ts")
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("ts").cast("double") * 1000).cast("long").as("ts_ms"))
+    val batch = graft.operators.TimeOps.sessionOn(batchDf)
+      .select($"user_id", $"n_events", $"sum_value", $"session_start_ms")
+      .as[(String, Long, Double, Long)].collect().toSet
+
+    val in = MemoryStream[(Long, String, Double, Timestamp)]
+    val agg = in.toDF().toDF("event_id", "user_id", "value", "ts")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", s"$gapMin minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+      .select($"user_id", $"n_events", $"sum_value",
+        (col("w.start").cast("double") * 1000).cast("long")
+          .as("session_start_ms"))
+    val q = agg.writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData((99L, "flush", 0.0, Timestamp.valueOf("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_parity")
+      .as[(String, Long, Double, Long)].collect()
+      .filter(_._1 != "flush").toSet
+    assert(streamed === batch,
+      s"streaming sessions $streamed != batch analogue $batch")
+  }
+
   test("tumbling/sliding windows (streaming window()) match the batch expression") {
     // q_stream_tumbling/q_stream_sliding claim their window() expression is
     // streaming-compatible verbatim; run the SAME groupBy under

@@ -71,6 +71,27 @@ class OperatorPropertiesSpec extends SparkSpec {
       Hyperplanes.bandKeysWide(col("v"), 17, 16) } // 272 > 256 planes
   }
 
+  test("gram fingerprints: ngram jaccard values equal the string-gram brute force") {
+    // the n-gram family shuffles 64-bit xxhash64 gram fingerprints, never
+    // gram text (Dedup.gramFingerprints); set sizes and intersections are
+    // preserved unless two distinct grams collide in 64 bits. This pins
+    // the reported jaccard of every surfaced pair to the DRIVER-side
+    // string-gram brute force — a collision anywhere in the fixture would
+    // shift a value and fail loudly (the DuckDB oracle asserts the same
+    // from the SQL side at sf0.01).
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val got = Dedup.ngramJaccardOn(docs, threshold = 0.2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(got.nonEmpty, "expected near-dup pairs at sf0.001")
+    got.foreach { case ((a, b), j) =>
+      val exact = exactJaccard.getOrElse((a, b), 0.0)
+      assert(math.abs(exact - j) <= 5e-5, // jaccard column is Norm.r4'd
+        s"pair ($a,$b): fingerprint jaccard $j vs string-gram $exact")
+    }
+  }
+
   test("minhash LSH pairs are contained in the exact-Jaccard pair set") {
     val got = Dedup.minhashLsh(spark, sf0001, threshold = 0.4)
       .select("a_id", "b_id", "jaccard").collect()

@@ -67,7 +67,12 @@ object TrainPrep {
     // whole-stage codegen — measured 4.1 s vs 0.2 s for the same explode
     // over a cached array (A/B'd round 6, which killed the
     // no-persist/left-join formulation that was otherwise fewer passes).
-    val docs = Dedup.shingled(s, dir).select(col("doc_id"), col("shingles"))
+    // grams are 64-bit fingerprints (Dedup.gramFingerprints): the persisted
+    // arrays and the broadcast eval set carry longs, never gram text —
+    // membership is preserved under the injective-in-practice hash (same
+    // argument and same loud-oracle failure mode as the dedup family)
+    val docs = Dedup.gramFingerprints(Dedup.shingled(s, dir))
+      .select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalGrams = docs.filter(col("doc_id") % 97 === 0)
       .select(explode(col("shingles")).as("gram")).distinct()
@@ -99,10 +104,12 @@ object TrainPrep {
   def contaminationOn(train: DataFrame, evalDocs: DataFrame): DataFrame = {
     // persist = the same codegen barrier the fixture path documents: the
     // explode must read a MATERIALIZED array, not the CodegenFallback HOF
-    val trainSh = Dedup.shingledOf(train.select(col("doc_id"), col("text")))
+    val trainSh = Dedup
+      .gramFingerprints(Dedup.shingledOf(train.select(col("doc_id"), col("text"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalGrams = Dedup
-      .shingledOf(evalDocs.select(lit(0L).as("doc_id"), col("text")))
+      .gramFingerprints(
+        Dedup.shingledOf(evalDocs.select(lit(0L).as("doc_id"), col("text"))))
       .select(explode(col("shingles")).as("gram")).distinct()
     scoreContamination(trainSh, evalGrams)
   }

@@ -288,11 +288,16 @@ object Bench {
     // query makes, report both shares; probe-only should be comparable to
     // q_sim_ivf's label-quantizer path.
     val ivfSplit = scored.find(_._1 == "q_sim_ivf_trained").map { case (_, med, _, _, _) =>
-      reclaim()
-      val t0 = System.nanoTime()
-      graft.operators.Similarity.trainKMeans(
-        Tables.embeddings(spark, sfDir), k = 10, iters = 4).count()
-      val trainSec = (System.nanoTime() - t0) / 1e9
+      // median-of-3 like every timed line — a single-shot train timing
+      // absorbed a host transient in the first r14 run (train > query
+      // median, probe clamped to 0)
+      val trainSec = (1 to 3).map { _ =>
+        reclaim()
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.trainKMeans(
+          Tables.embeddings(spark, sfDir), k = 10, iters = 4).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
       f""","ivf_split":{"train_sec":$trainSec%.3f,"probe_sec":${math.max(0.0, med - trainSec)}%.3f}"""
     }.getOrElse("")
     // self-report the declared-baseline ratio (BASELINE.md convention: sum

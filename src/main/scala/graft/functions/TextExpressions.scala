@@ -79,6 +79,95 @@ case class ShingleStats(child: Expression, n: Int)
   override def prettyName: String = "shingle_stats"
 }
 
+/** `simhash64(text)` — the 64-bit token-level SimHash in ONE pass over the
+  * raw UTF-8 bytes.
+  *
+  * The engine's fourth custom Expression, added on the same measured-need
+  * basis as [[ShingleStats]]: the explode formulation materialized every
+  * token occurrence as a UTF8String (~2.5M per sf0.1 pass), hashed it,
+  * pre-aggregated (doc_id, hash) counts, and ran a 32-packed-long vote
+  * aggregate — r14 bench telemetry showed it as the highest task-GC line
+  * of the dedup family (4.9 s GC attributed to a ~2 s sample). Here each
+  * token is a byte SLICE of the document (separators are single 0x20
+  * bytes, never inside a multi-byte UTF-8 sequence), hashed in place with
+  * `XXH64.hashUnsafeBytes`; the 64 vote counters live in one stack array.
+  *
+  * Semantics are IDENTICAL to the aggregate formulation (asserted
+  * bit-for-bit by OperatorPropertiesSpec): summing votes per occurrence
+  * equals summing per distinct token weighted by its count, `split(text,
+  * " ")` keeps interior and trailing empty tokens (limit −1) so token
+  * boundaries are exactly the 0x20 positions (empty tokens hash the empty
+  * slice, as `xxhash64('')` does), and bit i is set iff
+  * `2·ones_i > n_tokens` — the same bias identity the packed aggregate
+  * used. Per-doc work is linear in bytes + 64·tokens; nothing shuffles.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires string, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    SimHash64.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash64.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  /** One pass: hash each 0x20-delimited byte slice (xxhash64 seed 42 —
+    * identical to `xxhash64(token_string)`), accumulate per-bit ones
+    * counts, emit bit i iff 2·ones(i) > n_tokens. Shared verbatim by eval
+    * and generated code.
+    */
+  def compute(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    val ones = new Array[Int](64)
+    var n = 0
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || Platform.getByte(base, off + i) == 0x20) {
+        val h = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        n += 1
+        var b = 0
+        while (b < 64) {
+          ones(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (2L * ones(b) > n) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  def info: ExpressionInfo =
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64")
+}
+
 object ShingleStats {
   /** One pass over the document bytes: count tokens, record token start
     * offsets, hash every n-token byte slice. Shared verbatim by eval and

@@ -264,7 +264,25 @@ object Dedup {
   private[graft] def simhashDocs(s: SparkSession, dir: String): DataFrame =
     simhashDocsOn(Tables.documents(s, dir).select(col("doc_id"), col("text")))
 
+  /** Per-doc 64-bit simhash via the one-pass [[graft.functions.SimHash64]]
+    * codegen expression — pure map work, no token materialization, no
+    * shuffle (r14; the aggregate formulation below is retained as the
+    * bit-identity reference the property spec compares against — it was
+    * the dedup family's highest task-GC line in the r14 bench telemetry).
+    */
   private[graft] def simhashDocsOn(docs: DataFrame): DataFrame = {
+    val sh = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text"))))
+    docs
+      .select(col("doc_id"), sh.as("simhash"))
+      // a null text has no tokens in the exploded formulation (the doc
+      // simply never appears); the expression null-propagates instead —
+      // drop those rows to keep the two shapes identical
+      .filter(col("simhash").isNotNull)
+  }
+
+  private[graft] def simhashDocsAggregated(docs: DataFrame): DataFrame = {
     // hash DISTINCT tokens once, weighted by occurrence count: documents
     // repeat tokens heavily (stopwords), so pre-aggregating
     // (doc_id, token_hash) → count shrinks the rows that reach the

@@ -129,12 +129,18 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(missedDups.isEmpty, s"simhash missed exact duplicates: $missedDups")
   }
 
-  test("simhash packed counters are bit-identical to the naive 64-buffer formulation") {
-    val packed = Dedup.simhashDocs(spark, sf0001).collect()
+  test("simhash64 expression, packed aggregate, and naive 64-buffer agree bit-for-bit") {
+    // three formulations of the same declared semantics: the r14 one-pass
+    // codegen expression (production path), the r13 count-weighted
+    // 32-packed-long aggregate (retained reference), and 64 independent
+    // sum() buffers over every token OCCURRENCE
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val expr = Dedup.simhashDocs(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // naive formulation: 64 independent sum() buffers over every token
-    // OCCURRENCE (no distinct-token pre-aggregation, no packing)
-    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+    val packed = Dedup.simhashDocsAggregated(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = docsDf
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val bufs = (0 until 64).map(i =>
@@ -144,7 +150,9 @@ class OperatorPropertiesSpec extends SparkSpec {
         when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
         .reduce(_ bitwiseOR _).as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(packed.size === naive.size)
+    assert(expr.size === naive.size)
+    assert(expr === naive,
+      "one-pass expression must reproduce the per-occurrence naive simhash exactly")
     assert(packed === naive,
       "count-weighted packed votes must reproduce the per-occurrence naive simhash exactly")
   }

@@ -18,6 +18,15 @@ import java.util.concurrent.atomic.AtomicLong
   * be read off the driver JSON alone: high wall + high gc/spill = memory
   * pressure in-JVM; high wall + flat gc/spill/heap = host-side slowness
   * (CPU steal, page-cache-starved shuffle reads) no code change can see.
+  *
+  * Reading the GC pair: `proc_gc_ms` (GarbageCollectorMXBean delta over
+  * the sample) is the ground truth — `task_gc_ms` sums each task's
+  * attributed jvmGCTime, so one stop-the-world pause during 32 in-flight
+  * tasks counts up to 32×. Idle-host r14 calibration: q_dedup_cluster
+  * reads ~1.6 s task_gc but only ~130 ms proc_gc per ~3 s sample, with
+  * zero spill and ~150 MiB retained heap. A degraded sample with
+  * proc_gc_ms in the hundreds-of-ms and flat spill/heap is still
+  * host-side, not memory pressure.
   */
 object Bench {
 

@@ -164,6 +164,14 @@ object SimHash64 {
     out
   }
 
+  def builder(children: Seq[Expression]): Expression = {
+    if (children.length != 1) {
+      throw new IllegalArgumentException(
+        s"simhash64 requires exactly 1 argument, got ${children.length}")
+    }
+    SimHash64(children.head)
+  }
+
   def info: ExpressionInfo =
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64")
 }

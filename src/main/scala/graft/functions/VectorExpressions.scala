@@ -240,5 +240,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("shingle_stats"), ShingleStats.info,
       ShingleStats.builder _))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"), SimHash64.info,
+      SimHash64.builder _))
   }
 }

@@ -155,6 +155,22 @@ class OperatorPropertiesSpec extends SparkSpec {
       "one-pass expression must reproduce the per-occurrence naive simhash exactly")
     assert(packed === naive,
       "count-weighted packed votes must reproduce the per-occurrence naive simhash exactly")
+
+    // SQL surface via the extensions builder (arity is validated)
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      graft.functions.SimHash64.info,
+      graft.functions.SimHash64.builder _)
+    val one = naive.head
+    val viaSql = spark.sql(
+      s"SELECT simhash64(text) AS sh FROM parquet.`$sf0001/documents.parquet` " +
+      s"WHERE doc_id = ${one._1}").head.getLong(0)
+    assert(viaSql === one._2)
+    val err = intercept[Exception] {
+      spark.sql("SELECT simhash64('a', 'b')").collect()
+    }
+    assert(err.getMessage.contains("1 argument") ||
+      Option(err.getCause).exists(_.getMessage.contains("1 argument")))
   }
 
   test("bucketPairs skips oversized buckets and fully expands small ones") {

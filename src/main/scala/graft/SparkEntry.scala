@@ -89,6 +89,7 @@ object SparkEntry {
     "q_lang_id"        -> (Text.langId _),
     "q_quality_score"  -> (Text.qualityScore _),
     "q_token_count"    -> (Text.tokenCount _),
+    "q_vocab_topk"     -> ((s: SparkSession, d: String) => Text.vocabTopK(s, d)),
     "q_fingerprint"    -> (Text.fingerprint _),
     "q_fingerprint_rolling" -> (Text.rollingFingerprint _),
     "q_quality_repetition" -> (Text.repetition _),
@@ -560,6 +561,17 @@ object SparkEntry {
         |  CAST(LENGTH(text) AS INT) AS n_chars,
         |  ROUND(CAST(LENGTH(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]{1,4}')), 4) AS chars_per_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_topk" ->
+      """WITH per AS (SELECT doc_id, token, COUNT(1) AS c
+        |             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |                   FROM documents)
+        |             GROUP BY doc_id, token),
+        |     v AS (SELECT token, CAST(SUM(c) AS BIGINT) AS occurrences,
+        |             COUNT(1) AS doc_freq
+        |           FROM per GROUP BY token)
+        |SELECT token, occurrences, doc_freq FROM v
+        |ORDER BY doc_freq DESC, occurrences DESC, token LIMIT 50""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(TRIM(LOWER(text))) AS fingerprint

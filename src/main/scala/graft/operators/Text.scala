@@ -172,6 +172,37 @@ object Text {
         Norm.r4(col("n_chars") / col("bpe_tokens")))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary heavy hitters: top-k tokens by DOCUMENT frequency
+    * (with total occurrence counts riding along) — the vocab/stopword
+    * analysis a curation pipeline runs before fixing tokenizer or
+    * stopword lists, and the exact companion of sketch-based heavy
+    * hitters.
+    *
+    * Scale shape: two-level aggregate. Level 1 keys (doc_id, token) with
+    * map-side partial counts, so the shuffle carries each document's
+    * VOCABULARY (sublinear in token occurrences — stopword repetition
+    * collapses in the map); level 2 keys (token) with doc_freq = group
+    * count and occurrences = Σ counts. The top-k lands in a
+    * TakeOrderedAndProject (per-partition heaps, k rows to the driver),
+    * never a full sort. Ties break deterministically (doc_freq desc,
+    * occurrences desc, token asc) so the oracle hash-matches.
+    */
+  def vocabTopK(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    vocabTopKOn(Tables.documents(s, dir), k)
+
+  /** [[vocabTopK]] over an arbitrary (doc_id, text) frame. */
+  def vocabTopKOn(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("token")
+      .agg(sum(col("c")).cast("bigint").as("occurrences"),
+        count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("occurrences").desc,
+        col("token").asc)
+      .limit(k)
+
   /** Document fingerprint: md5 of the normalized text (cross-engine-stable
     * content address used for exact dedup at scale).
     */

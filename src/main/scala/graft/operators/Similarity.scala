@@ -352,23 +352,45 @@ object Similarity {
         .select("v").collect()
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
       for (_ <- 1 to iters) {
-        val cb = broadcast(cents.toDF("c_idx", "cv")
-          .withColumn("c_nrm", dot(col("cv"), col("cv"))))
-        val csim = dot(col("v"), col("cv")) /
-          (sqrt(col("nrm")) * sqrt(greatest(col("c_nrm"), lit(1e-300))))
-        val means = e.crossJoin(cb)
-          .withColumn("csim", csim)
-          .groupBy("vec_id")
-          .agg(max_by(struct(col("c_idx"), col("v")),
-            struct(col("csim"), (-col("c_idx")).as("neg_c"))).as("m"))
-          .select(col("m.c_idx").as("cell"),
-            posexplode(col("m.v")).as(Seq("dim", "x")))
-          .groupBy("cell", "dim").agg(avg("x").as("c"))
+        // The centroids are driver-resident METADATA (k×dim doubles), so
+        // assignment embeds them as plan literals and runs entirely
+        // map-side. The earlier formulation broadcast-crossJoined the
+        // codebook (k× row expansion) and then shuffled every expanded
+        // row, VECTORS INCLUDED, through a groupBy(vec_id) argmax plus a
+        // posexplode (cell, dim) rollup; now the only shuffle is the
+        // per-cell rollup of dim+1 partial sums per map partition.
+        // In-bench A/B at the 2 k-vector fixture: train share 1.45 s both
+        // ways — per-iteration cost there is job scheduling, not data —
+        // so the rewrite is a SCALE-shape change (zero vector bytes
+        // shuffled per iteration), not a fixture speedup.
+        val dim = cents.head._2.size
+        // one similarity per cell, assembled into ONE array column: an
+        // argmax via array_max + array_position evaluates the array at
+        // most twice per row (a when/greatest fold was measured 2×
+        // SLOWER than the crossJoin it replaced — conditional branches
+        // defeat common-subexpression elimination, re-evaluating each
+        // vec_dot O(k) times). array_position takes the FIRST occurrence
+        // of the max — the lower-cell-index tiebreak the former max_by
+        // struct encoded. `cents` indices are 0..k-1 in sequence order by
+        // construction (seeding zipWithIndex; updates are keyed in
+        // place), so position−1 IS the cell index.
+        val csims = cents.map { case (_, cv) =>
+          val cnrm = math.max(cv.map(x => x * x).sum, 1e-300)
+          dot(col("v"), litVec(cv)) /
+            (sqrt(col("nrm")) * lit(math.sqrt(cnrm)))
+        }
+        val sims = array(csims: _*)
+        val sums = (0 until dim).map(i => sum(col("v")(i)).as(s"s$i"))
+        val means = e
+          .select((array_position(sims, array_max(sims)) - 1)
+            .cast("int").as("cell"), col("v"))
           .groupBy("cell")
-          .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
-          .select(col("cell"), transform(col("pairs"), p => p("c")).as("cv"))
+          .agg(count(lit(1)).as("cn"), sums: _*)
           .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+          .map { r =>
+            val n = r.getLong(1).toDouble
+            r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 2) / n)
+          }.toMap
         cents = cents.map { case (i, old) => i -> means.getOrElse(i, old) }
       }
       cents.toDF("c_id", "cv")

@@ -90,6 +90,7 @@ object SparkEntry {
     "q_quality_score"  -> (Text.qualityScore _),
     "q_token_count"    -> (Text.tokenCount _),
     "q_vocab_topk"     -> ((s: SparkSession, d: String) => Text.vocabTopK(s, d)),
+    "q_text_tfidf"     -> ((s: SparkSession, d: String) => Text.tfidfTopTerms(s, d)),
     "q_fingerprint"    -> (Text.fingerprint _),
     "q_fingerprint_rolling" -> (Text.rollingFingerprint _),
     "q_quality_repetition" -> (Text.repetition _),
@@ -572,6 +573,25 @@ object SparkEntry {
         |           FROM per GROUP BY token)
         |SELECT token, occurrences, doc_freq FROM v
         |ORDER BY doc_freq DESC, occurrences DESC, token LIMIT 50""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tf AS (SELECT doc_id, token, COUNT(1) AS c
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |                  FROM documents)
+        |            GROUP BY doc_id, token),
+        |     wn AS (SELECT doc_id, token, c,
+        |              SUM(c) OVER (PARTITION BY doc_id) AS n_tok FROM tf),
+        |     df AS (SELECT token, COUNT(1) AS df FROM tf GROUP BY token),
+        |     nd AS (SELECT CAST(COUNT(1) AS DOUBLE) AS n_docs FROM documents),
+        |     x AS (SELECT w.doc_id, w.token,
+        |             ROUND((CAST(w.c AS DOUBLE) / w.n_tok) *
+        |               ln(nd.n_docs / df.df) * 10000) / 10000 + 0 AS tfidf
+        |           FROM wn w JOIN df USING (token) CROSS JOIN nd),
+        |     r AS (SELECT doc_id, token, tfidf,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id
+        |               ORDER BY tfidf DESC, token) AS rank FROM x)
+        |SELECT doc_id, token, tfidf, rank FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(TRIM(LOWER(text))) AS fingerprint

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Norm, Tables}
 
@@ -202,6 +203,48 @@ object Text {
       .orderBy(col("doc_freq").desc, col("occurrences").desc,
         col("token").asc)
       .limit(k)
+
+  /** TF-IDF top terms per document — keyword extraction, the composite a
+    * curation pipeline uses for topical tagging and near-duplicate triage:
+    * corpus-level document frequencies joined back onto per-doc term
+    * frequencies, ranked per document.
+    *
+    * Scale shape: term frequencies are the (doc_id, token) two-level
+    * aggregate ([[vocabTopK]]'s level 1 — map-side partials, shuffle =
+    * per-doc vocabulary); per-doc totals ride a doc_id window on the
+    * already-exchanged frame (no extra shuffle); document frequencies are
+    * a token rollup joined back on token (AQE picks broadcast when the
+    * vocabulary fits, shuffle join when it doesn't — unhinted on
+    * purpose); the corpus doc count is a 1-row broadcast. Ranking
+    * compares the ROUNDED tf-idf (the repo's cross-engine convention —
+    * JVM vs DuckDB `ln` may differ in the last ulp) with a token-asc
+    * tiebreak, so ranks are deterministic on both engines.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    tfidfTopTermsOn(Tables.documents(s, dir), k)
+
+  /** [[tfidfTopTerms]] over an arbitrary (doc_id, text) frame. */
+  def tfidfTopTermsOn(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+    val withN = tf.withColumn("n_tok",
+      sum(col("c")).over(Window.partitionBy("doc_id")))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    withN
+      .join(df, "token")
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf", Norm.r4((col("c") / col("n_tok")) *
+        log(col("n_docs") / col("df"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
 
   /** Document fingerprint: md5 of the normalized text (cross-engine-stable
     * content address used for exact dedup at scale).

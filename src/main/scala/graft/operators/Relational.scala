@@ -130,29 +130,44 @@ object Relational {
     * relative errors ride along (fixture-gate instrumentation — the
     * production shape is the sketch alone).
     *
-    * Both quantiles come from ONE sketch and ONE exact aggregate via the
-    * percentage-array form: per-quantile aggregate calls each built their
-    * own buffer over the full column (two QuantileSummaries, two 600 k
-    * OpenHashMaps + sorts — the query's dominant cost, 3 s of 4 s at
-    * sf0.1); the array form builds each buffer once and reads both
-    * quantiles out of it, with per-quantile values bit-identical.
+    * Both sketch quantiles come from ONE `approx_percentile` buffer via
+    * the percentage-array form (r13: per-quantile calls each built their
+    * own QuantileSummaries — half the query's former cost); the exact
+    * companion is the bracket-and-verify formulation (r14, see the inline
+    * comment) rather than the `percentile` value-map aggregate.
     */
-  def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+  def aggApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sketch = li
       .groupBy("l_returnflag")
-      .agg(
-        approx_percentile(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95)), lit(10000)).as("pa"),
-        percentile(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95))).as("pe"))
+      .agg(approx_percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95)), lit(10000)).as("pa"))
       .select(col("l_returnflag"),
-        col("pa")(0).as("p50_approx"), col("pa")(1).as("p95_approx"),
-        col("pe")(0).as("p50_exact"), col("pe")(1).as("p95_exact"))
+        col("pa")(0).as("p50_approx"), col("pa")(1).as("p95_approx"))
+    // exact companion via bracket-and-verify (Quantiles): the former
+    // `percentile(col, array)` aggregate shipped a ~600 k-entry
+    // value-count OpenHashMap per group through the shuffle — the
+    // single-node exact shape this engine's quantile story exists to
+    // avoid, and (r14) the kind of heap-hungry buffer the degraded
+    // driver-host windows punish hardest. The bracket form's shuffles are
+    // metadata-sized at any corpus, and its interpolated values are
+    // bit-identical to Spark `percentile` (Quantiles property test), so
+    // the evidence columns are unchanged.
+    val exact = Quantiles
+      .exactPercentilesOn(li, "l_returnflag", "l_extendedprice",
+        Seq(0.5, 0.95))
+      .groupBy("g")
+      .agg(max(when(col("p") === 0.5, col("pct"))).as("p50_exact"),
+        max(when(col("p") === 0.95, col("pct"))).as("p95_exact"))
+      .withColumnRenamed("g", "l_returnflag")
+    sketch
+      .join(exact, "l_returnflag")
       .withColumn("p50_rel_err",
         Norm.r4(abs(col("p50_approx") - col("p50_exact")) / col("p50_exact")))
       .withColumn("p95_rel_err",
         Norm.r4(abs(col("p95_approx") - col("p95_exact")) / col("p95_exact")))
       .orderBy("l_returnflag")
+  }
 
   /** Exact per-(flag, status) partials for the grouping-set family: sums
     * accumulate in DECIMAL (associative, so re-aggregating partials is

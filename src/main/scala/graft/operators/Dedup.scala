@@ -256,10 +256,11 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Per-doc 64-bit simhash values — factored out so the packed-counter
-    * formulation can be asserted bit-identical to the naive 64-buffer one
-    * (OperatorPropertiesSpec "simhash packed counters are bit-identical to
-    * the naive 64-buffer formulation").
+  /** Per-doc 64-bit simhash values — the fixture instantiation of
+    * [[simhashDocsOn]] (the one-pass `simhash64` expression path;
+    * OperatorPropertiesSpec "simhash64 expression, packed aggregate, and
+    * naive 64-buffer agree bit-for-bit" pins it against both retained
+    * reference formulations).
     */
   private[graft] def simhashDocs(s: SparkSession, dir: String): DataFrame =
     simhashDocsOn(Tables.documents(s, dir).select(col("doc_id"), col("text")))

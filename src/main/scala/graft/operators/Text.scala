@@ -225,6 +225,16 @@ object Text {
 
   /** [[tfidfTopTerms]] over an arbitrary (doc_id, text) frame. */
   def tfidfTopTermsOn(docs: DataFrame, k: Int = 3): DataFrame = {
+    // tf feeds BOTH the per-doc branch and the document-frequency rollup
+    // and is intentionally NOT persisted: the multi-consumer persist
+    // discipline (ngramJaccardOn / substringDupOn) was A/B'd here and
+    // LOST — 1.22 → 1.88 s at sf0.1 — because caching the corpus-wide
+    // (doc_id, token, c) frame costs more than re-running the cheap
+    // explode+hash-agg over an already-hot scan. (Those bases win their
+    // persists because their consumers re-derive EXPENSIVE per-row array
+    // transforms, not a plain explode.) At 100 TB the right move is a
+    // one-off materialization of tf to storage, not an in-query cache;
+    // within one query the second pass is the honest cost.
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")

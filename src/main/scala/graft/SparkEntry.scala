@@ -90,6 +90,7 @@ object SparkEntry {
     "q_quality_score"  -> (Text.qualityScore _),
     "q_token_count"    -> (Text.tokenCount _),
     "q_vocab_topk"     -> ((s: SparkSession, d: String) => Text.vocabTopK(s, d)),
+    "q_funnel"         -> (TimeOps.funnel _),
     "q_text_tfidf"     -> ((s: SparkSession, d: String) => Text.tfidfTopTerms(s, d)),
     "q_fingerprint"    -> (Text.fingerprint _),
     "q_fingerprint_rolling" -> (Text.rollingFingerprint _),
@@ -573,6 +574,25 @@ object SparkEntry {
         |           FROM per GROUP BY token)
         |SELECT token, occurrences, doc_freq FROM v
         |ORDER BY doc_freq DESC, occurrences DESC, token LIMIT 50""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |     s1 AS (SELECT user_id, MIN(ts_ms) AS t FROM e
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |     s2 AS (SELECT e.user_id, MIN(e.ts_ms) AS t FROM e
+        |            JOIN s1 USING (user_id)
+        |            WHERE e.event_type = 'click' AND e.ts_ms > s1.t
+        |            GROUP BY e.user_id),
+        |     s3 AS (SELECT e.user_id, MIN(e.ts_ms) AS t FROM e
+        |            JOIN s2 USING (user_id)
+        |            WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t
+        |            GROUP BY e.user_id),
+        |     u AS (SELECT 1 AS step_n, 'view' AS step, COUNT(1) AS users FROM s1
+        |           UNION ALL SELECT 2, 'click', COUNT(1) FROM s2
+        |           UNION ALL SELECT 3, 'purchase', COUNT(1) FROM s3)
+        |SELECT step_n, step, users,
+        |  ROUND(CAST(users AS DOUBLE) / LAG(users) OVER (ORDER BY step_n) * 10000) / 10000 AS conv_from_prev
+        |FROM u ORDER BY step_n""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH tf AS (SELECT doc_id, token, COUNT(1) AS c

@@ -208,4 +208,51 @@ object TimeOps {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
+
+  /** ORDERED event-funnel analysis: how many users reach each step of a
+    * step sequence IN ORDER (each step strictly after the previous
+    * step's first completion) — the classic product-analytics query, and
+    * the ordered-pattern counterpart of [[asofJoin]]'s carry-forward.
+    *
+    * Scale shape: one chained per-step reduction. Step i's frame is
+    * (user_id, tᵢ = min ts of step-i events strictly after tᵢ₋₁): a
+    * filter on the step's event type, a user-keyed join against the
+    * (already user-bounded) previous frame, and a min-aggregate — each
+    * stage's shuffle is bounded by that step's event count, every join is
+    * an equi-join on user_id, and step frames only shrink down the
+    * funnel. All step counts come from ONE action (a union of the step
+    * frames aggregated together); the conversion column's window runs
+    * over |steps| rows — metadata at any corpus size.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOn(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), Norm.ms(col("ts")).as("ts_ms")),
+      Seq("view", "click", "purchase"))
+
+  /** [[funnel]] over an arbitrary (user_id, event_type, ts_ms) frame. */
+  def funnelOn(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts_ms")).as("t"))
+    val frames = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("ts_ms") > col("t_prev"))
+        .groupBy("user_id").agg(min(col("ts_ms")).as("t"))
+    }
+    val perStep = frames.zipWithIndex.map { case (f, i) =>
+      f.select(lit(i + 1).as("step_n"), lit(steps(i)).as("step"),
+        col("user_id"))
+    }.reduce(_ union _)
+      .groupBy("step_n", "step")
+      .agg(count(lit(1)).as("users"))
+    // conversion vs the previous step: |steps| rows — metadata-sized window
+    val w = Window.partitionBy().orderBy("step_n")
+    perStep
+      .withColumn("conv_from_prev",
+        Norm.r4(col("users") / lag(col("users"), 1).over(w)))
+      .select(col("step_n"), col("step"), col("users"),
+        col("conv_from_prev"))
+      .orderBy("step_n")
+  }
 }

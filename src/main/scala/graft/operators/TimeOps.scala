@@ -240,12 +240,16 @@ object TimeOps {
         .filter(col("ts_ms") > col("t_prev"))
         .groupBy("user_id").agg(min(col("ts_ms")).as("t"))
     }
+    // per-step counts are GLOBAL aggregates (one row each, 0 included),
+    // not a groupBy over the union: a step nobody reaches must still
+    // appear with users = 0 — a grouped count would silently drop it,
+    // diverging from the oracle's per-CTE COUNT(1) on any corpus with an
+    // unreachable step (caught in review; the fixture reaches all steps)
     val perStep = frames.zipWithIndex.map { case (f, i) =>
-      f.select(lit(i + 1).as("step_n"), lit(steps(i)).as("step"),
-        col("user_id"))
+      f.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step_n"), lit(steps(i)).as("step"),
+          col("users"))
     }.reduce(_ union _)
-      .groupBy("step_n", "step")
-      .agg(count(lit(1)).as("users"))
     // conversion vs the previous step: |steps| rows — metadata-sized window
     val w = Window.partitionBy().orderBy("step_n")
     perStep

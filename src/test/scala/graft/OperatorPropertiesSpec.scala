@@ -362,6 +362,30 @@ class OperatorPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("funnelOn: ordering enforced, unreachable steps emit zero rows") {
+    import spark.implicits._
+    import graft.operators.TimeOps
+    // u1 completes a→b→c in order; u2 has b BEFORE its first a (must not
+    // count for b); u3 only reaches a. Step d is unreachable by everyone
+    // and must still appear with users = 0 (parity with the oracle's
+    // global per-CTE COUNT, which always emits a row).
+    val events = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      (2L, "b", 5L), (2L, "a", 10L),
+      (3L, "a", 7L))
+      .toDF("user_id", "event_type", "ts_ms")
+    val got = TimeOps.funnelOn(events, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "a", 3L), (2, "b", 1L), (3, "c", 1L),
+      (4, "d", 0L)))
+    // same-timestamp events do NOT advance the funnel (strictly-after)
+    val tied = Seq((1L, "a", 10L), (1L, "b", 10L))
+      .toDF("user_id", "event_type", "ts_ms")
+    val got2 = TimeOps.funnelOn(tied, Seq("a", "b"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got2.toSeq === Seq(("a", 1L), ("b", 0L)))
+  }
+
   test("generic asofJoinOn reproduces the oracled purchase/click as-of join") {
     import spark.implicits._
     import graft.operators.TimeOps

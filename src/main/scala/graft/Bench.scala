@@ -167,8 +167,14 @@ object Bench {
     // median of the middle 3 — which survives 2 transient-hit samples and
     // still converges to the honest time on a quiet host.
     val HeavyFamilies = Set("dedup", "fingerprint")
+    // individually deep plans outside those families get the same
+    // untimed-warm treatment: their first sample pays multi-stage codegen
+    // compilation (q_agg_approx_pct's bracket chain, q_text_tfidf's
+    // double-branch tf — both repeatedly tripped spread_violations on a
+    // ~2x cold first sample with flat steady-state samples after it)
+    val DeepPlans = Set("q_agg_approx_pct", "q_agg_pct_exact", "q_text_tfidf")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val heavy = HeavyFamilies(name.split("_")(1))
+      val heavy = HeavyFamilies(name.split("_")(1)) || DeepPlans(name)
       val repeats = if (heavy) math.max(Repeats, 5) else Repeats
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       val teles = scala.collection.mutable.ArrayBuffer.empty[Tele]

@@ -362,6 +362,30 @@ class OperatorPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("vocabTopKOn / tfidfTopTermsOn: hand-computed values on a synthetic corpus") {
+    import spark.implicits._
+    import graft.operators.Text
+    // d1: "a a b", d2: "a c", d3: "b b b c"
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b c"))
+      .toDF("doc_id", "text")
+    // doc_freq: a→2, b→2, c→2; occurrences: a→3, b→4, c→2; ties on
+    // doc_freq break by occurrences desc then token asc → b, a, c
+    val vocab = Text.vocabTopKOn(docs, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(vocab.toSeq === Seq(("b", 4L, 2L), ("a", 3L, 2L)))
+    // tf-idf with N=3: every token appears in 2 docs → idf = ln(1.5)
+    // d1: a 2/3·ln1.5, b 1/3·ln1.5 → top1 = a
+    // d3: b 3/4·ln1.5, c 1/4·ln1.5 → top1 = b
+    val r4 = (x: Double) => math.round(x * 10000).toDouble / 10000
+    val tfidf = Text.tfidfTopTermsOn(docs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    assert(tfidf === Seq(
+      (1L, "a", r4(2.0 / 3 * math.log(1.5))),
+      (2L, "a", r4(0.5 * math.log(1.5))), // d2 tie a/c on tf-idf → token asc
+      (3L, "b", r4(0.75 * math.log(1.5)))))
+  }
+
   test("funnelOn: ordering enforced, unreachable steps emit zero rows") {
     import spark.implicits._
     import graft.operators.TimeOps

@@ -172,7 +172,8 @@ object Bench {
     // compilation (q_agg_approx_pct's bracket chain, q_text_tfidf's
     // double-branch tf — both repeatedly tripped spread_violations on a
     // ~2x cold first sample with flat steady-state samples after it)
-    val DeepPlans = Set("q_agg_approx_pct", "q_agg_pct_exact", "q_text_tfidf")
+    val DeepPlans = Set("q_agg_approx_pct", "q_agg_pct_exact", "q_text_tfidf",
+      "q_curriculum_bins")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val heavy = HeavyFamilies(name.split("_")(1)) || DeepPlans(name)
       val repeats = if (heavy) math.max(Repeats, 5) else Repeats

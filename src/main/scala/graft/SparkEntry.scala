@@ -102,6 +102,7 @@ object SparkEntry {
     "q_contamination"  -> (TrainPrep.contamination _),
     "q_pii_scrub"      -> (TrainPrep.piiScrub _),
     "q_sample_stratified" -> (TrainPrep.sampleStratified _),
+    "q_curriculum_bins" -> (TrainPrep.curriculumBins _),
     "q_source_mix"     -> (TrainPrep.sourceMix _),
     "q_mix_temperature" -> (TrainPrep.mixTemperature _),
     "q_sample_weighted" -> (TrainPrep.sampleWeighted _),
@@ -555,6 +556,29 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_tokens, mean_tok_len, stop_ratio, ttr,
         |  ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5 + ttr * 0.3 + LEAST(stop_ratio * 4.0, 1.0) * 0.2, 4) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_curriculum_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(len(tk) AS INT) AS n_tokens,
+        |    ROUND(CAST(len([w FOR w IN tk IF w IN ('the','a','of','to','in','and','is')]) AS DOUBLE) / len(tk), 4) AS stop_ratio,
+        |    ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS ttr
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents) s),
+        |     sc AS (SELECT lang,
+        |       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5 + ttr * 0.3 + LEAST(stop_ratio * 4.0, 1.0) * 0.2, 4) AS quality
+        |     FROM t),
+        |     q AS (SELECT lang,
+        |       ROUND(quantile_cont(quality, 0.25), 4) AS q1,
+        |       ROUND(quantile_cont(quality, 0.5), 4) AS q2,
+        |       ROUND(quantile_cont(quality, 0.75), 4) AS q3
+        |     FROM sc GROUP BY lang),
+        |     b AS (SELECT sc.lang, sc.quality,
+        |       1 + CASE WHEN sc.quality > q.q1 THEN 1 ELSE 0 END
+        |         + CASE WHEN sc.quality > q.q2 THEN 1 ELSE 0 END
+        |         + CASE WHEN sc.quality > q.q3 THEN 1 ELSE 0 END AS bin
+        |     FROM sc JOIN q USING (lang))
+        |SELECT lang, bin, COUNT(1) AS docs,
+        |  MIN(quality) AS lo_score, MAX(quality) AS hi_score
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

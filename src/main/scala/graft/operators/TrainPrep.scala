@@ -477,4 +477,50 @@ object TrainPrep {
       .withColumn("kept_frac", Norm.r4(col("kept_docs") / col("n_docs")))
       .orderBy("lang")
   }
+
+  /** Curriculum binning — assign each document a difficulty/quality
+    * quartile WITHIN its language, the ordering signal behind
+    * curriculum-style data schedules (easy→hard) and per-bucket mix
+    * tuning. Composes two verified primitives: the oracled quality score
+    * ([[Text.qualityScoreOn]]) and exact distributed quantiles
+    * ([[Quantiles.exactPercentilesOn]] — the bracket-and-verify shape
+    * whose shuffles stay metadata-sized at any corpus, so the per-group
+    * quartiles cost two bounded passes, never a per-group sort).
+    *
+    * Determinism across engines: bins compare the r4-ROUNDED score
+    * against r4-ROUNDED quartiles with a strict `>` (a doc sitting
+    * exactly on a quartile stays in the lower bin), so a final-ulp
+    * difference in either engine's interpolation cannot move a document.
+    * Output: per (lang, bin) doc counts with the observed score range.
+    */
+  def curriculumBins(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = Text.qualityScoreOn(docs)
+      .select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    curriculumBinsOn(scored.select(col("lang"), col("quality")),
+      "lang", "quality")
+  }
+
+  /** [[curriculumBins]] over an arbitrary (groupCol, scoreCol) frame. */
+  def curriculumBinsOn(rows: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val qs = Quantiles
+      .exactPercentilesOn(rows, groupCol, scoreCol, Seq(0.25, 0.5, 0.75))
+      .groupBy("g")
+      .agg(Norm.r4(max(when(col("p") === 0.25, col("pct")))).as("q1"),
+        Norm.r4(max(when(col("p") === 0.5, col("pct")))).as("q2"),
+        Norm.r4(max(when(col("p") === 0.75, col("pct")))).as("q3"))
+    rows
+      .join(broadcast(qs), col(groupCol) === col("g"))
+      .withColumn("bin", lit(1) +
+        (col(scoreCol) > col("q1")).cast("int") +
+        (col(scoreCol) > col("q2")).cast("int") +
+        (col(scoreCol) > col("q3")).cast("int"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("docs"),
+        min(col(scoreCol)).as("lo_score"),
+        max(col(scoreCol)).as("hi_score"))
+      .orderBy(groupCol, "bin")
+  }
 }

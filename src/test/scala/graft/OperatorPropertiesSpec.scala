@@ -386,6 +386,24 @@ class OperatorPropertiesSpec extends SparkSpec {
       (3L, "b", r4(0.75 * math.log(1.5)))))
   }
 
+  test("curriculumBinsOn: known quartiles, boundary docs stay in the lower bin") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    // scores 1..8 for g1: quartiles (interpolated, r4) = 2.75 / 4.5 / 6.25
+    // → bins 1..4 get 3/2/2/1... check: >2.75: 3..8; >4.5: 5..8; >6.25: 7,8
+    // bin = 1+#strictly-greater → scores 1,2→1; 3,4→2; 5,6→3; 7,8→4
+    val rows = (1 to 8).map(i => ("g1", i.toDouble)) ++
+      // g2: all-equal scores → all quartiles equal the score; strict >
+      // never fires → every doc lands in bin 1 (the boundary contract)
+      (1 to 4).map(_ => ("g2", 5.0))
+    val got = TrainPrep.curriculumBinsOn(rows.toDF("lang", "quality"),
+      "lang", "quality")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("g1", 1, 2L), ("g1", 2, 2L), ("g1", 3, 2L), ("g1", 4, 2L),
+      ("g2", 1, 4L)))
+  }
+
   test("funnelOn: ordering enforced, unreachable steps emit zero rows") {
     import spark.implicits._
     import graft.operators.TimeOps

@@ -495,11 +495,18 @@ object TrainPrep {
     */
   def curriculumBins(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // persisted: three consumers read the scored frame (the quantile
+    // sketch pass, the bracket-classify pass, and the binning join), and
+    // each un-persisted read re-runs the full text-processing quality
+    // score. Unlike tfidf's corpus-wide tf (where the same discipline
+    // A/B'd and LOST), this cache is two scalar columns per document —
+    // the cheap-to-cache / expensive-to-recompute quadrant.
     val scored = Text.qualityScoreOn(docs)
       .select(col("doc_id"), col("quality"))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-    curriculumBinsOn(scored.select(col("lang"), col("quality")),
-      "lang", "quality")
+      .select(col("lang"), col("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    curriculumBinsOn(scored, "lang", "quality")
   }
 
   /** [[curriculumBins]] over an arbitrary (groupCol, scoreCol) frame. */

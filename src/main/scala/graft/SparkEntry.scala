@@ -66,6 +66,7 @@ object SparkEntry {
     // event-time
     "q_stream_tumbling" -> (TimeOps.tumbling _),
     "q_stream_sliding"  -> (TimeOps.sliding _),
+    "q_window_dau"      -> (TimeOps.dau _),
     "q_stream_session"  -> (TimeOps.session _),
     "q_partition_route" -> (TimeOps.partitionRoute _),
     // dedup
@@ -350,6 +351,12 @@ object SparkEntry {
     "q_stream_sliding" ->
       """SELECT window_start_ms, COUNT(1) AS cnt FROM (
         |  SELECT CAST((FLOOR(epoch_ms(ts) / 1800000) - k) * 1800000 AS BIGINT) AS window_start_ms
+        |  FROM events CROSS JOIN (VALUES (0), (1)) o(k)) t
+        |GROUP BY window_start_ms ORDER BY window_start_ms""".stripMargin,
+
+    "q_window_dau" ->
+      """SELECT window_start_ms, COUNT(DISTINCT user_id) AS active_users, COUNT(1) AS events FROM (
+        |  SELECT user_id, CAST((FLOOR(epoch_ms(ts) / 1800000) - k) * 1800000 AS BIGINT) AS window_start_ms
         |  FROM events CROSS JOIN (VALUES (0), (1)) o(k)) t
         |GROUP BY window_start_ms ORDER BY window_start_ms""".stripMargin,
 

@@ -41,6 +41,24 @@ object TimeOps {
       .select(Norm.ms(col("w.start")).as("window_start_ms"), col("cnt"))
       .orderBy("window_start_ms")
 
+  /** Active-user report under SLIDING windows (1 h window, 30 min slide):
+    * distinct users + event volume per window — the DAU/engagement
+    * composite, distinct aggregation under overlapping event-time
+    * windows. `window()` expands each event into its ≤2 covering windows
+    * in place (a Generate, no self-join); the distinct rides Spark's
+    * partial-dedup aggregate, so the shuffle carries (window, user)
+    * partials — bounded by per-window distinct users per task, not event
+    * volume.
+    */
+  def dau(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("events"))
+      .select(Norm.ms(col("w.start")).as("window_start_ms"),
+        col("active_users"), col("events"))
+      .orderBy("window_start_ms")
+
   /** Session windows per user, 30-minute gap — batch analogue via
     * lag + cumulative sum of session-break flags; matches streaming
     * session_window gap semantics (gap measured event-to-event; a gap of

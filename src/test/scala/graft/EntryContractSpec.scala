@@ -26,7 +26,7 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 76)
-    assert(SparkEntry.oracleSql.size === 69)
+    assert(SparkEntry.queries.size === 77)
+    assert(SparkEntry.oracleSql.size === 70)
   }
 }

@@ -310,8 +310,12 @@ object Bench {
       val trainSec = (1 to 3).map { _ =>
         reclaim()
         val t0 = System.nanoTime()
+        // constants come FROM Similarity so this provably times the same
+        // training ivfTrained runs (a hard-coded 10/4 here could drift)
         graft.operators.Similarity.trainKMeans(
-          Tables.embeddings(spark, sfDir), k = 10, iters = 4).count()
+          Tables.embeddings(spark, sfDir),
+          k = graft.operators.Similarity.IvfTrainedCells,
+          iters = graft.operators.Similarity.IvfTrainedIters).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)
       f""","ivf_split":{"train_sec":$trainSec%.3f,"probe_sec":${math.max(0.0, med - trainSec)}%.3f}"""

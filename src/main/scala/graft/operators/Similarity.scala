@@ -248,6 +248,13 @@ object Similarity {
       probeVec: Seq[Double]): DataFrame =
     ivfImpl(vecs, k, nprobe, Some(probeVec))
 
+  /** Training constants for [[ivfTrained]], exposed so external timers
+    * (Bench's `ivf_split`) provably measure the SAME training call the
+    * query runs — a hard-coded copy in Bench could silently drift.
+    */
+  val IvfTrainedCells: Int = 10
+  val IvfTrainedIters: Int = 4
+
   /** The end-to-end TRAINED IVF fixture (registry `q_sim_ivf_trained`):
     * train a [[trainKMeans]] codebook on the corpus, then answer the same
     * probe contract as [[ivf]] (probe = vec 0, excluded from results)
@@ -256,9 +263,9 @@ object Similarity {
     * compares FP distances, same declared reason as `q_sim_ivf`).
     */
   def ivfTrained(s: SparkSession, dir: String,
-      k: Int = 10, nprobe: Int = 3, cells: Int = 10): DataFrame = {
+      k: Int = 10, nprobe: Int = 3, cells: Int = IvfTrainedCells): DataFrame = {
     val vecs = Tables.embeddings(s, dir)
-    val cb = trainKMeans(vecs, k = cells, iters = 4)
+    val cb = trainKMeans(vecs, k = cells, iters = IvfTrainedIters)
     // fixture-only 1-row driver lookup for the probe vector (the
     // probe-as-parameter contract every at-scale overload takes)
     val probe = vecs.filter(col("vec_id") === 0)
@@ -380,7 +387,17 @@ object Similarity {
             (sqrt(col("nrm")) * lit(math.sqrt(cnrm)))
         }
         val sims = array(csims: _*)
-        val sums = (0 until dim).map(i => sum(col("v")(i)).as(s"s$i"))
+        // The per-dimension mean sum(v[i])/cn assumes every vector has
+        // exactly `dim` elements: a shorter vector's missing dims would
+        // skew the mean (sum skips, cn counts) and a longer vector's tail
+        // would be silently truncated. `get()` (null past the end — the
+        // ANSI-safe accessor; plain v[i] throws a cryptic task-side
+        // INVALID_ARRAY_INDEX under ANSI) lets the ragged counter, folded
+        // into the SAME aggregate (no extra pass), reach the driver where
+        // the guard fails with an actionable message.
+        val sums = (0 until dim).map(i =>
+          sum(get(col("v"), lit(i))).as(s"s$i")) :+
+          sum((size(col("v")) =!= dim).cast("long")).as("ragged")
         val means = e
           .select((array_position(sims, array_max(sims)) - 1)
             .cast("int").as("cell"), col("v"))
@@ -388,6 +405,13 @@ object Similarity {
           .agg(count(lit(1)).as("cn"), sums: _*)
           .collect()
           .map { r =>
+            // check ragged BEFORE reading cell: ragged rows get a null
+            // argmax (null dot → null array_max) and group under a null
+            // cell, so getInt(0) would throw a cryptic ROW_VALUE_IS_NULL
+            require(r.getLong(dim + 2) == 0L && !r.isNullAt(0),
+              s"trainKMeans: ${r.getLong(dim + 2)} vector(s) with " +
+                s"size != $dim — ragged embeddings would silently bias " +
+                "the codebook; clean or filter the corpus first")
             val n = r.getLong(1).toDouble
             r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 2) / n)
           }.toMap

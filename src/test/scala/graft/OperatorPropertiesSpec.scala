@@ -758,6 +758,26 @@ class OperatorPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("k-means rejects ragged embeddings loudly (no silent centroid bias)") {
+    // sum(v[i]) skips a short vector's null dims while count() still counts
+    // the row — without the guard a ragged corpus silently skews the
+    // codebook; the contract is fail-loud
+    import org.apache.spark.sql.functions.{col, expr}
+    val vecs = Tables.embeddings(spark, sf0001)
+      .withColumn("embedding",
+        expr("CASE WHEN vec_id = 5 THEN slice(embedding, 1, 10) ELSE embedding END"))
+    val ex = intercept[Exception] {
+      Similarity.trainKMeans(vecs, k = 4, iters = 2, seed = 42L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("ragged") || msg.contains("size"),
+      s"expected the ragged-embedding guard to fire, got: $msg")
+    // and an untouched corpus still trains fine through the guarded path
+    assert(Similarity.trainKMeans(Tables.embeddings(spark, sf0001),
+      k = 4, iters = 1, seed = 42L).count() === 4L)
+  }
+
   test("brute-force cosine top-k dominates the ANN shortlist (recall sanity)") {
     val exact = Similarity.cosineTopK(spark, sf0001, k = 20)
       .select("vec_id", "cosine").collect()

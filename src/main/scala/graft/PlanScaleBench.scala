@@ -78,6 +78,63 @@ object PlanScaleBench {
       ts(ts.size / 2)
     }
 
+    // The SHARDED scale points (r14 verdict #1): the streaming build above
+    // tops out ~2k files in reasonable wall time, but the 100 TB question
+    // is 10⁴–10⁶. Fabricate compaction-shaped tables (ONE negative-id
+    // commit listing every file with real stats — exactly what Compact
+    // publishes; at ≥64 entries the commit log shards it by partition
+    // dir) and measure the same planFiles path. Data files never exist on
+    // disk — planFiles opens no data file, and the probe is partition +
+    // stats-shaped so the bloom stage touches only the single stats
+    // survivor. Holding per-partition entry count FIXED while files_total
+    // grows 10× (64 → 640 partitions), the partition-pruned plan parses
+    // one parent + ONE shard at both points: measured-flat plan cost vs
+    // files_total, while the full (unpruned) parse stays linear — the
+    // bound the sharding exists to provide.
+    def buildSynthetic(nParts: Int, perPart: Int): (String, Long) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_planscale_syn").toString
+      val tableDir = s"$dir/bench.plans"
+      val log = new graft.sink.CommitLog(tableDir, conf)
+      val files = for (p <- 0 until nParts; i <- 0 until perPart)
+        yield f"$tableDir/etype=t$p/compact-$p%04d-$i%05d.parquet"
+      val stats = files.zipWithIndex.map { case (f, i) =>
+        f -> graft.sink.FileStats(10L, Map("id" -> graft.sink.ColStats(
+          Some(0L), Some(s"l${i * 10L}"), Some(s"l${i * 10L + 9}")))).serialize
+      }.toMap
+      require(log.commit(-1L, files, fileStats = stats))
+      (tableDir, files.size.toLong)
+    }
+
+    val synthetic = Seq((64, 160), (640, 160)).map { case (nParts, perPart) =>
+      val (tableDir, filesTotal) = buildSynthetic(nParts, perPart)
+      val log = new graft.sink.CommitLog(tableDir, conf)
+      import org.apache.spark.sql.sources.EqualTo
+      // probe: partition t3, one id inside exactly one file of that dir
+      val fileIdx = 3 * perPart + perPart / 2
+      val probeId = fileIdx * 10L + 5L
+      val partPreds = Seq("etype" -> "t3")
+      val pushed: Array[org.apache.spark.sql.sources.Filter] =
+        Array(EqualTo("etype", "t3"), EqualTo("id", probeId))
+      val fullParseSec = timeMedian(5)(log.committedFilesWithStats())
+      graft.sink.CommitLog.shardFileReads.set(0L)
+      var planned: Seq[(String, Map[String, String])] = Seq.empty
+      val planPrunedSec = timeMedian(5) {
+        graft.sink.CommitLog.shardFileReads.set(0L)
+        planned = graft.sink.GraftScan.planFiles(
+          tableDir, "bench.plans", conf, partPreds, pushed)
+      }
+      val shardsRead = graft.sink.CommitLog.shardFileReads.get
+      require(planned.size == 1 && planned.head._1.contains("/etype=t3/"),
+        s"synthetic probe must plan exactly its file, got ${planned.size}")
+      require(shardsRead == 1L,
+        s"pruned plan must open exactly one shard, opened $shardsRead")
+      f"""{"files_total":$filesTotal,"partitions":$nParts,""" +
+        f""""full_parse_sec":$fullParseSec%.4f,""" +
+        f""""plan_sec_partition_pruned":$planPrunedSec%.4f,""" +
+        f""""shards_read":$shardsRead,"files_planned":${planned.size}}"""
+    }
+
     val scales = Seq(epochsA, epochsB).map { epochs =>
       val (dir, rows) = buildTable(epochs)
       val tableDir = s"$dir/bench.plans"
@@ -129,7 +186,8 @@ object PlanScaleBench {
         f""""files_in_probed_partition":$inPartition,""" +
         f""""files_planned":${plannedPartitioned.size}}"""
     }
-    println(s"""{"metric":"plan_scale","scales":[${scales.mkString(",")}]}""")
+    println(s"""{"metric":"plan_scale","scales":[${scales.mkString(",")}],""" +
+      s""""synthetic_sharded":[${synthetic.mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -30,6 +30,9 @@ final class CommitLog(tableDir: String, conf: Configuration) {
 
   private val commitsDir = new Path(tableDir, CommitLog.COMMITS_DIR)
   private def fs: FileSystem = commitsDir.getFileSystem(conf)
+  // `<db>.<table>` — the anchor partitionSegments uses to find `k=v`
+  // segments strictly below the table root
+  private val dbTable = new Path(tableDir).getName
 
   def manifestPath(epochId: Long): Path =
     new Path(commitsDir, s"epoch-$epochId.manifest")
@@ -94,8 +97,45 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     // predate stats simply took the whole line as the path
     val lines = files.map(f =>
       fileStats.get(f).filter(_.nonEmpty).map(s => s"$f\t$s").getOrElse(f))
+    // PARTITION-SHARDED manifests (the 100 TB plan-cost fix): a LARGE
+    // commit — compaction output, or a wide epoch — moves its file lines
+    // out of the parent into one shard file per partition directory,
+    // referenced by `#shard:<rel>\t<k=v/...>` header lines. Readers with
+    // partition equality predicates then parse only the touched
+    // partitions' shards ([[committedFilesWithStats]]), so plan cost
+    // tracks the probed partitions' entry count, not the table's — the
+    // flat parse was measured at ~36 µs/file, i.e. seconds per query at
+    // the 10⁵–10⁶ files 100 TB implies. Header-only readers (tombstone
+    // guard, watermark) win too: a sharded parent is a few lines however
+    // many files the commit published. Shards are written BEFORE the
+    // parent rename (the unchanged atomicity point) under a UUID'd dir,
+    // so they are invisible until the parent publishes them and two
+    // racing commits of one epoch can never collide.
+    val (body, shardDir) =
+      if (lines.size < CommitLog.shardThreshold) (lines, None)
+      else {
+        val groups = files.zip(lines)
+          .groupBy { case (path, _) =>
+            CommitLog.partitionSegments(path, dbTable)
+              .map { case (k, v) => s"$k=$v" }.mkString("/")
+          }
+          .toSeq.sortBy(_._1)
+        val dirName =
+          s".epoch-$epochId.shards-${java.util.UUID.randomUUID.toString.take(8)}"
+        val dir = new Path(commitsDir, dirName)
+        f.mkdirs(dir)
+        val refs = groups.zipWithIndex.map { case ((part, group), i) =>
+          val name = f"shard-$i%05d"
+          val out = f.create(new Path(dir, name), false)
+          try out.write(group.map(_._2).mkString("\n")
+            .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          s"#shard:$dirName/$name\t$part"
+        }
+        (refs, Some(dir))
+      }
     val out = f.create(tmp, false)
-    try out.write((header ++ lines).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write((header ++ body).mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // rename is the atomicity point. HDFS/S3A rename fails onto an existing
     // target; RawLocalFileSystem REPLACES it (POSIX), so re-check right
@@ -103,6 +143,7 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     // making the remaining window unreachable in practice.
     if (f.exists(target) || !f.rename(tmp, target)) {
       f.delete(tmp, false)
+      shardDir.foreach(f.delete(_, true))
       false
     } else true
   }
@@ -112,11 +153,18 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     * epoch tombstone ceiling it carries forward, and per-file column
     * statistics for plan-time skipping (absent for JSONL files and for
     * manifests written before stats existed).
+    *
+    * For a partition-sharded manifest, `files`/`fileStats` hold the
+    * entries of the shards the read RESOLVED — all of them on the default
+    * full read, only the predicate-surviving ones on a pruned read;
+    * `shardRefs` always lists every shard so cleanup and specs can see
+    * the physical layout.
     */
   case class Manifest(epochId: Long, files: Seq[String],
       supersedes: Seq[Long], watermark: Option[Long],
       tombstoneCeiling: Option[Long] = None,
-      fileStats: Map[String, FileStats] = Map.empty)
+      fileStats: Map[String, FileStats] = Map.empty,
+      shardRefs: Seq[CommitLog.ShardRef] = Seq.empty)
 
   /** Max positive-epoch tombstone ceiling across the given manifests:
     * every streaming epoch ≤ this is consumed (Long.MinValue when none).
@@ -124,7 +172,16 @@ final class CommitLog(tableDir: String, conf: Configuration) {
   private def ceilingOf(ms: Seq[Manifest]): Long =
     ms.flatMap(_.tombstoneCeiling).foldLeft(Long.MinValue)(math.max)
 
-  private def readManifest(epochId: Long, p: Path): Option[Manifest] = {
+  /** Parse one manifest. `resolveShards = false` reads HEADERS only (the
+    * tombstone-guard / watermark path — a sharded parent is a few lines,
+    * so those per-epoch reads stay O(headers) at any file count);
+    * `partitionPredicates` prunes whole shards by their `k=v` path before
+    * any shard byte is read — the plan-time win: an untouched partition's
+    * entries are never parsed.
+    */
+  private def readManifest(epochId: Long, p: Path,
+      resolveShards: Boolean = true,
+      partitionPredicates: Seq[(String, String)] = Seq.empty): Option[Manifest] = {
     val text =
       try CommitLog.readFully(fs, p)
       catch {
@@ -144,24 +201,57 @@ final class CommitLog(tableDir: String, conf: Configuration) {
       case l if l.startsWith("#tombstone_ceiling:") =>
         l.stripPrefix("#tombstone_ceiling:").toLong
     }
-    val fileLines = lines.filterNot(_.startsWith("#"))
+    val shardRefs = lines.collect {
+      case l if l.startsWith("#shard:") =>
+        val toks = l.stripPrefix("#shard:").split('\t')
+        val parts = toks.lift(1).getOrElse("").split('/')
+          .filter(_.contains('='))
+          .map { s => val Array(k, v) = s.split("=", 2); k -> v }.toMap
+        CommitLog.ShardRef(toks(0), parts)
+    }
+    val inlineLines = lines.filterNot(_.startsWith("#"))
+    val shardLines =
+      if (!resolveShards || shardRefs.isEmpty) Seq.empty
+      else shardRefs
+        .filterNot(r => partitionPredicates.exists { case (k, v) =>
+          r.partitionValues.get(k).exists(_ != v) })
+        .flatMap { r =>
+          CommitLog.shardFileReads.incrementAndGet()
+          val t =
+            try CommitLog.readFully(fs, new Path(commitsDir, r.relPath))
+            catch {
+              // shards ride their parent: gone ⇒ the whole manifest is
+              // mid-cleanup and its superseding manifest already visible
+              case _: java.io.FileNotFoundException => return None
+            }
+          t.split("\n").filter(_.nonEmpty).toSeq
+        }
+    val fileLines = inlineLines ++ shardLines
     val files = fileLines.map(_.takeWhile(_ != '\t'))
     val stats = fileLines.flatMap { l =>
       val toks = l.split('\t')
       if (toks.length < 2) None
       else FileStats.parse(toks.drop(1).toSeq).map(toks(0) -> _)
     }.toMap
-    Some(Manifest(epochId, files, supersedes, watermark, ceiling, stats))
+    Some(Manifest(epochId, files, supersedes, watermark, ceiling, stats,
+      shardRefs))
   }
 
-  /** Every readable manifest, superseded ones included. */
-  def allManifests(): Seq[Manifest] = {
+  /** Every readable manifest, superseded ones included.
+    * `partitionPredicates` (equality on partition columns) prunes whole
+    * shards of sharded manifests before parsing — the returned manifests'
+    * `files` then cover only partitions the predicates allow.
+    */
+  def allManifests(
+      partitionPredicates: Seq[(String, String)] = Seq.empty): Seq[Manifest] = {
     val f = fs
     if (!f.exists(commitsDir)) return Seq.empty
     f.listStatus(commitsDir).toSeq
       .flatMap { st =>
         st.getPath.getName match {
-          case CommitLog.ManifestName(id) => readManifest(id.toLong, st.getPath)
+          case CommitLog.ManifestName(id) =>
+            readManifest(id.toLong, st.getPath,
+              partitionPredicates = partitionPredicates)
           case _ => None
         }
       }
@@ -177,7 +267,9 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     if (!f.exists(commitsDir)) return Seq.empty
     f.listStatus(commitsDir).toSeq.map(_.getPath.getName)
       .collect { case CommitLog.ManifestName(id) if id.toLong < 0L => id.toLong }
-      .flatMap(id => readManifest(id, manifestPath(id)))
+      // headers only: supersedes/ceiling/watermark live in the parent —
+      // this per-epoch read must never pay a sharded manifest's file lines
+      .flatMap(id => readManifest(id, manifestPath(id), resolveShards = false))
   }
 
   /** Union of all explicit tombstone sets (direct supersedes ids; the
@@ -204,8 +296,9 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     * tombstone ceiling: a positive leftover ≤ some manifest's ceiling is a
     * consumed epoch whose cleanup crashed, and must stay dead.
     */
-  def manifests(): Seq[Manifest] = {
-    val all = allManifests()
+  def manifests(
+      partitionPredicates: Seq[(String, String)] = Seq.empty): Seq[Manifest] = {
+    val all = allManifests(partitionPredicates)
     val superseded = all.flatMap(_.supersedes).toSet
     val ceiling = ceilingOf(all)
     all.filterNot(m => superseded.contains(m.epochId) ||
@@ -215,9 +308,17 @@ final class CommitLog(tableDir: String, conf: Configuration) {
   /** All files published across all live epochs. */
   def committedFiles(): Seq[String] = manifests().flatMap(_.files)
 
-  /** Live files with their recorded column stats (None → never skip). */
-  def committedFilesWithStats(): Seq[(String, Option[FileStats])] =
-    manifests().flatMap(m => m.files.map(f => f -> m.fileStats.get(f)))
+  /** Live files with their recorded column stats (None → never skip).
+    * With `partitionPredicates`, sharded manifests contribute only the
+    * surviving partitions' entries — untouched partitions' shard files
+    * are never opened, so plan cost tracks touched partitions, not the
+    * table's total file count.
+    */
+  def committedFilesWithStats(
+      partitionPredicates: Seq[(String, String)] = Seq.empty)
+      : Seq[(String, Option[FileStats])] =
+    manifests(partitionPredicates)
+      .flatMap(m => m.files.map(f => f -> m.fileStats.get(f)))
 
   /** Files published by one specific live epoch (empty if uncommitted or
     * compacted away).
@@ -242,16 +343,28 @@ final class CommitLog(tableDir: String, conf: Configuration) {
       .collect { case CommitLog.ManifestName(id) => id.toLong }
     val posMax = names.filter(_ >= 0L).foldLeft(-1L)(math.max)
     val negWatermarks = names.filter(_ < 0L).flatMap { id =>
-      readManifest(id, manifestPath(id)).flatMap(_.watermark)
+      readManifest(id, manifestPath(id), resolveShards = false)
+        .flatMap(_.watermark)
     }
     negWatermarks.foldLeft(posMax)(math.max)
   }
 
   /** Remove a superseded manifest (post-compaction cleanup — only safe
-    * after the superseding manifest is visible).
+    * after the superseding manifest is visible). The manifest goes FIRST
+    * (readers stop seeing it atomically), then any shard directories of
+    * this epoch — including leftovers of its own failed commit attempts,
+    * whose distinct UUIDs make the prefix listing find them too. A crash
+    * between the two deletes leaves orphan shard dirs that
+    * [[Compact]]'s expired-trash sweep removes.
     */
-  def deleteManifest(epochId: Long): Unit =
-    fs.delete(manifestPath(epochId), false)
+  def deleteManifest(epochId: Long): Unit = {
+    val f = fs
+    f.delete(manifestPath(epochId), false)
+    if (f.exists(commitsDir))
+      f.listStatus(commitsDir)
+        .filter(_.getPath.getName.startsWith(s".epoch-$epochId.shards-"))
+        .foreach(st => f.delete(st.getPath, true))
+  }
 
   /** Remove a superseded manifest AND, first, everything it itself
     * superseded that is still on disk (a previous generation's crashed
@@ -267,7 +380,8 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     if (!visited.add(epochId)) return
     val p = manifestPath(epochId)
     if (!fs.exists(p)) return
-    readManifest(epochId, p).foreach(
+    // headers only: the recursion needs supersedes, never file lines
+    readManifest(epochId, p, resolveShards = false).foreach(
       _.supersedes.foreach(deleteManifestTransitively(_, visited)))
     deleteManifest(epochId)
   }
@@ -285,6 +399,27 @@ final class CommitLog(tableDir: String, conf: Configuration) {
 object CommitLog {
   val COMMITS_DIR = "_commits"
   private val ManifestName = "epoch-(-?\\d+)\\.manifest".r
+
+  /** One shard of a partition-sharded manifest: its path relative to
+    * `_commits/` and the `k=v` partition values every file it lists
+    * shares (empty for files outside any partition directory).
+    */
+  final case class ShardRef(relPath: String,
+      partitionValues: Map[String, String])
+
+  /** Commits at or above this many files shard their entries by partition
+    * directory. Default 64: streaming epochs (files ≈ touched partitions ×
+    * writers) typically stay flat, while compaction outputs — where the
+    * 10⁵–10⁶-file plan-cost problem lives — shard. Sysprop-tunable for
+    * tests and unusual layouts.
+    */
+  private[graft] def shardThreshold: Int =
+    Integer.getInteger("graft.commitlog.shard.threshold", 64)
+
+  /** Count of shard files opened — instrumentation for specs/benches to
+    * assert untouched partitions' shards are never parsed.
+    */
+  private[graft] val shardFileReads = new java.util.concurrent.atomic.AtomicLong
 
   /** Read a (small) file fully as UTF-8 — the one read loop shared by
     * manifest, trash-ledger, and lease readers, so EOF/charset/close

@@ -617,6 +617,23 @@ object Compact {
     val commits = new Path(tableDir, CommitLog.COMMITS_DIR)
     if (!fs.exists(commits)) return
     val now = System.currentTimeMillis()
+    // orphan SHARD directories: a commit that crashed between writing its
+    // shards and renaming its manifest in, or a deleteManifest that crashed
+    // between the manifest and shard deletes. A dir is an orphan exactly
+    // when its epoch's manifest is absent (a manifest always outlives the
+    // shards it references — deletes go manifest-first); the age guard
+    // keeps an IN-FLIGHT commit's shards (written moments before its
+    // rename) out of reach.
+    val ShardDir = "\\.epoch-(-?\\d+)\\.shards-.*".r
+    fs.listStatus(commits).foreach { st =>
+      st.getPath.getName match {
+        case ShardDir(id)
+          if now - st.getModificationTime > math.max(retainMillis, 60000L) &&
+            !fs.exists(new Path(commits, s"epoch-$id.manifest")) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
     fs.listStatus(commits).filter(_.getPath.getName.startsWith(".trash-"))
       .foreach { st =>
         // name is .trash-<millis> (pre-uuid ledgers) or .trash-<millis>-<uuid>

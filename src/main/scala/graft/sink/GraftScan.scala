@@ -150,9 +150,12 @@ object GraftScan {
     * is the query's constant driver cost). Three-stage prune per committed
     * file, cheapest test first and short-circuited:
     *
-    *   1. PARTITION pruning — directory `col=value` segments against
-    *      pushed equality predicates; pure string work on the manifest
-    *      entry, no IO.
+    *   1. PARTITION pruning — applied at TWO granularities: whole SHARDS
+    *      of a partition-sharded manifest are skipped before their bytes
+    *      are read ([[CommitLog.committedFilesWithStats]] — plan cost
+    *      then tracks touched partitions, not table file count), and the
+    *      per-entry `col=value` check below covers inline (unsharded)
+    *      entries; pure string work, no IO beyond surviving shards.
     *   2. stats skipping — manifest-recorded min/max/null counts
     *      ([[FileStats]]); no IO beyond the already-parsed manifest.
     *   3. bloom skipping — per-file sidecar open + membership probe;
@@ -175,7 +178,8 @@ object GraftScan {
     // only the columns named by membership predicates are worth loading
     // from a sidecar — others' bitsets are skipped at read ([[Bloom.read]])
     val bloomWanted = Bloom.membershipAttributes(pushedSourceFilters.toSeq)
-    new CommitLog(tableDir, conf).committedFilesWithStats().flatMap {
+    new CommitLog(tableDir, conf)
+      .committedFilesWithStats(partitionPredicates).flatMap {
       case (f, stats) =>
         // Hive-style col=value segments below the table root only (the
         // warehouse base path may itself contain k=v-shaped directories)

@@ -27,6 +27,12 @@ import java.util.concurrent.atomic.AtomicLong
   * zero spill and ~150 MiB retained heap. A degraded sample with
   * proc_gc_ms in the hundreds-of-ms and flat spill/heap is still
   * host-side, not memory pressure.
+  *
+  * r15: attribution became ACTION — a sample matching that host-side
+  * signature at >2× the query's running median is discarded and re-timed
+  * (bounded; counts reported as `resampled`), so one bad host window can
+  * no longer drag a heavy line's median when healthy samples are
+  * obtainable in the same run.
   */
 object Bench {
 
@@ -54,6 +60,26 @@ object Bench {
   /** One timed sample's telemetry (bytes already scaled to MiB). */
   private final case class Tele(gcMs: Long, procGcMs: Long, spillMb: Long,
     shufMb: Long, peakExecMb: Long, heapAfterMb: Long)
+
+  /** Max telemetry-gated discards per query — bounds the retry loop so a
+    * genuinely slow query (or a lucky fast first sample) can't be
+    * resampled forever.
+    */
+  private[graft] val MaxResamples = 2
+
+  /** The telemetry-gated re-sampling policy, extracted pure for its spec:
+    * discard-and-retry exactly when the sample is ≥1 s, >2× the running
+    * median of ACCEPTED samples, under the retry bound, and its telemetry
+    * is healthy — zero spill and process GC under 15% of wall (the r14
+    * calibration's host-side signature; in-JVM pressure shows hundreds of
+    * GC ms or spill, and such a sample must be KEPT because re-running
+    * would hit it again and it is code-attributable).
+    */
+  private[graft] def shouldResample(elapsed: Double, runningMedian: Double,
+      spillMb: Long, procGcMs: Long, resamplesSoFar: Int): Boolean =
+    resamplesSoFar < MaxResamples && runningMedian > 0.0 && elapsed >= 1.0 &&
+      elapsed > 2.0 * runningMedian && spillMb == 0L &&
+      procGcMs < (elapsed * 1000 * 0.15).toLong
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -196,6 +222,21 @@ object Bench {
         }
         reclaim()
       }
+      // Telemetry-gated RE-SAMPLING (r14 verdict #2): the r13/r14 driver
+      // windows showed heavy-line samples 3-6x the query's own median with
+      // FLAT gc/spill/heap — the calibrated host-side signature (CPU
+      // steal, cold page cache) that attribution can explain but a median
+      // can only absorb, not discard, when 2+ of 5 samples are hit. When
+      // a sample's wall is >2x the RUNNING median of already-accepted
+      // samples AND its telemetry is healthy (no spill, proc GC under
+      // 15% of wall — in-JVM pressure keeps such a sample), discard it
+      // and re-time, at most twice per query; counts are reported as
+      // `resampled` so the artifact proves when the policy fired. The
+      // running-median reference (never the min) plus the retry bound
+      // keeps a genuinely-slow query from being resampled forever off one
+      // lucky fast first sample; sub-second walls are exempt (scheduling-
+      // floor jitter exceeds 2x without meaning anything there).
+      var resamples = 0
       var i = 0
       while (i < repeats && !failed) {
         telemetry.reset()
@@ -210,13 +251,21 @@ object Bench {
         val gcDelta = procGcMs() - gc0
         reclaim() // also drains the listener bus for the snapshot below
         if (!failed) {
-          samples += elapsed
-          teles += Tele(telemetry.gcMs.get, gcDelta,
+          val tele = Tele(telemetry.gcMs.get, gcDelta,
             (telemetry.spillMem.get + telemetry.spillDisk.get) >> 20,
             telemetry.shufWrite.get >> 20, telemetry.peakExec.get >> 20,
             heapUsedMb())
-        }
-        i += 1
+          val sorted = samples.sorted
+          val runMed = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+          if (shouldResample(elapsed, runMed, tele.spillMb, tele.procGcMs,
+              resamples)) {
+            resamples += 1 // discarded: not a sample, retry without advancing
+          } else {
+            samples += elapsed
+            teles += tele
+            i += 1
+          }
+        } else i += 1
       }
       val median = if (samples.isEmpty) 0.0 else {
         // with ≥5 samples, trim min and max first (the heavy-family
@@ -226,7 +275,7 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
-      (name, median, samples.toSeq, failed, teles.toSeq)
+      (name, median, samples.toSeq, failed, teles.toSeq, resamples)
     }
     // A query with ZERO samples must not contribute its near-zero elapsed
     // time to the JSON (that would read as a speedup) — excluded from the
@@ -236,12 +285,12 @@ object Bench {
     // non-comparable) and is STILL listed in `failed` so the run is honest
     // about it.
     val scored = results.filter(_._3.nonEmpty)
-    val qs = scored.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = scored.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sampleJson = scored.map { case (k, _, ss, _, _) =>
+    val sampleJson = scored.map { case (k, _, ss, _, _, _) =>
       s"\"" + k + "\":" + ss.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, true, _) => s"\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, true, _, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = scored.map(_._2).sum
     // Per-family normalization summary so a reader can separate host noise
@@ -249,7 +298,7 @@ object Bench {
     // query family (the token after "q_"), the summed median, the query
     // count, and the floor-adjusted plan cost (sum - n*floor_sec — what the
     // family costs beyond the irreducible per-query scheduling price).
-    val famJson = scored.map { case (k, v, _, _, _) => (k.split("_")(1), v) }
+    val famJson = scored.map { case (k, v, _, _, _, _) => (k.split("_")(1), v) }
       .groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, rs) =>
         val s = rs.map(_._2).sum
         val adj = math.max(0.0, s - rs.size * floorSec)
@@ -263,10 +312,10 @@ object Bench {
     // host effects concentrate): wall up + gc/spill up = in-JVM memory
     // pressure; wall up + gc/spill/heap flat = host-side slowness.
     val slowest = scored.sortBy(-_._2).take(5)
-    val slowSamples = slowest.map { case (k, _, ss, _, _) =>
+    val slowSamples = slowest.map { case (k, _, ss, _, _, _) =>
       s"\"" + k + "\":" + ss.map(s => f"$s%.2f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val slowTele = slowest.map { case (k, _, _, _, ts) =>
+    val slowTele = slowest.map { case (k, _, _, _, ts, _) =>
       def arr(f: Tele => Long) = ts.map(f).mkString("[", ",", "]")
       s"\"" + k + "\":" +
         s"""{"task_gc_ms":${arr(_.gcMs)},"proc_gc_ms":${arr(_.procGcMs)},""" +
@@ -283,16 +332,23 @@ object Bench {
     // lines, all sub-second, none load-bearing); their raw samples stay
     // in `samples` regardless.
     val spreadViolations = scored.collect {
-      case (k, med, ss, _, _)
+      case (k, med, ss, _, _, _)
         if med >= 0.5 && ss.min > 0 && ss.max / ss.min > 2.0 =>
         f""""$k":${ss.max / ss.min}%.2f"""
+    }.mkString("{", ",", "}")
+    // queries where the telemetry-gated re-sampling fired (discarded
+    // healthy-telemetry >2x-median samples) — the artifact's proof of
+    // WHEN the policy acted, so a clean spread list can't silently owe
+    // itself to discards
+    val resampledJson = results.collect {
+      case (k, _, _, _, _, n) if n > 0 => s"\"" + k + "\":" + n
     }.mkString("{", ",", "}")
     // heavy lines additionally report median AND trimmed mean: a sustained
     // slow window (4 of 5 samples hit — the r13 driver signature) drags
     // both, a single transient moves neither, and the pair's divergence
     // separates the two cases in the artifact itself.
-    val heavyStats = scored.filter { case (k, _, _, _, _) =>
-      HeavyFamilies(k.split("_")(1)) }.map { case (k, med, ss, _, _) =>
+    val heavyStats = scored.filter { case (k, _, _, _, _, _) =>
+      HeavyFamilies(k.split("_")(1)) }.map { case (k, med, ss, _, _, _) =>
       val s0 = ss.sorted
       val trimmed = if (s0.size >= 5) s0.slice(1, s0.size - 1) else s0
       val tmean = trimmed.sum / trimmed.size
@@ -303,7 +359,7 @@ object Bench {
     // nothing is cached) with probe cost. Time the same training call the
     // query makes, report both shares; probe-only should be comparable to
     // q_sim_ivf's label-quantizer path.
-    val ivfSplit = scored.find(_._1 == "q_sim_ivf_trained").map { case (_, med, _, _, _) =>
+    val ivfSplit = scored.find(_._1 == "q_sim_ivf_trained").map { case (_, med, _, _, _, _) =>
       // median-of-3 like every timed line — a single-shot train timing
       // absorbed a host transient in the first r14 run (train > query
       // median, probe clamped to 0)
@@ -334,13 +390,13 @@ object Bench {
         val txt = java.nio.file.Files.readString(p)
         val baseQ = "\"(q_\\w+)\":\\s*([0-9.]+)".r
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val mine = scored.collect { case (k, v, _, _, _) if baseQ.contains(k) => k -> v }.toMap
+        val mine = scored.collect { case (k, v, _, _, _, _) if baseQ.contains(k) => k -> v }.toMap
         val (s1, s2) = (mine.values.sum, mine.keys.map(baseQ).sum)
         if (s2 > 0) s""","baseline_total":$s2,"baseline_queries":${mine.size},"vs_baseline":${s1 / s2}"""
         else ""
       } else ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"slow_samples":$slowSamples,"slow_telemetry":$slowTele,"spread_violations":$spreadViolations,"heavy_stats":$heavyStats,"failed":$failed,"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$ivfSplit$vsBaseline}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"slow_samples":$slowSamples,"slow_telemetry":$slowTele,"spread_violations":$spreadViolations,"resampled":$resampledJson,"heavy_stats":$heavyStats,"failed":$failed,"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$ivfSplit$vsBaseline}""")
     spark.stop()
   }
 }

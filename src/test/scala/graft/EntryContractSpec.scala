@@ -29,4 +29,20 @@ class EntryContractSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size === 77)
     assert(SparkEntry.oracleSql.size === 70)
   }
+
+  test("bench re-sampling policy: healthy host-side outliers only, bounded") {
+    // fires: >2x running median, >=1s, zero spill, GC under 15% of wall
+    assert(Bench.shouldResample(4.3, 0.9, 0L, 100L, 0))
+    // in-JVM pressure must be KEPT (code-attributable, reproducible):
+    assert(!Bench.shouldResample(4.3, 0.9, 512L, 100L, 0), "spill keeps")
+    assert(!Bench.shouldResample(4.3, 0.9, 0L, 800L, 0), "heavy GC keeps")
+    // under the ratio, under the absolute floor, or no reference median:
+    assert(!Bench.shouldResample(1.7, 0.9, 0L, 10L, 0), "<=2x keeps")
+    assert(!Bench.shouldResample(0.8, 0.3, 0L, 10L, 0), "sub-second keeps")
+    assert(!Bench.shouldResample(4.3, 0.0, 0L, 10L, 0), "first sample keeps")
+    // retry bound: after MaxResamples discards, accept whatever comes
+    assert(!Bench.shouldResample(4.3, 0.9, 0L, 100L, Bench.MaxResamples))
+    // GC threshold scales with wall: 600ms GC on a 10s sample is healthy
+    assert(Bench.shouldResample(10.0, 2.0, 0L, 600L, 1))
+  }
 }

@@ -157,6 +157,37 @@ object SinkBench {
       s""","bloom_files_planned_compacted":$planned,"bloom_files_total_compacted":$total"""
     } else ""
 
+    // ORC in-file SARG skipping (r15): post-compaction each partition dir
+    // holds one wide ORC file (~rows/8 ≈ 12 row groups at defaults); a
+    // point lookup's SearchArgument should decode ONE 10k row group, not
+    // the file. Measured through the production RowReader — the same
+    // reader the DSv2 scan drives — as decoded-row counts + wall.
+    val orcSargJson = if (format == "orc") {
+      val probePart = s"/etype=t${probeId % 8}/"
+      val f = log.committedFiles()
+        .filter(p => p.endsWith(".orc") && p.contains(probePart)).head
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("msg",
+          org.apache.spark.sql.types.StringType)))
+      def readRows(fs2: Seq[org.apache.spark.sql.sources.Filter]): (Long, Double) = {
+        val t = System.nanoTime()
+        val r = new graft.sink.OrcIO.RowReader(
+          new org.apache.hadoop.fs.Path(f), schema,
+          spark.sparkContext.hadoopConfiguration, fs2)
+        try { var n = 0L; while (r.read() != null) n += 1
+          (n, (System.nanoTime() - t) / 1e9) }
+        finally r.close()
+      }
+      val (full, fullSec) = readRows(Seq.empty)
+      val (sargRows, sargSec) = readRows(Seq(probeFilter))
+      require(sargRows < full,
+        s"ORC SARG must skip row groups: read $sargRows of $full")
+      s""","orc_file_rows":$full,"orc_sarg_rows":$sargRows,""" +
+        s""""orc_full_read_seconds":$fullSec,"orc_sarg_read_seconds":$sargSec"""
+    } else ""
+
     // clustered rewrite (parquet only): `user` is UNcorrelated with arrival,
     // so neither epoch files nor compacted concat can ever prune on it —
     // only the sort-rewrite gives disjoint per-file ranges. The measured
@@ -188,7 +219,7 @@ object SinkBench {
     } else ""
 
     val rps = perBatch.toLong * batches / sec
-    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"batch_size":$batchSize,"format":"$format","seconds":$sec,"read_seconds":$readSec,"read_rows_per_sec":${(landed / readSec).round},"read_compacted_seconds":$readCompactSec,"read_compacted_rows_per_sec":${(landed / readCompactSec).round},"read_filtered_seconds":$readFilteredSec,"files_total":$filesTotal,"files_planned":$filesPlanned$bloomJson$bloomCompactJson$clusterJson,"partitions":8,"verified_rows":$landed}""")
+    println(s"""{"metric":"sink_rows_per_sec","value":${rps.round},"unit":"rows/sec","rows":${perBatch * batches},"batches":$batches,"batch_size":$batchSize,"format":"$format","seconds":$sec,"read_seconds":$readSec,"read_rows_per_sec":${(landed / readSec).round},"read_compacted_seconds":$readCompactSec,"read_compacted_rows_per_sec":${(landed / readCompactSec).round},"read_filtered_seconds":$readFilteredSec,"files_total":$filesTotal,"files_planned":$filesPlanned$bloomJson$bloomCompactJson$orcSargJson$clusterJson,"partitions":8,"verified_rows":$landed}""")
     spark.stop()
   }
 }

@@ -209,7 +209,8 @@ final class GraftDataWriter(
 
     private def open(): Unit = {
       file = segmentFile(segmentDir(partDir), seq, "orc")
-      writer = new OrcIO.RowWriter(file, dataSchema, conf)
+      writer = new OrcIO.RowWriter(file, dataSchema, conf,
+        bloomColumns = opts.bloomColumns)
       seq += 1
       rowsInFile = 0L
       files += file.toString

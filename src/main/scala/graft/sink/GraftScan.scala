@@ -55,8 +55,9 @@ final class GraftScanBuilder(tableSchema: StructType, opts: GraftSinkOptions)
         }
         attr -> encoded
     }.toSeq
-    // kept for parquet row-group/page skipping (converted per file against
-    // its physical schema at read time); JSONL partitions ignore them
+    // kept for parquet row-group/page skipping and ORC stripe/row-group
+    // SARG skipping (converted per file against its physical schema at
+    // read time); JSONL partitions ignore them
     pushed = filters
     filters
   }
@@ -130,7 +131,7 @@ final case class GraftReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p, requiredSchema, conf)
+    new GraftPartitionReader(p, requiredSchema, conf, filters)
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
@@ -263,7 +264,8 @@ final class GraftColumnarReader(
 
 final class GraftPartitionReader(
     partition: GraftInputPartition, requiredSchema: StructType,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   // fields served from the path (partition columns) vs the file bytes
@@ -315,11 +317,13 @@ final class GraftPartitionReader(
   }
 
   /** ORC scan: like parquet, `fileSchema` drives an include mask pushed
-    * into the ORC read, so only projected streams are decoded
+    * into the ORC read, so only projected streams are decoded, and the
+    * pushed filters become a SearchArgument for stripe/row-group skipping
     * ([[OrcIO.RowReader]]).
     */
   private final class OrcSource extends RowSource {
-    private val reader = new OrcIO.RowReader(path, fileSchema, conf.value)
+    private val reader = new OrcIO.RowReader(path, fileSchema, conf.value,
+      filters.toSeq)
     override def nextRow(): InternalRow = reader.read()
     override def close(): Unit = reader.close()
   }

@@ -99,30 +99,23 @@ object OrcIO {
   /** Streaming row writer over one ORC segment file. Same lifecycle as the
     * parquet segment writer.
     *
-    * DECISION (r13 verdict #7) — bloom filters on ORC landings stay in the
-    * format-uniform SIDECAR ([[Bloom]]), and ORC's native writer blooms
-    * (`OrcFile.WriterOptions.bloomFilterColumns`) are deliberately NOT
-    * enabled:
+    * DECISION (r13 verdict #7, REVISED r15) — bloom filters on ORC
+    * landings keep the format-uniform SIDECAR ([[Bloom]]) for DRIVER-side
+    * plan-time file skipping ([[GraftScan.planFiles]] stage 3: a file is
+    * dropped before any task is scheduled or footer opened — per-stripe
+    * native metadata can never participate there), and compaction
+    * ([[Compact]]) keeps OR-merging sidecars byte-wise without decoding
+    * data files, identically for jsonl/parquet/orc.
     *
-    *   - The sidecar serves DRIVER-side plan-time file skipping
-    *     ([[GraftScan.planFiles]] stage 3): a file is dropped before any
-    *     task is scheduled or footer opened. ORC native blooms live in
-    *     per-stripe footer metadata — reachable only AFTER a task has
-    *     opened the file, so they cannot participate in file planning at
-    *     all, and this reader ([[OrcIO.RowReader]]) deliberately decodes
-    *     whole committed segments (predicates re-applied by Spark
-    *     post-scan), so stripe-level skipping would also go unread.
-    *   - Compaction ([[Compact]]) OR-merges sidecars byte-wise without
-    *     decoding data files, identically for jsonl/parquet/orc inputs;
-    *     native blooms would force a format-aware re-derivation pass (read
-    *     every row back) to keep skipping alive across a fold.
-    *   - One mechanism, three formats: the sink's skipping behavior (and
-    *     its tests/bench evidence, SINKBENCH bloom lines) stays identical
-    *     whatever the landing format.
-    *
-    * If a stripe-level pushdown reader is ever added, native blooms become
-    * complementary (intra-file skipping after planning), not a
-    * replacement.
+    * r15: with SARG pushdown now in [[OrcIO.RowReader]], native writer
+    * blooms became what the r13 deferral predicted — COMPLEMENTARY
+    * intra-file skipping after planning — so `bloom.columns` now ALSO
+    * enables `bloomFilterColumns` on the ORC writer: inside a file a task
+    * does open, equality/IN predicates skip 10k-row row groups whose
+    * bloom excludes the value even when min/max ranges overlap. One user
+    * option, two granularities; compaction's `mergeFiles` copies stripes
+    * with their indexes intact, so native blooms survive folds without
+    * re-derivation.
     *
     * Create through the RAW fs (no client-side
     * `.crc` sidecars — measured the dominant per-file cost on the parquet
@@ -140,7 +133,8 @@ object OrcIO {
     * ambiguous with +0.999999s. Not fixable client-side; the parquet and
     * JSONL landings store exact micros and are unaffected.
     */
-  final class RowWriter(path: Path, schema: StructType, conf: Configuration) {
+  final class RowWriter(path: Path, schema: StructType, conf: Configuration,
+      bloomColumns: Seq[String] = Seq.empty) {
     private val td = typeDescription(schema)
     private val fillers: Array[Filler] = schema.fields.map(f => fillerFor(f.dataType))
     private val writer = {
@@ -148,13 +142,19 @@ object OrcIO {
         case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
         case other => other
       }
-      OrcFile.createWriter(path, OrcFile.writerOptions(conf)
+      var opts = OrcFile.writerOptions(conf)
         .setSchema(td)
         .fileSystem(fs)
         .compress(org.apache.orc.CompressionKind.SNAPPY)
         .stripeSize(16L * 1024 * 1024)
         .useUTCTimestamp(true)
-        .overwrite(false))
+        .overwrite(false)
+      // native row-group blooms for the SARG reader (columns outside this
+      // file's schema — e.g. partition columns — are dropped, not errors)
+      val bloomable = bloomColumns.filter(schema.fieldNames.contains)
+      if (bloomable.nonEmpty)
+        opts = opts.bloomFilterColumns(bloomable.mkString(","))
+      OrcFile.createWriter(path, opts)
     }
     private val batch = td.createRowBatch(1024)
     private var rows = 0L
@@ -232,8 +232,27 @@ object OrcIO {
     * decoded); fields are matched BY NAME against the file schema
     * (name-set contract — field order may drift across lineages), and
     * fields absent from the file materialize as null.
+    *
+    * STRIPE/ROW-GROUP PREDICATE PUSHDOWN (r14 verdict #3): pushed source
+    * filters convert to an ORC [[org.apache.hadoop.hive.ql.io.sarg.SearchArgument]]
+    * ([[OrcIO.toSearchArgument]] — same translation shape as Spark's
+    * built-in ORC source, rebuilt on the public `SearchArgumentFactory`
+    * API because Spark's converter is `private[sql]`), so the scan skips
+    * whole stripes via
+    * stripe statistics and 10k-row row groups via row indexes — and,
+    * when the writer recorded native blooms, equality/IN leaves skip row
+    * groups whose bloom provably excludes the value even when min/max
+    * ranges overlap. Conservative by construction: `allowSARGToFilter`
+    * stays off (surviving row groups return ALL their rows; ORC never
+    * drops individual rows here) and Spark re-applies every filter
+    * post-scan. Filters whose columns fall outside the file schema
+    * (partition columns, schema drift) are declined by the conversion and
+    * simply don't skip. This closes the parquet/ORC asymmetry where only
+    * parquet reads skipped row groups inside committed files.
     */
-  final class RowReader(path: Path, requestedSchema: StructType, conf: Configuration) {
+  final class RowReader(path: Path, requestedSchema: StructType,
+      conf: Configuration,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty) {
     private val reader = OrcFile.createReader(path,
       OrcFile.readerOptions(conf).useUTCTimestamp(true))
     private val fileTd = reader.getSchema
@@ -254,9 +273,23 @@ object OrcIO {
       }
       inc
     }
-    // useUTCTimestamp rides the reader options above; Row-level Options
-    // only carries the projection mask
-    private val rows = reader.rows(reader.options.include(include))
+    // useUTCTimestamp rides the reader options above; row-level Options
+    // carries the projection mask and the search argument.
+    // The SARG column domain is the PROJECTED fields present in this file
+    // (post-scan re-evaluation means Spark always includes filter columns
+    // in the projection), so a filter on a column this lineage lacks
+    // declines to convert instead of mis-skipping.
+    private val rows = {
+      var opts = reader.options.include(include)
+      if (filters.nonEmpty) {
+        val sargTypes = requestedSchema.fields
+          .filter(f => fileNames.contains(f.name))
+          .map(f => f.name -> f.dataType).toMap
+        OrcIO.toSearchArgument(sargTypes, filters)
+          .foreach(sarg => opts = opts.searchArgument(sarg, fileNames.toArray))
+      }
+      reader.rows(opts)
+    }
     private val batch = fileTd.createRowBatch(1024)
     private var pos = 0
 
@@ -284,6 +317,112 @@ object OrcIO {
     }
 
     def close(): Unit = { rows.close(); reader.close() }
+  }
+
+  /** Spark source filters → ORC [[SearchArgument]] over the given
+    * (file-present, projected) column types — built on the PUBLIC
+    * `SearchArgumentFactory` API (Spark's own `OrcFilters` is
+    * `private[sql]`). Scope matches the sink's scalar contract, declined
+    * conservatively everywhere else:
+    *
+    *   - integral → LONG, float/double → FLOAT, string → STRING,
+    *     boolean → BOOLEAN; date/timestamp/decimal/binary decline (the
+    *     manifest stats + sidecar blooms already skip at file level).
+    *   - `And` with one convertible side keeps that side (sound: a
+    *     conjunct alone only skips MORE conservatively); `Or` requires
+    *     both sides; `Not` requires STRICT convertibility of its child —
+    *     a partially-converted child under negation would skip row
+    *     groups the full predicate matches.
+    *   - null literals decline (SQL null-comparison semantics stay with
+    *     Spark's post-scan re-evaluation).
+    */
+  private[sink] def toSearchArgument(
+      types: Map[String, DataType],
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[org.apache.hadoop.hive.ql.io.sarg.SearchArgument] = {
+    import org.apache.hadoop.hive.ql.io.sarg.{PredicateLeaf, SearchArgument, SearchArgumentFactory}
+    import org.apache.spark.sql.sources._
+    type B = SearchArgument.Builder
+
+    def leafType(name: String): Option[PredicateLeaf.Type] =
+      types.get(name).collect {
+        case ByteType | ShortType | IntegerType | LongType => PredicateLeaf.Type.LONG
+        case FloatType | DoubleType => PredicateLeaf.Type.FLOAT
+        case StringType => PredicateLeaf.Type.STRING
+        case BooleanType => PredicateLeaf.Type.BOOLEAN
+      }
+
+    def lit(t: PredicateLeaf.Type, v: Any): Option[AnyRef] =
+      if (v == null) None
+      else t match {
+        case PredicateLeaf.Type.LONG => v match {
+          case n: Number => Some(java.lang.Long.valueOf(n.longValue()))
+          case _ => None
+        }
+        case PredicateLeaf.Type.FLOAT => v match {
+          case n: Number => Some(java.lang.Double.valueOf(n.doubleValue()))
+          case _ => None
+        }
+        case PredicateLeaf.Type.STRING => v match {
+          case s: String => Some(s)
+          case _ => None
+        }
+        case PredicateLeaf.Type.BOOLEAN => v match {
+          case b: java.lang.Boolean => Some(b)
+          case _ => None
+        }
+        case _ => None
+      }
+
+    /** Builder action for one filter, or None when it can't convert.
+      * `strict` (under Not): And may not drop an unconvertible side.
+      */
+    def convert(f: Filter, strict: Boolean): Option[B => B] = f match {
+      case And(l, r) =>
+        (convert(l, strict), convert(r, strict)) match {
+          case (Some(cl), Some(cr)) =>
+            Some(b => cr(cl(b.startAnd())).end())
+          case (one, other) if !strict =>
+            one.orElse(other)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (convert(l, strict), convert(r, strict)) match {
+          case (Some(cl), Some(cr)) => Some(b => cr(cl(b.startOr())).end())
+          case _ => None
+        }
+      case Not(c) =>
+        convert(c, strict = true).map(cc => b => cc(b.startNot()).end())
+      case EqualTo(a, v) => for { t <- leafType(a); l <- lit(t, v) }
+        yield (b: B) => b.equals(a, t, l)
+      case EqualNullSafe(a, v) => for { t <- leafType(a); l <- lit(t, v) }
+        yield (b: B) => b.nullSafeEquals(a, t, l)
+      case LessThan(a, v) => for { t <- leafType(a); l <- lit(t, v) }
+        yield (b: B) => b.lessThan(a, t, l)
+      case LessThanOrEqual(a, v) => for { t <- leafType(a); l <- lit(t, v) }
+        yield (b: B) => b.lessThanEquals(a, t, l)
+      case GreaterThan(a, v) => for { t <- leafType(a); l <- lit(t, v) }
+        yield (b: B) => b.startNot().lessThanEquals(a, t, l).end()
+      case GreaterThanOrEqual(a, v) => for { t <- leafType(a); l <- lit(t, v) }
+        yield (b: B) => b.startNot().lessThan(a, t, l).end()
+      case In(a, vs) => leafType(a).flatMap { t =>
+        val ls = vs.map(v => lit(t, v))
+        if (ls.isEmpty || ls.exists(_.isEmpty)) None
+        else Some((b: B) => b.in(a, t, ls.map(_.get): _*))
+      }
+      case IsNull(a) => leafType(a).map(t => (b: B) => b.isNull(a, t))
+      case IsNotNull(a) =>
+        leafType(a).map(t => (b: B) => b.startNot().isNull(a, t).end())
+      case _ => None
+    }
+
+    val convertible = filters.flatMap(f => convert(f, strict = false))
+    if (convertible.isEmpty) None
+    else scala.util.Try {
+      val b = SearchArgumentFactory.newBuilder().startAnd()
+      convertible.foreach(c => c(b))
+      b.end().build()
+    }.toOption
   }
 
   /** ORC `ColumnStatistics` → manifest [[FileStats]], same tags/domains as

@@ -285,4 +285,90 @@ class FileSkippingSpec extends SparkSpec {
     assert(!st.prunes(Or(EqualTo("a", 9), EqualTo("zz", 1))))
     assert(st.prunes(Or(EqualTo("a", 9), EqualTo("a", 21))))
   }
+
+  /** One committed 30k-row ORC file (3 × 10k row groups, ids even-only and
+    * ascending) written through the sink with the given extra options.
+    */
+  private def writeOrc30k(extra: (String, String)*): String = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp()
+    val in = MemoryStream[Int]
+    val q = in.toDS().map(i => (i.toLong * 2, s"m$i"))
+      .toDF("id", "msg")
+      .writeStream.format("graft-streaming")
+      .options(opts(dir, (Seq("format" -> "orc",
+        "batch.size" -> "30000") ++ extra): _*))
+      .option("checkpointLocation", s"$dir/_cp").start()
+    in.addData(0 until 30000: _*)
+    q.processAllAvailable()
+    q.stop()
+    dir
+  }
+
+  private def orcRowCount(dir: String,
+      filters: org.apache.spark.sql.sources.Filter*): Long = {
+    val files = log(dir).committedFiles().filter(_.endsWith(".orc"))
+    assert(files.size === 1, s"expected one ORC file, got $files")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("msg",
+        org.apache.spark.sql.types.StringType)))
+    val r = new OrcIO.RowReader(new org.apache.hadoop.fs.Path(files.head),
+      schema, spark.sparkContext.hadoopConfiguration, filters.toSeq)
+    try { var n = 0L; while (r.read() != null) n += 1; n }
+    finally r.close()
+  }
+
+  test("ORC SARG pushdown skips row groups inside a committed file") {
+    val dir = writeOrc30k()
+    assert(orcRowCount(dir) === 30000L, "unfiltered read sees every row")
+    // point hit: exactly one 10k row group survives the row index
+    val hit = orcRowCount(dir, EqualTo("id", 30000L))
+    assert(hit === 10000L, s"equality must keep one row group, read $hit")
+    // range predicate: two of three groups excluded
+    val range = orcRowCount(dir, GreaterThanOrEqual("id", 45000L))
+    assert(range <= 20000L, s"range must drop leading groups, read $range")
+    // provably-empty: outside the file's min/max entirely
+    assert(orcRowCount(dir, EqualTo("id", 999999L)) === 0L)
+    // unconvertible filter (column not in the file) degrades to no-skip
+    assert(orcRowCount(dir, EqualTo("nope", 1L)) === 30000L)
+  }
+
+  test("ORC native blooms skip in-range misses; absent without the option") {
+    // ids are even; odd probes sit inside every row group's [min, max] so
+    // ONLY a bloom can exclude them. Five probes: P(all false-positive)
+    // ≈ 0.05⁵ — deterministic in practice.
+    // every probe strictly INSIDE one row group's id range (rg0 covers
+    // 0..19998, rg1 20000..39998, rg2 40000..59998) — a boundary-gap id
+    // like 39999 would be excluded by min/max alone
+    val probes = Seq(5001L, 7777L, 12345L, 24681L, 43215L)
+    val bloomed = writeOrc30k("bloom.columns" -> "id")
+    val hits = probes.map(p => orcRowCount(bloomed, EqualTo("id", p)))
+    assert(hits.exists(_ === 0L),
+      s"native blooms must exclude some in-range miss, got $hits")
+    // without the option, min/max can never exclude an in-range value
+    val plain = writeOrc30k()
+    assert(probes.map(p => orcRowCount(plain, EqualTo("id", p)))
+      .forall(_ === 10000L), "no bloom → the covering row group survives")
+  }
+
+  test("SARG conversion: And drops unconvertible sides, Not must not") {
+    import org.apache.spark.sql.types._
+    val types = Map[String, DataType]("id" -> LongType, "msg" -> StringType)
+    def conv(fs: org.apache.spark.sql.sources.Filter*) =
+      OrcIO.toSearchArgument(types, fs.toSeq)
+    assert(conv(EqualTo("id", 1L)).isDefined)
+    assert(conv(In("msg", Array("a", "b"))).isDefined)
+    // And keeps the convertible conjunct (skipping on it alone is sound)
+    assert(conv(And(EqualTo("id", 1L), EqualTo("zz", 2L))).isDefined)
+    // Or and Not require full convertibility — partial would over-skip
+    assert(conv(Or(EqualTo("id", 1L), EqualTo("zz", 2L))).isEmpty)
+    assert(conv(Not(And(EqualTo("id", 1L), EqualTo("zz", 2L)))).isEmpty)
+    assert(conv(Not(EqualTo("id", 1L))).isDefined)
+    // null literals and unsupported types decline
+    assert(conv(EqualTo("id", null)).isEmpty)
+    assert(conv(EqualTo("zz", 1L)).isEmpty)
+  }
 }

@@ -41,6 +41,12 @@ object DedupBench {
     // 0 = off (default): in-loop minor table compaction is an opt-in
     val compactTableEvery =
       sys.env.getOrElse("SPARK_GRAFT_DEDUP_COMPACT_TABLE_EVERY", "0").toInt
+    // banding scheme under test: minhash (default) or simhash — the same
+    // index/probe machinery over 4 tagged 16-bit chunks instead of 8
+    // hashed minhash bands (drop RATES differ by design; the flatness
+    // ratios are the comparable part)
+    val banding = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BANDING",
+      graft.streaming.StreamingNearDedup.BandingMinHash)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,7 +81,7 @@ object DedupBench {
     val q = graft.streaming.StreamingNearDedup.start(
       in.toDF().toDF("doc_id", "text"),
       dir, "bench", "docs", s"$dir/_cp", compactEvery = compactEvery,
-      compactTableEvery = compactTableEvery)
+      compactTableEvery = compactTableEvery, banding = banding)
 
     val epochSecs = (0 until epochs).map { e =>
       val lo = e.toLong * docsPerEpoch
@@ -135,7 +141,7 @@ object DedupBench {
       spark.sparkContext.hadoopConfiguration).committedEpochs()
     val (minors, deltas) = manifests.partition(_ < 0)
     val secsJson = epochSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"near_dedup_ingest","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"compact_table_every":$compactTableEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":$flatness,"compact_epoch_secs":$compactJson,"compact_late_over_early":$compactFlat,"index_delta_epochs":${st.deltaEpochs},"index_runs":${st.runs},"index_max_files_per_bucket":${st.maxFilesPerBucket},"table_minor_manifests":${minors.size},"table_delta_manifests":${deltas.size}}""")
+    println(s"""{"metric":"near_dedup_ingest","banding":"$banding","epochs":$epochs,"docs_per_epoch":$docsPerEpoch,"compact_every":$compactEvery,"compact_table_every":$compactTableEvery,"epoch_secs":$secsJson,"docs_per_sec":${(epochs.toLong * docsPerEpoch / total).toLong},"landed_rows":$landed,"late_over_early":$flatness,"compact_epoch_secs":$compactJson,"compact_late_over_early":$compactFlat,"index_delta_epochs":${st.deltaEpochs},"index_runs":${st.runs},"index_max_files_per_bucket":${st.maxFilesPerBucket},"table_minor_manifests":${minors.size},"table_delta_manifests":${deltas.size}}""")
     spark.stop()
   }
 }

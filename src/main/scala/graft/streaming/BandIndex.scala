@@ -67,62 +67,110 @@ object BandIndex {
 
   private val PartName = "epoch-(-?\\d+)-\\d+\\.parquet".r
 
-  /** The layout constants baked into this index's files: the bucket
-    * fan-out (directory layout) and the banding parameters (key
-    * semantics — [[StreamingNearDedup]]'s MinHash construction). A change
-    * to ANY of these makes existing index files unreadable-as-intended.
+  /** The layout constants baked into this index's files for the given
+    * banding scheme: the bucket fan-out (directory layout) and the key
+    * semantics ([[StreamingNearDedup]]'s MinHash LSH, or the 4×16-bit
+    * SimHash chunks — r14 verdict #4). A change to ANY of these makes
+    * existing index files unreadable-as-intended.
     */
-  private def metaProps: Seq[(String, String)] = Seq(
-    "numBuckets" -> NumBuckets.toString,
-    "numHashes" -> StreamingNearDedup.NumHashes.toString,
-    "numBands" -> StreamingNearDedup.NumBands.toString,
-    "bandSize" -> StreamingNearDedup.BandSize.toString)
+  private def metaPropsFor(banding: String): Seq[(String, String)] =
+    banding match {
+      case StreamingNearDedup.BandingMinHash => Seq(
+        "numBuckets" -> NumBuckets.toString,
+        "banding" -> StreamingNearDedup.BandingMinHash,
+        "numHashes" -> StreamingNearDedup.NumHashes.toString,
+        "numBands" -> StreamingNearDedup.NumBands.toString,
+        "bandSize" -> StreamingNearDedup.BandSize.toString)
+      case StreamingNearDedup.BandingSimHash => Seq(
+        "numBuckets" -> NumBuckets.toString,
+        "banding" -> StreamingNearDedup.BandingSimHash,
+        "numBands" -> StreamingNearDedup.SimHashBands.toString,
+        "bandSize" -> StreamingNearDedup.SimHashBandBits.toString)
+      case other => throw new IllegalArgumentException(
+        s"unknown banding '$other'")
+    }
 
-  /** Validate this jar's layout constants against the table's persisted
-    * `_banddex/_meta`, creating it when absent.
+  /** Validate this jar's layout constants (for the declared `banding`)
+    * against the table's persisted `_banddex/_meta`, creating it when
+    * absent.
     *
     *  - meta present + any recorded key differs → fail LOUDLY naming the
     *    keys (the alternative is silent mis-bucketing: probes read the
-    *    wrong `bucket=` dirs and every near-dup of the old corpus
+    *    wrong `bucket=` dirs — or, across banding schemes, compare keys
+    *    from different hash spaces — and every near-dup of the old corpus
     *    re-lands);
-    *  - meta absent but the index dir exists (table written by a pre-meta
-    *    jar) → one-time heal: record the current constants, which are the
-    *    only layout any pre-meta jar ever shipped;
-    *  - neither exists → created together (table creation).
+    *  - meta absent but the index holds files (table written by a
+    *    pre-meta jar) → one-time heal recording the MINHASH constants —
+    *    the only layout any pre-meta jar ever shipped (simhash banding
+    *    postdates the meta file), so a simhash writer entering such a
+    *    table heals it truthfully and then fails the validation below;
+    *  - neither exists → created together (table creation) with the
+    *    declared banding's constants.
     *
     * Unknown keys in the file are ignored so future jars can extend the
     * format without breaking this one.
     */
-  private[graft] def ensureMeta(fs: FileSystem, tableDir: String): Unit = {
+  private[graft] def ensureMeta(fs: FileSystem, tableDir: String,
+      banding: String = StreamingNearDedup.BandingMinHash): Unit =
+    ensureMetaImpl(fs, tableDir, Some(banding))
+
+  /** [[ensureMeta]] for the banding-AGNOSTIC maintenance entries (append,
+    * compact, backfill): they move opaque `bk` keys between buckets, so
+    * they depend on — and validate — only the bucket fan-out, never the
+    * key semantics. A simhash table's append must not trip over the
+    * default-minhash band constants; only the stream entry
+    * ([[ensureBackfilled]]) declares a banding and gets the full check.
+    */
+  private def ensureMetaBucketsOnly(fs: FileSystem, tableDir: String): Unit =
+    ensureMetaImpl(fs, tableDir, None)
+
+  private def ensureMetaImpl(fs: FileSystem, tableDir: String,
+      banding: Option[String]): Unit = {
     val idxDir = new Path(dir(tableDir))
     val meta = new Path(idxDir, MetaName)
-    if (fs.exists(meta)) {
-      val recorded = graft.sink.CommitLog.readFully(fs, meta)
-        .split("\n").filter(_.contains("="))
-        .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }.toMap
-      val diffs = metaProps.filter { case (k, v) =>
-        recorded.get(k).exists(_ != v)
-      }
-      if (diffs.nonEmpty) {
-        throw new IllegalStateException(
-          s"band index layout mismatch for $tableDir: this build uses " +
-            diffs.map { case (k, v) =>
-              s"$k=$v but the table was created with $k=${recorded(k)}"
-            }.mkString("; ") +
-            ". Reading it with different constants would silently " +
-            "mis-bucket probes. Rebuild with the recorded constants, or " +
-            "re-create the index (delete _banddex and let ensureBackfilled " +
-            "rebuild it from the committed rows).")
-      }
-    } else {
+    if (!fs.exists(meta)) {
       fs.mkdirs(idxDir)
+      val preMetaFiles = fs.listStatus(idxDir)
+        .exists(_.getPath.getName.startsWith("bucket="))
+      // a meta-less index WITH files was written by a pre-meta jar, and
+      // those only ever shipped the minhash layout — record that truth
+      // (a simhash writer entering such a table then fails the validation
+      // below); a fresh index records the declared banding
+      val props =
+        if (preMetaFiles || banding.isEmpty)
+          metaPropsFor(StreamingNearDedup.BandingMinHash)
+        else metaPropsFor(banding.get)
       // write-temp + rename so no concurrent reader observes a partial file
       val tmp = new Path(idxDir, s".$MetaName.${UUID.randomUUID}.tmp")
       val out = fs.create(tmp, false)
-      try out.write(metaProps.map { case (k, v) => s"$k=$v" }
+      try out.write(props.map { case (k, v) => s"$k=$v" }
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
       if (!fs.rename(tmp, meta)) fs.delete(tmp, false)
+    }
+    // validate even right after creation: a simhash writer healing a
+    // pre-meta (necessarily minhash) table must fail on THIS entry, not
+    // after its first mis-keyed probe
+    val recorded = graft.sink.CommitLog.readFully(fs, meta)
+      .split("\n").filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }.toMap
+    val checked = banding match {
+      case Some(b) => metaPropsFor(b)
+      case None => Seq("numBuckets" -> NumBuckets.toString)
+    }
+    val diffs = checked.filter { case (k, v) =>
+      recorded.get(k).exists(_ != v)
+    }
+    if (diffs.nonEmpty) {
+      throw new IllegalStateException(
+        s"band index layout mismatch for $tableDir: this build uses " +
+          diffs.map { case (k, v) =>
+            s"$k=$v but the table was created with $k=${recorded(k)}"
+          }.mkString("; ") +
+          ". Reading it with different constants would silently " +
+          "mis-bucket probes. Rebuild with the recorded constants, or " +
+          "re-create the index (delete _banddex and let ensureBackfilled " +
+          "rebuild it from the committed rows).")
     }
   }
 
@@ -246,7 +294,7 @@ object BandIndex {
     val spark = keys.sparkSession
     val fs = fsFor(spark, tableDir)
     val idxDir = new Path(dir(tableDir))
-    ensureMeta(fs, tableDir)
+    ensureMetaBucketsOnly(fs, tableDir)
     cleanOrphans(fs, idxDir)
     val tmp = new Path(idxDir, s".epoch-$epochId.tmp-${UUID.randomUUID}")
     // one file per populated bucket: the repartition clusters each bucket
@@ -333,7 +381,7 @@ object BandIndex {
     val fs = fsFor(spark, tableDir)
     val idxDir = new Path(dir(tableDir))
     if (!fs.exists(idxDir)) return
-    ensureMeta(fs, tableDir)
+    ensureMetaBucketsOnly(fs, tableDir)
     cleanOrphans(fs, idxDir)
     val state = listIndex(fs, idxDir)
     if (state.isEmpty) return
@@ -437,23 +485,27 @@ object BandIndex {
     * epoch's index holding a reduced key set until its append runs.
     */
   def ensureBackfilled(spark: SparkSession, tableDir: String,
-      replayingEpoch: Long = Long.MinValue): Unit = {
+      replayingEpoch: Long = Long.MinValue,
+      banding: String = StreamingNearDedup.BandingMinHash): Unit = {
     val fs = fsFor(spark, tableDir)
     val idxDir = new Path(dir(tableDir))
     if (!fs.exists(idxDir)) {
+      // record the declared banding BEFORE the backfill: backfill's append
+      // only validates bucket layout, so on a rebuilt index (the
+      // documented delete-_banddex recovery of a simhash table) it would
+      // otherwise heal a minhash meta under the simhash keys. Creating the
+      // dir here also closes the replay hole for every later epoch (the
+      // dir exists before the first data commit).
+      ensureMeta(fs, tableDir, banding)
       val committed = new graft.sink.CommitLog(
         tableDir, spark.sparkContext.hadoopConfiguration).committedEpochs()
       if (committed.exists(_ != replayingEpoch)) backfill(spark, tableDir)
-      // marker even when there was nothing to backfill (empty or
-      // skipped-replay table): the dir existing BEFORE the first data
-      // commit is what makes both the replay hole and the every-epoch
-      // re-backfill structurally impossible
-      fs.mkdirs(idxDir)
+    } else {
+      // every-epoch layout validation (and the one-time meta heal for
+      // pre-meta tables): a rebuilt jar with different constants must fail
+      // HERE, before its first mis-bucketed probe
+      ensureMeta(fs, tableDir, banding)
     }
-    // every-epoch layout validation (and the one-time meta heal for
-    // pre-meta tables): a rebuilt jar with different constants must fail
-    // HERE, before its first mis-bucketed probe
-    ensureMeta(fs, tableDir)
   }
 
   // ---- single-writer lease ------------------------------------------------

@@ -38,6 +38,21 @@ object StreamingNearDedup {
   val NumBands = 8
   val BandSize = 4
 
+  /** Banding scheme names accepted by [[start]]'s `banding` option (r14
+    * verdict #4): `minhash` is the default LSH above; `simhash` bands the
+    * one-pass 64-bit token SimHash ([[graft.functions.SimHash64]]) into
+    * 4 × 16-bit chunks — the batch `Dedup.simhashOn` candidate generator's
+    * exact construction — so any earlier arrival within Hamming distance 3
+    * shares at least one chunk (pigeonhole) and drops the newcomer. The
+    * scheme is a LAYOUT property of the table, recorded in the index's
+    * `_meta` at creation and validated on every writer entry.
+    */
+  val BandingMinHash = "minhash"
+  val BandingSimHash = "simhash"
+
+  val SimHashBands = 4
+  val SimHashBandBits = 16
+
   /** Consecutive in-loop table-compaction failures tolerated before the
     * query fails: transient FS faults skip the cycle and retry next time;
     * this bounds how long a persistent fault can silently disable
@@ -70,10 +85,48 @@ object StreamingNearDedup {
     }.drop("_hs", "_sig")
   }
 
-  private[streaming] def bandKeys(df: DataFrame): DataFrame =
+  /** Adds band_0..band_3 SimHash key columns — 16-bit chunks of the
+    * one-pass `simhash64`, each TAGGED with its band index (`b·2¹⁶ +
+    * chunk`) so chunk value 5 in band 0 can never collide with chunk 5 in
+    * band 1 through the index's single `bk` column: the single-column
+    * equivalent of the batch operator's compound `(band_idx, band_key)`
+    * join key (`Dedup.simhashOn`). A null text (the only null the
+    * expression propagates) yields NULL keys and always passes, like
+    * minhash's short docs.
+    */
+  def withSimHashBands(docs: DataFrame): DataFrame = {
+    val sh = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text"))))
+    val withSig = docs.withColumn("_sh", sh)
+    (0 until SimHashBands).foldLeft(withSig) { (d, b) =>
+      d.withColumn(s"band_$b",
+        shiftright(col("_sh"), b * SimHashBandBits)
+          .bitwiseAND(lit((1L << SimHashBandBits) - 1)) +
+          lit(b.toLong << SimHashBandBits))
+    }.drop("_sh")
+  }
+
+  /** [[withBands]] / [[withSimHashBands]] by declared scheme name. */
+  def withBandsFor(docs: DataFrame, banding: String): DataFrame =
+    banding match {
+      case BandingMinHash => withBands(docs)
+      case BandingSimHash => withSimHashBands(docs)
+      case other => throw new IllegalArgumentException(
+        s"unknown banding '$other'; supported: $BandingMinHash, $BandingSimHash")
+    }
+
+  /** Exploded (doc_id, band key) rows over WHATEVER band_i columns the
+    * frame carries (8 for minhash, 4 for simhash) — derived from the
+    * schema so probe, append, and backfill stay banding-agnostic.
+    */
+  private[streaming] def bandKeys(df: DataFrame): DataFrame = {
+    val bandCols = df.columns.filter(_.matches("band_\\d+"))
+      .sortBy(_.stripPrefix("band_").toInt)
     df.select(col("doc_id"), explode(array(
-        (0 until NumBands).map(b => col(s"band_$b")): _*)).as("bk"))
+        bandCols.map(col(_)).toSeq: _*)).as("bk"))
       .filter(col("bk").isNotNull)
+  }
 
   /** `compactEvery` > 0 folds [[BandIndex.compact]] into the stream loop
     * every that-many epochs (serial with the writer, so the swap is
@@ -105,7 +158,10 @@ object StreamingNearDedup {
       checkpoint: String,
       compactEvery: Int = 0,
       leaseStaleMs: Long = 10L * 60 * 1000,
-      compactTableEvery: Int = 0): StreamingQuery = {
+      compactTableEvery: Int = 0,
+      banding: String = BandingMinHash): StreamingQuery = {
+    require(banding == BandingMinHash || banding == BandingSimHash,
+      s"unknown banding '$banding'; supported: $BandingMinHash, $BandingSimHash")
     val tableDir = s"$path/$db.$table"
     val owner = java.util.UUID.randomUUID.toString
     // consecutive in-loop table-compaction failures: transient FS faults
@@ -137,8 +193,9 @@ object StreamingNearDedup {
         // its own landed rows (it would collide with itself); the call also
         // creates the index dir before the data commit, closing that window
         // for every later epoch
-        BandIndex.ensureBackfilled(spark, tableDir, replayingEpoch = epochId)
-        val banded = withBands(batch).persist(MEMORY_AND_DISK)
+        BandIndex.ensureBackfilled(spark, tableDir, replayingEpoch = epochId,
+          banding = banding)
+        val banded = withBandsFor(batch, banding).persist(MEMORY_AND_DISK)
         // the batch's keys feed four consumers (touched-bucket listing,
         // index probe, within-batch minima, index append) — persist once
         val keys = bandKeys(banded).persist(MEMORY_AND_DISK)

@@ -316,6 +316,72 @@ class StreamingSurfaceSpec extends SparkSpec {
       .forall(_.isNullAt(0)))
   }
 
+  test("streaming NEAR-dedup with simhash banding: chunk collisions drop arrivals; meta pins the scheme") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // doc_id -> tagged 16-bit chunk keys, via the operator's own banding
+    def shBands(rows: Seq[(Long, String)]): Map[Long, Set[Long]] =
+      graft.streaming.StreamingNearDedup
+        .withSimHashBands(rows.toDF("doc_id", "text"))
+        .collect().map { r =>
+          r.getLong(0) -> (0 until 4).flatMap(b =>
+            Option(r.get(r.fieldIndex(s"band_$b"))).map(_.asInstanceOf[Long]))
+            .toSet
+        }.toMap
+    val dir = java.nio.file.Files.createTempDirectory("ssimdedup").toString
+    val tableDir = s"$dir/corpus.docs"
+    val base = (1 to 24).map(i => s"tok$i").mkString(" ")
+    // deterministic fixture search (same approach as the minhash case):
+    // find a one-token variant that shares a simhash chunk with base —
+    // one flipped token moves few of the 64 vote sums past their bias
+    // threshold, so most variants qualify, but we never ASSUME one does
+    val baseBands = shBands(Seq((1L, base)))(1L)
+    val nearDup = (1 to 24).map { p =>
+      (1 to 24).map(i => if (i == p) s"ALT$p" else s"tok$i").mkString(" ")
+    }.find(t => (shBands(Seq((9L, t)))(9L) & baseBands).nonEmpty)
+      .getOrElse(fail("no one-token variant shares a simhash chunk with " +
+        "base; widen the fixture search, not the code"))
+    val rows = Seq(
+      (1L, base),
+      (2L, nearDup),                                       // drops: shares a chunk
+      (3L, base),                                          // drops: exact dup
+      (4L, (100 to 123).map(i => s"zqx$i").mkString(" "))) // may or may not collide
+    val bands = shBands(rows)
+    val expected = rows.map(_._1).foldLeft(Vector.empty[Long]) { (kept, id) =>
+      if (rows.map(_._1).filter(_ < id)
+          .exists(e => (bands(e) & bands(id)).nonEmpty)) kept
+      else kept :+ id
+    }
+    assert(expected.contains(1L) && !expected.contains(2L) &&
+      !expected.contains(3L), s"fixture sanity: $expected")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingNearDedup.start(
+      in.toDF().toDF("doc_id", "text"), dir, "corpus", "docs", s"$dir/_cp",
+      banding = graft.streaming.StreamingNearDedup.BandingSimHash)
+    in.addData(rows(0), rows(1))
+    q.processAllAvailable()
+    in.addData(rows(2), rows(3))
+    q.processAllAvailable()
+    q.stop()
+    val out = graft.sink.CommitLog.readCommitted(spark, tableDir)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      expected.sorted, "stream must agree with the policy simulation")
+    // the simhash layout: 4 band columns, no minhash band_4..7
+    assert(out.columns.count(_.startsWith("band_")) === 4)
+    // the scheme is pinned in the index meta...
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = graft.sink.CommitLog.readFully(fs, new org.apache.hadoop.fs.Path(
+      s"${graft.streaming.BandIndex.dir(tableDir)}/_meta"))
+    assert(meta.contains("banding=simhash") && meta.contains("numBands=4"))
+    // ...so a minhash writer entering this table fails loudly, pre-probe
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.BandIndex.ensureBackfilled(spark, tableDir,
+        banding = graft.streaming.StreamingNearDedup.BandingMinHash)
+    }
+    assert(ex.getMessage.contains("layout mismatch"))
+  }
+
   test("band index bounds the per-epoch state read to the batch's touched buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

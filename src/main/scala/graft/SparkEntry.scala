@@ -38,6 +38,7 @@ object SparkEntry {
     "q_agg_cube"       -> (Relational.aggCube _),
     "q_agg_gsets"      -> (Relational.aggGroupingSets _),
     "q_agg_pivot"      -> (Relational.aggPivot _),
+    "q_agg_corr"       -> (Relational.corrProfile _),
     // joins
     "q_join_inner"     -> (Relational.joinInner _),
     "q_join_broadcast" -> (Relational.joinBroadcast _),
@@ -91,7 +92,9 @@ object SparkEntry {
     "q_quality_score"  -> (Text.qualityScore _),
     "q_token_count"    -> (Text.tokenCount _),
     "q_vocab_topk"     -> ((s: SparkSession, d: String) => Text.vocabTopK(s, d)),
+    "q_text_bigrams"   -> ((s: SparkSession, d: String) => Text.bigramTopK(s, d)),
     "q_funnel"         -> (TimeOps.funnel _),
+    "q_window_retention" -> (TimeOps.retention _),
     "q_text_tfidf"     -> ((s: SparkSession, d: String) => Text.tfidfTopTerms(s, d)),
     "q_fingerprint"    -> (Text.fingerprint _),
     "q_fingerprint_rolling" -> (Text.rollingFingerprint _),
@@ -594,6 +597,39 @@ object SparkEntry {
         |  CAST(LENGTH(text) AS INT) AS n_chars,
         |  ROUND(CAST(LENGTH(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]{1,4}')), 4) AS chars_per_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_agg_corr" ->
+      """SELECT l_returnflag, COUNT(1) AS n,
+        |  ROUND(corr(l_quantity, l_extendedprice) * 10000) / 10000 AS corr_qty_price,
+        |  ROUND(corr(l_discount, l_extendedprice) * 10000) / 10000 AS corr_disc_price,
+        |  ROUND(stddev_samp(l_quantity) * 10000) / 10000 AS stddev_qty,
+        |  ROUND(var_samp(l_discount) * 10000) / 10000 AS var_disc,
+        |  ROUND(avg(l_extendedprice) * 10000) / 10000 AS avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+        |             FROM events),
+        |     per AS (SELECT user_id, MIN(day) AS cohort_day,
+        |               LIST(day) AS days
+        |             FROM act GROUP BY user_id)
+        |SELECT cohort_day, COUNT(1) AS n_users,
+        |  CAST(SUM(CASE WHEN list_contains(days, cohort_day + 1) THEN 1 ELSE 0 END) AS BIGINT) AS d1_retained,
+        |  CAST(SUM(CASE WHEN list_contains(days, cohort_day + 7) THEN 1 ELSE 0 END) AS BIGINT) AS d7_retained,
+        |  ROUND(CAST(SUM(CASE WHEN list_contains(days, cohort_day + 1) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1) * 10000) / 10000 AS d1_rate,
+        |  ROUND(CAST(SUM(CASE WHEN list_contains(days, cohort_day + 7) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1) * 10000) / 10000 AS d7_rate
+        |FROM per GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+
+    "q_text_bigrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |     big AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bigram
+        |             FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+        |             WHERE len(tk) >= 2),
+        |     per AS (SELECT doc_id, bigram, COUNT(1) AS c FROM big GROUP BY doc_id, bigram)
+        |SELECT bigram, CAST(SUM(c) AS BIGINT) AS occurrences, COUNT(1) AS doc_freq
+        |FROM per GROUP BY bigram
+        |ORDER BY occurrences DESC, doc_freq DESC, bigram LIMIT 50""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH per AS (SELECT doc_id, token, COUNT(1) AS c

@@ -83,6 +83,31 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Grouped second-moment statistics: Pearson correlation, sample
+    * stddev/variance, and mean per return flag — the co-movement profile
+    * (price↔quantity, value drift) data-quality monitoring runs over
+    * numeric columns. All four are single-pass co-moment aggregates
+    * (Spark's Welford-style central-moment buffers): map-side partials
+    * merge associatively, so the shuffle carries one constant-size buffer
+    * per (group, partition) — the same plan class as [[aggHash]], however
+    * many rows feed it. Values round through [[Norm.r4]]: correlation is
+    * scale-free in [-1, 1] and both engines' sample (n−1) conventions
+    * agree, so the rounding only absorbs FP merge-order drift.
+    */
+  def corrProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        Norm.r4(corr(col("l_quantity"), col("l_extendedprice")))
+          .as("corr_qty_price"),
+        Norm.r4(corr(col("l_discount"), col("l_extendedprice")))
+          .as("corr_disc_price"),
+        Norm.r4(stddev_samp(col("l_quantity"))).as("stddev_qty"),
+        Norm.r4(var_samp(col("l_discount"))).as("var_disc"),
+        Norm.r4(avg(col("l_extendedprice"))).as("avg_price"))
+      .orderBy("l_returnflag")
+
   /** Exact distinct aggregation; Spark plans expand + two-phase agg. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

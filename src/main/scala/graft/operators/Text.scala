@@ -204,6 +204,44 @@ object Text {
         col("token").asc)
       .limit(k)
 
+  /** Corpus bigram heavy hitters: top-`k` token bigrams by occurrence
+    * count with document frequencies — the n-gram LM / contamination-
+    * analysis companion of [[vocabTopK]] (unigram df): bigram statistics
+    * are what KN-smoothed LM estimation, boilerplate detection, and
+    * benchmark-overlap triage consume at corpus scale.
+    *
+    * Scale shape mirrors [[vocabTopK]]: bigrams derive MAP-SIDE from the
+    * token array (one `transform` over `sequence` — no token-level window
+    * shuffle), then the (doc_id, bigram) partial aggregate bounds the
+    * shuffle by per-doc distinct bigrams, the bigram rollup merges
+    * counters, and the total order (occurrences desc, doc_freq desc,
+    * bigram asc — deterministic under rank-boundary ties) is a
+    * TakeOrdered, never a corpus-wide sort.
+    */
+  def bigramTopK(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    bigramTopKOn(Tables.documents(s, dir), k)
+
+  /** [[bigramTopK]] over an arbitrary (doc_id, text) frame. */
+  def bigramTopKOn(docs: DataFrame, k: Int = 50): DataFrame = {
+    val tk = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), tk.as("tk"))
+      // guard BEFORE sequence(0, size-2): a 1-token doc would make the
+      // descending sequence [0, -1], not an empty array
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => concat_ws(" ", col("tk")(i), col("tk")(i + 1)))).as("bigram"))
+      .groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("bigram")
+      .agg(sum(col("c")).cast("bigint").as("occurrences"),
+        count(lit(1)).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("doc_freq").desc,
+        col("bigram").asc)
+      .limit(k)
+  }
+
   /** TF-IDF top terms per document — keyword extraction, the composite a
     * curation pipeline uses for topical tagging and near-duplicate triage:
     * corpus-level document frequencies joined back onto per-doc term

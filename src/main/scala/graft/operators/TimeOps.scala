@@ -242,6 +242,44 @@ object TimeOps {
     * frames aggregated together); the conversion column's window runs
     * over |steps| rows — metadata at any corpus size.
     */
+  /** Day-N cohort retention: users grouped by their FIRST active day
+    * (epoch-day — integer day arithmetic on both engines, no date-type
+    * round-trip), with day-1 and day-7 return counts and rates — the
+    * standard activation/retention report.
+    *
+    * Scale shape: ONE user-keyed aggregate collapses each user to
+    * (cohort_day, active-day set) — the set is bounded by the dataset's
+    * CALENDAR span (≤ 365 entries/user-year), metadata-sized however many
+    * events a user has, and the offset flags (`array_contains`) are
+    * map-side on the aggregated row. The cohort rollup then sums flags
+    * per cohort_day: two shuffles total (user_id, then cohort_day), no
+    * Expand (the naive 3-way `countDistinct` form plans one), no join.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame =
+    retentionOn(Tables.events(s, dir)
+      .select(col("user_id"), Norm.ms(col("ts")).as("ts_ms")))
+
+  /** [[retention]] over an arbitrary (user_id, ts_ms) frame. */
+  def retentionOn(events: DataFrame, offsets: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ > 0),
+      s"retention offsets must be positive day counts; got $offsets")
+    val per = events
+      .select(col("user_id"), floor(col("ts_ms") / 86400000L).as("day"))
+      .groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"),
+        collect_set(col("day")).as("days"))
+    val flags = offsets.map(o =>
+      sum(array_contains(col("days"), col("cohort_day") + lit(o.toLong))
+        .cast("int")).cast("bigint").as(s"d${o}_retained"))
+    val rates = offsets.map(o =>
+      Norm.r4(col(s"d${o}_retained") / col("n_users")).as(s"d${o}_rate"))
+    per.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"), flags: _*)
+      .select(col("cohort_day") +: col("n_users") +:
+        (offsets.map(o => col(s"d${o}_retained")) ++ rates): _*)
+      .orderBy("cohort_day")
+  }
+
   def funnel(s: SparkSession, dir: String): DataFrame =
     funnelOn(Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), Norm.ms(col("ts")).as("ts_ms")),

@@ -640,8 +640,11 @@ class StreamingSurfaceSpec extends SparkSpec {
       .option("checkpointLocation", s"$dir/_cp")
       .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("500 milliseconds"))
       .start()
-    // continuous queries have no processAllAvailable; wait until data lands
-    val deadline = System.currentTimeMillis() + 60000
+    // continuous queries have no processAllAvailable; wait until data
+    // lands. 120 s: under full-suite load on a busy host the first
+    // continuous epoch has been observed to take over the old 60 s bound
+    // (r15 — the test then passed alone immediately)
+    val deadline = System.currentTimeMillis() + 120000
     def landed(): Long =
       try graft.sink.CommitLog.readCommitted(spark, s"$dir/contdb.t").count()
       catch { case _: Throwable => 0L }

@@ -102,15 +102,20 @@ final class GraftScan(
       GraftInputPartition(f, parts): InputPartition
     }.toArray
 
-  /** Columnar (vectorized) batches when EVERY planned file is parquet and
-    * the projection is batch-decodable — Spark requires a scan's
-    * partitions to be uniformly columnar or row-based, so one JSONL epoch
-    * in a mixed table keeps the whole scan on the row path.
+  /** Columnar (vectorized) batches when EVERY planned file is parquet
+    * (Spark's vectorized parquet decoder) or EVERY planned file is ORC
+    * (the [[OrcIO.OrcSparkColumnVector]] views over hive batches — r15)
+    * and the projection is batch-decodable. Spark requires a scan's
+    * partitions to be uniformly columnar or row-based, so one JSONL
+    * epoch — or a parquet/ORC mix — keeps the whole scan on the row
+    * path.
     */
-  private lazy val columnar: Boolean =
+  private[sink] lazy val columnar: Boolean =
     plannedFiles.nonEmpty && requiredSchema.nonEmpty &&
-      plannedFiles.forall(_._1.endsWith(".parquet")) &&
-      ParquetIO.batchReadSupported(requiredSchema)
+      ((plannedFiles.forall(_._1.endsWith(".parquet")) &&
+          ParquetIO.batchReadSupported(requiredSchema)) ||
+        (plannedFiles.forall(_._1.endsWith(".orc")) &&
+          OrcIO.batchReadSupported(requiredSchema)))
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(requiredSchema,
@@ -139,7 +144,9 @@ final case class GraftReaderFactory(
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftColumnarReader(p, requiredSchema, conf, filters)
+    if (p.file.endsWith(".orc"))
+      new GraftOrcColumnarReader(p, requiredSchema, conf, filters)
+    else new GraftColumnarReader(p, requiredSchema, conf, filters)
   }
 }
 
@@ -255,6 +262,73 @@ final class GraftColumnarReader(
           reorder.map(b.column), b.numRows())
       true
     }
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+
+  override def close(): Unit = reader.close()
+}
+
+/** Vectorized ORC scan of one committed file (r15 — the ORC counterpart
+  * of [[GraftColumnarReader]]): hive `VectorizedRowBatch`es surface as
+  * Spark `ColumnarBatch`es through zero-copy
+  * [[OrcIO.OrcSparkColumnVector]] views, partition columns ride as
+  * `ConstantColumnVector`s, fields the file lacks (name-set schema drift)
+  * as null constants. Vectors are assembled once, in projection order —
+  * no per-batch reorder, no per-row materialization.
+  */
+final class GraftOrcColumnarReader(
+    partition: GraftInputPartition, requiredSchema: StructType,
+    conf: SerializableHadoopConf,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+
+  private val fileSchema = StructType(requiredSchema.fields
+    .filterNot(f => partition.partitionValues.contains(f.name)))
+  private val reader = new OrcIO.BatchReader(
+    new Path(partition.file), fileSchema, conf.value, filters.toSeq)
+
+  private def constantFor(f: org.apache.spark.sql.types.StructField)
+      : ConstantColumnVector = {
+    import org.apache.spark.sql.types._
+    val v = new ConstantColumnVector(reader.batch.getMaxSize, f.dataType)
+    GraftPartitionReader.fromPathString(
+      partition.partitionValues(f.name), f.dataType) match {
+      case null => v.setNull()
+      case s: UTF8String => v.setUtf8String(s)
+      case i: java.lang.Integer => v.setInt(i)
+      case l: java.lang.Long => v.setLong(l)
+      case sh: java.lang.Short => v.setShort(sh)
+      case b: java.lang.Byte => v.setByte(b)
+      case bo: java.lang.Boolean => v.setBoolean(bo)
+      case other => throw new IllegalStateException(
+        s"unexpected partition value $other for ${f.dataType}")
+    }
+    v
+  }
+
+  // projection order directly: file-backed views by name, partition
+  // constants, null constants for drift-absent fields
+  private val vectors: Array[org.apache.spark.sql.vectorized.ColumnVector] = {
+    val fileViews = fileSchema.fieldNames.zip(reader.vectors).toMap
+    requiredSchema.fields.map { f =>
+      if (partition.partitionValues.contains(f.name)) constantFor(f)
+      else fileViews(f.name) match {
+        case Some(view) => view
+        case None =>
+          val v = new ConstantColumnVector(reader.batch.getMaxSize, f.dataType)
+          v.setNull(); v
+      }
+    }
+  }
+  private val batch =
+    new org.apache.spark.sql.vectorized.ColumnarBatch(vectors)
+
+  override def next(): Boolean = {
+    if (!reader.nextBatch()) false
+    else { batch.setNumRows(reader.batch.size); true }
   }
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch

@@ -319,6 +319,148 @@ object OrcIO {
     def close(): Unit = { rows.close(); reader.close() }
   }
 
+  /** Scalar types the columnar ORC adapter serves — the sink's own write
+    * contract, so every graft-written ORC file batch-reads.
+    */
+  def batchReadSupported(schema: StructType): Boolean =
+    schema.fields.forall(_.dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           DoubleType | FloatType | BooleanType | DateType | BinaryType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    })
+
+  /** Spark [[org.apache.spark.sql.vectorized.ColumnVector]] VIEW over one
+    * hive `ColumnVector` of a `VectorizedRowBatch` — the zero-copy bridge
+    * that lets the ORC scan hand Spark COLUMNAR batches the way the
+    * parquet path does ([[GraftColumnarReader]]): no per-row
+    * `InternalRow` materialization, values decoded lazily by position
+    * straight from the ORC decode buffers. The wrapped hive vector object
+    * is stable across `nextBatch` calls (ORC refills in place), so the
+    * adapter wraps once per file; `isRepeating` run-length encoding maps
+    * every row to slot 0.
+    */
+  final class OrcSparkColumnVector(
+      dt: DataType,
+      hv: org.apache.hadoop.hive.ql.exec.vector.ColumnVector)
+    extends org.apache.spark.sql.vectorized.ColumnVector(dt) {
+
+    /** Rows in the CURRENT batch — updated by the reader per nextBatch,
+      * only consulted by numNulls().
+      */
+    private[OrcIO] var batchRows: Int = 0
+
+    @inline private def r(row: Int): Int = if (hv.isRepeating) 0 else row
+
+    override def close(): Unit = () // the hive batch is owned by the reader
+
+    override def hasNull: Boolean = !hv.noNulls
+    override def numNulls: Int =
+      if (hv.noNulls) 0
+      else if (hv.isRepeating) { if (hv.isNull(0)) batchRows else 0 }
+      else (0 until batchRows).count(hv.isNull(_))
+    override def isNullAt(row: Int): Boolean =
+      !hv.noNulls && hv.isNull(r(row))
+
+    private def longs = hv.asInstanceOf[LongColumnVector].vector
+    private def doubles = hv.asInstanceOf[DoubleColumnVector].vector
+
+    override def getBoolean(row: Int): Boolean = longs(r(row)) != 0L
+    override def getByte(row: Int): Byte = longs(r(row)).toByte
+    override def getShort(row: Int): Short = longs(r(row)).toShort
+    override def getInt(row: Int): Int = longs(r(row)).toInt
+    override def getLong(row: Int): Long = dt match {
+      case TimestampType | TimestampNTZType =>
+        val tv = hv.asInstanceOf[TimestampColumnVector]
+        val i = r(row)
+        Math.floorDiv(tv.time(i), 1000L) * 1000000L + tv.nanos(i) / 1000L
+      case _ => longs(r(row))
+    }
+    override def getFloat(row: Int): Float = doubles(r(row)).toFloat
+    override def getDouble(row: Int): Double = doubles(r(row))
+    override def getUTF8String(row: Int): UTF8String = {
+      val bv = hv.asInstanceOf[BytesColumnVector]
+      val i = r(row)
+      UTF8String.fromBytes(bv.vector(i), bv.start(i), bv.length(i))
+    }
+    override def getBinary(row: Int): Array[Byte] = {
+      val bv = hv.asInstanceOf[BytesColumnVector]
+      val i = r(row)
+      java.util.Arrays.copyOfRange(bv.vector(i), bv.start(i),
+        bv.start(i) + bv.length(i))
+    }
+    override def getDecimal(row: Int, precision: Int, scale: Int)
+        : org.apache.spark.sql.types.Decimal =
+      org.apache.spark.sql.types.Decimal(
+        hv.asInstanceOf[DecimalColumnVector].vector(r(row))
+          .getHiveDecimal.bigDecimalValue, precision, scale)
+
+    override def getArray(row: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      throw new UnsupportedOperationException("scalar columns only")
+    override def getMap(row: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      throw new UnsupportedOperationException("scalar columns only")
+    override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+      throw new UnsupportedOperationException("scalar columns only")
+  }
+
+  /** Batched reader over one committed ORC file: same projection mask,
+    * name-based field matching, and SARG pushdown as [[RowReader]], but
+    * surfaced as hive `VectorizedRowBatch`es with per-field
+    * [[OrcSparkColumnVector]] views for the columnar scan path.
+    */
+  final class BatchReader(path: Path, requestedSchema: StructType,
+      conf: Configuration,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty) {
+    private val reader = OrcFile.createReader(path,
+      OrcFile.readerOptions(conf).useUTCTimestamp(true))
+    private val fileTd = reader.getSchema
+    private val fileNames = fileTd.getFieldNames.asScala.toIndexedSeq
+    private val fileCol: Array[Int] =
+      requestedSchema.fields.map(f => fileNames.indexOf(f.name))
+    private val include = {
+      val inc = new Array[Boolean](fileTd.getMaximumId + 1)
+      inc(0) = true
+      fileCol.foreach { c =>
+        if (c >= 0) {
+          val child = fileTd.getChildren.get(c)
+          (child.getId to child.getMaximumId).foreach(id => inc(id) = true)
+        }
+      }
+      inc
+    }
+    private val rows = {
+      var opts = reader.options.include(include)
+      if (filters.nonEmpty) {
+        val sargTypes = requestedSchema.fields
+          .filter(f => fileNames.contains(f.name))
+          .map(f => f.name -> f.dataType).toMap
+        OrcIO.toSearchArgument(sargTypes, filters)
+          .foreach(sarg => opts = opts.searchArgument(sarg, fileNames.toArray))
+      }
+      reader.rows(opts)
+    }
+    val batch: VectorizedRowBatch = fileTd.createRowBatch(4096)
+
+    /** Per requested field: its adapter view, or None when the file lacks
+      * the column (the scan serves those as null constants).
+      */
+    val vectors: Array[Option[OrcSparkColumnVector]] =
+      requestedSchema.fields.zip(fileCol).map { case (f, c) =>
+        if (c < 0) None
+        else Some(new OrcSparkColumnVector(f.dataType, batch.cols(c)))
+      }
+
+    /** Fill the next batch; false at EOF. */
+    def nextBatch(): Boolean = {
+      val more = rows.nextBatch(batch)
+      if (more) vectors.foreach(_.foreach(_.batchRows = batch.size))
+      more
+    }
+
+    def close(): Unit = { rows.close(); reader.close() }
+  }
+
   /** Spark source filters → ORC [[SearchArgument]] over the given
     * (file-present, projected) column types — built on the PUBLIC
     * `SearchArgumentFactory` API (Spark's own `OrcFilters` is

@@ -39,6 +39,7 @@ object SparkEntry {
     "q_agg_gsets"      -> (Relational.aggGroupingSets _),
     "q_agg_pivot"      -> (Relational.aggPivot _),
     "q_agg_corr"       -> (Relational.corrProfile _),
+    "q_agg_zscore"     -> ((s: SparkSession, d: String) => Relational.zscoreOutliers(s, d)),
     // joins
     "q_join_inner"     -> (Relational.joinInner _),
     "q_join_broadcast" -> (Relational.joinBroadcast _),
@@ -606,6 +607,16 @@ object SparkEntry {
         |  ROUND(var_samp(l_discount) * 10000) / 10000 AS var_disc,
         |  ROUND(avg(l_extendedprice) * 10000) / 10000 AS avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_zscore" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+        |              stddev_samp(value) AS sd
+        |            FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  ROUND((e.value - st.mu) / st.sd * 10000) / 10000 AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs(e.value - st.mu) > 3 * st.sd
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "q_window_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,

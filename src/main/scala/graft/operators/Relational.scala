@@ -108,6 +108,38 @@ object Relational {
         Norm.r4(avg(col("l_extendedprice"))).as("avg_price"))
       .orderBy("l_returnflag")
 
+  /** Per-group z-score outlier detection: events whose `value` deviates
+    * more than `k` sample standard deviations from their event type's
+    * mean, with the standardized score — the streaming-data quality
+    * monitor's anomaly report.
+    *
+    * Scale shape: group statistics are one co-moment aggregate whose
+    * result is |event_type| rows — bounded by the type DOMAIN, not the
+    * data — so the join back is an explicit `broadcast` and the outlier
+    * test runs entirely MAP-SIDE over the scan: one metadata-sized
+    * shuffle for the stats, zero shuffles of the event stream itself.
+    * A group with undefined stddev (single row, or zero variance) yields
+    * a null comparison and surfaces no outliers — identical SQL-null
+    * semantics on both engines.
+    */
+  def zscoreOutliers(s: SparkSession, dir: String, k: Double = 3.0): DataFrame =
+    zscoreOutliersOn(Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value")), k)
+
+  /** [[zscoreOutliers]] over an arbitrary (event_id, event_type, value)
+    * frame.
+    */
+  def zscoreOutliersOn(events: DataFrame, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"z-score threshold must be positive; got $k")
+    val st = events.groupBy("event_type")
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    events.join(broadcast(st), "event_type")
+      .filter(abs(col("value") - col("mu")) > lit(k) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        Norm.r4((col("value") - col("mu")) / col("sd")).as("z"))
+      .orderBy("event_type", "event_id")
+  }
+
   /** Exact distinct aggregation; Spark plans expand + two-phase agg. */
   def aggDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

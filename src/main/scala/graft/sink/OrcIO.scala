@@ -297,6 +297,9 @@ object OrcIO {
     def read(): InternalRow = {
       if (pos >= batch.size) {
         if (!rows.nextBatch(batch)) return null
+        // same dense-batch assumption as [[BatchReader.nextBatch]]
+        require(!batch.selectedInUse,
+          "ORC returned a selected-rows batch; dense positional reads would be wrong")
         pos = 0
       }
       val values = new Array[Any](fileCol.length)
@@ -454,6 +457,12 @@ object OrcIO {
     /** Fill the next batch; false at EOF. */
     def nextBatch(): Boolean = {
       val more = rows.nextBatch(batch)
+      // positional reads assume the batch is dense: a selection vector
+      // (row-level SARG filtering, allowSARGToFilter — never enabled
+      // here) would make positions 0..size wrong rows. Fail loudly if an
+      // orc-core behavior change ever flips it on.
+      require(!more || !batch.selectedInUse,
+        "ORC returned a selected-rows batch; dense positional reads would be wrong")
       if (more) vectors.foreach(_.foreach(_.batchRows = batch.size))
       more
     }

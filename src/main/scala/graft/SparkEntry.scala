@@ -49,6 +49,7 @@ object SparkEntry {
     "q_join_full"      -> (Relational.joinFull _),
     "q_join_range"     -> (TimeOps.rangeJoin _),
     "q_join_asof"      -> (TimeOps.asofJoin _),
+    "q_join_asof_nearest" -> (TimeOps.asofNearest _),
     // set ops
     "q_union"          -> (Relational.setUnion _),
     "q_intersect"      -> (Relational.setIntersect _),
@@ -242,6 +243,18 @@ object SparkEntry {
         |j AS (SELECT p_id, user_id, p_ms, c_id, c_ms,
         |        ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ms DESC, c_id DESC) AS rn
         |      FROM p JOIN c ON user_id = c_user AND c_ms <= p_ms)
+        |SELECT p_id, user_id, p_ms, c_id, c_ms FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    "q_join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts_ms AS p_ms FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts_ms AS c_ms FROM e WHERE event_type = 'click'),
+        |j AS (SELECT p_id, user_id, p_ms, c_id, c_ms,
+        |        ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY
+        |          abs(c_ms - p_ms) ASC,
+        |          CASE WHEN c_ms <= p_ms THEN 0 ELSE 1 END ASC,
+        |          CASE WHEN c_ms <= p_ms THEN -c_id ELSE c_id END ASC) AS rn
+        |      FROM p JOIN c ON user_id = c_user)
         |SELECT p_id, user_id, p_ms, c_id, c_ms FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,
 
     "q_union" ->

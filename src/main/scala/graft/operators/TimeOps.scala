@@ -152,6 +152,31 @@ object TimeOps {
       .orderBy("p_id")
   }
 
+  /** Nearest-direction as-of fixture (registry `q_join_asof_nearest`):
+    * for each purchase, the click CLOSEST in time either way —
+    * equidistant ties backward, same-instant matches counting as
+    * backward — through the generic [[asofJoinOn]] surface, so the
+    * oracle pins the direction machinery itself (the backward fixture
+    * `q_join_asof` pins the carry).
+    */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Norm.ms(col("ts")).as("ts_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_ms").as("p_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("ts_ms").as("c_ms"))
+    asofJoinOn(purchases, clicks, Seq("user_id"), "p_ms", "c_ms",
+        rightOrder = Seq("c_id"), direction = "nearest")
+      .filter(col("c_id").isNotNull)
+      .select(col("p_id"), col("user_id"), col("p_ms"), col("c_id"),
+        col("c_ms"))
+      .orderBy("p_id")
+  }
+
   /** General as-of join over ARBITRARY frames — [[asofJoin]]'s linear
     * carry-forward formulation factored out as reusable library surface.
     * For each left row, attaches the latest right row with the same `on`
@@ -165,18 +190,30 @@ object TimeOps {
     * join+window formulation.
     *
     * `rightOrder` breaks ties among right rows sharing `rightTime`
-    * deterministically (the LARGEST ordering value wins, matching "latest
-    * row" semantics). `tolerance` (same units as the time columns, which
-    * must be numeric when it is set) drops matches older than
-    * `leftTime - tolerance`. Right output columns keep their names (they
+    * deterministically (the LARGEST ordering value wins under `backward`
+    * — "latest row" semantics — and the SMALLEST under `forward`, the
+    * mirror). `tolerance` (same units as the time columns, which must be
+    * numeric when it is set) drops matches farther than `tolerance` in
+    * the match direction. Right output columns keep their names (they
     * must not collide with left's) unless `rightPrefix` is given.
+    *
+    * `direction` (r15 — pandas `merge_asof` parity):
+    *  - `backward` (default): latest right with rightTime ≤ leftTime;
+    *  - `forward`: earliest right with rightTime ≥ leftTime;
+    *  - `nearest`: whichever of the two is closer in absolute time,
+    *    ties (equidistant, including an at-instant match) breaking
+    *    BACKWARD. Runs BOTH carries over the same single exchange (two
+    *    window passes, one shuffle) — still linear per key.
     */
   def asofJoinOn(
       left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String,
       tolerance: Option[Long] = None,
       rightOrder: Seq[String] = Seq.empty,
-      rightPrefix: String = ""): DataFrame = {
+      rightPrefix: String = "",
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown direction '$direction'; supported: backward, forward, nearest")
     val leftCols = left.columns.toSeq
     val rightPayload = right.columns.toSeq.filterNot(on.contains)
     // validate the POST-prefix output names: a prefix that still collides
@@ -196,19 +233,49 @@ object TimeOps {
     val rNorm = right.select(on.map(col) ++ Seq(col(rightTime).as("_t"),
       lit(0).as("_kind"), lit(null).cast(lType).as("_lrow"),
       rStruct.as("_rrow")): _*)
-    // rights sort BEFORE lefts at equal _t (at-instant eligibility); ties
-    // among rights break on rightOrder so `last` deterministically carries
-    // the greatest-ordered right row
-    val w = Window.partitionBy(on.map(col): _*)
+    // BACKWARD: rights sort BEFORE lefts at equal _t (at-instant
+    // eligibility); ties among rights break on rightOrder so `last`
+    // deterministically carries the greatest-ordered right row
+    val wBack = Window.partitionBy(on.map(col): _*)
       .orderBy(col("_t").asc +: col("_kind").asc +:
         rightOrder.map(c => col("_rrow")(c).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = lNorm.unionByName(rNorm)
-      .withColumn("_r", last(col("_rrow"), ignoreNulls = true).over(w))
-      .filter(col("_kind") === 1)
+    // FORWARD mirror: lefts sort BEFORE rights at equal _t (so an
+    // at-instant right falls inside the current-row..following frame) and
+    // `first` carries the smallest-ordered right row. Same partitioning
+    // as wBack — one exchange serves both; only the intra-partition sort
+    // differs.
+    val wFwd = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_t").asc +: col("_kind").desc +:
+        rightOrder.map(c => col("_rrow")(c).asc): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val timeline = lNorm.unionByName(rNorm)
+    val carried = (direction match {
+      case "backward" =>
+        timeline.withColumn("_r", last(col("_rrow"), ignoreNulls = true).over(wBack))
+      case "forward" =>
+        timeline.withColumn("_r", first(col("_rrow"), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        timeline
+          .withColumn("_rb", last(col("_rrow"), ignoreNulls = true).over(wBack))
+          .withColumn("_rf", first(col("_rrow"), ignoreNulls = true).over(wFwd))
+          .withColumn("_r",
+            when(col("_rb").isNull, col("_rf"))
+              .when(col("_rf").isNull, col("_rb"))
+              // equidistant ties (incl. an at-instant match) go backward
+              .when(col("_t") - col("_rb")(rightTime) <=
+                col("_rf")(rightTime) - col("_t"), col("_rb"))
+              .otherwise(col("_rf")))
+          .drop("_rb", "_rf")
+    }).filter(col("_kind") === 1)
     val gated = tolerance match {
-      case Some(tol) => carried.withColumn("_r",
-        when(col("_t") - col("_r")(rightTime) <= tol, col("_r")))
+      case Some(tol) =>
+        val dist = direction match {
+          case "backward" => col("_t") - col("_r")(rightTime)
+          case "forward" => col("_r")(rightTime) - col("_t")
+          case "nearest" => abs(col("_t") - col("_r")(rightTime))
+        }
+        carried.withColumn("_r", when(dist <= tol, col("_r")))
       case None => carried
     }
     gated.select(

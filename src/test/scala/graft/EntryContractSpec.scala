@@ -26,8 +26,8 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 81)
-    assert(SparkEntry.oracleSql.size === 74)
+    assert(SparkEntry.queries.size === 82)
+    assert(SparkEntry.oracleSql.size === 75)
   }
 
   test("bench re-sampling policy: healthy host-side outliers only, bounded") {

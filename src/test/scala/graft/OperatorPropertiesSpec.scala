@@ -471,6 +471,37 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(run(Some(3L)) === Map(1L -> None, 2L -> None, 3L -> None))
   }
 
+  test("asofJoinOn directions: forward mirror, nearest tie-breaks backward") {
+    import spark.implicits._
+    import graft.operators.TimeOps
+    val left = Seq((1L, "a", 100L), (2L, "a", 10L), (3L, "a", 55L))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", 40L, "w"), ("a", 70L, "x"),
+      ("a", 70L, "y"), ("a", 100L, "z")).toDF("k", "rt", "v")
+    def run(dir: String, tol: Option[Long] = None) = TimeOps.asofJoinOn(
+        left, right, Seq("k"), "t", "rt", tolerance = tol,
+        rightOrder = Seq("v"), direction = dir)
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    // forward: earliest rt >= t; at rt ties the SMALLEST rightOrder wins
+    // (the backward mirror); an at-instant right (rt=100) matches
+    assert(run("forward") === Map(
+      1L -> Some("z"), 2L -> Some("w"), 3L -> Some("x")))
+    // backward sanity on the same frames: at-instant match for id 1, the
+    // latest eligible for id 3, nothing before t=10
+    assert(run("backward") === Map(
+      1L -> Some("z"), 2L -> None, 3L -> Some("w")))
+    // nearest: id 3 sits 15 before rt=70 / 15 after rt=40 — EQUIDISTANT
+    // goes backward ("w"); id 2's only candidate is forward
+    assert(run("nearest") === Map(
+      1L -> Some("z"), 2L -> Some("w"), 3L -> Some("w")))
+    // tolerance gates per direction: forward distance for id 2 is 30
+    assert(run("forward", Some(20L))(2L) === None)
+    assert(run("nearest", Some(10L)) === Map(
+      1L -> Some("z"), 2L -> None, 3L -> None))
+    // unknown direction fails loudly
+    intercept[IllegalArgumentException] { run("sideways") }
+  }
+
   test("clusterPairs leaves a caller-owned pair cache in place") {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel

@@ -139,6 +139,21 @@ class ShardedManifestSpec extends SparkSpec {
     assert(log.committedFiles() === Seq(s"$dir/p=a/x.parquet"))
   }
 
+  test("un-partitioned wide commits shard too (empty partition path round-trips)") {
+    val dir = tmpTable()
+    val log = new CommitLog(dir, conf)
+    // root-level files: no k=v segments — one shard, header ends in a
+    // bare tab whose empty field must survive split() semantics
+    val files = (0 until 100).map(i => s"$dir/part-$i.parquet")
+    assert(log.commit(0L, files))
+    assert(manifestText(dir, 0L).linesIterator.forall(_.startsWith("#shard:")))
+    assert(log.committedFiles().sorted === files.sorted)
+    // a partition predicate can never prune a shard with no k=v evidence
+    CommitLog.shardFileReads.set(0L)
+    assert(log.committedFilesWithStats(Seq("p" -> "x")).size === 100)
+    assert(CommitLog.shardFileReads.get === 1L)
+  }
+
   test("e2e: sharded epochs serve the DSv2 read path with partition pruning") {
     val prev = System.getProperty("graft.commitlog.shard.threshold")
     System.setProperty("graft.commitlog.shard.threshold", "4")

@@ -49,7 +49,12 @@ object AqeAudit {
       Seq("q_dedup_ngram", "q_dedup_near", "q_dedup_simhash", "q_dedup_embed",
         "q_dedup_cluster", "q_sim_knn_join", "q_join_inner",
         "q_quality_repetition", "q_source_mix", "q_join_asof",
-        "q_window_rank")
+        "q_window_rank",
+        // r15 additions: retention's two user/cohort exchanges, nearest
+        // as-of's single exchange serving both carries, bigrams'
+        // two-level agg, zscore's metadata-only stats shuffle
+        "q_window_retention", "q_join_asof_nearest", "q_text_bigrams",
+        "q_agg_zscore", "q_agg_corr")
     interesting.foreach { name =>
       bytes.reset()
       val df = SparkEntry.queries(name)(spark, dir)

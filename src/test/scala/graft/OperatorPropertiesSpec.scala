@@ -502,6 +502,70 @@ class OperatorPropertiesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { run("sideways") }
   }
 
+  test("asofJoinOn directions agree with a brute-force reference on random frames") {
+    import spark.implicits._
+    import graft.operators.TimeOps
+    // deterministic pseudo-random fixtures: heavy timestamp collisions on
+    // a SMALL time domain so at-instant matches, equidistant ties, and
+    // per-key empties all occur
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { trial =>
+      val keys = Seq("a", "b", "c")
+      val left = (1L to 40L).map(id =>
+        (id, keys(rnd.nextInt(3)), rnd.nextInt(30).toLong)).toSeq
+      val right = (1L to 60L).map(id =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(30).toLong, id)).toSeq
+      val lDf = left.toDF("id", "k", "t")
+      val rDf = right.toDF("k", "rt", "rid")
+      // brute force: per left row, scan every right row of the key
+      def brute(direction: String, tol: Option[Long]): Map[Long, Option[Long]] =
+        left.map { case (id, k, t) =>
+          val cands = right.filter(_._1 == k)
+          val pick = direction match {
+            case "backward" =>
+              val el = cands.filter(_._2 <= t)
+              // latest rt, largest rid at ties
+              if (el.isEmpty) None else Some(el.maxBy(c => (c._2, c._3))._3)
+            case "forward" =>
+              val el = cands.filter(_._2 >= t)
+              // earliest rt, SMALLEST rid at ties
+              if (el.isEmpty) None
+              else Some(el.minBy(c => (c._2, c._3))._3)
+            case "nearest" =>
+              val back = cands.filter(_._2 <= t)
+                .sortBy(c => (c._2, c._3)).lastOption
+              val fwd = cands.filter(_._2 >= t)
+                .sortBy(c => (c._2, c._3)).headOption
+              (back, fwd) match {
+                case (None, f) => f.map(_._3)
+                case (b, None) => b.map(_._3)
+                case (Some(b), Some(f)) =>
+                  if (t - b._2 <= f._2 - t) Some(b._3) else Some(f._3)
+              }
+          }
+          val gated = pick.filter { rid =>
+            tol.forall { tl =>
+              val rt = right.find(_._3 == rid).get._2
+              (direction match {
+                case "backward" => t - rt
+                case "forward" => rt - t
+                case "nearest" => math.abs(t - rt)
+              }) <= tl
+            }
+          }
+          id -> gated
+        }.toMap
+      for (dir <- Seq("backward", "forward", "nearest");
+           tol <- Seq(None, Some(3L))) {
+        val got = TimeOps.asofJoinOn(lDf, rDf, Seq("k"), "t", "rt",
+            tolerance = tol, rightOrder = Seq("rid"), direction = dir)
+          .select($"id", $"rid").as[(Long, Option[Long])].collect().toMap
+        assert(got === brute(dir, tol),
+          s"trial $trial direction=$dir tol=$tol diverged from brute force")
+      }
+    }
+  }
+
   test("clusterPairs leaves a caller-owned pair cache in place") {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel

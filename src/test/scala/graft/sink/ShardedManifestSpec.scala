@@ -154,6 +154,49 @@ class ShardedManifestSpec extends SparkSpec {
     assert(CommitLog.shardFileReads.get === 1L)
   }
 
+  test("tailing source relays a sharded table exactly-once (incl. post-compaction)") {
+    val prev = System.getProperty("graft.commitlog.shard.threshold")
+    System.setProperty("graft.commitlog.shard.threshold", "4")
+    try {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = Files.createTempDirectory("graft-shardtail").toString
+      val in = MemoryStream[Int]
+      val writer = in.toDS().map(i => (i.toLong, s"c${i % 6}", s"m$i"))
+        .toDF("id", "cat", "msg")
+        .writeStream.format("graft-streaming")
+        .option("path", root).option("db", "testdb").option("table", "t")
+        .option("partition.columns", "cat").option("format", "parquet")
+        .option("checkpointLocation", s"$root/_cpw").start()
+      in.addData(0 until 60: _*)
+      writer.processAllAvailable()
+      val tableDir = s"$root/testdb.t"
+      assert(shardDirs(tableDir).nonEmpty, "epochs must shard at threshold 4")
+      val reader = spark.readStream.format("graft-streaming")
+        .option("path", root).option("db", "testdb").option("table", "t")
+        .load()
+        .writeStream.format("memory").queryName("shard_relay")
+        .option("checkpointLocation", s"$root/_cpr").start()
+      reader.processAllAvailable()
+      assert(spark.table("shard_relay").count() === 60)
+      // a compaction (itself publishing a sharded negative manifest) must
+      // not disturb the tail, and later sharded epochs keep relaying
+      Compact.run(tableDir, conf, retainMillis = 0L)
+      in.addData(60 until 90: _*)
+      writer.processAllAvailable()
+      reader.processAllAvailable()
+      writer.stop(); reader.stop()
+      import org.apache.spark.sql.functions.col
+      val got = spark.table("shard_relay").select(col("id"))
+        .as[Long].collect().sorted
+      assert(got.toSeq === (0L until 90L),
+        "sharded-table relay must deliver each row exactly once")
+    } finally {
+      if (prev == null) System.clearProperty("graft.commitlog.shard.threshold")
+      else System.setProperty("graft.commitlog.shard.threshold", prev)
+    }
+  }
+
   test("e2e: sharded epochs serve the DSv2 read path with partition pruning") {
     val prev = System.getProperty("graft.commitlog.shard.threshold")
     System.setProperty("graft.commitlog.shard.threshold", "4")

@@ -95,6 +95,7 @@ object SparkEntry {
     "q_token_count"    -> (Text.tokenCount _),
     "q_vocab_topk"     -> ((s: SparkSession, d: String) => Text.vocabTopK(s, d)),
     "q_text_bigrams"   -> ((s: SparkSession, d: String) => Text.bigramTopK(s, d)),
+    "q_vocab_heavy"    -> ((s: SparkSession, d: String) => Text.vocabHeavy(s, d)),
     "q_funnel"         -> (TimeOps.funnel _),
     "q_window_retention" -> (TimeOps.retention _),
     "q_text_tfidf"     -> ((s: SparkSession, d: String) => Text.tfidfTopTerms(s, d)),

@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 /** `vec_dot(a, b)` — native Catalyst dot product over two array<double>
   * columns, with whole-stage codegen emitting a tight LOOP.
   *
-  * One of the engine's two custom Expressions (the other:
-  * [[MinHashes]]), each added on measured need
+  * The engine's first custom Expression (siblings, in arrival order:
+  * [[MinHashes]], [[ShingleStats]], [[SimHash64]], and the
+  * [[FreqItemsSketch]] aggregate), each added on measured need
   * (SURVEY §7.3: "only on measured need"): the higher-order-function
   * formulation (`aggregate(zip_with(...))`) executes interpreted — the
   * vector-heavy operators spend most of their time there — while unrolling

@@ -204,6 +204,42 @@ object Text {
         col("token").asc)
       .limit(k)
 
+  /** SKETCHED vocabulary heavy hitters — [[vocabTopK]]'s bounded-memory
+    * companion through the [[graft.functions.FreqItemsSketch]] Misra–Gries
+    * aggregate: one pass, exactly `sketchK` counters per partition
+    * shuffled whatever the key domain (the exact two-level form's shuffle
+    * grows with per-partition distinct keys — fine for token vocab,
+    * unbounded for URLs/n-grams/ids at 100 TB). Estimates are lower
+    * bounds within `n/(sketchK+1)`; merge-order-dependent, so the
+    * registry query is rows-only with the guarantee carried IN-OUTPUT:
+    * each returned row joins its exact count (fixture evidence only) and
+    * flags `within_bound` — est ≤ exact ≤ est + ⌈n/(sketchK+1)⌉.
+    */
+  def vocabHeavy(s: SparkSession, dir: String,
+      k: Int = 15, sketchK: Int = 12): DataFrame =
+    vocabHeavyOn(Tables.documents(s, dir), k, sketchK)
+
+  /** [[vocabHeavy]] over an arbitrary (doc_id, text) frame. */
+  def vocabHeavyOn(docs: DataFrame, k: Int, sketchK: Int): DataFrame = {
+    val tok = docs.select(explode(split(col("text"), " ")).as("token"))
+    val sk = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.FreqItemsSketch(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("token")), sketchK)
+        .toAggregateExpression())
+    val est = tok.agg(sk.as("sketch"), count(lit(1)).as("n_tokens"))
+      .select(col("n_tokens"), explode(col("sketch")).as(Seq("token", "est")))
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("occurrences"))
+    est.join(exact, Seq("token"), "left")
+      .withColumn("err_bound",
+        ceil(col("n_tokens") / (sketchK + 1)).cast("long"))
+      .withColumn("within_bound",
+        col("est") <= col("occurrences") &&
+          col("occurrences") - col("est") <= col("err_bound"))
+      .orderBy(col("est").desc, col("token").asc)
+      .limit(k)
+      .select("token", "est", "occurrences", "err_bound", "within_bound")
+  }
+
   /** Corpus bigram heavy hitters: top-`k` token bigrams by occurrence
     * count with document frequencies — the n-gram LM / contamination-
     * analysis companion of [[vocabTopK]] (unigram df): bigram statistics

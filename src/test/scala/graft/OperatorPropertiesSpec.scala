@@ -566,6 +566,49 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("freq_items_sketch: Misra-Gries bound holds under Spark partial merges") {
+    import spark.implicits._
+    // skewed synthetic stream: token "h_i" appears (20 - i) * 40 times for
+    // i in 0..19 plus a 2000-token uniform tail of singletons, shuffled
+    // deterministically across 8 partitions so partial merges really fire
+    val rnd = new scala.util.Random(42)
+    val heavy = (0 until 20).flatMap(i => Seq.fill((20 - i) * 40)(s"h_$i"))
+    val tail = (0 until 2000).map(i => s"t_$i")
+    val stream = rnd.shuffle(heavy ++ tail)
+    val n = stream.size.toLong
+    val truth = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val df = spark.createDataset(stream).repartition(8).toDF("token")
+    val k = 16
+    val sk = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.FreqItemsSketch(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("token")), k)
+        .toAggregateExpression())
+    val est = df.agg(sk.as("m")).select(explode(col("m")).as(Seq("token", "est")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size <= k, s"sketch must hold at most $k counters, got ${est.size}")
+    val bound = n / (k + 1) + 1
+    // every estimate is a lower bound within n/(k+1)
+    est.foreach { case (t, e) =>
+      val tr = truth(t)
+      assert(e <= tr, s"$t overestimated: $e > $tr")
+      assert(tr - e <= bound, s"$t bound violated: $tr - $e > $bound")
+    }
+    // every item heavier than n/(k+1) is guaranteed tracked
+    truth.filter(_._2 > bound).keys.foreach { t =>
+      assert(est.contains(t), s"heavy item $t (count ${truth(t)}) missing")
+    }
+    // empty input: empty map, not null
+    assert(spark.emptyDataset[String].toDF("token").agg(sk.as("m"))
+      .select(org.apache.spark.sql.functions.map_keys(col("m"))).head.getSeq[String](0).isEmpty)
+  }
+
+  test("q_vocab_heavy fixture: every returned row carries a satisfied bound") {
+    val out = graft.operators.Text.vocabHeavy(spark, sf001).collect()
+    assert(out.nonEmpty && out.length <= 15)
+    assert(out.forall(_.getAs[Boolean]("within_bound")),
+      "in-output evidence must hold for every returned token")
+  }
+
   test("clusterPairs leaves a caller-owned pair cache in place") {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel

@@ -152,7 +152,10 @@ final class GraftDataWriter(
 
     private def open(): Unit = {
       file = segmentFile(segmentDir(partDir), seq, "parquet")
-      writer = ParquetIO.createWriterPinned(file, pinned)
+      // like the ORC landing: bloom.columns also records native
+      // per-row-group blooms (partition columns are path-only, filtered)
+      writer = ParquetIO.createWriterPinned(file, pinned,
+        bloomColumns = opts.bloomColumns.filter(dataSchema.fieldNames.contains))
       seq += 1
       rowsInFile = 0L
       files += file.toString

@@ -112,15 +112,27 @@ object ParquetIO {
   /** Same, but over an ALREADY-PINNED conf ([[pinnedWriterConf]]) — a
     * fixed-schema caller (one streaming segment) pins once and skips the
     * per-file Configuration walk across rotations.
+    *
+    * `bloomColumns` (r15, the parquet twin of the ORC writer blooms):
+    * native per-row-group bloom filters for the named columns, so the
+    * vectorized read path's row-group filter — which already evaluates
+    * STATISTICS, DICTIONARY, and BLOOMFILTER levels for pushed predicates
+    * — can skip row groups whose bloom excludes an equality/IN value even
+    * when min/max ranges cover it. One `bloom.columns` option, three
+    * skipping tiers on both columnar formats (manifest sidecar at plan
+    * time, native bloom inside opened files).
     */
   def createWriterPinned(
-      path: Path, pinned: Configuration): ParquetWriter[InternalRow] =
-    new RowWriterBuilder(new RawFsOutputFile(rawFs(path, pinned), path))
+      path: Path, pinned: Configuration,
+      bloomColumns: Seq[String] = Seq.empty): ParquetWriter[InternalRow] = {
+    var b = new RowWriterBuilder(new RawFsOutputFile(rawFs(path, pinned), path))
       .withConf(pinned)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .withWriteMode(ParquetFileWriter.Mode.CREATE)
       .withRowGroupSize(16L * 1024 * 1024)
-      .build()
+    bloomColumns.foreach(c => b = b.withBloomFilterEnabled(c, true))
+    b.build()
+  }
 
   /** Reader returning `InternalRow`s in `requestedSchema` field order.
     * The requested schema is pushed into the parquet scan (only its column

@@ -305,6 +305,42 @@ final class CommitLog(tableDir: String, conf: Configuration) {
       (m.epochId >= 0 && m.epochId <= ceiling))
   }
 
+  /** [[manifests]] with shard resolution restricted to the manifests
+    * whose FILES the caller will actually consume: headers parse for all
+    * (the supersedes/ceiling liveness filter needs them — cheap, a
+    * sharded parent is a few lines), shard bytes only where `needFiles`
+    * says so. The streaming tail calls this once per trigger, so a
+    * steady-state tail never re-parses the (possibly 10⁵-entry)
+    * compaction manifests' shards it was about to discard — the
+    * streaming twin of the batch path's partition-pruned read. An
+    * UNNEEDED sharded manifest comes back with its headers and EMPTY
+    * files; flat manifests always carry their inline files.
+    */
+  def manifestsSelective(needFiles: Manifest => Boolean): Seq[Manifest] = {
+    val f = fs
+    if (!f.exists(commitsDir)) return Seq.empty
+    val headerAll = f.listStatus(commitsDir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case CommitLog.ManifestName(id) =>
+          readManifest(id.toLong, st.getPath, resolveShards = false)
+        case _ => None
+      }
+    }
+    val superseded = headerAll.flatMap(_.supersedes).toSet
+    val ceiling = ceilingOf(headerAll)
+    headerAll
+      .filterNot(m => superseded.contains(m.epochId) ||
+        (m.epochId >= 0 && m.epochId <= ceiling))
+      .flatMap { m =>
+        if (m.shardRefs.isEmpty || !needFiles(m)) Some(m)
+        // deleted by a concurrent compaction between list and re-read:
+        // drop it, like manifests() does — its superseding manifest is
+        // already visible (delivering the header's EMPTY file list
+        // instead would silently ship an empty epoch)
+        else readManifest(m.epochId, manifestPath(m.epochId))
+      }
+  }
+
   /** All files published across all live epochs. */
   def committedFiles(): Seq[String] = manifests().flatMap(_.files)
 

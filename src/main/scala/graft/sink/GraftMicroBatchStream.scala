@@ -61,23 +61,25 @@ final class GraftMicroBatchStream(
     val startOff = start.asInstanceOf[GraftStreamOffset]
     val s = startOff.maxEpoch
     val e = end.asInstanceOf[GraftStreamOffset].maxEpoch
+    // the take-rule, decidable from a manifest's HEADERS:
+    //  - streaming epochs: exactly the (s, e] range;
+    //  - negative (compaction/batch) manifests: only a FRESH tail (start
+    //    = initial, snapshot not yet delivered) takes them — they cover
+    //    rows whose original epochs no longer exist individually. A
+    //    resuming tail (s >= 0, or the `|snap` sentinel) skips them — it
+    //    already consumed those rows (or accepts the documented
+    //    compact-behind-the-tail trade-off).
+    def take(m: CommitLog#Manifest): Boolean =
+      if (m.epochId >= 0L) m.epochId > s && m.epochId <= e
+      else s == -1L && !startOff.snapshotDone && m.watermark.forall(_ <= e)
     // ONE manifest snapshot for the whole plan: committedEpochs+filesOf
     // would re-list the log per epoch AND could straddle a concurrent
-    // compaction, silently dropping an epoch between the two reads
-    val snapshot = log.manifests()
-    val files = snapshot.flatMap { m =>
-      val take =
-        if (m.epochId >= 0L) m.epochId > s && m.epochId <= e
-        else
-          // a FRESH tail (start = initial, snapshot not yet delivered)
-          // begins with the full snapshot: compaction/batch manifests cover
-          // rows whose original epochs no longer exist individually. A
-          // resuming tail (s >= 0, or the `|snap` sentinel) skips them — it
-          // already consumed those rows (or accepts the documented
-          // compact-behind-the-tail trade-off).
-          s == -1L && !startOff.snapshotDone && m.watermark.forall(_ <= e)
-      if (take) m.files else Seq.empty
-    }
+    // compaction, silently dropping an epoch between the two reads.
+    // SELECTIVE shard resolution (r15): only taken manifests' shard files
+    // are parsed, so a steady-state tail's per-trigger plan cost is the
+    // NEW epochs' entries — never the consolidated corpus's
+    val snapshot = log.manifestsSelective(take)
+    val files = snapshot.flatMap(m => if (take(m)) m.files else Seq.empty)
     files.map { f =>
       GraftInputPartition(f,
         CommitLog.partitionSegments(f, s"${opts.db}.${opts.table}").toMap)

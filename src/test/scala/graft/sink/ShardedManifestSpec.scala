@@ -154,6 +154,22 @@ class ShardedManifestSpec extends SparkSpec {
     assert(CommitLog.shardFileReads.get === 1L)
   }
 
+  test("manifestsSelective resolves only the needed manifests' shards") {
+    val dir = tmpTable()
+    val log = new CommitLog(dir, conf)
+    syntheticCommit(log, dir, 1L, nParts = 4, perPart = 32) // 4 shards
+    syntheticCommit(log, dir, 2L, nParts = 8, perPart = 16) // 8 shards
+    CommitLog.shardFileReads.set(0L)
+    val ms = log.manifestsSelective(_.epochId == 2L)
+    assert(CommitLog.shardFileReads.get === 8L,
+      "only the needed manifest's shards may be opened")
+    assert(ms.map(_.epochId).toSet === Set(1L, 2L),
+      "headers of EVERY live manifest still come back (liveness filter)")
+    assert(ms.find(_.epochId == 2L).get.files.size === 128)
+    assert(ms.find(_.epochId == 1L).get.files.isEmpty,
+      "an unneeded sharded manifest carries headers only")
+  }
+
   test("tailing source relays a sharded table exactly-once (incl. post-compaction)") {
     val prev = System.getProperty("graft.commitlog.shard.threshold")
     System.setProperty("graft.commitlog.shard.threshold", "4")

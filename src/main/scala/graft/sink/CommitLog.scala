@@ -296,14 +296,21 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     * tombstone ceiling: a positive leftover ≤ some manifest's ceiling is a
     * consumed epoch whose cleanup crashed, and must stay dead.
     */
-  def manifests(
-      partitionPredicates: Seq[(String, String)] = Seq.empty): Seq[Manifest] = {
-    val all = allManifests(partitionPredicates)
+  /** The liveness filter shared by [[manifests]] and
+    * [[manifestsSelective]]: drop manifests superseded by id and
+    * streaming epochs under any tombstone ceiling (a consumed epoch whose
+    * cleanup crashed must stay dead).
+    */
+  private def liveOf(all: Seq[Manifest]): Seq[Manifest] = {
     val superseded = all.flatMap(_.supersedes).toSet
     val ceiling = ceilingOf(all)
     all.filterNot(m => superseded.contains(m.epochId) ||
       (m.epochId >= 0 && m.epochId <= ceiling))
   }
+
+  def manifests(
+      partitionPredicates: Seq[(String, String)] = Seq.empty): Seq[Manifest] =
+    liveOf(allManifests(partitionPredicates))
 
   /** [[manifests]] with shard resolution restricted to the manifests
     * whose FILES the caller will actually consume: headers parse for all
@@ -326,11 +333,7 @@ final class CommitLog(tableDir: String, conf: Configuration) {
         case _ => None
       }
     }
-    val superseded = headerAll.flatMap(_.supersedes).toSet
-    val ceiling = ceilingOf(headerAll)
-    headerAll
-      .filterNot(m => superseded.contains(m.epochId) ||
-        (m.epochId >= 0 && m.epochId <= ceiling))
+    liveOf(headerAll)
       .flatMap { m =>
         if (m.shardRefs.isEmpty || !needFiles(m)) Some(m)
         // deleted by a concurrent compaction between list and re-read:

@@ -50,6 +50,7 @@ object SparkEntry {
     "q_join_range"     -> (TimeOps.rangeJoin _),
     "q_join_asof"      -> (TimeOps.asofJoin _),
     "q_join_asof_nearest" -> (TimeOps.asofNearest _),
+    "q_join_skew"      -> ((s: SparkSession, d: String) => Relational.joinSalted(s, d)),
     // set ops
     "q_union"          -> (Relational.setUnion _),
     "q_intersect"      -> (Relational.setIntersect _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "q_stream_sliding"  -> (TimeOps.sliding _),
     "q_window_dau"      -> (TimeOps.dau _),
     "q_stream_session"  -> (TimeOps.session _),
+    "q_window_gap"      -> (TimeOps.eventGaps _),
     "q_partition_route" -> (TimeOps.partitionRoute _),
     // dedup
     "q_dedup_exact"    -> (Dedup.exact _),
@@ -113,6 +115,8 @@ object SparkEntry {
     "q_source_mix"     -> (TrainPrep.sourceMix _),
     "q_mix_temperature" -> (TrainPrep.mixTemperature _),
     "q_sample_weighted" -> (TrainPrep.sampleWeighted _),
+    "q_sample_group"   -> (TrainPrep.sampleGroup _),
+    "q_agg_mode"       -> (TrainPrep.modeProfile _),
     "q_profile_stats"  -> ((s, dir) => TrainPrep.profileStats(s, dir)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
     // multimodal
@@ -185,6 +189,42 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // salting is plan-shape only: the oracle is the UNSALTED join — the
+    // hash compare proves replicate-and-salt changed nothing semantically
+    "q_join_skew" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_sample_group" ->
+      """SELECT lang, doc_id, smp_rank FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS smp_rank
+        |  FROM documents) t
+        |WHERE smp_rank <= 20 ORDER BY lang, smp_rank""".stripMargin,
+
+    "q_agg_mode" ->
+      """WITH c AS (SELECT lang, source, COUNT(1) AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, source, n,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rn,
+        |  SUM(n) OVER (PARTITION BY lang) AS lang_docs FROM c)
+        |SELECT lang, source AS top_source, n AS n_docs,
+        |  ROUND(CAST(n AS DOUBLE) / lang_docs * 10000) / 10000 AS share
+        |FROM t WHERE rn = 1 ORDER BY lang""".stripMargin,
+
+    "q_window_gap" ->
+      """WITH g AS (SELECT user_id, epoch_ms(ts) -
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        |  FROM events)
+        |SELECT user_id, COUNT(1) AS n_events, COUNT(gap_ms) AS n_gaps,
+        |  SUM(CASE WHEN gap_ms > 21600000 THEN 1 ELSE 0 END) AS long_gaps,
+        |  MAX(gap_ms) AS max_gap_ms,
+        |  ROUND(AVG(gap_ms) * 10000) / 10000 AS avg_gap_ms
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_join_broadcast" ->
       """SELECT r_name, COUNT(1) AS cust_cnt,

@@ -305,19 +305,50 @@ object Relational {
     * Decimal partial sums are exact and associative, so the result is
     * bit-identical to aggregating after the join.
     */
-  def joinInner(s: SparkSession, dir: String): DataFrame = {
-    val perOrder = Tables.lineitem(s, dir)
-      .groupBy("l_orderkey")
-      .agg(count(lit(1)).as("lc"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).as("rev"))
-    perOrder
-      .join(Tables.orders(s, dir),
+  def joinInner(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
         col("l_orderkey") === col("o_orderkey"), "inner")
       .groupBy("o_orderpriority")
-      .agg(sum(col("lc")).as("line_cnt"),
+      .agg(count(lit(1)).as("line_cnt"),
         sum(col("rev")).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
+
+  /** Salted shuffle join — the skew-robust form of the hash join for
+    * power-law fact keys. The probe (fact) side tags each row with a
+    * deterministic salt in [0, nSalts) derived from a uniform per-row id
+    * (NEVER from the join key — salting the key by itself would keep the
+    * hot key on one reducer); the build (dim) side replicates each row
+    * once per salt via an inline explode, and the join keys on
+    * (key, salt), so one hot key's probe rows spread across nSalts
+    * reducer partitions instead of serializing on one. The result set is
+    * EXACTLY the plain join's — the oracle is the unsalted SQL — and the
+    * cost is a ×nSalts build replication, the standard trade when the
+    * dim is broadcast-too-big and the fact key histogram is power-law.
+    * AQE's skew split repairs sort-merge plans after the fact; salting
+    * fixes the shape up front and composes with any shuffle strategy.
+    * The shuffle_hash hint keeps the demonstration honest at fixture
+    * scale (un-hinted, the ×nSalts dim still fits the broadcast
+    * threshold and the salt would ride a broadcast join for free).
+    */
+  def joinSalted(s: SparkSession, dir: String, nSalts: Int = 8): DataFrame = {
+    val probe = Tables.events(s, dir)
+      .select(col("user_id"), col("value"),
+        pmod(col("event_id"), lit(nSalts.toLong)).cast("int").as("psalt"))
+    val build = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(sequence(lit(0), lit(nSalts - 1))).as("bsalt"))
+      .hint("shuffle_hash")
+    probe
+      .join(build, col("user_id") === col("c_custkey") &&
+        col("psalt") === col("bsalt"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        Norm.dsum2(col("value")).as("sum_value"))
+      .orderBy("c_mktsegment")
   }
 
   /** Broadcast join: small dims (nation, region) are broadcast so the fact

@@ -93,6 +93,38 @@ object TimeOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Per-user inactivity gaps: lag each user's event stream, measure the
+    * millisecond gap to the previous event, and roll up count/max/mean
+    * plus the number of long (> longGapMs) silences — the
+    * activity-continuity profile behind churn flags and session-gap
+    * tuning. ONE user-keyed exchange serves both the lag window and the
+    * rollup: the aggregate keys on the window's own partition column,
+    * so Catalyst reuses the sort-partitioning instead of re-shuffling.
+    * avg stays exact cross-engine: it divides an exact integer
+    * millisecond sum by an exact count on both sides.
+    */
+  def eventGaps(s: SparkSession, dir: String): DataFrame =
+    eventGapsOn(Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), Norm.ms(col("ts")).as("ts_ms")))
+
+  /** [[eventGaps]] over an arbitrary (event_id, user_id, ts_ms) frame —
+    * event_id is the deterministic equal-timestamp tiebreak.
+    */
+  def eventGapsOn(events: DataFrame,
+      longGapMs: Long = 6L * 3600 * 1000): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    events
+      .withColumn("gap_ms", col("ts_ms") - lag("ts_ms", 1).over(byUser))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_ms")).as("n_gaps"),
+        sum(when(col("gap_ms") > longGapMs, 1L).otherwise(0L)).as("long_gaps"),
+        max(col("gap_ms")).as("max_gap_ms"),
+        Norm.r4(avg(col("gap_ms"))).as("avg_gap_ms"))
+      .orderBy("user_id")
+  }
+
   /** Bounded range join: pairs of events by the same user within 5 minutes
     * (strictly later). The user_id equi-key makes this a hash/sort-merge
     * join with a residual range predicate — NOT a cartesian product, so it

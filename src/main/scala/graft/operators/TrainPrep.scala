@@ -478,6 +478,58 @@ object TrainPrep {
       .orderBy("lang")
   }
 
+  /** Deterministic per-group k-sample — the reproducible form of "give
+    * me k examples per language". Every doc ranks inside its group by
+    * md5 of its id, a fixed engine-agnostic permutation: the SAME docs
+    * are chosen on any run, any engine, any cluster size, with no RNG
+    * state to coordinate — re-runs and audits of a 100 TB pipeline see
+    * identical samples (the property plain `ORDER BY random()` sampling
+    * loses). Scale shape: the rank ≤ k filter plans as
+    * WindowGroupLimit, so each task keeps only its local top-k per
+    * group BEFORE the exchange — the shuffle carries O(groups × k ×
+    * tasks) rows, never the corpus.
+    */
+  def sampleGroup(s: SparkSession, dir: String): DataFrame =
+    sampleGroupOn(Tables.documents(s, dir).select("lang", "doc_id"), k = 20)
+
+  /** [[sampleGroup]] over an arbitrary (lang, doc_id) frame. */
+  def sampleGroupOn(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("smp_rank", row_number().over(w))
+      .filter(col("smp_rank") <= k)
+      .select(col("lang"), col("doc_id"), col("smp_rank"))
+      .orderBy("lang", "smp_rank")
+  }
+
+  /** Per-group categorical mode: each language's dominant source with
+    * its count and in-group share, ties broken to the lexicographically
+    * smallest source so the answer is deterministic (SQL `mode()` makes
+    * no tie promise). Two-level shape: (lang, source) counts aggregate
+    * with map-side partials first, then the per-lang argmax windows
+    * over the COUNTED frame — the per-group sort touches
+    * |langs|×|sources| counter rows, never the corpus.
+    */
+  def modeProfile(s: SparkSession, dir: String): DataFrame =
+    modeProfileOn(Tables.documents(s, dir).select("lang", "source"))
+
+  /** [[modeProfile]] over an arbitrary (lang, source) frame. */
+  def modeProfileOn(rows: DataFrame): DataFrame = {
+    val counts = rows.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("source").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lang_docs", sum(col("n")).over(Window.partitionBy("lang")))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source").as("top_source"),
+        col("n").as("n_docs"),
+        Norm.r4(col("n") / col("lang_docs")).as("share"))
+      .orderBy("lang")
+  }
+
   /** Curriculum binning — assign each document a difficulty/quality
     * quartile WITHIN its language, the ordering signal behind
     * curriculum-style data schedules (easy→hard) and per-bucket mix

@@ -1048,4 +1048,41 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(tw(1L) === 1.0 && tw(2L) === 1.0)
     assert(tw(3L) === 0.0)
   }
+
+  test("salted join is salt-count invariant and equals the plain join") {
+    import graft.operators.Relational
+    def run(n: Int) = Relational.joinSalted(spark, sf0001, nSalts = n)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val salted = run(8)
+    assert(salted == run(1), "replicate-and-salt must not change the result")
+    val plain = Tables.events(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), Norm.dsum2(col("value")).as("sum_value"))
+      .orderBy("c_mktsegment")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(salted == plain, "salting must be invisible in the result set")
+  }
+
+  test("event gaps match a hand-computed fixture incl. the single-event user") {
+    import spark.implicits._
+    import graft.operators.TimeOps
+    val h = 3600L * 1000
+    // user 1: gaps of 10 s and 7 h (one long); user 2: one event, no gaps
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 10000L), (3L, 1L, 10000L + 7 * h),
+      (4L, 2L, 500L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val got = TimeOps.eventGapsOn(ev, longGapMs = 6 * h).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getLong(1) == 3 && u1.getLong(2) == 2 && u1.getLong(3) == 1)
+    assert(u1.getLong(4) == 7 * h)
+    assert(u1.getDouble(5) == (10000.0 + 7 * h) / 2)
+    val u2 = got(2L)
+    assert(u2.getLong(1) == 1 && u2.getLong(2) == 0 && u2.getLong(3) == 0)
+    assert(u2.isNullAt(4) && u2.isNullAt(5),
+      "a single-event user has no gaps: max/avg must be null")
+  }
 }

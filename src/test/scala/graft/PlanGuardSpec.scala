@@ -248,6 +248,28 @@ class PlanGuardSpec extends SparkSpec {
       s"exact profile lost its single-scan explode reshape:\n$exact")
   }
 
+  test("q_sample_group keeps only local top-k per group before its exchange") {
+    val plan = formatted("q_sample_group")
+    val n = "WindowGroupLimit".r.findAllMatchIn(plan).size
+    assert(n >= 2,
+      s"expected partial+final WindowGroupLimit (map-side top-k), got $n:\n$plan")
+  }
+
+  test("q_join_skew salts through a shuffled hash join, never a broadcast") {
+    val plan = formatted("q_join_skew")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join must exercise the shuffle path:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"a broadcast would make the salt demonstration vacuous:\n$plan")
+  }
+
+  test("q_window_gap reuses the lag window's user exchange for its rollup") {
+    val plan = formatted("q_window_gap")
+    val hashEx = "hashpartitioning\\(user_id#\\d+".r.findAllMatchIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly one user_id hash exchange, got $hashEx:\n$plan")
+  }
+
   test("literal-probe similarity plans derive no probe from the corpus") {
     import graft.operators.Similarity
     val probe = Seq.tabulate(64)(i => (i % 7).toDouble / 7.0)

@@ -252,6 +252,45 @@ class TrainPrepSpec extends SparkSpec {
     assert(math.abs(got.map(_._6).sum - 1.0) < 1e-2)
   }
 
+  test("per-group sample is deterministic, k-bounded, and md5-ordered") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "doc_id")
+    val k = 5
+    val got = TrainPrep.sampleGroupOn(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // driver-side brute force of the declared permutation (test-only)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = docs.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (lang, rows) =>
+        lang -> rows.map(_._2).sortBy(id => (md5hex(id.toString), id)).take(k).toSeq
+      }
+    val byLang = got.groupBy(_._1)
+    assert(byLang.keySet == expect.keySet)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"$lang: ranks must be dense from 1")
+      assert(rows.sortBy(_._3).map(_._2).toSeq == expect(lang),
+        s"$lang: sample must be the first $k of the md5 permutation")
+    }
+    // reproducibility: an independent run picks the identical sample
+    assert(TrainPrep.sampleGroupOn(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+      == got.toSeq)
+  }
+
+  test("mode profile breaks count ties to the smallest source") {
+    import spark.implicits._
+    val rows = Seq(("en", "b"), ("en", "a"), ("en", "a"), ("en", "b"),
+      ("en", "c"), ("fr", "z")).toDF("lang", "source")
+    val got = TrainPrep.modeProfileOn(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("en", "a", 2L, 0.4), ("fr", "z", 1L, 1.0)),
+      s"tie a=2/b=2 must resolve to 'a'; got ${got.toSeq}")
+  }
+
   test("stratified sample is deterministic and near its per-lang rate") {
     def run() = TrainPrep.sampleStratified(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_dedup_embed"    -> ((s: SparkSession, d: String) => Dedup.embedCosine(s, d)),
     "q_dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
     "q_dedup_cluster"  -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
+    "q_dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticClusters(s, d)),
     // similarity search
     "q_sim_cosine"     -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q_sim_ann"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -520,6 +521,42 @@ object SparkEntry {
         |sz AS (SELECT cluster_rep, CAST(COUNT(1) AS INT) AS cluster_size FROM lab GROUP BY cluster_rep)
         |SELECT lab.id AS doc_id, lab.cluster_rep, lab.id = lab.cluster_rep AS is_rep, sz.cluster_size
         |FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+
+    // same pair semantics as q_dedup_embed (bands + rounded-cosine >= 0.3),
+    // then connected components + a singleton-complete left join-back
+    "q_dedup_semantic" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             list_sum([a * a FOR a IN CAST(embedding AS DOUBLE[])]) AS nrm
+        |           FROM embeddings),
+        |${operators.Hyperplanes.sqlBandKeysCte},
+        |bsz AS (SELECT band, bkey FROM keys GROUP BY band, bkey
+        |        HAVING COUNT(1) BETWEEN 2 AND 100),
+        |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        |         FROM keys x JOIN keys y ON x.band = y.band AND x.bkey = y.bkey
+        |           AND x.vec_id < y.vec_id
+        |         JOIN bsz ON x.band = bsz.band AND x.bkey = bsz.bkey),
+        |pairs AS (SELECT a_id, b_id FROM (
+        |  SELECT a_id, b_id,
+        |    ROUND(list_sum([ea.v[i] * eb.v[i] FOR i IN generate_series(1, len(ea.v))])
+        |      / (sqrt(ea.nrm) * sqrt(eb.nrm)), 4) + 0 AS cosine
+        |  FROM cand JOIN e ea ON cand.a_id = ea.vec_id
+        |  JOIN e eb ON cand.b_id = eb.vec_id) t
+        |  WHERE cosine >= 0.3),
+        |edges AS (SELECT a_id AS s, b_id AS dd FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dd FROM reach JOIN edges ON reach.r = edges.s),
+        |lab AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+        |sz AS (SELECT rep, CAST(COUNT(1) AS INT) AS n FROM lab GROUP BY rep)
+        |SELECT em.vec_id,
+        |  COALESCE(lab.rep, em.vec_id) AS cluster_rep,
+        |  COALESCE(lab.id = lab.rep, TRUE) AS is_rep,
+        |  COALESCE(sz.n, 1) AS cluster_size
+        |FROM embeddings em LEFT JOIN lab ON em.vec_id = lab.id
+        |LEFT JOIN sz ON lab.rep = sz.rep
+        |ORDER BY em.vec_id""".stripMargin,
 
     "q_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

@@ -27,8 +27,8 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 87)
-    assert(SparkEntry.oracleSql.size === 79)
+    assert(SparkEntry.queries.size === 88)
+    assert(SparkEntry.oracleSql.size === 80)
   }
 
   test("bench re-sampling policy: healthy host-side outliers only, bounded") {

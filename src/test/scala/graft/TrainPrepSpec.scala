@@ -37,6 +37,50 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("label propagation converges on a diameter-300 chain in O(log D) rounds") {
+    import spark.implicits._
+    // a path graph 0-1-...-300 needs ~300 hop-only propagation rounds —
+    // far beyond maxIters = 20, so convergence HERE proves both the
+    // pointer-jump acceleration (hop+jump covers distance ≥ 2^k after k
+    // rounds) and the per-round lineage cut (20 rounds of plan-on-plan
+    // growth would explode analysis cost without it)
+    val n = 300L
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.clusterPairs(chain, maxIters = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3)))
+    assert(got.length == (n + 1).toInt)
+    got.foreach { case (id, rep, isRep, size) =>
+      assert(rep == 0L, s"node $id: chain component rep must be 0, got $rep")
+      assert(isRep == (id == 0L))
+      assert(size == (n + 1).toInt)
+    }
+  }
+
+  test("semantic clusters assign EVERY vector, singletons as their own rep") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val nVecs = vecs.count()
+    val pairs = Dedup.embedCosineOn(vecs).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val got = Dedup.semanticClustersOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3)))
+    assert(got.length.toLong == nVecs, "assignment must cover the corpus")
+    assert(got.map(_._1).distinct.length == got.length, "one row per vector")
+    got.filterNot(g => paired(g._1)).foreach { case (id, rep, isRep, size) =>
+      assert(rep == id && isRep && size == 1,
+        s"singleton $id must be its own rep of size 1, got ($rep, $isRep, $size)")
+    }
+    // paired vectors carry the clusterPairs labels verbatim
+    val lab = Dedup.clusterPairs(
+      Dedup.embedCosineOn(vecs).select("a_id", "b_id")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2), r.getInt(3))))
+      .toMap
+    got.filter(g => paired(g._1)).foreach { case (id, rep, isRep, size) =>
+      assert((rep, isRep, size) == lab(id))
+    }
+  }
+
   test("clustering a corpus with no near-dups yields an empty result, not a hang") {
     // all-distinct texts: no shared 3-gram, so the pair graph is empty and
     // label propagation must exit on its first fixpoint check

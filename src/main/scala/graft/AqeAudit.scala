@@ -54,7 +54,11 @@ object AqeAudit {
         // as-of's single exchange serving both carries, bigrams'
         // two-level agg, zscore's metadata-only stats shuffle
         "q_window_retention", "q_join_asof_nearest", "q_text_bigrams",
-        "q_agg_zscore", "q_agg_corr")
+        "q_agg_zscore", "q_agg_corr",
+        // r15 late additions: the salted join's replicated shuffle, the
+        // sample's WindowGroupLimit-pruned exchange, the gap profile's
+        // single user exchange, semantic clustering's log-round iteration
+        "q_join_skew", "q_sample_group", "q_window_gap", "q_dedup_semantic")
     interesting.foreach { name =>
       bytes.reset()
       val df = SparkEntry.queries(name)(spark, dir)

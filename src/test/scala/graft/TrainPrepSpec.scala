@@ -56,6 +56,40 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("clusterPairs equals driver union-find on seeded random graphs (jump soundness)") {
+    import spark.implicits._
+    // three densities: sparse (forest-ish, long chains), medium, dense
+    // (near one giant component) — the regimes where pointer jumping and
+    // the hop step interact differently
+    for ((seed, nNodes, nEdges) <- Seq((1L, 40, 18), (2L, 40, 45), (3L, 30, 120))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = Dedup.clusterPairs(edges.toDF("a_id", "b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3)))
+      assert(got.map(_._1).toSet == expect.keySet, s"seed=$seed node set")
+      got.foreach { case (id, rep, isRep, size) =>
+        assert(rep == expect(id), s"seed=$seed node $id rep")
+        assert(isRep == (id == rep), s"seed=$seed node $id is_rep")
+        assert(size == expect.values.count(_ == expect(id)), s"seed=$seed size")
+      }
+    }
+  }
+
   test("semantic clusters assign EVERY vector, singletons as their own rep") {
     val vecs = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding"))

@@ -148,3 +148,27 @@ case class FreqItemsSketch(
 
   override def prettyName: String = "freq_items_sketch"
 }
+
+object FreqItemsSketch {
+  /** Arity/literal-checked builder for SQL registration (the same shape
+    * as the scalar expressions' builders — [[graft.GraftExtensions]]
+    * injects it so `SELECT freq_items_sketch(tok, 64)` works from pure
+    * SQL, k as an integer literal).
+    */
+  def builder(children: Seq[Expression]): Expression = {
+    if (children.length != 2) {
+      throw new IllegalArgumentException(
+        s"freq_items_sketch requires exactly 2 arguments, got ${children.length}")
+    }
+    val k = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"freq_items_sketch k must be an integer literal, got $other")
+    }
+    FreqItemsSketch(children(0), k).toAggregateExpression()
+  }
+
+  def info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[FreqItemsSketch].getName, "freq_items_sketch")
+}

@@ -244,5 +244,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"), SimHash64.info,
       SimHash64.builder _))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_items_sketch"), FreqItemsSketch.info,
+      FreqItemsSketch.builder _))
   }
 }

@@ -803,6 +803,32 @@ class OperatorPropertiesSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("2 arguments")))
   }
 
+  test("freq_items_sketch works from pure SQL with the extensions builder") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("freq_items_sketch"),
+      graft.functions.FreqItemsSketch.info,
+      graft.functions.FreqItemsSketch.builder _)
+    // skewed stream: 'a' x60, 'b' x30, ten singletons; k=4 must track both
+    // heavy items (each > n/(k+1) = 20) with est <= true <= est + n/(k+1)
+    val toks = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++
+      (0 until 10).map("rare" + _)).toDF("tok")
+    toks.createOrReplaceTempView("fis_t")
+    val m = spark.sql("SELECT freq_items_sketch(tok, 4) AS s FROM fis_t")
+      .head.getMap[String, Long](0)
+    assert(m.contains("a") && m.contains("b"),
+      s"heavy items must survive the k-counter sketch, got $m")
+    assert(m("a") <= 60 && m("a") >= 60 - 100 / 5, s"a bound: ${m("a")}")
+    assert(m("b") <= 30 && m("b") >= 30 - 100 / 5, s"b bound: ${m("b")}")
+    // k must be a literal — a clear error, not a ClassCastException
+    val e = intercept[Exception] {
+      spark.sql("SELECT freq_items_sketch(tok, CAST(tok AS INT)) FROM fis_t")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("IVF ANN recall: top-10 overlaps brute-force top-10 substantially") {
     val exact = Similarity.cosineTopK(spark, sf0001, k = 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet

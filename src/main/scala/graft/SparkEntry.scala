@@ -98,6 +98,7 @@ object SparkEntry {
     "q_token_count"    -> (Text.tokenCount _),
     "q_vocab_topk"     -> ((s: SparkSession, d: String) => Text.vocabTopK(s, d)),
     "q_text_bigrams"   -> ((s: SparkSession, d: String) => Text.bigramTopK(s, d)),
+    "q_text_collocations" -> ((s: SparkSession, d: String) => Text.collocations(s, d)),
     "q_vocab_heavy"    -> ((s: SparkSession, d: String) => Text.vocabHeavy(s, d)),
     "q_funnel"         -> (TimeOps.funnel _),
     "q_window_retention" -> (TimeOps.retention _),
@@ -732,6 +733,24 @@ object SparkEntry {
         |SELECT bigram, CAST(SUM(c) AS BIGINT) AS occurrences, COUNT(1) AS doc_freq
         |FROM per GROUP BY bigram
         |ORDER BY occurrences DESC, doc_freq DESC, bigram LIMIT 50""".stripMargin,
+
+    // lift = pair_docs·N / (na·nb): every factor an exact integer count,
+    // ordered on the ROUNDED value — PMI ranking without cross-engine ln
+    "q_text_collocations" ->
+      """WITH d AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' ')))[1:24] AS tk
+        |           FROM documents),
+        |dd AS (SELECT doc_id, tk FROM d WHERE len(tk) >= 2),
+        |t AS (SELECT doc_id, unnest(tk) AS tok FROM dd),
+        |nd AS (SELECT tok, COUNT(1) AS n FROM t GROUP BY tok),
+        |ntot AS (SELECT COUNT(1) AS nd_total FROM dd),
+        |p AS (SELECT x.tok AS tok_a, y.tok AS tok_b, COUNT(1) AS pair_docs
+        |      FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.tok < y.tok
+        |      GROUP BY 1, 2 HAVING COUNT(1) >= 3)
+        |SELECT tok_a, tok_b, pair_docs,
+        |  ROUND(CAST(pair_docs AS DOUBLE) * nd_total / (na.n * nb.n) * 10000) / 10000 AS lift
+        |FROM p JOIN nd na ON p.tok_a = na.tok JOIN nd nb ON p.tok_b = nb.tok
+        |CROSS JOIN ntot
+        |ORDER BY lift DESC, pair_docs DESC, tok_a, tok_b LIMIT 50""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH per AS (SELECT doc_id, token, COUNT(1) AS c

@@ -278,6 +278,77 @@ object Text {
       .limit(k)
   }
 
+  /** Corpus collocations: top token PAIRS by association lift
+    * `P(a,b) / (P(a)·P(b))` over within-document co-occurrence — the
+    * co-occurrence-matrix build behind PMI collocation extraction and
+    * word2vec-style statistics (lift is PMI's exactly-computable monotone
+    * twin: PMI = ln(lift), so ranking by lift IS ranking by PMI while
+    * every value stays a division of exact integer counts — no
+    * cross-engine libm `ln` in the ordering, the [[tfidfTopTerms]]
+    * lesson applied one step earlier).
+    *
+    * Declared fixture semantics (mirrored in the oracle): per doc, the
+    * first `cap` DISTINCT tokens in ALPHABETICAL order participate — a
+    * deterministic cap that bounds pair expansion at O(cap²) per doc, so
+    * the pair stream grows linearly in corpus size (the same role as the
+    * dedup family's hot caps); pairs seen in < `minPairDocs` documents
+    * are dropped before the stats joins.
+    *
+    * Scale shape: pair derivation is fully MAP-SIDE (nested transform
+    * over the sorted token array — no self-join, no shuffle before the
+    * pair aggregate); pair counts and token doc-frequencies are
+    * two-level aggregates with map-side partials; the two frequency
+    * joins key on single tokens (AQE broadcasts while the vocab fits);
+    * the doc total is a 1-row broadcast. One TakeOrdered ends it.
+    */
+  def collocations(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    collocationsOn(Tables.documents(s, dir).select(col("doc_id"), col("text")), k)
+
+  /** [[collocations]] over an arbitrary (doc_id, text) frame. */
+  def collocationsOn(docs: DataFrame, k: Int = 50, cap: Int = 24,
+      minPairDocs: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the capped sorted distinct-token arrays feed three consumers (pair
+    // stream, token doc-frequency, doc total): persist once — measured a
+    // wash at sf0.1 (1.93 s vs 1.88 s un-persisted, within window drift)
+    // but at scale one tokenize+cache beats three corpus re-scans
+    val base = docs
+      .select(col("doc_id"),
+        slice(array_sort(array_distinct(split(col("text"), " "))),
+          1, cap).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .persist(MEMORY_AND_DISK)
+    // map-side unordered pair expansion over the sorted array: for index
+    // i, partners are positions i+2..size (1-based), so tok_a < tok_b by
+    // construction and each doc contributes each pair exactly once
+    val pairs = base.select(explode(flatten(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => transform(
+          slice(col("tk"), i + 2, size(col("tk")) - i - 1),
+          t => struct(element_at(col("tk"), i + 1).as("tok_a"),
+            t.as("tok_b")))))).as("p"))
+      .select(col("p.tok_a"), col("p.tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("pair_docs"))
+      .filter(col("pair_docs") >= minPairDocs)
+    val ndf = base.select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val ntot = base.select(count(lit(1)).as("nd_total"))
+    pairs
+      .join(ndf.select(col("tok").as("tok_a"), col("n").as("na")), "tok_a")
+      .join(ndf.select(col("tok").as("tok_b"), col("n").as("nb")), "tok_b")
+      .crossJoin(broadcast(ntot))
+      // association order matches the oracle text exactly: (double(pair)
+      // × N) / (na × nb) — double product of exact ints ≤ |docs|² stays
+      // exactly representable, the division is IEEE-identical on both
+      // engines, so the rounded lift is hash-stable
+      .select(col("tok_a"), col("tok_b"), col("pair_docs"),
+        Norm.r4(col("pair_docs").cast("double") * col("nd_total") /
+          (col("na") * col("nb"))).as("lift"))
+      .orderBy(col("lift").desc, col("pair_docs").desc,
+        col("tok_a").asc, col("tok_b").asc)
+      .limit(k)
+  }
+
   /** TF-IDF top terms per document — keyword extraction, the composite a
     * curation pipeline uses for topical tagging and near-duplicate triage:
     * corpus-level document frequencies joined back onto per-doc term

@@ -13,7 +13,7 @@ import graft.{Norm, Tables}
   * no O(n²) cross join ever materializes — the property that must hold at
   * 100 TB.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   private val SHINGLE = 3
 
@@ -648,6 +648,9 @@ object Dedup {
     }
     require(changed == 0,
       s"label propagation did not converge in $maxIters iterations")
+    // operational telemetry: round count is THE wall-clock driver for this
+    // operator at scale (each round is a full driver-scheduled job)
+    logInfo(s"clusterPairs converged in $iters round(s)")
     // only the converged prop stays cached (the returned plan reads it);
     // the pair graph is no longer referenced by the normal execution path
     if (!callerCached) pairs.unpersist(blocking = true)

@@ -212,6 +212,32 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(finals === Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("freq_items_sketch aggregates under Structured Streaming (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val sk = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.FreqItemsSketch(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          org.apache.spark.sql.functions.col("value")), 4)
+        .toAggregateExpression())
+    val q = in.toDF()
+      .agg(sk.as("sketch"))
+      .writeStream.format("memory").queryName("fis_stream_out")
+      .outputMode("complete").start()
+    in.addData(Seq.fill(30)("a") ++ Seq.fill(10)("b"): _*)
+    q.processAllAvailable()
+    in.addData(Seq.fill(30)("a") ++ (0 until 5).map("rare" + _): _*)
+    q.processAllAvailable()
+    q.stop()
+    val m = spark.table("fis_stream_out")
+      .head.getMap[String, Long](0)
+    // n = 75, k = 4 → error bound n/(k+1) = 15; 'a' (60) must survive
+    // the cross-micro-batch state merge with est within the bound
+    assert(m.contains("a"), s"heavy item must survive streaming merges: $m")
+    assert(m("a") <= 60 && m("a") >= 60 - 15, s"a bound: ${m("a")}")
+  }
+
   test("streaming content dedup: duplicates across epochs never reach the table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

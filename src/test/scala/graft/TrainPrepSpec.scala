@@ -115,6 +115,20 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("semantic clusters on an all-orthogonal corpus: every vector a singleton") {
+    import spark.implicits._
+    // pairwise-orthogonal vectors share no sign pattern beyond chance and
+    // have cosine 0 < threshold — the empty-pair-graph path end to end
+    val dim = 64
+    val vecs = (0 until 3).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val got = Dedup.semanticClustersOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3)))
+    assert(got.toSeq == Seq((0L, 0L, true, 1), (1L, 1L, true, 1),
+      (2L, 2L, true, 1)))
+  }
+
   test("clustering a corpus with no near-dups yields an empty result, not a hang") {
     // all-distinct texts: no shared 3-gram, so the pair graph is empty and
     // label propagation must exit on its first fixpoint check

@@ -165,7 +165,11 @@ object FreqItemsSketch {
       case other => throw new IllegalArgumentException(
         s"freq_items_sketch k must be an integer literal, got $other")
     }
-    FreqItemsSketch(children(0), k).toAggregateExpression()
+    // return the BARE AggregateFunction (like Spark's built-in aggregate
+    // builders): the analyzer wraps it itself, which is what makes
+    // `freq_items_sketch(x, k) FILTER (WHERE ...)` analyze — a pre-built
+    // AggregateExpression would reject FILTER/DISTINCT syntax
+    FreqItemsSketch(children(0), k)
   }
 
   def info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =

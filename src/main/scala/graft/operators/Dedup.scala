@@ -625,11 +625,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     // with jumps — each round is a fixed-cost driver-scheduled job,
     // whatever the data size). The join keys on the tiny label set, never
     // the edge list.
+    // inner join, not left: every label VALUE is a node id (mins of node
+    // ids), and lbl has a row for every node, so the lookup always hits —
+    // stating the invariant instead of dead-coding around it
     def jump(lbl: DataFrame): DataFrame =
       lbl.join(lbl.select(col("id").as("jid"), col("label").as("jlab")),
-          col("label") === col("jid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("jlab"), col("label"))).as("label"))
+          col("label") === col("jid"))
+        .select(col("id"), least(col("label"), col("jlab")).as("label"))
     var labels = labelsOf(prop)
     // the persisted plan each round's `labels` projects FROM — the
     // handle unpersist must target (unpersisting the projection itself is

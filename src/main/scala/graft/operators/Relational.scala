@@ -296,14 +296,16 @@ object Relational {
 
   // ---------------------------------------------------------------- joins
 
-  /** Shuffled hash/sort-merge equi join lineitem⋈orders on the fact keys,
-    * then aggregate. The lineitem side is PARTIALLY AGGREGATED to one row
-    * per l_orderkey BEFORE the join — a rewrite Catalyst does not do
-    * itself: the map-side partial collapses the ~4 lines per order before
-    * the shuffle, so join input, join output, and the downstream
-    * aggregation all shrink ~4× (the decisive factor at fact-fact scale).
-    * Decimal partial sums are exact and associative, so the result is
-    * bit-identical to aggregating after the join.
+  /** Equi join lineitem⋈orders on the fact keys, then ONE aggregate on
+    * the 5-value priority domain — the flat form, matching the oracle
+    * text. Both sides project to the join columns only before the
+    * exchange, and the aggregate's map-side partials collapse to ≤5 rows
+    * per task, so the only meaningful shuffle is the join itself (an
+    * earlier per-order pre-aggregate-below-join variant shuffled the same
+    * lineitem bytes once anyway and paid an extra 150k-group decimal
+    * hash-agg stage for a 4× smaller probe side — a bad trade here, where
+    * the downstream aggregate is already metadata-sized; it stays the
+    * right rewrite when the JOIN OUTPUT feeds something wide).
     */
   def joinInner(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -337,7 +339,12 @@ object Relational {
   def joinSalted(s: SparkSession, dir: String, nSalts: Int = 8): DataFrame = {
     val probe = Tables.events(s, dir)
       .select(col("user_id"), col("value"),
-        pmod(col("event_id"), lit(nSalts.toLong)).cast("int").as("psalt"))
+        // coalesce: a NULL row id must still land in SOME salt bucket —
+        // a NULL salt would null the join predicate and silently DROP a
+        // row the plain join keeps, breaking the exactly-the-plain-join
+        // contract on nullable-id inputs
+        coalesce(pmod(col("event_id"), lit(nSalts.toLong)).cast("int"),
+          lit(0)).as("psalt"))
     val build = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"),
         explode(sequence(lit(0), lit(nSalts - 1))).as("bsalt"))

@@ -820,6 +820,13 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"heavy items must survive the k-counter sketch, got $m")
     assert(m("a") <= 60 && m("a") >= 60 - 100 / 5, s"a bound: ${m("a")}")
     assert(m("b") <= 30 && m("b") >= 30 - 100 / 5, s"b bound: ${m("b")}")
+    // the bare-AggregateFunction builder means the analyzer attaches
+    // FILTER itself — a pre-wrapped AggregateExpression would reject this
+    val f = spark.sql(
+      "SELECT freq_items_sketch(tok, 4) FILTER (WHERE tok <> 'a') AS s FROM fis_t")
+      .head.getMap[String, Long](0)
+    assert(!f.contains("a") && f.contains("b"),
+      s"FILTER must exclude 'a' from the sketch, got $f")
     // k must be a literal — a clear error, not a ClassCastException
     val e = intercept[Exception] {
       spark.sql("SELECT freq_items_sketch(tok, CAST(tok AS INT)) FROM fis_t")

@@ -289,7 +289,12 @@ object Bench {
         val rest = samples.tail.sorted
         samples.head > 2.0 * rest(rest.size / 2)
       }
+      // keep samples and telemetry index-aligned: the slow_samples /
+      // slow_telemetry arrays are read side by side ("wall up + gc flat
+      // = host-side"), so the discarded first sample's telemetry row must
+      // go with it
       val kept = if (coldFirst) samples.tail.toSeq else samples.toSeq
+      if (coldFirst && teles.nonEmpty) teles.remove(0)
       val median = if (kept.isEmpty) 0.0 else {
         // with ≥5 samples, trim min and max first (the heavy-family
         // posture); the plain median is unchanged for the 3-sample lines

@@ -407,11 +407,17 @@ object Similarity {
           .map { r =>
             // check ragged BEFORE reading cell: ragged rows get a null
             // argmax (null dot → null array_max) and group under a null
-            // cell, so getInt(0) would throw a cryptic ROW_VALUE_IS_NULL
-            require(r.getLong(dim + 2) == 0L && !r.isNullAt(0),
-              s"trainKMeans: ${r.getLong(dim + 2)} vector(s) with " +
-                s"size != $dim — ragged embeddings would silently bias " +
-                "the codebook; clean or filter the corpus first")
+            // cell, so getInt(0) would throw a cryptic ROW_VALUE_IS_NULL.
+            // The ragged counter itself reads null-safely: a group of
+            // only NULL vectors sums the counter to SQL NULL (size(null)
+            // is null, never counted as ragged), and a bare getLong
+            // there would NPE before this message could fire
+            val ragged = if (r.isNullAt(dim + 2)) 0L else r.getLong(dim + 2)
+            require(ragged == 0L && !r.isNullAt(0),
+              s"trainKMeans: $ragged vector(s) with size != $dim " +
+                "(or null embeddings) — ragged/null embeddings would " +
+                "silently bias the codebook; clean or filter the corpus " +
+                "first")
             val n = r.getLong(1).toDouble
             r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 2) / n)
           }.toMap

@@ -210,31 +210,49 @@ final class CommitLog(tableDir: String, conf: Configuration) {
         CommitLog.ShardRef(toks(0), parts)
     }
     val inlineLines = lines.filterNot(_.startsWith("#"))
-    val shardLines =
-      if (!resolveShards || shardRefs.isEmpty) Seq.empty
-      else shardRefs
-        .filterNot(r => partitionPredicates.exists { case (k, v) =>
-          r.partitionValues.get(k).exists(_ != v) })
-        .flatMap { r =>
-          CommitLog.shardFileReads.incrementAndGet()
-          val t =
-            try CommitLog.readFully(fs, new Path(commitsDir, r.relPath))
-            catch {
-              // shards ride their parent: gone ⇒ the whole manifest is
-              // mid-cleanup and its superseding manifest already visible
-              case _: java.io.FileNotFoundException => return None
-            }
-          t.split("\n").filter(_.nonEmpty).toSeq
-        }
-    val fileLines = inlineLines ++ shardLines
-    val files = fileLines.map(_.takeWhile(_ != '\t'))
-    val stats = fileLines.flatMap { l =>
+    val files = inlineLines.map(_.takeWhile(_ != '\t'))
+    val stats = inlineLines.flatMap { l =>
       val toks = l.split('\t')
       if (toks.length < 2) None
       else FileStats.parse(toks.drop(1).toSeq).map(toks(0) -> _)
     }.toMap
-    Some(Manifest(epochId, files, supersedes, watermark, ceiling, stats,
-      shardRefs))
+    val header = Manifest(epochId, files, supersedes, watermark, ceiling,
+      stats, shardRefs)
+    if (!resolveShards || shardRefs.isEmpty) Some(header)
+    else resolveShardsOf(header, partitionPredicates)
+  }
+
+  /** Resolve a header-parsed manifest's shard bytes from its
+    * already-parsed [[Manifest.shardRefs]] — no second read or re-parse
+    * of the parent file (the per-trigger streaming-tail hot path calls
+    * this once per TAKEN manifest). `partitionPredicates` prunes whole
+    * shards by their `k=v` path before any byte is read. None when a
+    * shard vanished mid-read: shards ride their parent, so a missing one
+    * means the whole manifest is mid-cleanup and its superseding
+    * manifest is already visible (same drop semantics as the parent
+    * read).
+    */
+  private def resolveShardsOf(m: Manifest,
+      partitionPredicates: Seq[(String, String)] = Seq.empty): Option[Manifest] = {
+    val shardLines = m.shardRefs
+      .filterNot(r => partitionPredicates.exists { case (k, v) =>
+        r.partitionValues.get(k).exists(_ != v) })
+      .flatMap { r =>
+        CommitLog.shardFileReads.incrementAndGet()
+        val t =
+          try CommitLog.readFully(fs, new Path(commitsDir, r.relPath))
+          catch {
+            case _: java.io.FileNotFoundException => return None
+          }
+        t.split("\n").filter(_.nonEmpty).toSeq
+      }
+    val files = shardLines.map(_.takeWhile(_ != '\t'))
+    val stats = shardLines.flatMap { l =>
+      val toks = l.split('\t')
+      if (toks.length < 2) None
+      else FileStats.parse(toks.drop(1).toSeq).map(toks(0) -> _)
+    }.toMap
+    Some(m.copy(files = m.files ++ files, fileStats = m.fileStats ++ stats))
   }
 
   /** Every readable manifest, superseded ones included.
@@ -336,11 +354,13 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     liveOf(headerAll)
       .flatMap { m =>
         if (m.shardRefs.isEmpty || !needFiles(m)) Some(m)
-        // deleted by a concurrent compaction between list and re-read:
-        // drop it, like manifests() does — its superseding manifest is
-        // already visible (delivering the header's EMPTY file list
-        // instead would silently ship an empty epoch)
-        else readManifest(m.epochId, manifestPath(m.epochId))
+        // shard bytes resolve from the ALREADY-PARSED refs — no second
+        // read of the parent. A shard deleted by concurrent compaction
+        // between list and read drops the manifest, like manifests()
+        // does — its superseding manifest is already visible (delivering
+        // the header's EMPTY file list instead would silently ship an
+        // empty epoch)
+        else resolveShardsOf(m)
       }
   }
 
@@ -360,12 +380,19 @@ final class CommitLog(tableDir: String, conf: Configuration) {
       .flatMap(m => m.files.map(f => f -> m.fileStats.get(f)))
 
   /** Files published by one specific live epoch (empty if uncommitted or
-    * compacted away).
+    * compacted away). Shard bytes resolve only for the REQUESTED epoch —
+    * a large compaction manifest's corpus is never parsed to answer for
+    * a small streaming epoch.
     */
   def filesOf(epochId: Long): Seq[String] =
-    manifests().find(_.epochId == epochId).map(_.files).getOrElse(Seq.empty)
+    manifestsSelective(_.epochId == epochId)
+      .find(_.epochId == epochId).map(_.files).getOrElse(Seq.empty)
 
-  def committedEpochs(): Seq[Long] = manifests().map(_.epochId).sorted
+  /** Live epoch ids. Header-only: ids need no shard bytes, so this stays
+    * O(#manifests × headers) whatever the table's file count.
+    */
+  def committedEpochs(): Seq[Long] =
+    manifestsSelective(_ => false).map(_.epochId).sorted
 
   /** Streaming high-water mark: max live streaming epoch id, or the
     * watermark a compaction preserved when it consumed those manifests.

@@ -620,17 +620,28 @@ object Compact {
     // orphan SHARD directories: a commit that crashed between writing its
     // shards and renaming its manifest in, or a deleteManifest that crashed
     // between the manifest and shard deletes. A dir is an orphan exactly
-    // when its epoch's manifest is absent (a manifest always outlives the
-    // shards it references — deletes go manifest-first); the age guard
-    // keeps an IN-FLIGHT commit's shards (written moments before its
-    // rename) out of reach.
+    // when its epoch's manifest does not REFERENCE it — manifest absent
+    // (deletes go manifest-first), OR present but pointing at a different
+    // attempt's UUID dir (the replay of a crashed commit writes fresh
+    // shards under a new dir; without the reference check the dead
+    // attempt's bytes would survive as long as the epoch does). The age
+    // guard keeps an IN-FLIGHT commit's shards (written moments before
+    // its rename) out of reach.
     val ShardDir = "\\.epoch-(-?\\d+)\\.shards-.*".r
     fs.listStatus(commits).foreach { st =>
       st.getPath.getName match {
         case ShardDir(id)
-          if now - st.getModificationTime > math.max(retainMillis, 60000L) &&
-            !fs.exists(new Path(commits, s"epoch-$id.manifest")) =>
-          fs.delete(st.getPath, true)
+          if now - st.getModificationTime > math.max(retainMillis, 60000L) =>
+          val mf = new Path(commits, s"epoch-$id.manifest")
+          val referenced = fs.exists(mf) && {
+            val txt =
+              try CommitLog.readFully(fs, mf)
+              catch { case _: java.io.FileNotFoundException => "" }
+            // shard lines are `#shard:<dirName>/<shard>\t<k=v…>`; the
+            // UUID-suffixed dir name keys the attempt unambiguously
+            txt.contains(st.getPath.getName + "/")
+          }
+          if (!referenced) fs.delete(st.getPath, true)
         case _ => ()
       }
     }

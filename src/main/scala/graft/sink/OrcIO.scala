@@ -250,18 +250,25 @@ object OrcIO {
     * simply don't skip. This closes the parquet/ORC asymmetry where only
     * parquet reads skipped row groups inside committed files.
     */
-  final class RowReader(path: Path, requestedSchema: StructType,
-      conf: Configuration,
-      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty) {
-    private val reader = OrcFile.createReader(path,
+  /** Shared open/projection/pushdown setup of the row and columnar
+    * readers — ONE definition of the include mask and SARG construction,
+    * so the two scan paths cannot drift in skipping behavior.
+    * `useUTCTimestamp` rides the reader options; row-level Options
+    * carries the projection mask and the search argument. The SARG
+    * column domain is the PROJECTED fields present in THIS file
+    * (post-scan re-evaluation means Spark always includes filter columns
+    * in the projection), so a filter on a column this lineage lacks
+    * declines to convert instead of mis-skipping.
+    */
+  private final class OpenedOrc(path: Path, requestedSchema: StructType,
+      conf: Configuration, filters: Seq[org.apache.spark.sql.sources.Filter]) {
+    val reader = OrcFile.createReader(path,
       OrcFile.readerOptions(conf).useUTCTimestamp(true))
-    private val fileTd = reader.getSchema
-    private val fileNames = fileTd.getFieldNames.asScala.toIndexedSeq
+    val fileTd = reader.getSchema
+    val fileNames = fileTd.getFieldNames.asScala.toIndexedSeq
     // requested field i ← file column fileCol(i), or -1 when absent
-    private val fileCol: Array[Int] =
+    val fileCol: Array[Int] =
       requestedSchema.fields.map(f => fileNames.indexOf(f.name))
-    private val extractors: Array[Extractor] =
-      requestedSchema.fields.map(f => extractorFor(f.dataType))
     private val include = {
       val inc = new Array[Boolean](fileTd.getMaximumId + 1)
       inc(0) = true
@@ -273,13 +280,7 @@ object OrcIO {
       }
       inc
     }
-    // useUTCTimestamp rides the reader options above; row-level Options
-    // carries the projection mask and the search argument.
-    // The SARG column domain is the PROJECTED fields present in this file
-    // (post-scan re-evaluation means Spark always includes filter columns
-    // in the projection), so a filter on a column this lineage lacks
-    // declines to convert instead of mis-skipping.
-    private val rows = {
+    val rows = {
       var opts = reader.options.include(include)
       if (filters.nonEmpty) {
         val sargTypes = requestedSchema.fields
@@ -290,7 +291,17 @@ object OrcIO {
       }
       reader.rows(opts)
     }
-    private val batch = fileTd.createRowBatch(1024)
+  }
+
+  final class RowReader(path: Path, requestedSchema: StructType,
+      conf: Configuration,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty) {
+    private val o = new OpenedOrc(path, requestedSchema, conf, filters)
+    private val fileCol = o.fileCol
+    private val extractors: Array[Extractor] =
+      requestedSchema.fields.map(f => extractorFor(f.dataType))
+    private val rows = o.rows
+    private val batch = o.fileTd.createRowBatch(1024)
     private var pos = 0
 
     /** Next row, or null at EOF. */
@@ -319,7 +330,7 @@ object OrcIO {
       new GenericInternalRow(values)
     }
 
-    def close(): Unit = { rows.close(); reader.close() }
+    def close(): Unit = { rows.close(); o.reader.close() }
   }
 
   /** Scalar types the columnar ORC adapter serves — the sink's own write
@@ -415,35 +426,10 @@ object OrcIO {
   final class BatchReader(path: Path, requestedSchema: StructType,
       conf: Configuration,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty) {
-    private val reader = OrcFile.createReader(path,
-      OrcFile.readerOptions(conf).useUTCTimestamp(true))
-    private val fileTd = reader.getSchema
-    private val fileNames = fileTd.getFieldNames.asScala.toIndexedSeq
-    private val fileCol: Array[Int] =
-      requestedSchema.fields.map(f => fileNames.indexOf(f.name))
-    private val include = {
-      val inc = new Array[Boolean](fileTd.getMaximumId + 1)
-      inc(0) = true
-      fileCol.foreach { c =>
-        if (c >= 0) {
-          val child = fileTd.getChildren.get(c)
-          (child.getId to child.getMaximumId).foreach(id => inc(id) = true)
-        }
-      }
-      inc
-    }
-    private val rows = {
-      var opts = reader.options.include(include)
-      if (filters.nonEmpty) {
-        val sargTypes = requestedSchema.fields
-          .filter(f => fileNames.contains(f.name))
-          .map(f => f.name -> f.dataType).toMap
-        OrcIO.toSearchArgument(sargTypes, filters)
-          .foreach(sarg => opts = opts.searchArgument(sarg, fileNames.toArray))
-      }
-      reader.rows(opts)
-    }
-    val batch: VectorizedRowBatch = fileTd.createRowBatch(4096)
+    private val o = new OpenedOrc(path, requestedSchema, conf, filters)
+    private val fileCol = o.fileCol
+    private val rows = o.rows
+    val batch: VectorizedRowBatch = o.fileTd.createRowBatch(4096)
 
     /** Per requested field: its adapter view, or None when the file lacks
       * the column (the scan serves those as null constants).
@@ -467,7 +453,7 @@ object OrcIO {
       more
     }
 
-    def close(): Unit = { rows.close(); reader.close() }
+    def close(): Unit = { rows.close(); o.reader.close() }
   }
 
   /** Spark source filters → ORC [[SearchArgument]] over the given

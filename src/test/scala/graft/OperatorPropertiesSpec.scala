@@ -947,6 +947,18 @@ class OperatorPropertiesSpec extends SparkSpec {
     // and an untouched corpus still trains fine through the guarded path
     assert(Similarity.trainKMeans(Tables.embeddings(spark, sf0001),
       k = 4, iters = 1, seed = 42L).count() === 4L)
+    // a NULL embedding must hit the same actionable message, not an NPE
+    // from reading the null-cell group's null ragged counter
+    val nulled = Tables.embeddings(spark, sf0001)
+      .withColumn("embedding",
+        expr("CASE WHEN vec_id = 5 THEN NULL ELSE embedding END"))
+    val ex2 = intercept[Exception] {
+      Similarity.trainKMeans(nulled, k = 4, iters = 2, seed = 42L).collect()
+    }
+    val msg2 = Option(ex2.getMessage).getOrElse("") +
+      Option(ex2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("null embeddings") || msg2.contains("ragged"),
+      s"expected the guard's message on a null vector, got: $msg2")
   }
 
   test("brute-force cosine top-k dominates the ANN shortlist (recall sanity)") {

@@ -123,6 +123,35 @@ class ShardedManifestSpec extends SparkSpec {
     assert(log.committedFiles().count(_.contains("replay")) === 0)
   }
 
+  test("purge sweeps a crashed attempt's shard dir even when the epoch lives") {
+    val dir = tmpTable()
+    val log = new CommitLog(dir, conf)
+    // the SUCCESSFUL commit of epoch 7 (its own uuid'd shard dir)...
+    syntheticCommit(log, dir, 7L, nParts = 4, perPart = 32)
+    val live = shardDirs(dir)
+    assert(live.size === 1)
+    // ...plus a fabricated CRASHED attempt of the SAME epoch: shards
+    // written, rename never happened, replay then succeeded under the
+    // live dir above. Backdate past the in-flight age guard.
+    val commits = new Path(dir, CommitLog.COMMITS_DIR)
+    val fs = commits.getFileSystem(conf)
+    val dead = new Path(commits, ".epoch-7.shards-deadbeef")
+    fs.mkdirs(dead)
+    val out = fs.create(new Path(dead, "shard-00000"), false)
+    out.write(s"$dir/p=z/ghost.parquet".getBytes("UTF-8")); out.close()
+    fs.setTimes(dead, System.currentTimeMillis() - 120000L, -1)
+    fs.setTimes(new Path(commits, live.head),
+      System.currentTimeMillis() - 120000L, -1)
+    Compact.run(dir, conf, retainMillis = 0L)
+    val after = shardDirs(dir)
+    assert(!after.contains(".epoch-7.shards-deadbeef"),
+      "unreferenced attempt dir must be swept while its epoch lives")
+    assert(after.contains(live.head),
+      "the manifest-referenced dir must survive the sweep")
+    assert(log.committedFiles().count(_.contains("ghost")) === 0)
+    assert(log.filesOf(7L).nonEmpty, "the live epoch still resolves")
+  }
+
   test("deleteManifest removes the epoch's shard dirs; headers stay cheap") {
     val dir = tmpTable()
     val log = new CommitLog(dir, conf)
@@ -134,6 +163,15 @@ class ShardedManifestSpec extends SparkSpec {
     assert(negGuardProbe)
     assert(CommitLog.shardFileReads.get === 0L,
       "watermark/tombstone-guard reads must stay header-only")
+    // epoch-id listing needs no shard bytes either; filesOf resolves ONLY
+    // the requested epoch's shards (the flat epoch 4 costs zero)
+    CommitLog.shardFileReads.set(0L)
+    assert(log.committedEpochs() === Seq(3L, 4L))
+    assert(CommitLog.shardFileReads.get === 0L,
+      "committedEpochs must stay header-only")
+    assert(log.filesOf(4L) === Seq(s"$dir/p=a/x.parquet"))
+    assert(CommitLog.shardFileReads.get === 0L,
+      "filesOf(flat epoch) must not resolve the sharded manifest")
     log.deleteManifest(3L)
     assert(shardDirs(dir).isEmpty, "shard dirs ride their manifest")
     assert(log.committedFiles() === Seq(s"$dir/p=a/x.parquet"))

@@ -485,13 +485,17 @@ object SparkEntry {
         |           FROM (SELECT doc_id, string_split(text, ' ') AS tk
         |                 FROM documents) s WHERE len(tk) >= 3),
         |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
-        |f AS (SELECT gram, COUNT(1) AS nd FROM g GROUP BY 1)
-        |SELECT doc_id, n_grams, dup_grams, dup_frac, dup_frac < 0.8 AS keep FROM (
-        |  SELECT g.doc_id, COUNT(1) AS n_grams,
+        |f AS (SELECT gram, COUNT(1) AS nd FROM g GROUP BY 1),
+        |p AS (SELECT g.doc_id, COUNT(1) AS n_grams,
         |    CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
         |    ROUND(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(1), 4) AS dup_frac
-        |  FROM g JOIN f USING (gram) GROUP BY g.doc_id) t
-        |ORDER BY doc_id""".stripMargin,
+        |  FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+        |SELECT dd.doc_id, COALESCE(n_grams, 0) AS n_grams,
+        |  COALESCE(dup_grams, 0) AS dup_grams,
+        |  COALESCE(dup_frac, 0.0) AS dup_frac,
+        |  COALESCE(dup_frac, 0.0) < 0.8 AS keep
+        |FROM documents dd LEFT JOIN p ON dd.doc_id = p.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
 
     "q_dedup_cluster" ->
       """WITH RECURSIVE d AS (SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS blk,
@@ -822,17 +826,20 @@ object SparkEntry {
 
     "q_quality_gate" ->
       """WITH tk AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents),
-        |sig AS (SELECT doc_id, len(tk) AS n_tokens,
-        |          ROUND(CAST(n_chars - len(tk) + 1 AS DOUBLE) / len(tk), 4) AS mean_tok_len,
-        |          ROUND(CAST(len(list_filter(tk, t -> t IN ('the','a','of','to','in','and','is'))) AS DOUBLE) / len(tk), 4) AS stop_ratio,
-        |          ROUND(1 - CAST(len(list_distinct([tk[i] || ' ' || tk[i+1]
-        |            FOR i IN generate_series(1, len(tk) - 1)])) AS DOUBLE) / (len(tk) - 1), 4) AS dup_2gram_frac
-        |        FROM tk WHERE len(tk) >= 2),
+        |sig AS (SELECT doc_id, COALESCE(len(tk), 0) AS n_tokens,
+        |          CASE WHEN len(tk) >= 2 THEN
+        |            ROUND(CAST(n_chars - len(tk) + 1 AS DOUBLE) / len(tk), 4) END AS mean_tok_len,
+        |          CASE WHEN len(tk) >= 2 THEN
+        |            ROUND(CAST(len(list_filter(tk, t -> t IN ('the','a','of','to','in','and','is'))) AS DOUBLE) / len(tk), 4) END AS stop_ratio,
+        |          CASE WHEN len(tk) >= 2 THEN
+        |            ROUND(1 - CAST(len(list_distinct([tk[i] || ' ' || tk[i+1]
+        |              FOR i IN generate_series(1, len(tk) - 1)])) AS DOUBLE) / (len(tk) - 1), 4) END AS dup_2gram_frac
+        |        FROM tk),
         |f AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
         |        n_tokens < 20 AS too_short,
-        |        mean_tok_len < 3.0 OR mean_tok_len > 10.0 AS bad_tok_len,
-        |        stop_ratio < 0.01 AS low_stopword,
-        |        dup_2gram_frac > 0.08 AS repetitive
+        |        COALESCE(mean_tok_len < 3.0 OR mean_tok_len > 10.0, FALSE) AS bad_tok_len,
+        |        COALESCE(stop_ratio < 0.01, FALSE) AS low_stopword,
+        |        COALESCE(dup_2gram_frac > 0.08, FALSE) AS repetitive
         |      FROM sig)
         |SELECT doc_id, n_tokens, too_short, bad_tok_len, low_stopword, repetitive,
         |  NOT (too_short OR bad_tok_len OR low_stopword OR repetitive) AS keep
@@ -894,7 +901,7 @@ object SparkEntry {
         |     rt AS (SELECT lang, rate,
         |             printf('%04x', CAST(FLOOR(ROUND(rate * 10000) / 10000 * 65536) AS BIGINT)) AS thr FROM r),
         |     k AS (SELECT d.lang, rt.rate,
-        |             CASE WHEN rt.rate >= 1.0 OR substr(md5(d.text), 1, 4) < rt.thr
+        |             CASE WHEN ROUND(rt.rate * 10000) / 10000 >= 1.0 OR substr(md5(d.text), 1, 4) < rt.thr
         |               THEN 1 ELSE 0 END AS kept
         |           FROM documents d JOIN rt ON d.lang = rt.lang)
         |SELECT lang, COUNT(1) AS n_docs, CAST(SUM(kept) AS BIGINT) AS kept_docs,

@@ -73,11 +73,16 @@ object Dedup extends org.apache.spark.internal.Logging {
     docs
       .select(Seq(col("doc_id")) ++ carry.map(col) :+
         split(col("text"), " ").as("tk"): _*)
+      // the transform is guarded by when(), not only by the trailing
+      // filter: optimizer rules (e.g. ConvertToLocalRelation) may
+      // evaluate the projection before the filter reorders below it, and
+      // an unguarded tk(i+2) on a sub-3-token doc is an ANSI
+      // INVALID_ARRAY_INDEX crash, not a null
       .select(Seq(col("doc_id")) ++ carry.map(col) :+
-        array_distinct(transform(
-          sequence(lit(0), greatest(size(col("tk")) - SHINGLE, lit(0))),
+        when(size(col("tk")) >= SHINGLE, array_distinct(transform(
+          sequence(lit(0), size(col("tk")) - SHINGLE),
           i => concat_ws(" ", col("tk")(i), col("tk")(i + 1), col("tk")(i + 2))
-        )).as("shingles") :+ size(col("tk")).as("_ntk"): _*)
+        ))).as("shingles") :+ size(col("tk")).as("_ntk"): _*)
       .filter(col("_ntk") >= SHINGLE)
       .drop("_ntk")
 
@@ -159,18 +164,29 @@ object Dedup extends org.apache.spark.internal.Logging {
     * normalized key (md5 — constant width regardless of doc length, so the
     * shuffle carries 16 bytes + counters per doc, never the text).
     */
-  def normalizeDedup(s: SparkSession, dir: String): DataFrame =
-    normalizeDedupOn(Tables.documents(s, dir).select("doc_id", "text"))
+  def normalizeDedup(s: SparkSession, dir: String): DataFrame = {
+    // FIXTURE-ONLY variant injection: the synthetic corpus is
+    // byte-distinct, so the registry query manufactures reformatted
+    // twins (every 5th doc uppercased with padding, id offset past the
+    // fixture's id range) to give the normalizer real work — the oracle
+    // injects the identical rows. This is the QUERY's declared fixture
+    // semantics, NOT operator surface: [[normalizeDedupOn]] deduplicates
+    // exactly the frame it is given.
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val variants = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" \t")).as("text"))
+    normalizeDedupOn(docs.union(variants))
+  }
 
   /** [[normalizeDedup]] over an arbitrary (doc_id: long, text: string)
     * frame (ASCII normalization semantics: `\s` and case folding match
     * Java and RE2 for ASCII; extend with ICU transforms off-fixture).
+    * Deduplicates the given frame AS IS — no synthetic rows (the fixture
+    * query injects its own variants before calling this).
     */
   def normalizeDedupOn(docs: DataFrame): DataFrame = {
-    val variants = docs.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("  "), upper(col("text")), lit(" \t")).as("text"))
-    docs.select(col("doc_id"), col("text")).union(variants)
+    docs
       // raw forms are counted by their md5, not the text itself, so the
       // distinct aggregate ships two 16-byte hashes + a doc id per row —
       // never the document
@@ -433,11 +449,21 @@ object Dedup extends org.apache.spark.internal.Logging {
     val grams = base.select(col("doc_id"), explode(col("shingles")).as("gram"))
     // per-doc arrays are distinct, so count(1) here = docs containing gram
     val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("nd"))
-    grams.join(docFreq, "gram")
+    val perDoc = grams.join(docFreq, "gram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_grams"))
       .withColumn("dup_frac", Norm.r4(col("dup_grams") / col("n_grams")))
+    // EVERY doc gets a verdict: a sub-3-token doc has no grams, so
+    // nothing of it is duplicated — (0, 0, 0.0, keep) — rather than
+    // silently missing from the output and leaking past a
+    // `filter(!keep)` drop join
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"))
       // gate on the ROUNDED fraction (dup_frac is the declared output; a
       // boundary doc must not flip between the column and its own flag)
       .withColumn("keep", col("dup_frac") < dropAt)
@@ -723,9 +749,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     // semantics; the oracle SQL applies the same bucket-size filter.
     val cand = bucketPairs(keys, Seq("band", "bkey"), cap = 100)
     // norms once per vector, not once per candidate pair (the oracle's CTE
-    // does the same)
+    // does the same). Zero-norm vectors are EXCLUDED from verification:
+    // they have no cosine (ANSI x/0.0 throws), and they all share the
+    // all-ones sign pattern, so without the filter a corpus's padding/
+    // failed-encode rows would both collide into one band bucket AND
+    // kill the query at the divide
     val en = e.select(col("vec_id"), col("v"),
       Hyperplanes.dot64(col("v"), col("v")).as("nrm"))
+      .filter(col("nrm") > 0)
     cand
       .join(en.select(col("vec_id").as("a_id"), col("v").as("va"),
         col("nrm").as("na")), "a_id")

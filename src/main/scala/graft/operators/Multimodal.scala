@@ -143,6 +143,11 @@ object Multimodal {
   def decodeBatchedOn(media: org.apache.spark.sql.Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media
+      // a NULL payload has nothing to decode — excluded before the typed
+      // map (an unguarded decoder would NPE the task; the expression path
+      // null-propagates instead, and a real decoder must pick its own
+      // null policy here)
+      .filter((r: MediaRow) => r.payload != null)
       .mapPartitions { batch =>
         // per-partition decoder setup would go here (model load, JNI init)
         batch.map(FakeDecoder.decode)

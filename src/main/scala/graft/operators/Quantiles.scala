@@ -84,7 +84,13 @@ object Quantiles {
     // them makes the assembly exact whenever the bracket misses by at
     // most one distinct value — a miss of two or more (impossible within
     // the sketch's rank guarantee) surfaces loudly as a null.
-    val classified = base.join(broadcast(brackets), "g")
+    // null-safe group join: pass 1's groupBy aggregates a NULL group like
+    // any other, so pass 2 must match it back — a plain equi-join would
+    // silently drop every null-group row from the output
+    val classified = base.join(
+        broadcast(brackets.withColumnRenamed("g", "bg")),
+        col("g") <=> col("bg"))
+      .drop("bg")
       .select(col("g"), col("p"), col("n"), col("v"),
         when(col("v") < col("vlo"), lit(-1))
           .when(col("v") > col("vhi"), lit(1)).otherwise(lit(0)).as("cls"))

@@ -32,9 +32,20 @@ object Similarity {
     * corpus scan.
     */
   private def litProbe(s: SparkSession, p: Seq[Double]): DataFrame = {
+    require(p.exists(_ != 0.0),
+      "zero probe vector has no direction — cosine scoring is undefined")
     val pv = litVec(p)
     s.range(1).select(pv.as("probe_v"), dot(pv, pv).as("probe_nrm"))
   }
+
+  /** Zero-norm guard shared by every cosine path: a zero vector has no
+    * direction, so it is EXCLUDED from cosine scoring/candidacy rather
+    * than crashing the query (Spark 4's ANSI default makes x/0.0 throw
+    * DIVIDE_BY_ZERO for doubles too — measured, not assumed; zero
+    * vectors are routine in real embedding dumps as failed-encode or
+    * padding rows).
+    */
+  private def nonZero(df: DataFrame): DataFrame = df.filter(col("nrm") > 0)
 
   /** Brute-force cosine top-k of probe vec_id=0 (the driver fixture
     * contract: probe looked up in the corpus and excluded from results).
@@ -63,9 +74,9 @@ object Similarity {
   private def cosineTopKImpl(vecs: DataFrame, k: Int,
       probeVec: Option[Seq[Double]]): DataFrame = {
     val s = vecs.sparkSession
-    val e = vecs
+    val e = nonZero(vecs
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", dot(col("v"), col("v")))
+      .withColumn("nrm", dot(col("v"), col("v"))))
     val (corpus, probe) = probeVec match {
       case Some(p) => (e, litProbe(s, p))
       case None => (e.filter(col("vec_id") =!= 0),
@@ -117,9 +128,9 @@ object Similarity {
     // the same shape as [[knnJoin]]'s base: un-persisted, the scan + the
     // 64-plane signature ran TWICE (once feeding the key join, once feeding
     // the exact-cosine ranking), the query's dominant cost (VERDICT r5)
-    val base = vecs
+    val base = nonZero(vecs
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", dot(col("v"), col("v")))
+      .withColumn("nrm", dot(col("v"), col("v"))))
       .withColumn("bk", array((0 until tables).map(b =>
         Hyperplanes.bandKey(col("v"), b)): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -188,8 +199,8 @@ object Similarity {
     * measures 0.0 MiB of shuffle here).
     */
   private def knnJoinTagged(tagged: DataFrame, k: Int): DataFrame = {
-    val base = tagged
-      .withColumn("nrm", dot(col("v"), col("v")))
+    val base = nonZero(tagged
+      .withColumn("nrm", dot(col("v"), col("v"))))
       .withColumn("bk", Hyperplanes.bandKeys(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = base.select(col("vec_id"), col("is_probe"),
@@ -349,8 +360,11 @@ object Similarity {
       else corpus.filter(
         pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000L)) <
           lit((sampleFraction * 1e6).toLong))
-    val e = sampled
-      .withColumn("nrm", dot(col("v"), col("v")))
+    // assignment is by COSINE, so zero vectors (no direction) are
+    // excluded from training — an unguarded one would DIVIDE_BY_ZERO the
+    // assignment under Spark 4's ANSI default
+    val e = nonZero(sampled
+      .withColumn("nrm", dot(col("v"), col("v"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cents: Seq[(Int, Seq[Double])] = e
@@ -358,6 +372,10 @@ object Similarity {
         .limit(k)
         .select("v").collect()
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
+      require(cents.nonEmpty,
+        "trainKMeans: no trainable vectors (corpus empty, sampled to " +
+          "empty at this sampleFraction, or all zero-norm) — nothing to " +
+          "seed a codebook from")
       for (_ <- 1 to iters) {
         // The centroids are driver-resident METADATA (k×dim doubles), so
         // assignment embeds them as plan literals and runs entirely
@@ -441,9 +459,9 @@ object Similarity {
         "ivf without a codebook derives its cells from a 'label' column; " +
           "this frame has none — pass a trained codebook (trainKMeans) " +
           "or add a label column")
-    val e = vecs
+    val e = nonZero(vecs
       .select(col("vec_id"), labelCol, asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", dot(col("v"), col("v")))
+      .withColumn("nrm", dot(col("v"), col("v"))))
     // coarse codebook: supplied trained centroids, else one 64-dim mean
     // vector per label (the fixture quantizer)
     val cents = codebook.map { cb =>
@@ -465,7 +483,11 @@ object Similarity {
       .withColumn("c_idx", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("c_id")))))
     // assign: nearest centroid by cosine (broadcast codebook — it is tiny
-    // by construction; k-means codebooks are ≤ a few thousand entries)
+    // by construction; k-means codebooks are ≤ a few thousand entries).
+    // Zero-norm centroids (a degenerate user codebook cell / all-zero
+    // label mean) are dropped — no direction to assign against, and an
+    // unguarded one would DIVIDE_BY_ZERO under the ANSI default
+    val centsUsable = cents.filter(col("c_nrm") > 0)
     val simToC = dot(col("v"), col("cv")) /
       (sqrt(col("nrm")) * sqrt(col("c_nrm")))
     // materialized: the assignment feeds both the probe-list lookup and the
@@ -473,7 +495,7 @@ object Similarity {
     // per-vector sort): the window row_number()=1 formulation sorted all
     // n×|codebook| scored rows — wasted work at 100 TB. Tiebreak matches
     // the old ORDER BY csim DESC, c_id ASC: max on (csim, -c_idx).
-    val assigned = e.crossJoin(broadcast(cents))
+    val assigned = e.crossJoin(broadcast(centsUsable))
       .withColumn("csim", simToC)
       .groupBy("vec_id")
       .agg(max_by(
@@ -491,7 +513,7 @@ object Similarity {
         .select(col("v").as("pv"), col("nrm").as("pn"))
     }
     val probeLists = probeRow
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centsUsable))
       .withColumn("csim", dot(col("pv"), col("cv")) /
         (sqrt(col("pn")) * sqrt(col("c_nrm"))))
       .orderBy(col("csim").desc, col("c_id").asc)

@@ -129,25 +129,37 @@ object Text {
 
   /** [[qualityGate]] over an arbitrary (doc_id, n_chars, text) frame. */
   def qualityGateOn(corpus: DataFrame): DataFrame = {
+    // EVERY doc gets a verdict — a gate that silently omits sub-2-token
+    // (or null-text) docs lets them leak past a pipeline that implements
+    // the drop as `filter(!keep)` via join. Degenerate docs carry null
+    // signals, too_short = true, keep = false; the n >= 2 guard also
+    // keeps the signal divisions and the bigram sequence() off the
+    // degenerate sizes (sequence(0, -1) DESCENDS — the [[bigramTopKOn]]
+    // lesson — and /0 throws under the ANSI default).
     val docs = corpus
       .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 2)
+      .withColumn("nt", coalesce(size(col("tk")), lit(0)))
     val g2 = transform(sequence(lit(0), size(col("tk")) - 2),
       i => concat_ws(" ", col("tk")(i), col("tk")(i + 1)))
     val sig = docs.select(col("doc_id"),
-      size(col("tk")).as("n_tokens"),
-      Norm.r4((col("n_chars") - size(col("tk")) + 1) / size(col("tk")))
+      col("nt").as("n_tokens"),
+      when(col("nt") >= 2,
+        Norm.r4((col("n_chars") - col("nt") + 1) / col("nt")))
         .as("mean_tok_len"),
-      Norm.r4(size(filter(col("tk"), t => t.isin(StopWords: _*))) /
-        size(col("tk"))).as("stop_ratio"),
-      Norm.r4(lit(1.0) - size(array_distinct(g2)) / (size(col("tk")) - 1))
+      when(col("nt") >= 2,
+        Norm.r4(size(filter(col("tk"), t => t.isin(StopWords: _*))) /
+          col("nt"))).as("stop_ratio"),
+      when(col("nt") >= 2,
+        Norm.r4(lit(1.0) - size(array_distinct(g2)) / (col("nt") - 1)))
         .as("dup_2gram_frac"))
     sig
       .withColumn("too_short", col("n_tokens") < 20)
-      .withColumn("bad_tok_len",
-        col("mean_tok_len") < 3.0 || col("mean_tok_len") > 10.0)
-      .withColumn("low_stopword", col("stop_ratio") < 0.01)
-      .withColumn("repetitive", col("dup_2gram_frac") > 0.08)
+      .withColumn("bad_tok_len", coalesce(
+        col("mean_tok_len") < 3.0 || col("mean_tok_len") > 10.0, lit(false)))
+      .withColumn("low_stopword",
+        coalesce(col("stop_ratio") < 0.01, lit(false)))
+      .withColumn("repetitive",
+        coalesce(col("dup_2gram_frac") > 0.08, lit(false)))
       .withColumn("keep", !col("too_short") && !col("bad_tok_len") &&
         !col("low_stopword") && !col("repetitive"))
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
@@ -169,8 +181,11 @@ object Text {
         size(split(col("text"), " ")).as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z]{1,4}")).as("bpe_tokens"),
         length(col("text")).as("n_chars"))
+      // null, not a crash, when a doc has no BPE-ish runs (all-caps,
+      // numeric, non-Latin text — ordinary inputs; ANSI x/0 throws)
       .withColumn("chars_per_bpe",
-        Norm.r4(col("n_chars") / col("bpe_tokens")))
+        Norm.r4(when(col("bpe_tokens") > 0,
+          col("n_chars") / col("bpe_tokens"))))
       .orderBy("doc_id")
 
   /** Corpus vocabulary heavy hitters: top-k tokens by DOCUMENT frequency

@@ -408,8 +408,12 @@ object TimeOps {
     // conversion vs the previous step: |steps| rows — metadata-sized window
     val w = Window.partitionBy().orderBy("step_n")
     perStep
+      // an unreachable step carries users = 0 BY CONTRACT (the union arm
+      // above emits it), so the next step's conversion must be null, not
+      // an ANSI DIVIDE_BY_ZERO that kills the query
       .withColumn("conv_from_prev",
-        Norm.r4(col("users") / lag(col("users"), 1).over(w)))
+        Norm.r4(when(lag(col("users"), 1).over(w) > 0,
+          col("users") / lag(col("users"), 1).over(w))))
       .select(col("step_n"), col("step"), col("users"),
         col("conv_from_prev"))
       .orderBy("step_n")

@@ -445,8 +445,13 @@ object TrainPrep {
           floor(Norm.r4(col("rate")) * 65536).cast("long")).as("thr"))
     docs
       .join(broadcast(rates), "lang")
+      // keep-all gates on the ROUNDED rate — the same value the threshold
+      // is built from. Gating on the raw rate left a hole: a rate in
+      // [0.99995, 1.0) rounds UP to 1.0, floor(1.0·65536) formats as the
+      // 5-char "10000", and the 4-char lexical compare would then keep
+      // only hashes starting with '0' (~6 %) instead of ~all
       .select(col("lang"), col("rate"),
-        (col("rate") >= 1.0 ||
+        (Norm.r4(col("rate")) >= 1.0 ||
           substring(md5(col("text")), 1, 4) < col("thr"))
           .cast("int").as("kept"))
       .groupBy("lang")
@@ -571,7 +576,9 @@ object TrainPrep {
         Norm.r4(max(when(col("p") === 0.5, col("pct")))).as("q2"),
         Norm.r4(max(when(col("p") === 0.75, col("pct")))).as("q3"))
     rows
-      .join(broadcast(qs), col(groupCol) === col("g"))
+      // null-safe: a NULL group has quartiles too (exactPercentilesOn
+      // aggregates it); === would silently drop its rows from the binning
+      .join(broadcast(qs), col(groupCol) <=> col("g"))
       .withColumn("bin", lit(1) +
         (col(scoreCol) > col("q1")).cast("int") +
         (col(scoreCol) > col("q2")).cast("int") +

@@ -947,18 +947,14 @@ class OperatorPropertiesSpec extends SparkSpec {
     // and an untouched corpus still trains fine through the guarded path
     assert(Similarity.trainKMeans(Tables.embeddings(spark, sf0001),
       k = 4, iters = 1, seed = 42L).count() === 4L)
-    // a NULL embedding must hit the same actionable message, not an NPE
-    // from reading the null-cell group's null ragged counter
+    // a NULL embedding is MISSING data, not partial data: it is excluded
+    // from training (the zero/null-norm filter — SQL-aggregate-style null
+    // skipping) rather than failing the run the way ragged vectors do
     val nulled = Tables.embeddings(spark, sf0001)
       .withColumn("embedding",
         expr("CASE WHEN vec_id = 5 THEN NULL ELSE embedding END"))
-    val ex2 = intercept[Exception] {
-      Similarity.trainKMeans(nulled, k = 4, iters = 2, seed = 42L).collect()
-    }
-    val msg2 = Option(ex2.getMessage).getOrElse("") +
-      Option(ex2.getCause).map(_.getMessage).getOrElse("")
-    assert(msg2.contains("null embeddings") || msg2.contains("ragged"),
-      s"expected the guard's message on a null vector, got: $msg2")
+    assert(Similarity.trainKMeans(nulled, k = 4, iters = 2, seed = 42L)
+      .count() === 4L, "null embeddings are skipped, not fatal")
   }
 
   test("brute-force cosine top-k dominates the ANN shortlist (recall sanity)") {
@@ -1092,6 +1088,38 @@ class OperatorPropertiesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(tw(1L) === 1.0 && tw(2L) === 1.0)
     assert(tw(3L) === 0.0)
+  }
+
+  test("cosine paths tolerate zero vectors: excluded, not DIVIDE_BY_ZERO") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Similarity}
+    val dim = 64
+    def vec(seed: Int) = Array.tabulate(dim)(j => ((seed * 31 + j) % 7 - 3).toFloat)
+    val vecs = (Seq((0L, vec(1)), (1L, vec(2)), (2L, Array.fill(dim)(0.0f)),
+      (3L, Array.fill(dim)(0.0f)), (4L, vec(3))))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit("x"))
+    val probe = Seq.tabulate(dim)(j => (j % 5 - 2).toDouble)
+    // brute force, LSH, kNN join, and embed dedup all run to completion
+    // with the zero vectors simply absent from scoring
+    val topk = Similarity.cosineTopKOn(vecs, k = 10, probe).collect()
+    assert(topk.map(_.getLong(0)).toSet == Set(0L, 1L, 4L))
+    val ann = Similarity.annLshOn(vecs, k = 10, tables = 4, probe).collect()
+    assert(!ann.map(_.getLong(0)).toSet.exists(Set(2L, 3L)))
+    val knn = Similarity.knnJoinOn(
+      vecs.select("vec_id", "embedding"),
+      vecs.filter($"vec_id" === 0L).select("vec_id", "embedding"), k = 3)
+      .collect()
+    assert(knn.nonEmpty && !knn.map(_.getLong(1)).contains(2L))
+    val pairs = Dedup.embedCosineOn(vecs.select("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => Set(p._1, p._2).exists(Set(2L, 3L))),
+      "the two zero vectors must not pair with anything (incl. each other)")
+    // and a zero PROBE fails loudly with an actionable message
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineTopKOn(vecs, 5, Seq.fill(dim)(0.0))
+    }
+    assert(e.getMessage.contains("zero probe"))
   }
 
   test("salted join is salt-count invariant and equals the plain join") {

@@ -309,7 +309,11 @@ class TrainPrepSpec extends SparkSpec {
     val gate = graft.operators.Text.qualityGate(spark, tmp).collect()
       .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3),
         r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
-    assert(gate.keySet === Set(0L, 1L, 3L))
+    // the GATE (unlike the repetition signal report) verdicts every doc:
+    // the single-token doc appears flagged too_short with null-signal
+    // rules coalesced false — never silently absent
+    assert(gate.keySet === Set(0L, 1L, 2L, 3L))
+    assert(gate(2L) === ((true, false, false, false, false)))
     // doc 0: repetitive AND low-stopword AND (mean_tok_len = 1 < 3)
     assert(gate(0L) === ((false, true, true, true, false)))
     // docs 1/3: too short + sub-3 mean token length ("a" IS a stopword, so
@@ -342,6 +346,32 @@ class TrainPrepSpec extends SparkSpec {
     }
     // shares are a partition of the corpus (up to per-cell rounding)
     assert(math.abs(got.map(_._6).sum - 1.0) < 1e-2)
+  }
+
+  test("gates give EVERY doc a verdict: short/null docs flagged, not dropped") {
+    import spark.implicits._
+    import graft.operators.Text
+    val corpus = Seq(
+      (1L, "one", 3L),
+      (2L, null.asInstanceOf[String], 0L),
+      (3L, "the a of to in and is the a of to in and is the a of to in and is", 66L))
+      .toDF("doc_id", "text", "n_chars")
+    val gate = Text.qualityGateOn(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(gate.keySet == Set(1L, 2L, 3L), "every doc appears")
+    assert(gate(1L).getInt(1) == 1 && gate(1L).getBoolean(2) &&
+      !gate(1L).getBoolean(6), "1-token doc: too_short, keep=false")
+    assert(gate(2L).getInt(1) == 0 && gate(2L).getBoolean(2) &&
+      !gate(2L).getBoolean(6), "null-text doc: 0 tokens, too_short")
+    // substring dedup: a sub-3-token doc has no grams → (0, 0, 0.0, keep)
+    val sd = Dedup.substringDupOn(
+      Seq((1L, "alpha beta gamma delta"), (2L, "so short"))
+        .toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(sd.length == 2)
+    assert(sd.find(_._1 == 2L).get == ((2L, 0L, 0L, 0.0, true)),
+      "gram-less doc gets the zero verdict, not silence")
   }
 
   test("per-group sample is deterministic, k-bounded, and md5-ordered") {

@@ -137,6 +137,16 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     val out = f.create(tmp, false)
     try out.write((header ++ body).mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // a STALLED commit (GC pause, suspended VM) can outlive the orphan
+    // sweep's age floor, which then reclaims this attempt's shard dir as
+    // debris; renaming the parent in afterwards would publish a manifest
+    // whose shards are gone. Re-checking here narrows that window to
+    // milliseconds; a reclaimed attempt returns false, so the caller
+    // replays with fresh shards instead of bricking the epoch.
+    if (shardDir.exists(d => !f.exists(d))) {
+      f.delete(tmp, false)
+      return false
+    }
     // rename is the atomicity point. HDFS/S3A rename fails onto an existing
     // target; RawLocalFileSystem REPLACES it (POSIX), so re-check right
     // before renaming — Spark serializes epoch commits through one driver,
@@ -145,7 +155,30 @@ final class CommitLog(tableDir: String, conf: Configuration) {
       f.delete(tmp, false)
       shardDir.foreach(f.delete(_, true))
       false
-    } else true
+    } else {
+      // post-rename re-validation (streaming epochs): a compaction whose
+      // ceiling landed between the pre-write guard and our rename leaves
+      // this manifest dead-on-arrival — liveOf filters it forever, yet
+      // returning true would make Spark ack the epoch (silent loss, the
+      // exact case the pre-write guard makes loud). Covered-AND-consumed
+      // is different: a compaction that lists us in #supersedes carried
+      // our rows into its output, so the commit genuinely succeeded.
+      // (A spurious throw needs TWO full compaction generations inside
+      // this millisecond window — and errs loud-and-safe, not lossy.)
+      if (epochId >= 0) {
+        val negs2 = negativeManifests()
+        val consumed = negs2.flatMap(_.supersedes).contains(epochId)
+        if (!consumed && epochId <= ceilingOf(negs2)) {
+          deleteManifest(epochId)
+          throw new IllegalStateException(
+            s"Epoch $epochId of $tableDir raced a compaction's tombstone " +
+              "ceiling: the manifest renamed in dead-on-arrival (no reader " +
+              "would ever see it). Removed it; restart against a fresh " +
+              "epoch range, or compact only epochs every writer has passed.")
+        }
+      }
+      true
+    }
   }
 
   /** One parsed manifest: its data files, the epochs it supersedes
@@ -227,10 +260,12 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     * of the parent file (the per-trigger streaming-tail hot path calls
     * this once per TAKEN manifest). `partitionPredicates` prunes whole
     * shards by their `k=v` path before any byte is read. None when a
-    * shard vanished mid-read: shards ride their parent, so a missing one
-    * means the whole manifest is mid-cleanup and its superseding
-    * manifest is already visible (same drop semantics as the parent
-    * read).
+    * shard vanished mid-read AND its parent manifest is gone too: shards
+    * ride their parent and deletes go manifest-first, so that pair means
+    * concurrent-cleanup (the caller re-lists or drops). A missing shard
+    * under a LIVE manifest is corruption (an orphan sweep raced an
+    * in-flight commit, or external deletion) and fails LOUDLY — silently
+    * dropping a live epoch is the one thing this log must never do.
     */
   private def resolveShardsOf(m: Manifest,
       partitionPredicates: Seq[(String, String)] = Seq.empty): Option[Manifest] = {
@@ -242,7 +277,12 @@ final class CommitLog(tableDir: String, conf: Configuration) {
         val t =
           try CommitLog.readFully(fs, new Path(commitsDir, r.relPath))
           catch {
-            case _: java.io.FileNotFoundException => return None
+            case _: java.io.FileNotFoundException =>
+              if (!fs.exists(manifestPath(m.epochId))) return None
+              throw new IllegalStateException(
+                s"manifest epoch-${m.epochId} is live but references a " +
+                  s"missing shard ${r.relPath} — shard dir swept or " +
+                  "externally deleted; refusing to silently drop the epoch")
           }
         t.split("\n").filter(_.nonEmpty).toSeq
       }
@@ -326,9 +366,51 @@ final class CommitLog(tableDir: String, conf: Configuration) {
       (m.epochId >= 0 && m.epochId <= ceiling))
   }
 
+  /** The one snapshot routine every live read goes through: header-parse
+    * the listing, apply [[liveOf]], resolve shard bytes only for the
+    * manifests `needFiles` selects (from already-parsed refs — no parent
+    * re-read). The WHOLE sequence restarts from a FRESH listing whenever
+    * a manifest (or a dead manifest's shard) vanished between list and
+    * read: a compaction's superseding manifest is guaranteed visible
+    * only to listings taken AFTER its cleanup began, so completing a
+    * stale listing would return a partial table — the consumed epochs
+    * present in neither their old form (files just deleted) nor their
+    * new one (superseding manifest not in THIS listing) — with no error.
+    * The "a concurrent reader either lists them as superseded or no
+    * longer lists them at all" argument holds per listing, never across
+    * one. Bounded retries; on the final attempt vanished manifests drop
+    * (the pre-retry behavior) rather than failing a read racing
+    * pathologically back-to-back compactions.
+    */
+  private def liveManifests(needFiles: Manifest => Boolean,
+      partitionPredicates: Seq[(String, String)] = Seq.empty): Seq[Manifest] = {
+    val f = fs
+    var attempt = 0
+    while (true) {
+      if (!f.exists(commitsDir)) return Seq.empty
+      val headers = f.listStatus(commitsDir).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case CommitLog.ManifestName(id) =>
+            Some(readManifest(id.toLong, st.getPath, resolveShards = false))
+          case _ => None
+        }
+      }
+      val last = attempt >= CommitLog.MaxListRetries
+      if (!headers.contains(None) || last) {
+        val resolved = liveOf(headers.flatten).map { m =>
+          if (m.shardRefs.isEmpty || !needFiles(m)) Some(m)
+          else resolveShardsOf(m, partitionPredicates)
+        }
+        if (!resolved.contains(None) || last) return resolved.flatten
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def manifests(
       partitionPredicates: Seq[(String, String)] = Seq.empty): Seq[Manifest] =
-    liveOf(allManifests(partitionPredicates))
+    liveManifests(_ => true, partitionPredicates)
 
   /** [[manifests]] with shard resolution restricted to the manifests
     * whose FILES the caller will actually consume: headers parse for all
@@ -341,28 +423,8 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     * UNNEEDED sharded manifest comes back with its headers and EMPTY
     * files; flat manifests always carry their inline files.
     */
-  def manifestsSelective(needFiles: Manifest => Boolean): Seq[Manifest] = {
-    val f = fs
-    if (!f.exists(commitsDir)) return Seq.empty
-    val headerAll = f.listStatus(commitsDir).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case CommitLog.ManifestName(id) =>
-          readManifest(id.toLong, st.getPath, resolveShards = false)
-        case _ => None
-      }
-    }
-    liveOf(headerAll)
-      .flatMap { m =>
-        if (m.shardRefs.isEmpty || !needFiles(m)) Some(m)
-        // shard bytes resolve from the ALREADY-PARSED refs — no second
-        // read of the parent. A shard deleted by concurrent compaction
-        // between list and read drops the manifest, like manifests()
-        // does — its superseding manifest is already visible (delivering
-        // the header's EMPTY file list instead would silently ship an
-        // empty epoch)
-        else resolveShardsOf(m)
-      }
-  }
+  def manifestsSelective(needFiles: Manifest => Boolean): Seq[Manifest] =
+    liveManifests(needFiles)
 
   /** All files published across all live epochs. */
   def committedFiles(): Seq[String] = manifests().flatMap(_.files)
@@ -465,6 +527,11 @@ final class CommitLog(tableDir: String, conf: Configuration) {
 object CommitLog {
   val COMMITS_DIR = "_commits"
   private val ManifestName = "epoch-(-?\\d+)\\.manifest".r
+
+  /** Re-list attempts when a manifest vanished between list and read
+    * (concurrent compaction cleanup) — see `liveManifests`.
+    */
+  private val MaxListRetries = 4
 
   /** One shard of a partition-sharded manifest: its path relative to
     * `_commits/` and the `k=v` partition values every file it lists

@@ -97,9 +97,15 @@ object Compact {
       fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
       lockStaleMillis: Long)(body: => T): T = {
     val lock = new Path(tableDir, s"${CommitLog.COMMITS_DIR}/.compaction.lock")
-    if (fs.exists(lock) &&
-        System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-          > lockStaleMillis) {
+    // FNF-safe staleness probe: the lock can vanish between exists and
+    // getFileStatus (holder released) — that's "not stale", not a crash
+    val stale =
+      try {
+        fs.exists(lock) &&
+          System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime > lockStaleMillis
+      } catch { case _: java.io.FileNotFoundException => false }
+    if (stale) {
       val claimed = new Path(lock.getParent,
         s".compaction.lock.stale-${java.util.UUID.randomUUID}")
       if (fs.rename(lock, claimed)) fs.delete(claimed, false)
@@ -111,7 +117,26 @@ object Compact {
           s"Another compaction holds $lock; concurrent compactions would " +
             "duplicate every row")
     }
-    try body finally fs.delete(lock, false)
+    // HEARTBEAT: a clustered rewrite at scale can easily run past the
+    // stale threshold, and an unrenewed mtime would let a second
+    // compactor break the LIVE lock and duplicate every consolidated
+    // row. Touch the mtime at staleMs/4 (the BandIndex lease cadence)
+    // for as long as the body runs; failures to touch are ignored (the
+    // next beat retries — only sustained failure ages the lock out).
+    val beat = new Thread(() => {
+      val period = math.max(lockStaleMillis / 4, 1000L)
+      try while (!Thread.interrupted()) {
+        Thread.sleep(period)
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
+    }, "graft-compaction-lock-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      fs.delete(lock, false)
+    }
   }
 
   /** Default consolidated-file split threshold — matches Spark's
@@ -540,7 +565,16 @@ object Compact {
       retainMillis: Long): Result = {
     val fs = fileSystem
     val oldFiles = live.flatMap(_.files)
-    val watermark = log.streamingWatermark()
+    // the watermark must be the max streaming epoch this compaction
+    // actually COVERED (consumed ids + consumed manifests' carried
+    // watermarks) — NOT the table-global streamingWatermark(): with
+    // protectEpoch in play the global mark includes a live epoch the
+    // snapshot does not contain, and a fresh tail whose end offset sits
+    // just below that epoch would skip this manifest (watermark > end)
+    // while the consumed epochs' own manifests are already deleted —
+    // silently losing the whole pre-compaction corpus to that tail
+    val watermark = (live.map(_.epochId).filter(_ >= 0) ++
+      live.flatMap(_.watermark)).foldLeft(-1L)(math.max)
     // Tombstone bookkeeping stays BOUNDED over an unbounded run:
     //  - supersedes lists only the DIRECTLY consumed ids (never the
     //    transitive closure — that list grew with every epoch ever
@@ -578,13 +612,38 @@ object Compact {
     val carried = live.flatMap(_.supersedes)
       .filter(id => id >= 0 && id > ceiling)
     val tombstones = (live.map(_.epochId) ++ carried).distinct
+    // crash-proof old-file cleanup: the superseded files' ledger is
+    // written BEFORE the commit as `.trash-pending-<epoch>-<uuid>` and
+    // promoted (renamed to an effective `.trash-…`) only AFTER the
+    // manifest is visible. A crash in EITHER window stays safe: before
+    // the commit, the referenced manifest never appears and the purge
+    // discards the ledger WITHOUT touching the (still live) files; after
+    // the commit, the purge sees the manifest exists and promotes the
+    // pending ledger itself — so the acked compaction's superseded files
+    // can no longer leak forever behind a death between commit and
+    // ledger write (the pre-r15 window).
     var epoch = -math.abs(System.nanoTime())
-    while (!log.commit(epoch, newFiles,
+    def pendingPath(e: Long) = new Path(tableDir,
+      s"${CommitLog.COMMITS_DIR}/.trash-pending-$e" +
+        s"-${java.util.UUID.randomUUID.toString.take(8)}")
+    var pending: Path = null
+    var committed = false
+    while (!committed) {
+      pending = pendingPath(epoch)
+      if (oldFiles.nonEmpty) {
+        val out = fs.create(pending, false)
+        try out.write(oldFiles.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      committed = log.commit(epoch, newFiles,
         supersedes = tombstones,
         watermark = if (watermark >= 0) Some(watermark) else None,
         tombstoneCeiling = if (ceiling > Long.MinValue) Some(ceiling) else None,
-        fileStats = newStats)) {
-      epoch -= 1
+        fileStats = newStats)
+      if (!committed) {
+        if (oldFiles.nonEmpty) fs.delete(pending, false)
+        epoch -= 1
+      }
     }
     // lazy cleanup — the compaction manifest is visible, so NEW readers no
     // longer reference the superseded state. Deletion is TRANSITIVE and
@@ -592,21 +651,23 @@ object Compact {
     // any depth — two crashed cleanups in a row must not let a
     // grand-grand-superseded manifest outlive every list that hid it) are
     // removed while their hider still exists, then the hider itself. Data
-    // files go now (retainMillis = 0) or into a trash ledger purged by a
-    // later run, giving IN-FLIGHT readers that already planned against
-    // the old file list time to finish.
+    // files go now (retainMillis = 0) or via the promoted trash ledger,
+    // giving IN-FLIGHT readers that already planned against the old file
+    // list time to finish.
     live.foreach(m => log.deleteManifestTransitively(m.epochId))
-    if (retainMillis <= 0 || oldFiles.isEmpty) log.deleteFiles(oldFiles)
-    else {
-      // uuid suffix: one doRun can consolidate several times (first-stage
-      // fold + ladder folds), and two ledgers created in the same
-      // millisecond must not collide on create(overwrite = false)
-      val trash = new Path(tableDir,
-        s"${CommitLog.COMMITS_DIR}/.trash-${System.currentTimeMillis()}" +
-          s"-${java.util.UUID.randomUUID.toString.take(8)}")
-      val out = fs.create(trash, false)
-      try out.write(oldFiles.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
+    if (oldFiles.nonEmpty) {
+      if (retainMillis <= 0) {
+        log.deleteFiles(oldFiles)
+        fs.delete(pending, false)
+      } else {
+        val trash = new Path(tableDir,
+          s"${CommitLog.COMMITS_DIR}/.trash-${System.currentTimeMillis()}" +
+            s"-${java.util.UUID.randomUUID.toString.take(8)}")
+        // a failed promotion leaves the PENDING ledger in place — the
+        // purge promotes it itself once it sees the manifest exists;
+        // deleting it here would re-open the leak the protocol closes
+        fs.rename(pending, trash)
+      }
     }
     Result(newFiles.size, live.size, oldFiles.size)
   }
@@ -628,10 +689,18 @@ object Compact {
     // guard keeps an IN-FLIGHT commit's shards (written moments before
     // its rename) out of reach.
     val ShardDir = "\\.epoch-(-?\\d+)\\.shards-.*".r
+    // age floor 15 min (was 60 s): the floor is the ONLY thing keeping a
+    // STALLED in-flight commit's shards (written, parent not yet renamed)
+    // out of the sweep's reach, and a driver can stall past a minute on a
+    // hard GC pause or a suspended VM. commit()'s pre-rename shard-dir
+    // re-check narrows the residual window to milliseconds, and
+    // resolveShardsOf fails LOUDLY if a live manifest's shards ever do
+    // get swept — three layers where there used to be one.
+    val shardFloor = math.max(retainMillis, 15L * 60 * 1000)
     fs.listStatus(commits).foreach { st =>
       st.getPath.getName match {
         case ShardDir(id)
-          if now - st.getModificationTime > math.max(retainMillis, 60000L) =>
+          if now - st.getModificationTime > shardFloor =>
           val mf = new Path(commits, s"epoch-$id.manifest")
           val referenced = fs.exists(mf) && {
             val txt =
@@ -645,7 +714,34 @@ object Compact {
         case _ => ()
       }
     }
-    fs.listStatus(commits).filter(_.getPath.getName.startsWith(".trash-"))
+    // PENDING trash ledgers (`.trash-pending-<epoch>-<uuid>`, written
+    // before their compaction's commit): promoted here when the
+    // referenced manifest EXISTS (the compaction published but died
+    // before its own promotion/delete) — its files are genuinely
+    // superseded and deletable after retention; discarded WITHOUT
+    // touching files when the manifest is absent (the compaction never
+    // published, the listed files are still the live table).
+    val Pending = "\\.trash-pending-(-?\\d+)-.*".r
+    fs.listStatus(commits).foreach { st =>
+      st.getPath.getName match {
+        case Pending(epoch)
+          if now - st.getModificationTime > math.max(retainMillis, 60000L) =>
+          if (fs.exists(new Path(commits, s"epoch-$epoch.manifest"))) {
+            val text =
+              try CommitLog.readFully(fs, st.getPath)
+              catch { case _: java.io.FileNotFoundException => "" }
+            text.split("\n").filter(_.nonEmpty).foreach { f =>
+              fs.delete(new Path(f), false)
+              Bloom.deleteSidecar(fs, f)
+            }
+          }
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+    fs.listStatus(commits).filter(st =>
+        st.getPath.getName.startsWith(".trash-") &&
+        !st.getPath.getName.startsWith(".trash-pending-"))
       .foreach { st =>
         // name is .trash-<millis> (pre-uuid ledgers) or .trash-<millis>-<uuid>
         val ts = st.getPath.getName.stripPrefix(".trash-")

@@ -242,7 +242,15 @@ object BandIndex {
         fs.listStatus(bdir.getPath).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).zipWithIndex
           .foreach { case (p, i) =>
-            fs.rename(p, new Path(target, s"epoch-$id-$i.parquet"))
+            val dst = new Path(target, s"epoch-$id-$i.parquet")
+            // a silently-failed rename would drop this bucket's band keys
+            // from the index FOREVER (the epoch still acks, and every
+            // future near-dup of these documents re-lands as a
+            // duplicate) — fail the epoch so Spark replays it instead
+            if (!fs.rename(p, dst))
+              throw new IllegalStateException(
+                s"band-index publish failed: rename $p -> $dst returned " +
+                  "false; failing the epoch so replay re-publishes the keys")
           }
       }
     fs.delete(tmp, true)
@@ -517,8 +525,15 @@ object BandIndex {
   def lockPath(tableDir: String): Path = new Path(s"${dir(tableDir)}.lock")
 
   private def readLock(fs: FileSystem, p: Path): Option[String] =
-    if (!fs.exists(p)) None
-    else Some(graft.sink.CommitLog.readFully(fs, p).trim)
+    try {
+      if (!fs.exists(p)) None
+      else Some(graft.sink.CommitLog.readFully(fs, p).trim)
+    } catch {
+      // vanished between exists and open (holder released / takeover
+      // in flight) — "no lock", not a crash in the arbitration the
+      // lease exists to perform
+      case _: java.io.FileNotFoundException => None
+    }
 
   private def writeLock(fs: FileSystem, p: Path, owner: String,
       overwrite: Boolean): Unit = {
@@ -564,9 +579,13 @@ object BandIndex {
       owner: String, staleMs: Long): Unit = {
     val fs = fsFor(spark, tableDir)
     val p = lockPath(tableDir)
-    var brokeStale = false
     readLock(fs, p).foreach { holder =>
-      val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      // FNF-safe age probe: the lock can vanish between the read above
+      // and this status call (release / takeover in flight) — treat as
+      // aged-out and fall through to the create race, never crash
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
       if (holder != owner && age < staleMs)
         throw new IllegalStateException(
           s"table $tableDir already has a live streaming near-dedup writer " +
@@ -575,7 +594,7 @@ object BandIndex {
             "stop the other query first, or wait for its lease to go stale.")
       val claimed = new Path(p.getParent,
         s".${p.getName}.stale-${UUID.randomUUID}")
-      if (fs.rename(p, claimed)) { fs.delete(claimed, false); brokeStale = true }
+      if (fs.rename(p, claimed)) fs.delete(claimed, false)
       // rename lost → another contender claimed the stale lease first; the
       // create below races them and exactly one proceeds
     }
@@ -588,17 +607,20 @@ object BandIndex {
         s"lease on $tableDir was taken by a concurrent starter — " +
           "exactly one writer may proceed; retry after it stops.", e)
     }
-    if (brokeStale) {
-      // grace re-verify: if the stale holder was merely stalled and its
-      // delayed renew overwrote our fresh lock, detect it here and abort
-      // the takeover — the holder is alive, it keeps the lease
-      Thread.sleep(TakeoverGraceMs)
-      if (!readLock(fs, p).contains(owner))
-        throw new IllegalStateException(
-          s"lease takeover on $tableDir lost to the original holder: its " +
-            "delayed renew landed during the takeover grace window — the " +
-            "holder is alive after all; not starting a second writer.")
-    }
+    // grace re-verify for EVERY acquisition, not just the stale-breaker:
+    // a second racing taker can observe NO lock at all (another contender
+    // just rename-broke the stale one) and would otherwise skip the
+    // verify entirely — yet the stalled holder's delayed renew, whose
+    // ownership read predated the break, can still overwrite the fresh
+    // lock. One 300 ms sleep per query START buys every acquisition the
+    // same detection window the breaker always had.
+    Thread.sleep(TakeoverGraceMs)
+    if (!readLock(fs, p).contains(owner))
+      throw new IllegalStateException(
+        s"lease acquisition on $tableDir lost during the grace window " +
+          "(a stalled holder's delayed renew, or a racing taker, " +
+          "overwrote the fresh lock) — the other writer is alive; not " +
+          "starting a second one.")
   }
 
   /** Per-epoch heartbeat + ownership check: bumps the lease mtime and

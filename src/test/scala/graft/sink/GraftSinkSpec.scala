@@ -614,6 +614,14 @@ class GraftSinkSpec extends SparkSpec {
     val after1 = log.committedEpochs()
     assert(after1.count(_ < 0) === 1 && after1.contains(3L),
       s"expected one minor manifest + the protected epoch, got $after1")
+    // the compaction manifest's watermark must be the max epoch it
+    // CONSUMED (2), not the table-global high-water mark (3): a fresh
+    // tail whose end offset is 2 must still take this manifest — with a
+    // watermark of 3 it would skip it while epochs 0-2's own manifests
+    // are already deleted, silently losing the pre-compaction corpus
+    val minorWm = log.manifests().find(_.epochId < 0).flatMap(_.watermark)
+    assert(minorWm === Some(2L),
+      s"compaction watermark must cover only consumed epochs, got $minorWm")
     assert(CommitLog.readCommitted(spark, tableDir).count() === 4)
     // protected epoch is NOT tombstoned: its replayed commit still follows
     // the normal idempotent discard path instead of failing loudly

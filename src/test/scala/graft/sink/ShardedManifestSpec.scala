@@ -139,9 +139,10 @@ class ShardedManifestSpec extends SparkSpec {
     fs.mkdirs(dead)
     val out = fs.create(new Path(dead, "shard-00000"), false)
     out.write(s"$dir/p=z/ghost.parquet".getBytes("UTF-8")); out.close()
-    fs.setTimes(dead, System.currentTimeMillis() - 120000L, -1)
+    // past the sweep's 15-minute in-flight-commit age floor
+    fs.setTimes(dead, System.currentTimeMillis() - 16L * 60 * 1000, -1)
     fs.setTimes(new Path(commits, live.head),
-      System.currentTimeMillis() - 120000L, -1)
+      System.currentTimeMillis() - 16L * 60 * 1000, -1)
     Compact.run(dir, conf, retainMillis = 0L)
     val after = shardDirs(dir)
     assert(!after.contains(".epoch-7.shards-deadbeef"),

@@ -222,7 +222,8 @@ object Compact {
           // with fresh segments (the merger groups by compression)
           "spark.sql.orc.compression.codec" -> "snappy")
           .foreach { case (k, v) => rw.conf.set(k, v) }
-        def rewriteDir(dir: Path, files: Seq[String], ext: String): Seq[String] = {
+        def rewriteDir(dir: Path, files: Seq[String], ext: String,
+            stem: String, tmpOut: Path): Seq[String] = {
           val totalBytes = files.map(f =>
             fs.getFileStatus(new Path(f)).getLen).sum
           val nOut = math.max(1L,
@@ -248,15 +249,12 @@ object Compact {
           val sortKeys =
             if (zorder) Seq(ZOrder.zColumn(df, clusterBy))
             else clusterBy.map(org.apache.spark.sql.functions.col)
-          val tmpOut = new Path(dir,
-            s".cluster-${java.util.UUID.randomUUID.toString.take(8)}")
           tmpDirs.synchronized { tmpDirs += tmpOut }
           val sorted = df.repartitionByRange(nOut, sortKeys: _*)
             .sortWithinPartitions(sortKeys: _*)
             .write.mode("overwrite")
           if (ext == "orc") sorted.orc(tmpOut.toString)
           else sorted.parquet(tmpOut.toString)
-          val stem = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
           val parts = fs.listStatus(tmpOut).map(_.getPath)
             .filter(p => p.getName.startsWith("part-") &&
               p.getName.endsWith(s".$ext"))
@@ -293,6 +291,16 @@ object Compact {
           .groupBy(f => (new Path(f).getParent,
             f.substring(f.lastIndexOf('.') + 1)))
           .toSeq
+        // stems and scratch dirs fixed up front and crash-registered —
+        // see [[writeOutputsLedger]]
+        val plans = dirGroups.map { case ((dir, ext), files) =>
+          (dir, ext, files,
+            s"compact-${java.util.UUID.randomUUID.toString.take(8)}",
+            new Path(dir,
+              s".cluster-${java.util.UUID.randomUUID.toString.take(8)}"))
+        }
+        val ledger = writeOutputsLedger(fs, tableDir,
+          plans.map(p => s"${p._1}/${p._4}"), plans.map(_._5.toString))
         val newFiles =
           try {
             val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -304,10 +312,10 @@ object Compact {
             // can never race the cleanup against a sibling still writing
             val tries =
               try scala.concurrent.Await.result(
-                scala.concurrent.Future.sequence(dirGroups.map {
-                  case ((dir, ext), files) =>
+                scala.concurrent.Future.sequence(plans.map {
+                  case (dir, ext, files, stem, tmpOut) =>
                     scala.concurrent.Future(
-                      scala.util.Try(rewriteDir(dir, files, ext)))
+                      scala.util.Try(rewriteDir(dir, files, ext, stem, tmpOut)))
                 }), scala.concurrent.duration.Duration.Inf)
               finally pool.shutdown()
             tries.collectFirst { case scala.util.Failure(t) => t }
@@ -315,17 +323,21 @@ object Compact {
             tries.collect { case scala.util.Success(s) => s }.flatten
           } catch {
             // nothing is published until the manifest commit — don't leak
-            // unreferenced rewrite outputs on a mid-job failure
+            // unreferenced rewrite outputs on a mid-job failure (process
+            // DEATH is covered by the outputs ledger)
             case t: Throwable =>
               written.synchronized(written.toSeq).foreach(p =>
                 try fs.delete(p, false) catch { case _: Throwable => })
+              try fs.delete(ledger, false) catch { case _: Throwable => }
               throw t
           } finally {
             tmpDirs.synchronized(tmpDirs.toSeq).foreach(d =>
               try fs.delete(d, true) catch { case _: Throwable => })
           }
-        publish(log, fs, tableDir, live, allAtStart, newFiles,
+        val r = publish(log, fs, tableDir, live, allAtStart, newFiles,
           newStats.toMap, retainMillis)
+        fs.delete(ledger, false)
+        r
       }
     }
   }
@@ -450,9 +462,16 @@ object Compact {
     }
     val written = scala.collection.mutable.ArrayBuffer.empty[Path]
     val newStats = scala.collection.mutable.HashMap.empty[String, String]
+    // output stems are fixed BEFORE any byte is written and registered in
+    // the crash ledger — see [[writeOutputsLedger]]
+    val stems = byDirExt.keys
+      .map(k => k -> s"compact-${java.util.UUID.randomUUID.toString.take(8)}")
+      .toMap
+    val ledger = writeOutputsLedger(fs, tableDir,
+      stems.map { case ((d, _), s) => s"$d/$s" }.toSeq, Seq.empty)
     val newFiles =
       try byDirExt.flatMap { case ((dir, ext), files) =>
-        val stem = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
+        val stem = stems((dir, ext))
         if (ext == "parquet") {
           // row-group concat: compressed pages copied byte-for-byte — the
           // columnar analogue of the JSONL byte-concat below. One output
@@ -537,17 +556,20 @@ object Compact {
       catch {
         // nothing is published until the manifest commit below, so a
         // mid-consolidate failure must not leak unreferenced target files
-        // (one orphan set per retried cycle, with no GC that ever sees them)
+        // (process DEATH is covered by the outputs ledger instead)
         case t: Throwable =>
           written.foreach { p =>
             try fs.delete(p, false) catch { case _: Throwable => }
             Bloom.deleteSidecar(fs, p.toString)
           }
+          try fs.delete(ledger, false) catch { case _: Throwable => }
           throw t
       }
 
-    publish(log, fs, tableDir, live, allLive, newFiles, newStats.toMap,
-      retainMillis)
+    val r = publish(log, fs, tableDir, live, allLive, newFiles,
+      newStats.toMap, retainMillis)
+    fs.delete(ledger, false)
+    r
   }
 
   /** Steps 3-4 of the protocol, shared by byte-level consolidation and the
@@ -672,6 +694,29 @@ object Compact {
     Result(newFiles.size, live.size, oldFiles.size)
   }
 
+  /** Pre-register a consolidation/clustering attempt's intended outputs
+    * (`out:<dir>/<stem>` prefixes) and scratch dirs (`tmp:<path>`) BEFORE
+    * the first output byte is written; deleted after publish. A process
+    * death mid-write then cannot leak unreferenced `compact-*` files:
+    * the next compaction's purge — which runs under the same exclusive
+    * lock, so any ledger it sees belongs to a crashed attempt — deletes
+    * every registered output that no live manifest references, plus the
+    * scratch dirs. (The in-process catch blocks already clean up on
+    * EXCEPTIONS; this ledger covers kill -9.)
+    */
+  private def writeOutputsLedger(
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      outPrefixes: Seq[String], tmpPaths: Seq[String]): Path = {
+    val p = new Path(tableDir,
+      s"${CommitLog.COMMITS_DIR}/.outputs-pending-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    val out = fs.create(p, false)
+    try out.write((outPrefixes.map("out:" + _) ++ tmpPaths.map("tmp:" + _))
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    p
+  }
+
   private def purgeExpiredTrash(
       fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
       retainMillis: Long): Unit = {
@@ -712,6 +757,44 @@ object Compact {
           }
           if (!referenced) fs.delete(st.getPath, true)
         case _ => ()
+      }
+    }
+    // crashed attempts' OUTPUT ledgers: every ledger present here is
+    // debris (purges run under the exclusive compaction lock, and a live
+    // attempt writes its ledger only after this purge) — delete each
+    // registered output the live manifests don't reference, and every
+    // scratch dir, then the ledger
+    val outLedgers = fs.listStatus(commits)
+      .filter(_.getPath.getName.startsWith(".outputs-pending-"))
+    if (outLedgers.nonEmpty) {
+      // scheme-insensitive membership: listStatus returns QUALIFIED paths
+      // (file:/... , hdfs://...) while manifests record the writer's
+      // unqualified strings — compare on the uri path both sides
+      val liveFiles = new CommitLog(tableDir, fs.getConf)
+        .committedFiles().map(f => new Path(f).toUri.getPath).toSet
+      outLedgers.foreach { st =>
+        val text =
+          try CommitLog.readFully(fs, st.getPath)
+          catch { case _: java.io.FileNotFoundException => "" }
+        text.split("\n").filter(_.nonEmpty).foreach { l =>
+          if (l.startsWith("tmp:")) {
+            try fs.delete(new Path(l.stripPrefix("tmp:")), true)
+            catch { case _: java.io.IOException => () }
+          } else if (l.startsWith("out:")) {
+            val prefix = new Path(l.stripPrefix("out:"))
+            val (dir, stem) = (prefix.getParent, prefix.getName)
+            try if (fs.exists(dir)) {
+              fs.listStatus(dir).map(_.getPath)
+                .filter(p => p.getName.startsWith(stem) &&
+                  !liveFiles.contains(p.toUri.getPath))
+                .foreach { p =>
+                  fs.delete(p, false)
+                  Bloom.deleteSidecar(fs, p.toString)
+                }
+            } catch { case _: java.io.IOException => () }
+          }
+        }
+        fs.delete(st.getPath, false)
       }
     }
     // PENDING trash ledgers (`.trash-pending-<epoch>-<uuid>`, written

@@ -153,6 +153,38 @@ class ShardedManifestSpec extends SparkSpec {
     assert(log.filesOf(7L).nonEmpty, "the live epoch still resolves")
   }
 
+  test("purge deletes a crashed attempt's registered outputs; live files survive") {
+    val dir = tmpTable()
+    val log = new CommitLog(dir, conf)
+    val fs = new Path(dir).getFileSystem(conf)
+    val dataDir = new Path(dir, "p=a")
+    fs.mkdirs(dataDir)
+    def touch(p: Path): Unit = {
+      val o = fs.create(p, false); o.write("x".getBytes("UTF-8")); o.close()
+    }
+    val livef = new Path(dataDir, "compact-livestem-0.jsonl")
+    touch(livef)
+    assert(log.commit(1L, Seq(livef.toString)))
+    // fabricate a kill-9'd attempt: a ledger registering two stems (one
+    // matching the LIVE file — the manifest-reference guard must keep
+    // it — one matching only an orphan) plus a scratch dir
+    val orphan = new Path(dataDir, "compact-deadbeef-0.jsonl")
+    touch(orphan)
+    val tmpd = new Path(dataDir, ".cluster-deadbeef")
+    fs.mkdirs(tmpd); touch(new Path(tmpd, "part-0"))
+    val ledger = new Path(dir,
+      s"${CommitLog.COMMITS_DIR}/.outputs-pending-test")
+    val o = fs.create(ledger, false)
+    o.write((s"out:$dataDir/compact-deadbeef\n" +
+      s"out:$dataDir/compact-livestem\ntmp:$tmpd").getBytes("UTF-8"))
+    o.close()
+    Compact.run(dir, conf, retainMillis = 60000L)
+    assert(!fs.exists(orphan), "unreferenced registered output swept")
+    assert(!fs.exists(tmpd), "scratch dir swept")
+    assert(fs.exists(livef), "manifest-referenced file survives the sweep")
+    assert(!fs.exists(ledger), "the crashed attempt's ledger is gone")
+  }
+
   test("deleteManifest removes the epoch's shard dirs; headers stay cheap") {
     val dir = tmpTable()
     val log = new CommitLog(dir, conf)

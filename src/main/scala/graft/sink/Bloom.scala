@@ -55,8 +55,12 @@ object Bloom {
     * unsupported type (arrays, maps, decimals, binary...).
     */
   def tagFor(dt: DataType): Option[Char] = dt match {
-    case IntegerType | LongType | ShortType | ByteType | DateType |
-         TimestampType | TimestampNTZType => Some('l')
+    case IntegerType | LongType | ShortType | ByteType => Some('l')
+    // separate tags (FileStats 'D'/'T'): a column re-typed across writer
+    // lineages must decline the probe, not hash days against micros and
+    // report a false "absent"
+    case DateType => Some('D')
+    case TimestampType | TimestampNTZType => Some('T')
     case DoubleType | FloatType => Some('d')
     case StringType => Some('s')
     case BooleanType => Some('b')
@@ -141,6 +145,8 @@ object Bloom {
   private def probeHashes(tag: Char, v: Any): Option[(Long, Long)] =
     tag match {
       case 'l' => FileStats.asLong(v).map(hashPair)
+      case 'D' => FileStats.asDateDays(v).map(hashPair)
+      case 'T' => FileStats.asMicros(v).map(hashPair)
       case 'd' => FileStats.asDouble(v).map(d => hashPair(canonicalDouble(d)))
       case 's' => v match {
         case s: String => Some(hashPair(UTF8String.fromString(s)))
@@ -161,6 +167,13 @@ object Bloom {
   final class Running(schema: StructType, colNames: Seq[String], bits: Int) {
     require(bits > 0 && bits % 64 == 0,
       s"bloom.bits must be a positive multiple of 64, got $bits")
+    // the read side's validGeometry hard-caps bits at 2^28 (a corrupted
+    // sidecar must not allocate gigabytes) — writing beyond the cap
+    // would pay the full sidecar IO forever while every open silently
+    // declines, so fail the configuration up front instead
+    require(bits <= (1 << 28),
+      s"bloom.bits must be <= ${1 << 28} (the reader's geometry cap); " +
+        s"got $bits — larger sidecars would be written but never read")
 
     private final class Acc(val name: String, val ordinal: Int, val tag: Char,
         val hash: (InternalRow, Int) => (Long, Long))

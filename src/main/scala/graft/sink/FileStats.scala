@@ -74,7 +74,9 @@ final case class FileStats(rows: Long, cols: Map[String, ColStats]) {
     case GreaterThanOrEqual(a, v) =>
       v != null && forCol(a).exists(c => allNull(c) || cmp(c.max, v).exists(_ < 0))
     case In(a, vs) =>
-      forCol(a).exists(c => allNull(c) ||
+      // vs itself can be null through the public sources.In API — decline
+      // (the bloom prune guards identically)
+      vs != null && forCol(a).exists(c => allNull(c) ||
         vs.forall(v => v == null ||
           cmp(c.min, v).exists(_ > 0) || cmp(c.max, v).exists(_ < 0)))
     case IsNull(a) => forCol(a).exists(_.nullCount.contains(0L))
@@ -119,6 +121,16 @@ final case class FileStats(rows: Long, cols: Map[String, ColStats]) {
       try (tag, v) match {
         case ('l', _) =>
           FileStats.asLong(v).map(java.lang.Long.compare(s.toLong, _))
+        // date-days and timestamp-micros carry their OWN tags: all three
+        // domains are longs, and a column re-typed across writer lineages
+        // (the sink's name-set-only schema contract) must degrade to
+        // no-skip via a tag/value-class mismatch — under one shared 'l'
+        // tag a date-written file probed with a timestamp value compared
+        // days against micros and pruned files that contained matches
+        case ('D', _) =>
+          FileStats.asDateDays(v).map(java.lang.Long.compare(s.toLong, _))
+        case ('T', _) =>
+          FileStats.asMicros(v).map(java.lang.Long.compare(s.toLong, _))
         case ('d', _) =>
           FileStats.asDouble(v).flatMap { d =>
             val b = s.toDouble
@@ -150,8 +162,21 @@ object FileStats {
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
     case b: Byte => Some(b.toLong)
+    // date/timestamp values are NOT generic longs: they convert only
+    // against their own tag domains ([[asDateDays]]/[[asMicros]]) so a
+    // cross-lineage re-type can never compare days against micros
+    case _ => None
+  }
+
+  /** Date-domain filter values → epoch days ('D' tag). */
+  private[sink] def asDateDays(v: Any): Option[Long] = v match {
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  /** Timestamp-domain filter values → epoch micros ('T' tag). */
+  private[sink] def asMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
     case i: java.time.Instant =>
@@ -232,14 +257,14 @@ object FileStats {
       case INT32 => logical match {
         case null => Some('l')
         case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned => Some('l')
-        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some('l')
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some('D')
         case _ => None
       }
       case INT64 => logical match {
         case null => Some('l')
         case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned => Some('l')
         case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-          if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS => Some('l')
+          if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS => Some('T')
         case _ => None
       }
       case BINARY => logical match {
@@ -298,8 +323,8 @@ object FileStats {
     * file but 2/88 parquet files.
     *
     * Domains, tags, and edge handling mirror [[FileStats.fromFooter]]
-    * exactly (same `cmp` consumer): signed integers/date-days/
-    * timestamp-micros → 'l', float-widened-to-double → 'd' with NaN
+    * exactly (same `cmp` consumer): signed integers → 'l', date-days →
+    * 'D', timestamp-micros → 'T', float-widened-to-double → 'd' with NaN
     * poisoning min/max, strings → 's' under binary UTF-8 order, booleans
     * → 'b'; decimals/binary record null counts only.
     */
@@ -314,7 +339,7 @@ object FileStats {
       final def reset(): Unit = { nulls = 0L; resetMinMax() }
     }
 
-    private final class LongAcc(name: String,
+    private final class LongAcc(name: String, tag: Char,
         get: (org.apache.spark.sql.catalyst.InternalRow, Int) => Long) extends Acc(name) {
       private var seen = false
       private var mn = 0L
@@ -325,7 +350,7 @@ object FileStats {
         else { if (v < mn) mn = v; if (v > mx) mx = v }
       }
       override def minMax: (Option[String], Option[String]) =
-        if (!seen) (None, None) else (Some("l" + mn), Some("l" + mx))
+        if (!seen) (None, None) else (Some(s"$tag$mn"), Some(s"$tag$mx"))
       override def resetMinMax(): Unit = seen = false
     }
 
@@ -383,13 +408,13 @@ object FileStats {
     private val accs: Array[Acc] = fieldIndices.map { i =>
       val f = schema(i)
       f.dataType match {
-        case IntegerType => new LongAcc(f.name, (r, j) => r.getInt(j).toLong)
-        case LongType => new LongAcc(f.name, (r, j) => r.getLong(j))
-        case ShortType => new LongAcc(f.name, (r, j) => r.getShort(j).toLong)
-        case ByteType => new LongAcc(f.name, (r, j) => r.getByte(j).toLong)
-        case DateType => new LongAcc(f.name, (r, j) => r.getInt(j).toLong)
+        case IntegerType => new LongAcc(f.name, 'l', (r, j) => r.getInt(j).toLong)
+        case LongType => new LongAcc(f.name, 'l', (r, j) => r.getLong(j))
+        case ShortType => new LongAcc(f.name, 'l', (r, j) => r.getShort(j).toLong)
+        case ByteType => new LongAcc(f.name, 'l', (r, j) => r.getByte(j).toLong)
+        case DateType => new LongAcc(f.name, 'D', (r, j) => r.getInt(j).toLong)
         case TimestampType | TimestampNTZType =>
-          new LongAcc(f.name, (r, j) => r.getLong(j))
+          new LongAcc(f.name, 'T', (r, j) => r.getLong(j))
         case DoubleType => new DoubleAcc(f.name, (r, j) => r.getDouble(j))
         case FloatType => new DoubleAcc(f.name, (r, j) => r.getFloat(j).toDouble)
         case StringType => new StringAcc(f.name)

@@ -62,11 +62,14 @@ final class GraftScanBuilder(tableSchema: StructType, opts: GraftSinkOptions)
     filters
   }
 
+  // report the ORIGINAL filter objects (every pushed filter participates
+  // in plan-time stats/bloom pruning and in-file skipping, and all are
+  // re-evaluated post-scan) — the previous form rebuilt EqualTo filters
+  // from the percent-ENCODED string partition values, so explain showed
+  // predicates that were never evaluated in that form (wrong value, wrong
+  // type, not necessarily a partition column)
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
-    partitionPredicates.map { case (k, v) =>
-      org.apache.spark.sql.sources.EqualTo(k, v)
-        : org.apache.spark.sql.sources.Filter
-    }.toArray
+    pushed
 
   override def build(): Scan =
     new GraftScan(tableSchema, required, opts, partitionPredicates, pushed)
@@ -250,6 +253,13 @@ final class GraftColumnarReader(
     new Path(partition.file), fileSchema, partSchema, partRow, conf.value,
     filters.toSeq)
   private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+  // the reorder permutation and the underlying vectors are fixed per
+  // file, so the identity test runs once and the reordered batch wrapper
+  // is built once and re-wrapped only when the source batch instance
+  // changes — not a fresh allocation per batch in the hot scan loop
+  private val identityOrder = reorder.indices.forall(i => reorder(i) == i)
+  private var lastSource: org.apache.spark.sql.vectorized.ColumnarBatch = _
+  private var reordered: org.apache.spark.sql.vectorized.ColumnarBatch = _
 
   override def next(): Boolean = {
     if (!reader.nextKeyValue()) { batch = null; false }
@@ -257,9 +267,15 @@ final class GraftColumnarReader(
       val b = reader.getCurrentValue
         .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
       batch =
-        if (reorder.indices.forall(i => reorder(i) == i)) b
-        else new org.apache.spark.sql.vectorized.ColumnarBatch(
-          reorder.map(b.column), b.numRows())
+        if (identityOrder) b
+        else {
+          if (b ne lastSource) {
+            lastSource = b
+            reordered = new org.apache.spark.sql.vectorized.ColumnarBatch(
+              reorder.map(b.column), b.numRows())
+          } else reordered.setNumRows(b.numRows())
+          reordered
+        }
       true
     }
   }

@@ -489,15 +489,28 @@ object OrcIO {
         case BooleanType => PredicateLeaf.Type.BOOLEAN
       }
 
+    // EXACT widenings only, mirroring FileStats.asLong/asDouble: a
+    // generic Number coercion (longValue()/doubleValue()) would round a
+    // >2^53 Long into a FLOAT leaf or truncate 1.5 into a LONG leaf, and
+    // ORC would then row-group-skip on the wrong value — a silent
+    // over-skip. Mismatched value classes decline the whole SARG (no
+    // pushdown, never a wrong one).
     def lit(t: PredicateLeaf.Type, v: Any): Option[AnyRef] =
       if (v == null) None
       else t match {
         case PredicateLeaf.Type.LONG => v match {
-          case n: Number => Some(java.lang.Long.valueOf(n.longValue()))
+          case n: java.lang.Long => Some(n)
+          case n: java.lang.Integer => Some(java.lang.Long.valueOf(n.longValue()))
+          case n: java.lang.Short => Some(java.lang.Long.valueOf(n.longValue()))
+          case n: java.lang.Byte => Some(java.lang.Long.valueOf(n.longValue()))
           case _ => None
         }
         case PredicateLeaf.Type.FLOAT => v match {
-          case n: Number => Some(java.lang.Double.valueOf(n.doubleValue()))
+          case n: java.lang.Double => Some(n)
+          case n: java.lang.Float => Some(java.lang.Double.valueOf(n.doubleValue()))
+          case n: java.lang.Integer => Some(java.lang.Double.valueOf(n.doubleValue()))
+          case n: java.lang.Short => Some(java.lang.Double.valueOf(n.doubleValue()))
+          case n: java.lang.Byte => Some(java.lang.Double.valueOf(n.doubleValue()))
           case _ => None
         }
         case PredicateLeaf.Type.STRING => v match {
@@ -605,13 +618,13 @@ object OrcIO {
             (Some("b" + (s.getFalseCount == 0L)), Some("b" + (s.getTrueCount > 0L)))
           case s: DateColumnStatistics
               if s.getMinimumDayOfEpoch <= s.getMaximumDayOfEpoch =>
-            (Some("l" + s.getMinimumDayOfEpoch), Some("l" + s.getMaximumDayOfEpoch))
+            (Some("D" + s.getMinimumDayOfEpoch), Some("D" + s.getMaximumDayOfEpoch))
           case s: TimestampColumnStatistics
               if s.getMinimumUTC != null && s.getMaximumUTC != null =>
             // millis from ORC stats; widen to micros bounds conservatively
             // (floor the min, ceil the max) so they bracket every value
-            (Some("l" + s.getMinimumUTC.getTime * 1000L),
-              Some("l" + (s.getMaximumUTC.getTime * 1000L + 999L)))
+            (Some("T" + s.getMinimumUTC.getTime * 1000L),
+              Some("T" + (s.getMaximumUTC.getTime * 1000L + 999L)))
           case _ => (None, None)
         }
         Some(name -> ColStats(nulls, mn, mx))

@@ -284,6 +284,40 @@ class FileSkippingSpec extends SparkSpec {
     assert(st.prunes(And(EqualTo("a", 9), EqualTo("zz", 1))))
     assert(!st.prunes(Or(EqualTo("a", 9), EqualTo("zz", 1))))
     assert(st.prunes(Or(EqualTo("a", 9), EqualTo("a", 21))))
+    // In with a null values array (public sources.In API) declines
+    assert(!st.prunes(In("a", null)))
+  }
+
+  test("date/timestamp stats carry their own tag domains — cross-type probes decline") {
+    // a date-written column: days ~19700. Probing it with a TIMESTAMP
+    // value (column re-typed across writer lineages — the sink's schema
+    // contract is name-set only) must DECLINE, not compare days against
+    // micros and prune a file that contains matches
+    val dateStats = FileStats(10L, Map(
+      "ts" -> ColStats(Some(0L), Some("D19700"), Some("D19800"))))
+    val probeTs = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    assert(!dateStats.prunes(EqualTo("ts", probeTs)),
+      "timestamp probe against date-tagged stats must not prune")
+    assert(!dateStats.prunes(GreaterThan("ts", probeTs)))
+    // same-domain probes still work on both new tags
+    assert(dateStats.prunes(
+      EqualTo("ts", java.sql.Date.valueOf("2099-01-01"))))
+    assert(!dateStats.prunes(
+      EqualTo("ts", java.time.LocalDate.ofEpochDay(19750))))
+    val tsStats = FileStats(10L, Map(
+      "ts" -> ColStats(Some(0L), Some("T0"), Some("T1000000"))))
+    assert(tsStats.prunes(EqualTo("ts", probeTs)))
+    assert(!tsStats.prunes(EqualTo("ts",
+      java.time.Instant.ofEpochSecond(0L))))
+    assert(!tsStats.prunes(EqualTo("ts", java.sql.Date.valueOf("1970-01-01"))),
+      "date probe against timestamp-tagged stats must not prune")
+    // LEGACY manifests tagged 'l' for date/timestamp columns: date and
+    // timestamp probes decline (conservative), integer probes still work
+    val legacy = FileStats(10L, Map(
+      "ts" -> ColStats(Some(0L), Some("l19700"), Some("l19800"))))
+    assert(!legacy.prunes(EqualTo("ts", probeTs)))
+    assert(!legacy.prunes(EqualTo("ts", java.sql.Date.valueOf("2099-01-01"))))
+    assert(legacy.prunes(EqualTo("ts", 10)))
   }
 
   /** One committed 30k-row ORC file (3 × 10k row groups, ids even-only and

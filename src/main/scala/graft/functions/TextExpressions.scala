@@ -35,6 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShingleStats(child: Expression, n: Int)
   extends UnaryExpression {
 
+  // direct Scala construction must fail fast too (the SQL builder already
+  // validates): n <= 0 would feed a NEGATIVE length into
+  // XXH64.hashUnsafeBytes, which hashes a malformed range into a garbage
+  // but plausible fingerprint instead of throwing
+  require(n >= 1, s"shingle_stats needs n >= 1; got $n")
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

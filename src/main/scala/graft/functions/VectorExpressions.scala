@@ -49,14 +49,36 @@ case class DotProduct(left: Expression, right: Expression)
   // vector must surface as null, not a plausible partial sum
   override def nullable: Boolean = true
 
+  // per-element null checks compile in only when a child's array type can
+  // actually hold nulls — the hot paths (cast embedding arrays) declare
+  // containsNull = false and keep the branch-free loop
+  private def elemsMayBeNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    // a NULL element nulls the whole dot, like the HOF fold this replaces
+    // — getDouble on a null slot reads 0.0 and would produce the exact
+    // "plausible partial sum" the contract above forbids. The scan runs
+    // SEPARATELY from the FP fold, mirroring the generated code (fusing
+    // it into the fold measurably wrecked the hot loop)
+    if (elemsMayBeNull) {
+      var j = 0
+      var bad = false
+      while (j < n) { bad |= x.isNullAt(j) | y.isNullAt(j); j += 1 }
+      if (bad) return null
+    }
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -65,11 +87,27 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val j = ctx.freshName("j")
+      // the null scan runs as its OWN tight bit-test loop so the FP fold
+      // below stays pristine for the JIT — both a break inside the fold
+      // (~2x) and an OR-flag fused into it (~2x) measurably wrecked the
+      // cosine family's hot loop
+      val nullScan =
+        if (elemsMayBeNull)
+          s"""
+             |boolean $bad = false;
+             |for (int $j = 0; $j < $n; $j++) {
+             |  $bad |= $a.isNullAt($j) | $b.isNullAt($j);
+             |}
+             |if ($bad) { ${ev.isNull} = true; } else {
+           """.stripMargin
+        else "{"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
-         |} else {
+         |} else $nullScan
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
@@ -129,6 +167,16 @@ case class MinHashes(child: Expression, numHashes: Int)
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.sql.types.LongType
+
+  // fail at construction, not as a NegativeArraySizeException inside
+  // generated code (or a silent zero-band signature at n = 0)
+  require(numHashes >= 1, s"min_hashes needs numHashes >= 1; got $numHashes")
+
+  // NOTE one intentional divergence from the HOF formulation: a NULL
+  // input ARRAY null-propagates to a NULL signature here (standard unary
+  // semantics), where array(array_min(transform(NULL, ...)), ...) yields
+  // a NON-null array of n NULLs — the cleaner contract, and per-element
+  // reads coincide either way
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -797,6 +797,12 @@ class OperatorPropertiesSpec extends SparkSpec {
     val mism = spark.sql(
       "SELECT vec_dot(slice(v, 1, 32), v) AS d FROM vdot_t LIMIT 1").head
     assert(mism.isNullAt(0), "length mismatch must yield null")
+    // a NULL ELEMENT nulls the dot too — getDouble on a null slot reads
+    // 0.0 and would otherwise produce a plausible partial sum
+    val nullElem = spark.sql(
+      "SELECT vec_dot(array(1.0d, cast(null as double)), array(2.0d, 3.0d)) AS d")
+      .head
+    assert(nullElem.isNullAt(0), "null element must yield null, not 2.0")
     // wrong arity is a clear error, not IndexOutOfBounds
     val e = intercept[Exception] { spark.sql("SELECT vec_dot(1)").collect() }
     assert(e.getMessage.contains("2 arguments") ||

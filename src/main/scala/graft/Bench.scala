@@ -61,11 +61,65 @@ object Bench {
   private final case class Tele(gcMs: Long, procGcMs: Long, spillMb: Long,
     shufMb: Long, peakExecMb: Long, heapAfterMb: Long)
 
+  /** Counts codegen compile failures for the whole run (r15 verdict #4).
+    *
+    * A broken custom Expression does NOT fail a query: Spark logs one
+    * "Failed to compile the generated Java code" line and silently falls
+    * back to interpreted eval — which is how the r15 vec_dot brace bug
+    * survived six review sweeps with every test green while the entire
+    * similarity family ran ~2× slow. The bench now listens on the codegen
+    * logger and reports the count as `codegen_fallbacks`; any non-zero
+    * value in a pin is a regression to chase, independent of wall time.
+    */
+  private final class CodegenFailureCounter
+    extends org.apache.logging.log4j.core.appender.AbstractAppender(
+      "graft-codegen-failures", null, null, false,
+      org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+    val count = new AtomicLong
+    override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+      val m = e.getMessage
+      if (m != null && m.getFormattedMessage != null &&
+          m.getFormattedMessage.contains("Failed to compile")) {
+        count.incrementAndGet()
+      }
+    }
+  }
+
+  /** Attaches the counter to the live log4j2 config (root logger, level
+    * ALL — the failure line is logged WARN/ERROR depending on the
+    * fallback path, and root sees every logger's events by additivity).
+    */
+  private def installCodegenCounter(): CodegenFailureCounter = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    val counter = new CodegenFailureCounter
+    counter.start()
+    LogManager.getContext(false) match {
+      case ctx: LoggerContext =>
+        val cfg = ctx.getConfiguration
+        // attach to the config that actually HANDLES the codegen logger
+        // (getLoggerConfig walks up to the nearest ancestor — usually
+        // root, but this also survives a non-additive org.apache.spark
+        // intermediate); Level.ALL so the config's own level, not ours,
+        // decides what the counter sees
+        cfg.getLoggerConfig(
+            "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+          .addAppender(counter, org.apache.logging.log4j.Level.ALL, null)
+        ctx.updateLoggers()
+      case _ => // non-core LoggerContext: counter stays at 0 (reported as-is)
+    }
+    counter
+  }
+
   /** Max telemetry-gated discards per query — bounds the retry loop so a
     * genuinely slow query (or a lucky fast first sample) can't be
-    * resampled forever.
+    * resampled forever. Heavy-family lines get one extra retry (r15
+    * verdict #9: q_dedup_semantic still pinned a 10 s median on a slow
+    * driver window with the policy exhausted at 2 — these are exactly the
+    * lines where host transients concentrate across MULTIPLE samples).
     */
   private[graft] val MaxResamples = 2
+  private[graft] val MaxResamplesHeavy = 3
 
   /** The telemetry-gated re-sampling policy, extracted pure for its spec:
     * discard-and-retry exactly when the sample is ≥1 s, >2× the running
@@ -76,8 +130,9 @@ object Bench {
     * would hit it again and it is code-attributable).
     */
   private[graft] def shouldResample(elapsed: Double, runningMedian: Double,
-      spillMb: Long, procGcMs: Long, resamplesSoFar: Int): Boolean =
-    resamplesSoFar < MaxResamples && runningMedian > 0.0 && elapsed >= 1.0 &&
+      spillMb: Long, procGcMs: Long, resamplesSoFar: Int,
+      maxResamples: Int = MaxResamples): Boolean =
+    resamplesSoFar < maxResamples && runningMedian > 0.0 && elapsed >= 1.0 &&
       elapsed > 2.0 * runningMedian && spillMb == 0L &&
       procGcMs < (elapsed * 1000 * 0.15).toLong
 
@@ -104,6 +159,7 @@ object Bench {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val codegenFailures = installCodegenCounter()
     val telemetry = new TaskTelemetry
     spark.sparkContext.addSparkListener(telemetry)
     val gcBeans = {
@@ -264,7 +320,7 @@ object Bench {
           val sorted = samples.sorted
           val runMed = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
           if (shouldResample(elapsed, runMed, tele.spillMb, tele.procGcMs,
-              resamples)) {
+              resamples, if (heavy) MaxResamplesHeavy else MaxResamples)) {
             resamples += 1 // discarded: not a sample, retry without advancing
           } else {
             samples += elapsed
@@ -436,7 +492,7 @@ object Bench {
         else ""
       } else ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"slow_samples":$slowSamples,"slow_telemetry":$slowTele,"spread_violations":$spreadViolations,"resampled":$resampledJson,"cold_first":$coldFirstJson,"heavy_stats":$heavyStats,"failed":$failed,"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$ivfSplit$vsBaseline}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"slow_samples":$slowSamples,"slow_telemetry":$slowTele,"spread_violations":$spreadViolations,"resampled":$resampledJson,"cold_first":$coldFirstJson,"heavy_stats":$heavyStats,"failed":$failed,"codegen_fallbacks":${codegenFailures.count.get},"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$ivfSplit$vsBaseline}""")
     spark.stop()
   }
 }

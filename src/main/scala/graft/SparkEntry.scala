@@ -223,7 +223,8 @@ object SparkEntry {
         |      ORDER BY epoch_ms(ts), event_id) AS gap_ms
         |  FROM events)
         |SELECT user_id, COUNT(1) AS n_events, COUNT(gap_ms) AS n_gaps,
-        |  SUM(CASE WHEN gap_ms > 21600000 THEN 1 ELSE 0 END) AS long_gaps,
+        |  CAST(SUM(CASE WHEN gap_ms > 21600000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS long_gaps,
         |  MAX(gap_ms) AS max_gap_ms,
         |  ROUND(AVG(gap_ms) * 10000) / 10000 AS avg_gap_ms
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,

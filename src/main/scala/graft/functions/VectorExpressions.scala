@@ -93,9 +93,13 @@ case class DotProduct(left: Expression, right: Expression)
       // below stays pristine for the JIT — both a break inside the fold
       // (~2x) and an OR-flag fused into it (~2x) measurably wrecked the
       // cosine family's hot loop
+      // a declaration is not a legal lone statement after `else`, so the
+      // null-scan variant opens its own block (and closes it below) —
+      // Janino otherwise rejects the class and Spark silently falls back
+      // to interpreted eval for the whole vector family
       val nullScan =
         if (elemsMayBeNull)
-          s"""
+          s"""{
              |boolean $bad = false;
              |for (int $j = 0; $j < $n; $j++) {
              |  $bad |= $a.isNullAt($j) | $b.isNullAt($j);
@@ -103,6 +107,7 @@ case class DotProduct(left: Expression, right: Expression)
              |if ($bad) { ${ev.isNull} = true; } else {
            """.stripMargin
         else "{"
+      val nullScanClose = if (elemsMayBeNull) "}" else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -114,6 +119,7 @@ case class DotProduct(left: Expression, right: Expression)
          |  }
          |  ${ev.value} = $acc;
          |}
+         |$nullScanClose
        """.stripMargin
     })
 

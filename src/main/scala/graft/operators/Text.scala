@@ -319,7 +319,26 @@ object Text {
   def collocations(s: SparkSession, dir: String, k: Int = 50): DataFrame =
     collocationsOn(Tables.documents(s, dir).select(col("doc_id"), col("text")), k)
 
-  /** [[collocations]] over an arbitrary (doc_id, text) frame. */
+  /** [[collocations]] over an arbitrary (doc_id, text) frame.
+    *
+    * This line reads ~3× DuckDB at bench scale, and that gap is the fixed
+    * price of distributed execution, not plan waste — the written scale
+    * rationale, with two measured-and-rejected alternatives (ABLOG_r16):
+    * the r15 verdict's df-prefilter (drop tokens with corpus df <
+    * minPairDocs before pair expansion) is structurally inert — pair
+    * survival already implies both tokens' df ≥ minPairDocs, the fixture's
+    * entire capped vocabulary clears the bar, and at any scale the capped
+    * per-doc aggregate shrinks the same rows map-side; and a one-pass
+    * fusion (sentinel + token + pair rows through ONE explode and ONE
+    * aggregate, replacing three scans of the persisted token arrays)
+    * measured 1.59 s → 2.17 s same-window — the 3-string-struct expansion
+    * and wider group keys cost more than two cached re-scans of
+    * metadata-thin arrays. What remains above DuckDB is ~5 stage floors
+    * (floor_sec ≈ 0.2–0.3 s each), which amortize at real data sizes; the
+    * per-row work is bounded (O(cap²)), every aggregate has map-side
+    * partials, and nothing in the plan grows super-linearly in corpus
+    * size.
+    */
   def collocationsOn(docs: DataFrame, k: Int = 50, cap: Int = 24,
       minPairDocs: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

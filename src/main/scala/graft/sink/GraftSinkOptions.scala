@@ -65,11 +65,20 @@ object GraftSinkOptions {
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       org.apache.hadoop.security.UserGroupInformation]()
 
+  // the login function is a parameter so the CACHING contract (one KDC
+  // login per executor per (principal, keytab), not one per writer per
+  // epoch) is testable without a KDC; production callers use the default.
+  // A FAILED login is deliberately not cached: computeIfAbsent inserts
+  // nothing on throw, so a transient KDC outage retries on the next writer
+  // instead of pinning the failure for the executor's lifetime.
   private[sink] def cachedUgi(
-      principal: String, keytab: String): org.apache.hadoop.security.UserGroupInformation =
+      principal: String, keytab: String,
+      login: (String, String) => org.apache.hadoop.security.UserGroupInformation =
+        (p, k) => org.apache.hadoop.security.UserGroupInformation
+          .loginUserFromKeytabAndReturnUGI(p, k))
+      : org.apache.hadoop.security.UserGroupInformation =
     ugiCache.computeIfAbsent((principal, keytab), { case (p, k) =>
-      org.apache.hadoop.security.UserGroupInformation
-        .loginUserFromKeytabAndReturnUGI(p, k)
+      login(p, k)
     })
 
   val PATH = "path"

@@ -809,6 +809,60 @@ class OperatorPropertiesSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("2 arguments")))
   }
 
+  test("custom expressions COMPILE under codegen, containsNull included " +
+      "(r15 regression: brace bug silently dropped the vector family to " +
+      "interpreted eval)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+
+    // GenerateUnsafeProjection THROWS on a Janino failure; the query path
+    // instead logs one line and silently falls back to interpreted eval —
+    // exactly how the r15 `else <declaration>` bug shipped with all tests
+    // green. This pins compilation itself, not just result values.
+    def compiled(e: Expression) = GenerateUnsafeProjection.generate(Seq(e))
+
+    // corpus embeddings are containsNull=true arrays — the branch that
+    // was broken; assert the generated (not interpreted) code is also
+    // semantically right for all three null shapes
+    val dNull = ArrayType(DoubleType, containsNull = true)
+    val dotNullable = compiled(graft.functions.DotProduct(
+      BoundReference(0, dNull, nullable = true),
+      BoundReference(1, dNull, nullable = true)))
+    val plain = InternalRow(
+      new GenericArrayData(Array(1.0, 2.0, 3.0)),
+      new GenericArrayData(Array(4.0, 5.0, 6.0)))
+    assert(dotNullable(plain).getDouble(0) === 32.0)
+    val nullElem = InternalRow(
+      new GenericArrayData(Array[Any](1.0, null, 3.0)),
+      new GenericArrayData(Array[Any](4.0, 5.0, 6.0)))
+    assert(dotNullable(nullElem).isNullAt(0),
+      "generated code must null the dot on a null element")
+    val mismatched = InternalRow(
+      new GenericArrayData(Array(1.0, 2.0)),
+      new GenericArrayData(Array(4.0, 5.0, 6.0)))
+    assert(dotNullable(mismatched).isNullAt(0),
+      "generated code must null the dot on a length mismatch")
+
+    // containsNull=false keeps the branch-free loop — compile that shape too
+    val dTight = ArrayType(DoubleType, containsNull = false)
+    val dotTight = compiled(graft.functions.DotProduct(
+      BoundReference(0, dTight, nullable = true),
+      BoundReference(1, dTight, nullable = true)))
+    assert(dotTight(plain).getDouble(0) === 32.0)
+
+    // every sibling custom scalar expression compiles too
+    compiled(graft.functions.MinHashes(
+      BoundReference(0, ArrayType(LongType, containsNull = true),
+        nullable = true), 8))
+    compiled(graft.functions.SimHash64(
+      BoundReference(0, StringType, nullable = true)))
+    compiled(graft.functions.ShingleStats(
+      BoundReference(0, StringType, nullable = true), 3))
+  }
+
   test("freq_items_sketch works from pure SQL with the extensions builder") {
     import spark.implicits._
     spark.sessionState.functionRegistry.registerFunction(

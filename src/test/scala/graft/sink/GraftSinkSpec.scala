@@ -63,6 +63,69 @@ class GraftSinkSpec extends SparkSpec {
     assert(ok.principal.contains("svc@REALM"))
   }
 
+  test("A12 kerberos UGI: lazy resolution, per-(principal,keytab) login " +
+      "cache, clear fake-keytab failure (reference HiveOptions.scala:61-75)") {
+    // no principal/keytab -> no UGI, and crucially no login attempt at all
+    val plain = GraftSinkOptions.from(new CaseInsensitiveStringMap(
+      Map("path" -> "/x", "db" -> "d", "table" -> "t").asJava))
+    assert(plain.ugi().isEmpty)
+
+    // caching contract: ONE login per (principal, keytab) per JVM — a
+    // second writer with the same identity reuses the first login, a
+    // different identity logs in anew (injected login fn, no KDC needed)
+    val logins = new java.util.concurrent.atomic.AtomicInteger(0)
+    // realm-less names: createRemoteUser on name@REALM consults
+    // auth_to_local rules, which need a loaded Hadoop Configuration —
+    // irrelevant to the caching contract under test
+    def fakeLogin(p: String, k: String) = {
+      logins.incrementAndGet()
+      org.apache.hadoop.security.UserGroupInformation.createRemoteUser(p)
+    }
+    val u1 = GraftSinkOptions.cachedUgi("svcA", "/kt/a", fakeLogin _)
+    val u2 = GraftSinkOptions.cachedUgi("svcA", "/kt/a", fakeLogin _)
+    val u3 = GraftSinkOptions.cachedUgi("svcB", "/kt/b", fakeLogin _)
+    assert(u1 eq u2, "same (principal, keytab) must reuse the cached UGI")
+    assert(!(u1 eq u3), "a different identity must get its own UGI")
+    assert(logins.get === 2, s"expected 2 logins (one per identity), got $logins")
+
+    // the real login path against a fake keytab fails with an actionable
+    // error (KerberosAuthException naming the principal/keytab), not an
+    // opaque NPE — and the failure is NOT cached (a later call retries).
+    // Keytab logins are a no-op under simple auth, so flip UGI to
+    // kerberos for just this window (restored in finally: UGI config is
+    // JVM-global)
+    import org.apache.hadoop.security.UserGroupInformation
+    val kt = java.nio.file.Files.createTempFile("fake", ".keytab")
+    java.nio.file.Files.write(kt, "not a keytab".getBytes)
+    val opts = GraftSinkOptions.from(new CaseInsensitiveStringMap(
+      Map("path" -> "/x", "db" -> "d", "table" -> "t",
+        "principal" -> "nosuch@NOREALM", "keytab" -> kt.toString).asJava))
+    val kerbConf = new org.apache.hadoop.conf.Configuration()
+    kerbConf.set("hadoop.security.authentication", "kerberos")
+    val simpleConf = new org.apache.hadoop.conf.Configuration()
+    simpleConf.set("hadoop.security.authentication", "simple")
+    try {
+      // the sandbox has no /etc/krb5.conf; a realm+kdc sysprop pair is the
+      // JDK's documented override and lets UGI initialize kerberos mode
+      System.setProperty("java.security.krb5.realm", "NOREALM")
+      System.setProperty("java.security.krb5.kdc", "localhost:88")
+      UserGroupInformation.setConfiguration(kerbConf)
+      val e = intercept[Exception] { opts.ugi() }
+      def texts(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ texts(x.getCause))
+      assert(texts(e).exists(m => m.contains("nosuch@NOREALM") ||
+        m.toLowerCase.contains("keytab") || m.toLowerCase.contains("login")),
+        s"failure must name the identity or keytab: ${texts(e)}")
+      val e2 = intercept[Exception] { opts.ugi() }
+      assert(e2 != null, "a failed login must not be cached as success")
+    } finally {
+      System.clearProperty("java.security.krb5.realm")
+      System.clearProperty("java.security.krb5.kdc")
+      UserGroupInformation.setConfiguration(simpleConf)
+    }
+  }
+
   test("streaming e2e: memory stream rows land once, readable via manifests") {
     import spark.implicits._
     val dir = tmp()

@@ -24,7 +24,8 @@ object ProfileEmbed {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val e = vecs.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
+      operators.Hyperplanes.vecClean(
+        col("embedding").cast("array<double>")).as("v"))
     time("scan+cast") { e.count() }
     time("scan+nrm (1 dot)") {
       e.select(Hyperplanes.dot64(col("v"), col("v"))).count()

@@ -49,13 +49,20 @@ case class DotProduct(left: Expression, right: Expression)
   // vector must surface as null, not a plausible partial sum
   override def nullable: Boolean = true
 
-  // per-element null checks compile in only when a child's array type can
-  // actually hold nulls — the hot paths (cast embedding arrays) declare
-  // containsNull = false and keep the branch-free loop
-  private def elemsMayBeNull: Boolean = Seq(left, right).exists(_.dataType match {
+  // per-element null checks compile in PER CHILD, only where that child's
+  // array type can actually hold nulls — plane/centroid literals and
+  // [[VecClean]] outputs declare containsNull = false and are never
+  // scanned; the hot paths hoist the corpus-side scan to one VecClean at
+  // the projection boundary, so every downstream dot keeps the
+  // branch-free loop (r16: the fused both-sides scan, running 64× per
+  // row across the hyperplane family, measured the whole vector family
+  // at interpreted-era speeds even with codegen green)
+  private def mayHoldNullElems(e: Expression): Boolean = e.dataType match {
     case ArrayType(_, containsNull) => containsNull
     case _ => true
-  })
+  }
+  private def leftMayBeNull: Boolean = mayHoldNullElems(left)
+  private def rightMayBeNull: Boolean = mayHoldNullElems(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -67,10 +74,16 @@ case class DotProduct(left: Expression, right: Expression)
     // "plausible partial sum" the contract above forbids. The scan runs
     // SEPARATELY from the FP fold, mirroring the generated code (fusing
     // it into the fold measurably wrecked the hot loop)
-    if (elemsMayBeNull) {
-      var j = 0
+    if (leftMayBeNull || rightMayBeNull) {
       var bad = false
-      while (j < n) { bad |= x.isNullAt(j) | y.isNullAt(j); j += 1 }
+      if (leftMayBeNull) {
+        var j = 0
+        while (j < n) { bad |= x.isNullAt(j); j += 1 }
+      }
+      if (rightMayBeNull && !bad) {
+        var j = 0
+        while (j < n) { bad |= y.isNullAt(j); j += 1 }
+      }
       if (bad) return null
     }
     var acc = 0.0
@@ -96,18 +109,25 @@ case class DotProduct(left: Expression, right: Expression)
       // a declaration is not a legal lone statement after `else`, so the
       // null-scan variant opens its own block (and closes it below) —
       // Janino otherwise rejects the class and Spark silently falls back
-      // to interpreted eval for the whole vector family
+      // to interpreted eval for the whole vector family (the shipped r15
+      // regression this file's spec now pins)
+      val anyScan = leftMayBeNull || rightMayBeNull
+      val scans = Seq(
+        if (leftMayBeNull)
+          s"""for (int $j = 0; $j < $n; $j++) { $bad |= $a.isNullAt($j); }"""
+        else "",
+        if (rightMayBeNull)
+          s"""for (int ${j}r = 0; ${j}r < $n; ${j}r++) { $bad |= $b.isNullAt(${j}r); }"""
+        else "").filter(_.nonEmpty).mkString("\n")
       val nullScan =
-        if (elemsMayBeNull)
+        if (anyScan)
           s"""{
              |boolean $bad = false;
-             |for (int $j = 0; $j < $n; $j++) {
-             |  $bad |= $a.isNullAt($j) | $b.isNullAt($j);
-             |}
+             |$scans
              |if ($bad) { ${ev.isNull} = true; } else {
            """.stripMargin
         else "{"
-      val nullScanClose = if (elemsMayBeNull) "}" else ""
+      val nullScanClose = if (anyScan) "}" else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -149,6 +169,85 @@ object DotProduct {
 
   def info: ExpressionInfo =
     new ExpressionInfo(classOf[DotProduct].getName, "vec_dot")
+}
+
+/** `vec_clean(v)` — the null-element scan HOISTED to the projection
+  * boundary: nulls the whole vector when any element is null, and — the
+  * point — declares `containsNull = false` on its output so every
+  * downstream [[DotProduct]] keeps the branch-free loop.
+  *
+  * Corpus embedding columns arrive from parquet as `containsNull = true`
+  * arrays, so without the hoist EVERY plane dot in the sign-LSH family
+  * (64 per row in `Hyperplanes.bandKeys`) re-scans the same vector for
+  * nulls — measured at sf0.1 holding the whole similarity family at
+  * interpreted-era speeds even with codegen healthy. One scan per row
+  * here makes 64 scans per row there disappear.
+  *
+  * Semantics are equivalent where it is deployed: a vector with a null
+  * element previously nulled each individual dot; nulling the vector
+  * itself nulls the same dots (null-propagating children), the same
+  * band-key bits resolve through the same `otherwise(0)` arms, and the
+  * shared `nrm > 0` guard filters the row either way.
+  */
+case class VecClean(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_clean requires array<double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // null input, or any null element, yields NULL
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      i += 1
+    }
+    xs
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) { $bad |= $a.isNullAt($i); }
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $a; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecClean =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_clean"
+}
+
+object VecClean {
+  def builder(children: Seq[Expression]): Expression = {
+    if (children.length != 1) {
+      throw new IllegalArgumentException(
+        s"vec_clean requires exactly 1 argument, got ${children.length}")
+    }
+    VecClean(children(0))
+  }
+
+  def info: ExpressionInfo =
+    new ExpressionInfo(classOf[VecClean].getName, "vec_clean")
 }
 
 /** `min_hashes(hs, n)` — all `n` seeded MinHash minima over an
@@ -289,6 +388,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"), DotProduct.info,
       DotProduct.builder _))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_clean"), VecClean.info,
+      VecClean.builder _))
     ext.injectFunction((
       new FunctionIdentifier("min_hashes"), MinHashes.info,
       MinHashes.builder _))

@@ -734,9 +734,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     // sequential AQE stages; stage count is constant in corpus size, so
     // the gap vs the single-process baseline does not widen at 100 TB.
     // native array cast, not transform(_.cast): the HOF is CodegenFallback
-    // and would poison whole-stage codegen for the band-key explode stage
+    // and would poison whole-stage codegen for the band-key explode stage.
+    // vec_clean hoists the null-element scan to this one projection so the
+    // 64 plane dots per row below stay branch-free (see Similarity.asDouble)
     val e = vecs.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
+      Hyperplanes.vecClean(col("embedding").cast("array<double>")).as("v"))
     // band keys cost 64 hyperplane dots per vector; computed once for the
     // two sides of the self-join
     val keys = e.select(col("vec_id").as("doc_id"),

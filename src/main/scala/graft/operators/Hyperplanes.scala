@@ -56,6 +56,16 @@ object Hyperplanes {
         org.apache.spark.sql.GraftSqlBridge.expression(a),
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** One hoisted null-element scan for a vector column (nulls ragged
+    * vectors whole, declares containsNull = false) so every downstream
+    * [[dot64]]/[[planeDot]] keeps the branch-free codegen loop — apply at
+    * the projection that loads embeddings, never per dot.
+    */
+  def vecClean(v: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.VecClean(
+        org.apache.spark.sql.GraftSqlBridge.expression(v)))
+
   /** 8-bit key of band `b` for vector column `v`. */
   def bandKey(v: Column, b: Int): Column =
     (0 until BitsPerBand).map { i =>

@@ -22,7 +22,12 @@ object Similarity {
   // poisons whole-stage codegen for every downstream operator in the stage
   // (measured round 6: exploding a computed HOF array ran 20x slower than a
   // materialized one); Cast(array<float> -> array<double>) codegens.
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  // vec_clean hoists the null-element scan to this ONE projection (nulling
+  // ragged vectors whole) and declares containsNull = false, so the 64
+  // downstream plane dots per row keep their branch-free loops — without
+  // it each dot re-scans the parquet-typed containsNull array (r16 A/B:
+  // the fused per-dot scan held the whole family at interpreted-era speed)
+  private def asDouble(c: Column): Column = Hyperplanes.vecClean(c.cast("array<double>"))
 
   private def litVec(p: Seq[Double]): Column = array(p.map(lit): _*)
 

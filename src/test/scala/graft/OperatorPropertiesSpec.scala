@@ -861,6 +861,28 @@ class OperatorPropertiesSpec extends SparkSpec {
       BoundReference(0, StringType, nullable = true)))
     compiled(graft.functions.ShingleStats(
       BoundReference(0, StringType, nullable = true), 3))
+
+    // vec_clean: the hoisted scan — clean arrays pass through unchanged,
+    // a null element nulls the WHOLE vector, and its output type feeds
+    // DotProduct's branch-free path (containsNull = false)
+    val vc = graft.functions.VecClean(
+      BoundReference(0, dNull, nullable = true))
+    assert(vc.dataType === ArrayType(DoubleType, containsNull = false))
+    val cleanProj = compiled(vc)
+    val passed = cleanProj(InternalRow(
+      new GenericArrayData(Array(1.0, 2.0, 3.0)))).getArray(0)
+    assert((0 until 3).map(passed.getDouble) === Seq(1.0, 2.0, 3.0))
+    assert(cleanProj(InternalRow(
+      new GenericArrayData(Array[Any](1.0, null, 3.0)))).isNullAt(0),
+      "a null element must null the whole cleaned vector")
+    // composed: DotProduct over two cleaned children compiles with NO
+    // per-dot scan (both children declare containsNull = false)
+    val cleanedDot = compiled(graft.functions.DotProduct(
+      graft.functions.VecClean(BoundReference(0, dNull, nullable = true)),
+      graft.functions.VecClean(BoundReference(1, dNull, nullable = true))))
+    assert(cleanedDot(plain).getDouble(0) === 32.0)
+    assert(cleanedDot(nullElem).isNullAt(0),
+      "a ragged vector must null the dot through the hoisted clean too")
   }
 
   test("freq_items_sketch works from pure SQL with the extensions builder") {

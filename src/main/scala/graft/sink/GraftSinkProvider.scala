@@ -190,7 +190,7 @@ object SchemaRegistry {
   }
 }
 
-final class GraftSinkTable(writeSchema: StructType, opts: GraftSinkOptions)
+class GraftSinkTable(writeSchema: StructType, opts: GraftSinkOptions)
   extends Table with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRead {
 

@@ -91,6 +91,7 @@ object SparkEntry {
     "q_sim_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.ivfTrained(s, d)),
     "q_sim_knn_join"   -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "q_sim_centroids"  -> (Similarity.centroids _),
+    "q_embed_quantize" -> (Similarity.quantizeInt8 _),
     // text analysis
     "q_text_analysis"  -> (Text.wordCount _),
     "q_lang_id"        -> (Text.langId _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "q_fingerprint_rolling" -> (Text.rollingFingerprint _),
     "q_quality_repetition" -> (Text.repetition _),
     "q_quality_gate"   -> (Text.qualityGate _),
+    "q_quality_lm"     -> (Text.unigramLm _),
     "q_split_assign"   -> (Text.hashSplit _),
     // training-data prep
     "q_chunk_split"    -> ((s: SparkSession, d: String) => TrainPrep.chunk(s, d)),
@@ -636,6 +638,33 @@ object SparkEntry {
         |c AS (SELECT label, dim, AVG(x) AS c FROM ex GROUP BY label, dim)
         |SELECT label, ROUND(sqrt(SUM(c * c)), 4) AS centroid_norm, COUNT(1) AS dims
         |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_embed_quantize" ->
+      // bit-exact, NO rounding: max is order-independent, scale is one
+      // IEEE division, each residual term is the same floor/mul/sub
+      // sequence, and list_sum's left fold matches the expression's
+      // accumulation order (the vec_dot precedent). floor(x/s + 0.5) is
+      // the shared half-up rounding — DuckDB round() and Java Math.round
+      // disagree on negative halves.
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) / 127.0 AS scale
+        |      FROM e WHERE len(v) > 0)
+        |SELECT vec_id, scale,
+        |  list_sum([(x - floor(x / scale + 0.5) * scale) *
+        |            (x - floor(x / scale + 0.5) * scale) FOR x IN v])
+        |    / len(v) AS mse,
+        |  CAST(len(v) AS INT) AS n
+        |FROM s WHERE scale > 0 ORDER BY vec_id""".stripMargin,
+
+    "q_quality_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT tok, COUNT(1) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tf)
+        |SELECT doc_id, CAST(COUNT(1) AS INT) AS n_tokens,
+        |  ROUND(AVG(ln(CAST(t AS DOUBLE) / c)) * 10000) / 10000 AS avg_neg_logp
+        |FROM toks JOIN tf USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_analysis" ->
       """SELECT token, COUNT(1) AS cnt FROM (

@@ -250,6 +250,139 @@ object VecClean {
     new ExpressionInfo(classOf[VecClean].getName, "vec_clean")
 }
 
+/** `vec_quant_stats(v)` — symmetric int8 quantization statistics for one
+  * embedding vector in a single codegen pass:
+  * `struct(scale, mse, n)` where `scale = max(|x|)/127`,
+  * `q_i = floor(x_i/scale + 0.5)` (explicit half-up — `Math.round` and
+  * DuckDB `round` disagree on negative halves, `floor(+0.5)` is
+  * bit-identical on both engines), and
+  * `mse = Σ (x_i − q_i·scale)² / n` accumulated in left-fold order so the
+  * DuckDB `list_sum` oracle matches bit-for-bit (the [[DotProduct]]
+  * precedent).
+  *
+  * The per-vector (scale, int8 codes) pair is the standard memory-scale
+  * path for ANN over large corpora (4× smaller than float32, distance
+  * error bounded by `mse`); the stats form keeps the operator oracled —
+  * the codes themselves are `floor(x/scale + 0.5)` away wherever the
+  * pipeline wants them.
+  *
+  * An all-zero vector has no scale; it yields (0, 0, n) and the query
+  * layer excludes it (the cosine family's zero-norm convention). Null
+  * input null-propagates; an empty array yields NULL (no statistics).
+  */
+case class VecQuantStats(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(DoubleType, true) =>
+        // insist on the hoisted-clean contract instead of silently reading
+        // 0.0 for null slots (the vec_dot "plausible partial sum" lesson)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "vec_quant_stats requires containsNull=false input — wrap the " +
+            "column in vec_clean(...) first")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_quant_stats requires array<double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("mse", DoubleType, nullable = false),
+    StructField("n", IntegerType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return null
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(xs.getDouble(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    if (maxAbs == 0.0) {
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0.0, 0.0, n))
+    }
+    val scale = maxAbs / 127.0
+    var sq = 0.0
+    i = 0
+    while (i < n) {
+      val x = xs.getDouble(i)
+      val r = x - math.floor(x / scale + 0.5) * scale
+      sq += r * r
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, sq / n, n))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs")
+      val scale = ctx.freshName("scale")
+      val sq = ctx.freshName("sq")
+      val x = ctx.freshName("x")
+      val r = ctx.freshName("r")
+      val row = ctx.freshName("row")
+      val gir = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $maxAbs = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = Math.abs($a.getDouble($i));
+         |    if ($x > $maxAbs) $maxAbs = $x;
+         |  }
+         |  Object[] $row = new Object[3];
+         |  if ($maxAbs == 0.0) {
+         |    $row[0] = 0.0; $row[1] = 0.0; $row[2] = $n;
+         |  } else {
+         |    double $scale = $maxAbs / 127.0;
+         |    double $sq = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $x = $a.getDouble($i);
+         |      double $r = $x - Math.floor($x / $scale + 0.5) * $scale;
+         |      $sq += $r * $r;
+         |    }
+         |    $row[0] = $scale; $row[1] = $sq / $n; $row[2] = $n;
+         |  }
+         |  ${ev.value} = new $gir($row);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecQuantStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_quant_stats"
+}
+
+object VecQuantStats {
+  def builder(children: Seq[Expression]): Expression = {
+    if (children.length != 1) {
+      throw new IllegalArgumentException(
+        s"vec_quant_stats requires exactly 1 argument, got ${children.length}")
+    }
+    VecQuantStats(children(0))
+  }
+
+  def info: ExpressionInfo =
+    new ExpressionInfo(classOf[VecQuantStats].getName, "vec_quant_stats")
+}
+
 /** `min_hashes(hs, n)` — all `n` seeded MinHash minima over an
   * `array<bigint>` of shingle fingerprints in ONE codegen loop.
   *
@@ -391,6 +524,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vec_clean"), VecClean.info,
       VecClean.builder _))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_quant_stats"), VecQuantStats.info,
+      VecQuantStats.builder _))
     ext.injectFunction((
       new FunctionIdentifier("min_hashes"), MinHashes.info,
       MinHashes.builder _))

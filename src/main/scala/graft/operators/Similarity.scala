@@ -557,4 +557,31 @@ object Similarity {
         count(lit(1)).as("dims"))
       .orderBy("label")
   }
+
+  /** Symmetric int8 quantization statistics per embedding — the memory-
+    * scale path for ANN over large corpora (int8 codes are 4× smaller
+    * than float32 and the distance error is bounded by the reported
+    * per-vector reconstruction MSE). One codegen pass per vector
+    * ([[graft.functions.VecQuantStats]]); zero shuffle beyond the scan;
+    * all arithmetic is IEEE-identical to the DuckDB oracle (shared
+    * left-fold order, explicit half-up rounding), so scale and mse
+    * hash-match WITHOUT rounding. Zero vectors have no scale and are
+    * excluded — the cosine family's zero-norm convention.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    quantizeInt8On(Tables.embeddings(s, dir))
+
+  /** [[quantizeInt8]] over an arbitrary (vec_id, embedding) frame. */
+  def quantizeInt8On(vecs: DataFrame): DataFrame = {
+    val q = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.VecQuantStats(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("v"))))
+    vecs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), q.as("q"))
+      .select(col("vec_id"), col("q.scale").as("scale"),
+        col("q.mse").as("mse"), col("q.n").as("n"))
+      .filter(col("scale") > 0)
+      .orderBy("vec_id")
+  }
 }

@@ -168,6 +168,38 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Per-document unigram-LM cross-entropy — the perplexity-proxy quality
+    * score (CCNet/KenLM-style filtering ranks documents by how "surprising"
+    * their tokens are under a corpus language model; the unigram LM is its
+    * exactly-computable core): `avg(-ln P(tok)) = avg(ln(total/count))`
+    * over the document's tokens, where counts come from the corpus itself.
+    *
+    * Scale shape: corpus token frequencies are a two-level aggregate with
+    * map-side partials (shuffle = vocabulary); the corpus total is a
+    * 1-row broadcast; the score join keys on single tokens (AQE broadcasts
+    * while the vocabulary fits, shuffle-joins when it doesn't — unhinted
+    * on purpose, the [[tfidfTopTerms]] posture); the per-doc average is a
+    * doc-keyed aggregate bounded by doc count. Ranking compares the
+    * ROUNDED score (the repo's cross-engine `ln` convention).
+    */
+  def unigramLm(s: SparkSession, dir: String): DataFrame =
+    unigramLmOn(Tables.documents(s, dir))
+
+  /** [[unigramLm]] over an arbitrary (doc_id, text) frame. */
+  def unigramLmOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum(col("c")).as("t"))
+    toks
+      .join(tf, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        Norm.r4(avg(log(col("t") / col("c")))).as("avg_neg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (runs of ≤4 letters approximate subword pieces) + chars-per-token.
     */

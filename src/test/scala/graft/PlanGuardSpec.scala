@@ -270,6 +270,32 @@ class PlanGuardSpec extends SparkSpec {
       s"expected exactly one user_id hash exchange, got $hashEx:\n$plan")
   }
 
+  test("q_embed_quantize is one scan, zero shuffles before its contract sort") {
+    val plan = formatted("q_embed_quantize")
+    // quantization is per-row: exactly one exchange (the range partition
+    // for the final ORDER BY) and no join/aggregate may appear
+    // count detail headers "(N) Exchange", not every mention (the tree
+    // section repeats each operator name)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges == 1,
+      s"expected only the contract sort's range exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"quantization must not join:\n$plan")
+    assert(plan.contains("vec_quant_stats"),
+      s"plan must run the codegen expression, not a HOF fallback:\n$plan")
+  }
+
+  test("q_quality_lm broadcasts the corpus total, never the token stream") {
+    val plan = formatted("q_quality_lm")
+    // the 1-row total must broadcast; the token-frequency join is left to
+    // AQE (broadcast at this scale) — what must NEVER appear is a
+    // cartesian over more than one row or a sort-merge join of raw tokens
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"corpus total must be a broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token join regressed to sort-merge at test scale:\n$plan")
+  }
+
   test("literal-probe similarity plans derive no probe from the corpus") {
     import graft.operators.Similarity
     val probe = Seq.tabulate(64)(i => (i % 7).toDouble / 7.0)

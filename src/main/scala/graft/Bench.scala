@@ -463,11 +463,14 @@ object Bench {
         reclaim()
         val t0 = System.nanoTime()
         // constants come FROM Similarity so this provably times the same
-        // training ivfTrained runs (a hard-coded 10/4 here could drift)
-        graft.operators.Similarity.trainKMeans(
+        // training ivfTrained runs (a hard-coded 10/4 here could drift);
+        // r16: ivfTrained trains driver-side on a bounded sample
+        // (trainKMeansLocal), so this times exactly that
+        graft.operators.Similarity.trainKMeansLocal(
           Tables.embeddings(spark, sfDir),
           k = graft.operators.Similarity.IvfTrainedCells,
-          iters = graft.operators.Similarity.IvfTrainedIters).count()
+          iters = graft.operators.Similarity.IvfTrainedIters,
+          sampleCap = graft.operators.Similarity.IvfTrainedSampleCap).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)
       f""","ivf_split":{"train_sec":$trainSec%.3f,"probe_sec":${math.max(0.0, med - trainSec)}%.3f}"""

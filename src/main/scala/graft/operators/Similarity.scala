@@ -270,18 +270,21 @@ object Similarity {
     */
   val IvfTrainedCells: Int = 10
   val IvfTrainedIters: Int = 4
+  val IvfTrainedSampleCap: Int = 4096
 
   /** The end-to-end TRAINED IVF fixture (registry `q_sim_ivf_trained`):
-    * train a [[trainKMeans]] codebook on the corpus, then answer the same
-    * probe contract as [[ivf]] (probe = vec 0, excluded from results)
-    * through the trained inverted lists — the production IVF shape
-    * exercised through the driver gate (rows-only: k-means assignment
-    * compares FP distances, same declared reason as `q_sim_ivf`).
+    * train a [[trainKMeansLocal]] codebook on a bounded sample of the
+    * corpus, then answer the same probe contract as [[ivf]] (probe =
+    * vec 0, excluded from results) through the trained inverted lists —
+    * the production IVF shape exercised through the driver gate
+    * (rows-only: k-means assignment compares FP distances, same declared
+    * reason as `q_sim_ivf`).
     */
   def ivfTrained(s: SparkSession, dir: String,
       k: Int = 10, nprobe: Int = 3, cells: Int = IvfTrainedCells): DataFrame = {
     val vecs = Tables.embeddings(s, dir)
-    val cb = trainKMeans(vecs, k = cells, iters = IvfTrainedIters)
+    val cb = trainKMeansLocal(vecs, k = cells, iters = IvfTrainedIters,
+      sampleCap = IvfTrainedSampleCap)
     // fixture-only 1-row driver lookup for the probe vector (the
     // probe-as-parameter contract every at-scale overload takes)
     val probe = vecs.filter(col("vec_id") === 0)
@@ -448,6 +451,90 @@ object Similarity {
       }
       cents.toDF("c_id", "cv")
     } finally e.unpersist()
+  }
+
+  /** [[trainKMeans]] with the iterations run DRIVER-SIDE over a bounded
+    * deterministic sample — the production IVF training recipe (faiss
+    * trains codebooks on ≲ 256·k sampled vectors): one TakeOrdered pass
+    * collects the `sampleCap` vectors with the smallest
+    * `xxhash64(vec_id, seed)` (ties → lower vec_id), then Lloyd's runs
+    * in memory with zero Spark jobs per iteration. The distributed
+    * trainer pays one corpus pass per iteration — the right shape when
+    * the training set must exceed driver memory, but at a bounded sample
+    * each of its iterations is pure job-scheduling overhead (measured:
+    * the fixture's 4-iteration train was ~2.3 s of a 2.5 s query line;
+    * this path is one ~0.2 s job).
+    *
+    * Same declared semantics as the distributed trainer: identical seeding
+    * order (the first k of the hash-ordered sample ARE [[trainKMeans]]'s
+    * seeds), cosine assignment with the lower-index tiebreak, empty cells
+    * retain their previous centroid, zero/null vectors excluded, ragged
+    * embeddings fail loudly. `sampleCap × dim` doubles is driver-resident
+    * metadata, the same residence class as the codebook itself.
+    */
+  def trainKMeansLocal(vecs: DataFrame, k: Int, iters: Int = 8,
+      seed: Long = 42L, sampleCap: Int = 4096): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    require(sampleCap >= k,
+      s"sampleCap must be >= k (got sampleCap=$sampleCap, k=$k) — fewer " +
+        "sampled vectors than cells cannot seed the codebook")
+    val sample: Array[Array[Double]] = nonZero(vecs
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", dot(col("v"), col("v"))))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
+      .limit(sampleCap)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      "trainKMeansLocal: no trainable vectors (corpus empty or all " +
+        "zero/null-norm) — nothing to seed a codebook from")
+    val dim = sample.head.length
+    sample.find(_.length != dim).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"trainKMeansLocal: ragged embeddings (size ${bad.length} vs $dim) " +
+          "— ragged embeddings would silently bias the codebook; clean or " +
+          "filter the corpus first")
+    }
+    val nCells = math.min(k, sample.length)
+    val cents = Array.tabulate(nCells)(i => sample(i).clone())
+    val vnorms = sample.map(v => math.sqrt(v.map(x => x * x).sum))
+    for (_ <- 1 to iters) {
+      val cnorms = cents.map(c => math.sqrt(math.max(c.map(x => x * x).sum, 1e-300)))
+      val sums = Array.fill(nCells, dim)(0.0)
+      val counts = new Array[Long](nCells)
+      var vi = 0
+      while (vi < sample.length) {
+        val v = sample(vi)
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < nCells) {
+          var dp = 0.0
+          var i = 0
+          while (i < dim) { dp += v(i) * cents(c)(i); i += 1 }
+          val sim = dp / (vnorms(vi) * cnorms(c))
+          // strict > keeps the lower-index tiebreak of the distributed path
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        vi += 1
+      }
+      var c = 0
+      while (c < nCells) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } // empty cell: previous centroid retained
+        c += 1
+      }
+    }
+    cents.toSeq.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }
+      .toDF("c_id", "cv")
   }
 
   private def ivfImpl(vecs: DataFrame, k: Int, nprobe: Int,

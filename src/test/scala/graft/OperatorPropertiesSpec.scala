@@ -1011,6 +1011,48 @@ class OperatorPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("driver-side sampled k-means: deterministic, recall floor, " +
+      "ragged guard (the bounded-sample trainer ivfTrained now uses)") {
+    import graft.Tables
+    import org.apache.spark.sql.functions.{col, expr}
+    val vecs = Tables.embeddings(spark, sf0001)
+    val cb = Similarity.trainKMeansLocal(vecs, k = 10, iters = 5, seed = 42L)
+    val rows = cb.collect()
+    assert(rows.length === 10, "one centroid per cell")
+    assert(rows.forall(_.getSeq[Double](1).length === 64), "64-dim centroids")
+    // determinism: the sample is a hash-ordered TakeOrdered and the
+    // in-memory fold order is the sample order — bit-identical re-trains
+    val cb2 = Similarity.trainKMeansLocal(vecs, k = 10, iters = 5, seed = 42L)
+    assert(cb.exceptAll(cb2).isEmpty && cb2.exceptAll(cb).isEmpty,
+      "same seed must reproduce the codebook exactly")
+    // seeding identity with the distributed trainer: iters = 0 returns the
+    // raw seeds, which are the SAME hash-ordered first k on both paths
+    val seedsLocal = Similarity.trainKMeansLocal(vecs, k = 10, iters = 0)
+    val seedsDist = Similarity.trainKMeans(vecs, k = 10, iters = 0)
+    assert(seedsLocal.exceptAll(seedsDist).isEmpty &&
+      seedsDist.exceptAll(seedsLocal).isEmpty,
+      "both trainers must seed from the identical hash-ordered sample")
+    // recall floor through IVF, same bar as the distributed trainer
+    val exact = Similarity.cosineTopK(spark, sf0001, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    val ivf = Similarity.ivfOn(vecs.filter(col("vec_id") =!= 0),
+        k = 10, nprobe = 3, probeVec = probe, codebook = cb)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact & ivf).size >= 3,
+      s"local-trainer recall too low: ${(exact & ivf).size}/10")
+    // contract edges: cap below k, ragged corpus
+    intercept[IllegalArgumentException] {
+      Similarity.trainKMeansLocal(vecs, k = 10, sampleCap = 5) }
+    val ragged = vecs.withColumn("embedding",
+      expr("CASE WHEN vec_id = 5 THEN slice(embedding, 1, 10) ELSE embedding END"))
+    val ex = intercept[Exception] {
+      Similarity.trainKMeansLocal(ragged, k = 4, iters = 2).collect() }
+    assert(Option(ex.getMessage).exists(_.contains("ragged")),
+      s"ragged guard must fire: ${ex.getMessage}")
+  }
+
   test("k-means rejects ragged embeddings loudly (no silent centroid bias)") {
     // sum(v[i]) skips a short vector's null dims while count() still counts
     // the row — without the guard a ragged corpus silently skews the

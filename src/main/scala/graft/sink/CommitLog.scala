@@ -55,6 +55,34 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     * below (which parses every negative manifest) would cost O(total
     * epochs) per epoch over an unbounded ingest.
     */
+  // ---- path residence (r16): manifests record table-RELATIVE paths ------
+  // A table directory is then RELOCATABLE — catalog RENAME, warehouse
+  // migration, or a different mount prefix all keep every committed file
+  // resolvable, because nothing durable names the old location. Writers
+  // and Compact still hand absolute paths in; commit() strips the table
+  // prefix before writing lines, and the read side resolves back to
+  // absolute so every downstream consumer (scan planning, partition
+  // restoration, deletion, stats keys) is unchanged. Absolute lines from
+  // pre-r16 manifests resolve as-is (legacy tables keep reading — they
+  // are simply not relocatable until compacted once).
+
+  private val tableDirPrefixes: Seq[String] = {
+    val raw = tableDir.stripSuffix("/")
+    // writers derive file paths from the same tableDir string, so a plain
+    // prefix strip covers them; the URI form covers scheme-qualified
+    // callers (file:/..., hdfs://nn/...)
+    Seq(raw, new Path(raw).toUri.toString).distinct.map(_ + "/")
+  }
+
+  private[sink] def toRelative(f: String): String =
+    tableDirPrefixes.collectFirst {
+      case p if f.startsWith(p) => f.stripPrefix(p)
+    }.getOrElse(f)
+
+  private[sink] def resolvePath(f: String): String =
+    if (f.startsWith("/") || f.contains(":/")) f
+    else s"${tableDir.stripSuffix("/")}/$f"
+
   def commit(
       epochId: Long, files: Seq[String],
       supersedes: Seq[Long] = Seq.empty,
@@ -96,7 +124,8 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     // in partition values), so the split is unambiguous, and readers that
     // predate stats simply took the whole line as the path
     val lines = files.map(f =>
-      fileStats.get(f).filter(_.nonEmpty).map(s => s"$f\t$s").getOrElse(f))
+      fileStats.get(f).filter(_.nonEmpty)
+        .map(s => s"${toRelative(f)}\t$s").getOrElse(toRelative(f)))
     // PARTITION-SHARDED manifests (the 100 TB plan-cost fix): a LARGE
     // commit — compaction output, or a wide epoch — moves its file lines
     // out of the parent into one shard file per partition directory,
@@ -243,11 +272,14 @@ final class CommitLog(tableDir: String, conf: Configuration) {
         CommitLog.ShardRef(toks(0), parts)
     }
     val inlineLines = lines.filterNot(_.startsWith("#"))
-    val files = inlineLines.map(_.takeWhile(_ != '\t'))
+    // resolve recorded (relative) paths to absolute HERE so every
+    // downstream consumer — scan planning, partition restoration,
+    // deletion, stats keys — sees the same absolute strings it always did
+    val files = inlineLines.map(l => resolvePath(l.takeWhile(_ != '\t')))
     val stats = inlineLines.flatMap { l =>
       val toks = l.split('\t')
       if (toks.length < 2) None
-      else FileStats.parse(toks.drop(1).toSeq).map(toks(0) -> _)
+      else FileStats.parse(toks.drop(1).toSeq).map(resolvePath(toks(0)) -> _)
     }.toMap
     val header = Manifest(epochId, files, supersedes, watermark, ceiling,
       stats, shardRefs)
@@ -286,11 +318,11 @@ final class CommitLog(tableDir: String, conf: Configuration) {
           }
         t.split("\n").filter(_.nonEmpty).toSeq
       }
-    val files = shardLines.map(_.takeWhile(_ != '\t'))
+    val files = shardLines.map(l => resolvePath(l.takeWhile(_ != '\t')))
     val stats = shardLines.flatMap { l =>
       val toks = l.split('\t')
       if (toks.length < 2) None
-      else FileStats.parse(toks.drop(1).toSeq).map(toks(0) -> _)
+      else FileStats.parse(toks.drop(1).toSeq).map(resolvePath(toks(0)) -> _)
     }.toMap
     Some(m.copy(files = m.files ++ files, fileStats = m.fileStats ++ stats))
   }

@@ -654,7 +654,10 @@ object Compact {
       pending = pendingPath(epoch)
       if (oldFiles.nonEmpty) {
         val out = fs.create(pending, false)
-        try out.write(oldFiles.mkString("\n").getBytes("UTF-8"))
+        // table-RELATIVE lines (r16): the ledger survives a table
+        // rename/migration the same way manifests do
+        try out.write(oldFiles.map(log.toRelative)
+          .mkString("\n").getBytes("UTF-8"))
         finally out.close()
       }
       committed = log.commit(epoch, newFiles,
@@ -716,6 +719,13 @@ object Compact {
     finally out.close()
     p
   }
+
+  /** Trash-ledger lines are table-relative since r16 (relocatable tables);
+    * absolute lines from older ledgers resolve as-is.
+    */
+  private def resolveLedgerPath(tableDir: String, f: String): Path =
+    if (f.startsWith("/") || f.contains(":/")) new Path(f)
+    else new Path(tableDir, f)
 
   private def purgeExpiredTrash(
       fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
@@ -814,8 +824,9 @@ object Compact {
               try CommitLog.readFully(fs, st.getPath)
               catch { case _: java.io.FileNotFoundException => "" }
             text.split("\n").filter(_.nonEmpty).foreach { f =>
-              fs.delete(new Path(f), false)
-              Bloom.deleteSidecar(fs, f)
+              val p = resolveLedgerPath(tableDir, f)
+              fs.delete(p, false)
+              Bloom.deleteSidecar(fs, p.toString)
             }
           }
           fs.delete(st.getPath, false)
@@ -832,8 +843,9 @@ object Compact {
         if (now - ts > retainMillis) {
           val text = CommitLog.readFully(fs, st.getPath)
           text.split("\n").filter(_.nonEmpty).foreach { f =>
-            fs.delete(new Path(f), false)
-            Bloom.deleteSidecar(fs, f)
+            val p = resolveLedgerPath(tableDir, f)
+            fs.delete(p, false)
+            Bloom.deleteSidecar(fs, p.toString)
           }
           fs.delete(st.getPath, false)
         }

@@ -154,6 +154,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(viaPath.count() === 3)
   }
 
+  test("compaction interop: a compacted catalog table reads identically " +
+      "through catalog SQL, and partitioning() survives rename") {
+    warehouse
+    spark.sql("""CREATE TABLE gtest.db4.ct (id BIGINT, region STRING)
+      PARTITIONED BY (region)""")
+    // several small inserts -> several epochs worth of files
+    for (i <- 0 until 4) {
+      spark.sql(s"INSERT INTO gtest.db4.ct VALUES ($i, 'eu'), (${i + 10}, 'us')")
+    }
+    val before = spark.sql("SELECT id FROM gtest.db4.ct ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(before.size === 8)
+    Compact.run(s"$warehouse/db4.ct", spark.sparkContext.hadoopConfiguration)
+    val after = spark.sql("SELECT id FROM gtest.db4.ct ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after === before,
+      "compaction must be invisible to catalog readers")
+    // partition pruning still works post-compaction through the catalog
+    assert(spark.sql("SELECT id FROM gtest.db4.ct WHERE region='eu'")
+      .count() === 4)
+    // rename carries the recorded partitioning, surfaced as identity
+    // transforms on the loaded table
+    spark.sql("ALTER TABLE gtest.db4.ct RENAME TO gtest.db4.ct2")
+    val cat = spark.sessionState.catalogManager.catalog("gtest")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(Identifier.of(Array("db4"), "ct2"))
+    assert(t.partitioning().map(_.toString).toSeq === Seq("identity(region)"),
+      s"partitioning must survive rename, got ${t.partitioning().toSeq}")
+    assert(spark.sql("SELECT id FROM gtest.db4.ct2 WHERE region='us'")
+      .count() === 4)
+  }
+
   test("namespaces: create, list, drop with cascade semantics") {
     warehouse
     spark.sql("CREATE NAMESPACE gtest.fresh")

@@ -661,6 +661,28 @@ class GraftSinkSpec extends SparkSpec {
     assert(ks.toSeq === Seq("__NULL__", "real"), s"got ${ks.toSeq}")
   }
 
+  test("manifests are table-relative: a MOVED table directory reads intact, " +
+      "percent-encoded (colon) partition values included") {
+    import spark.implicits._
+    val dir = tmp()
+    // ':' is percent-encoded by the partition sanitizer, so a relative
+    // manifest line can never false-positive the absolute-path heuristic
+    // (`contains(\":/\")` matches scheme URIs only)
+    Seq((1, "12:30/a", "x"), (2, "plain", "y")).toDF("id", "k", "msg")
+      .write.format("graft-streaming").mode("append")
+      .options(opts(dir, "partition.columns" -> "k")).save()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val moved = tmp()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/testdb.t"),
+      new org.apache.hadoop.fs.Path(s"$moved/moved.t")),
+      "directory rename must succeed")
+    val out = CommitLog.readCommitted(spark, s"$moved/moved.t")
+    assert(out.count() === 2, "all committed rows must survive the move")
+    assert(out.select("k").as[String].collect().sorted.toSeq ===
+      Seq("12:30/a", "plain"), "partition values must unescape at the new location")
+  }
+
   test("minor (deltas-only) compaction consolidates streaming deltas, protects the in-flight epoch, leaves prior minors live") {
     import spark.implicits._
     val dir = tmp()

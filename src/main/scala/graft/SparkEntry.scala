@@ -648,7 +648,8 @@ object SparkEntry {
       // disagree on negative halves.
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) / 127.0 AS scale
-        |      FROM e WHERE len(v) > 0)
+        |      FROM e WHERE len(v) > 0
+        |        AND len([x FOR x IN v IF x IS NULL]) = 0)
         |SELECT vec_id, scale,
         |  list_sum([(x - floor(x / scale + 0.5) * scale) *
         |            (x - floor(x / scale + 0.5) * scale) FOR x IN v])

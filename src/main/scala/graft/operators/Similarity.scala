@@ -468,9 +468,13 @@ object Similarity {
     * Same declared semantics as the distributed trainer: identical seeding
     * order (the first k of the hash-ordered sample ARE [[trainKMeans]]'s
     * seeds), cosine assignment with the lower-index tiebreak, empty cells
-    * retain their previous centroid, zero/null vectors excluded, ragged
-    * embeddings fail loudly. `sampleCap × dim` doubles is driver-resident
-    * metadata, the same residence class as the codebook itself.
+    * retain their previous centroid, zero/null vectors excluded.
+    * `sampleCap × dim` doubles is driver-resident metadata, the same
+    * residence class as the codebook itself. One honest narrowing: the
+    * ragged-embedding loud-fail inspects the SAMPLE (the distributed
+    * trainer sees the whole training set every iteration) — a ragged
+    * vector outside the sample surfaces later as a null assignment dot
+    * excluded by the norm guard, not as a training error.
     */
   def trainKMeansLocal(vecs: DataFrame, k: Int, iters: Int = 8,
       seed: Long = 42L, sampleCap: Int = 4096): DataFrame = {
@@ -634,8 +638,13 @@ object Similarity {
 
   /** [[centroids]] over an arbitrary (label, embedding) frame. */
   def centroidsOn(vecs: DataFrame): DataFrame = {
+    // plain cast, NOT asDouble: this path element-averages (no dot
+    // product to protect), and its declared semantics — shared with the
+    // DuckDB oracle — are SQL null-skipping per dimension. vec_clean's
+    // whole-vector-null would silently drop a ragged vector from every
+    // dimension's average instead.
     val e = vecs
-      .select(col("label"), posexplode(asDouble(col("embedding")))
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
         .as(Seq("dim", "x")))
     e.groupBy("label", "dim")
       .agg(avg("x").as("c"))
@@ -653,7 +662,10 @@ object Similarity {
     * all arithmetic is IEEE-identical to the DuckDB oracle (shared
     * left-fold order, explicit half-up rounding), so scale and mse
     * hash-match WITHOUT rounding. Zero vectors have no scale and are
-    * excluded — the cosine family's zero-norm convention.
+    * excluded — the cosine family's zero-norm convention; vectors with a
+    * NULL element are likewise excluded (vec_clean nulls them whole, the
+    * filter drops them, and the oracle applies the same null-element
+    * exclusion explicitly).
     */
   def quantizeInt8(s: SparkSession, dir: String): DataFrame =
     quantizeInt8On(Tables.embeddings(s, dir))

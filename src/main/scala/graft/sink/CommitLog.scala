@@ -80,8 +80,7 @@ final class CommitLog(tableDir: String, conf: Configuration) {
     }.getOrElse(f)
 
   private[sink] def resolvePath(f: String): String =
-    if (f.startsWith("/") || f.contains(":/")) f
-    else s"${tableDir.stripSuffix("/")}/$f"
+    CommitLog.resolvePath(tableDir, f)
 
   def commit(
       epochId: Long, files: Seq[String],
@@ -114,6 +113,11 @@ final class CommitLog(tableDir: String, conf: Configuration) {
           "epoch range, or compact only epochs every writer has passed.")
     val tmp = new Path(commitsDir, s".epoch-$epochId.${java.util.UUID.randomUUID}.tmp")
     val header =
+      // format marker (readers ignore unknown # headers, so it is
+      // backward-silent): 2 = table-relative file lines. A pre-format-2
+      // binary pointed at this table would misresolve relative lines —
+      // the marker makes that diagnosable instead of mysterious.
+      Seq("#format:2") ++
       (if (supersedes.nonEmpty) Seq(s"#supersedes:${supersedes.mkString(",")}")
        else Seq.empty) ++
       watermark.map(w => s"#watermark:$w") ++
@@ -558,6 +562,17 @@ final class CommitLog(tableDir: String, conf: Configuration) {
 
 object CommitLog {
   val COMMITS_DIR = "_commits"
+
+  /** The ONE resolution rule for recorded (format-2, table-relative)
+    * paths, shared by manifest parsing and trash-ledger purging so the
+    * two can never drift: absolute (`/...`) and scheme-qualified
+    * (`scheme:/...`) lines pass through (legacy manifests); anything else
+    * resolves under the table dir. Partition values percent-encode ':',
+    * so a relative line can never false-positive the scheme check.
+    */
+  private[sink] def resolvePath(tableDir: String, f: String): String =
+    if (f.startsWith("/") || f.contains(":/")) f
+    else s"${tableDir.stripSuffix("/")}/$f"
   private val ManifestName = "epoch-(-?\\d+)\\.manifest".r
 
   /** Re-list attempts when a manifest vanished between list and read

@@ -721,11 +721,12 @@ object Compact {
   }
 
   /** Trash-ledger lines are table-relative since r16 (relocatable tables);
-    * absolute lines from older ledgers resolve as-is.
+    * absolute lines from older ledgers resolve as-is. Delegates to
+    * [[CommitLog.resolvePath]] so the manifest and ledger resolution rules
+    * can never drift apart.
     */
   private def resolveLedgerPath(tableDir: String, f: String): Path =
-    if (f.startsWith("/") || f.contains(":/")) new Path(f)
-    else new Path(tableDir, f)
+    new Path(CommitLog.resolvePath(tableDir, f))
 
   private def purgeExpiredTrash(
       fs: org.apache.hadoop.fs.FileSystem, tableDir: String,

@@ -113,15 +113,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
   }
 
-  private def saveProps(o: GraftSinkOptions, props: Map[String, String]): Unit = {
-    if (props.isEmpty) return
+  /** Writes `_props` atomically (temp + rename) and FAILS LOUDLY when the
+    * rename loses: DDL that silently drops a property (a format=orc table
+    * quietly reverting to jsonl) is worse than a retried ALTER. `replace`
+    * deletes the old file first — HDFS rename does not overwrite.
+    */
+  private def saveProps(o: GraftSinkOptions, props: Map[String, String],
+      replace: Boolean = false): Unit = {
     val p = propsPath(o)
+    if (props.isEmpty) {
+      if (replace && fs.exists(p)) fs.delete(p, false)
+      return
+    }
     val tmp = new Path(p.getParent, s".props.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, false)
     try out.write(props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    if (replace && fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"failed to publish table properties at $p (concurrent DDL?); " +
+          "the table's recorded properties are unchanged — retry the ALTER")
+    }
   }
 
   // ---- TableCatalog ---------------------------------------------------------
@@ -149,7 +164,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val bare = optsFor(ident)
-    val opts = optsFor(ident, loadProps(bare))
+    // one _props read per load; the snapshot also serves properties() —
+    // DESCRIBE/explain would otherwise re-read the file per call
+    val props = loadProps(bare)
+    val opts = optsFor(ident, props)
     val schema = SchemaRegistry.load(opts).getOrElse(
       throw new NoSuchTableException(ident))
     val partCols = SchemaRegistry.loadPartitioning(opts).getOrElse(Seq.empty)
@@ -162,7 +180,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       override def partitioning(): Array[Transform] =
         partCols.map(c => Expressions.identity(c)).toArray
       override def properties(): util.Map[String, String] =
-        (loadProps(bare) + (TableCatalog.PROP_PROVIDER -> "graft-streaming",
+        (props + (TableCatalog.PROP_PROVIDER -> "graft-streaming",
           TableCatalog.PROP_LOCATION -> opts.tableDir)).asJava
     }
   }
@@ -230,10 +248,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case (acc, (k, Some(v))) => acc + (k -> v)
       case (acc, (k, None)) => acc - k
     }
-    // _props is tiny and single-writer by DDL convention: rewrite whole
-    val p = propsPath(bare)
-    if (fs.exists(p)) fs.delete(p, false)
-    saveProps(bare, updated)
+    // _props is tiny and single-writer by DDL convention: rewrite whole,
+    // atomically, failing loudly if the publish loses a race
+    saveProps(bare, updated, replace = true)
     loadTable(ident)
   }
 

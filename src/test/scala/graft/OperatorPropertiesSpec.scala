@@ -883,6 +883,21 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(cleanedDot(plain).getDouble(0) === 32.0)
     assert(cleanedDot(nullElem).isNullAt(0),
       "a ragged vector must null the dot through the hoisted clean too")
+
+    // vec_quant_stats (the riskiest generated shape here: primitives
+    // boxed into an Object[] row): compiles behind vec_clean and the
+    // generated values match the declared math
+    val quant = compiled(graft.functions.VecQuantStats(
+      graft.functions.VecClean(BoundReference(0, dNull, nullable = true))))
+    val qRow = quant(InternalRow(
+      new GenericArrayData(Array(1.0, -127.0, 64.0)))).getStruct(0, 3)
+    assert(qRow.getDouble(0) === 1.0, "scale = max|x|/127 = 1.0")
+    assert(qRow.getDouble(1) === 0.0,
+      "integers quantize losslessly at scale 1.0")
+    assert(qRow.getInt(2) === 3)
+    assert(quant(InternalRow(
+      new GenericArrayData(Array[Any](1.0, null, 3.0)))).isNullAt(0),
+      "a ragged vector must null the stats through the hoisted clean")
   }
 
   test("freq_items_sketch works from pure SQL with the extensions builder") {

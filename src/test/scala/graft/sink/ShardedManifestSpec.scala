@@ -58,9 +58,11 @@ class ShardedManifestSpec extends SparkSpec {
     val log = new CommitLog(dir, conf)
     val (files, stats) = syntheticCommit(log, dir, 0L, nParts = 8, perPart = 16)
     val text = manifestText(dir, 0L)
-    assert(text.linesIterator.forall(_.startsWith("#shard:")),
+    assert(text.linesIterator.forall(l =>
+        l.startsWith("#shard:") || l.startsWith("#format:")),
       s"sharded parent must hold only #shard headers:\n$text")
-    assert(text.linesIterator.size === 8, "one shard per partition dir")
+    assert(text.linesIterator.count(_.startsWith("#shard:")) === 8,
+      "one shard per partition dir")
     assert(shardDirs(dir).size === 1)
     // full read: identical result to a flat manifest — every file, every stat
     val got = log.committedFilesWithStats()
@@ -217,7 +219,8 @@ class ShardedManifestSpec extends SparkSpec {
     // bare tab whose empty field must survive split() semantics
     val files = (0 until 100).map(i => s"$dir/part-$i.parquet")
     assert(log.commit(0L, files))
-    assert(manifestText(dir, 0L).linesIterator.forall(_.startsWith("#shard:")))
+    assert(manifestText(dir, 0L).linesIterator.forall(l =>
+      l.startsWith("#shard:") || l.startsWith("#format:")))
     assert(log.committedFiles().sorted === files.sorted)
     // a partition predicate can never prune a shard with no k=v evidence
     CommitLog.shardFileReads.set(0L)

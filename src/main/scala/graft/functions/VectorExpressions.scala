@@ -383,6 +383,117 @@ object VecQuantStats {
     new ExpressionInfo(classOf[VecQuantStats].getName, "vec_quant_stats")
 }
 
+/** `vec_int8_codes(v)` — the MATERIALIZED counterpart of
+  * [[VecQuantStats]]: `struct(scale, codes: array<int>)` where
+  * `codes_i = floor(x_i/scale + 0.5)` under the same
+  * `scale = max(|x|)/127` and the same explicit half-up rounding. The
+  * stats expression proves the reconstruction error; this one produces
+  * the artifact an ANN pipeline actually stores (int8 codes are 4× (8×
+  * with int8 storage downstream) smaller than float32). One codegen
+  * pass; all-zero and empty vectors yield NULL (no scale — the query
+  * layer's exclusion convention).
+  */
+case class VecInt8Codes(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(DoubleType, true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "vec_int8_codes requires containsNull=false input — wrap the " +
+            "column in vec_clean(...) first")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_int8_codes requires array<double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return null
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(xs.getDouble(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    if (maxAbs == 0.0) return null
+    val scale = maxAbs / 127.0
+    val codes = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      codes(i) = math.floor(xs.getDouble(i) / scale + 0.5).toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new GenericArrayData(codes)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs")
+      val scale = ctx.freshName("scale")
+      val x = ctx.freshName("x")
+      val codes = ctx.freshName("codes")
+      val row = ctx.freshName("row")
+      val gir = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      s"""
+         |int $n = $a.numElements();
+         |double $maxAbs = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = Math.abs($a.getDouble($i));
+         |  if ($x > $maxAbs) $maxAbs = $x;
+         |}
+         |if ($n == 0 || $maxAbs == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $scale = $maxAbs / 127.0;
+         |  int[] $codes = new int[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $codes[$i] = (int) Math.floor($a.getDouble($i) / $scale + 0.5);
+         |  }
+         |  Object[] $row = new Object[2];
+         |  $row[0] = $scale; $row[1] = new $gad($codes);
+         |  ${ev.value} = new $gir($row);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecInt8Codes =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_int8_codes"
+}
+
+object VecInt8Codes {
+  def builder(children: Seq[Expression]): Expression = {
+    if (children.length != 1) {
+      throw new IllegalArgumentException(
+        s"vec_int8_codes requires exactly 1 argument, got ${children.length}")
+    }
+    VecInt8Codes(children(0))
+  }
+
+  def info: ExpressionInfo =
+    new ExpressionInfo(classOf[VecInt8Codes].getName, "vec_int8_codes")
+}
+
 /** `min_hashes(hs, n)` — all `n` seeded MinHash minima over an
   * `array<bigint>` of shingle fingerprints in ONE codegen loop.
   *
@@ -527,6 +638,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vec_quant_stats"), VecQuantStats.info,
       VecQuantStats.builder _))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_int8_codes"), VecInt8Codes.info,
+      VecInt8Codes.builder _))
     ext.injectFunction((
       new FunctionIdentifier("min_hashes"), MinHashes.info,
       MinHashes.builder _))

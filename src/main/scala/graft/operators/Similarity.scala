@@ -683,4 +683,29 @@ object Similarity {
       .filter(col("scale") > 0)
       .orderBy("vec_id")
   }
+
+  /** The MATERIALIZED int8 quantization — per vector, (scale, codes) —
+    * what an ANN pipeline actually stores at 100 TB ([[quantizeInt8]]
+    * proves the reconstruction error, this produces the artifact). One
+    * codegen pass per vector ([[graft.functions.VecInt8Codes]]), zero
+    * shuffle beyond the scan + contract sort; codes are exact integers so
+    * the oracle matches with no rounding anywhere. Zero/empty/ragged
+    * vectors are excluded (no scale — the family convention).
+    */
+  def quantizeCodes(s: SparkSession, dir: String): DataFrame =
+    quantizeCodesOn(Tables.embeddings(s, dir))
+
+  /** [[quantizeCodes]] over an arbitrary (vec_id, embedding) frame. */
+  def quantizeCodesOn(vecs: DataFrame): DataFrame = {
+    val q = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.VecInt8Codes(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("v"))))
+    vecs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), q.as("q"))
+      .filter(col("q").isNotNull)
+      .select(col("vec_id"), col("q.scale").as("scale"),
+        col("q.codes").as("codes"))
+      .orderBy("vec_id")
+  }
 }

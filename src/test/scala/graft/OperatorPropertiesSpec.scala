@@ -898,6 +898,20 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(quant(InternalRow(
       new GenericArrayData(Array[Any](1.0, null, 3.0)))).isNullAt(0),
       "a ragged vector must null the stats through the hoisted clean")
+
+    // vec_int8_codes: codes + scale through generated code; negative
+    // halves round HALF-UP (floor(x/s + 0.5)), the cross-engine contract
+    val codesExpr = compiled(graft.functions.VecInt8Codes(
+      graft.functions.VecClean(BoundReference(0, dNull, nullable = true))))
+    val cRow = codesExpr(InternalRow(
+      new GenericArrayData(Array(1.0, -127.0, 63.5)))).getStruct(0, 2)
+    assert(cRow.getDouble(0) === 1.0)
+    val cArr = cRow.getArray(1)
+    assert((0 until 3).map(cArr.getInt) === Seq(1, -127, 64),
+      "63.5/1.0 rounds half-up to 64")
+    assert(codesExpr(InternalRow(
+      new GenericArrayData(Array(0.0, 0.0)))).isNullAt(0),
+      "an all-zero vector has no scale and must yield null")
   }
 
   test("freq_items_sketch works from pure SQL with the extensions builder") {

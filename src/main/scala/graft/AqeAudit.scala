@@ -58,7 +58,10 @@ object AqeAudit {
         // r15 late additions: the salted join's replicated shuffle, the
         // sample's WindowGroupLimit-pruned exchange, the gap profile's
         // single user exchange, semantic clustering's log-round iteration
-        "q_join_skew", "q_sample_group", "q_window_gap", "q_dedup_semantic")
+        "q_join_skew", "q_sample_group", "q_window_gap", "q_dedup_semantic",
+        // r16 additions: quantization lines must shuffle nothing beyond
+        // the contract sort; the LM score's token join + doc aggregate
+        "q_embed_quantize", "q_embed_codes", "q_quality_lm")
     interesting.foreach { name =>
       bytes.reset()
       val df = SparkEntry.queries(name)(spark, dir)

@@ -311,7 +311,13 @@ object Bench {
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
         val gcDelta = procGcMs() - gc0
-        reclaim() // also drains the listener bus for the snapshot below
+        // heavy lines reclaim DEEP between samples (r16 verdict #7): the
+        // persist+multi-stage families are where driver-host stalls
+        // concentrated two rounds running (q_dedup_semantic sample spread
+        // 10×), and the r5 contagion playbook — full state reclamation +
+        // forced GC before the next timing — is the only lever the bench
+        // itself holds against one stalled sample setting the median
+        reclaim(deep = heavy) // also drains the listener bus for the snapshot
         if (!failed) {
           val tele = Tele(telemetry.gcMs.get, gcDelta,
             (telemetry.spillMem.get + telemetry.spillDisk.get) >> 20,
@@ -491,7 +497,21 @@ object Bench {
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
         val mine = scored.collect { case (k, v, _, _, _, _, _) if baseQ.contains(k) => k -> v }.toMap
         val (s1, s2) = (mine.values.sum, mine.keys.map(baseQ).sum)
-        if (s2 > 0) s""","baseline_total":$s2,"baseline_queries":${mine.size},"vs_baseline":${s1 / s2}"""
+        // r16 verdict #5: the artifact self-identifies each intersection
+        // query's own ratio plus a `weak_lines` list (ratio > 2 AND wall
+        // >= 1 s — the sub-second lines are dominated by the measured
+        // ~0.2 s scheduling floor, constant overhead rather than plan
+        // cost, so their ratios carry no plan signal; see BASELINE.md).
+        // Both maps ride at the END of the line, inside the driver's
+        // preserved tail.
+        val ratios = mine.toSeq.sortBy(_._1).map { case (k, v) =>
+          f""""$k":${v / baseQ(k)}%.2f""" }.mkString("{", ",", "}")
+        val weak = mine.toSeq
+          .filter { case (k, v) => v >= 1.0 && v / baseQ(k) > 2.0 }
+          .sortBy { case (k, v) => -(v / baseQ(k)) }
+          .map { case (k, v) => f""""$k":${v / baseQ(k)}%.2f""" }
+          .mkString("{", ",", "}")
+        if (s2 > 0) s""","baseline_total":$s2,"baseline_queries":${mine.size},"per_query_ratio":$ratios,"weak_lines":$weak,"vs_baseline":${s1 / s2}"""
         else ""
       } else ""
     }

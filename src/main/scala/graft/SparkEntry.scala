@@ -92,7 +92,7 @@ object SparkEntry {
     "q_sim_knn_join"   -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "q_sim_centroids"  -> (Similarity.centroids _),
     "q_embed_quantize" -> (Similarity.quantizeInt8 _),
-    "q_embed_codes"    -> (Similarity.quantizeCodes _),
+    "q_embed_codes"    -> (Similarity.quantizeCodesStr _),
     // text analysis
     "q_text_analysis"  -> (Text.wordCount _),
     "q_lang_id"        -> (Text.langId _),
@@ -661,13 +661,16 @@ object SparkEntry {
     "q_embed_codes" ->
       // exact: scale is one IEEE division (hash-compared at 10 significant
       // digits like every double), codes are integers from the SAME
-      // floor(x/s + 0.5) both engines evaluate identically
+      // floor(x/s + 0.5) both engines evaluate identically — serialized as
+      // ONE comma-joined string because the driver comparator sorts/hashes
+      // scalar cells only (an array column crashed it in r16); integer
+      // rendering is canonical in both engines so the join is lossless
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) / 127.0 AS scale
         |      FROM e WHERE len(v) > 0
         |        AND len([x FOR x IN v IF x IS NULL]) = 0)
         |SELECT vec_id, scale,
-        |  [CAST(floor(x / scale + 0.5) AS INT) FOR x IN v] AS codes
+        |  array_to_string([CAST(floor(x / scale + 0.5) AS INT) FOR x IN v], ',') AS codes
         |FROM s WHERE scale > 0 ORDER BY vec_id""".stripMargin,
 
     "q_quality_lm" ->

@@ -4,6 +4,18 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Types the driver's sort-and-hash comparator can handle: scalar cells
+    * only. Arrays/maps/structs must be serialized to a canonical scalar
+    * (e.g. comma-joined string) in BOTH the query and its oracle.
+    */
+  def comparatorSafe(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = args match {
       case Array(s, o) => (s, o)
@@ -22,7 +34,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated filter for focused local iteration (same
+    // contract as Bench's SPARK_GRAFT_ONLY; the driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // coalesce(1), not repartition(1): the driver compares rows in FILE
       // ORDER against the oracle's ORDER BY, and repartition is a
       // round-robin shuffle whose output order Spark does not guarantee
@@ -32,9 +52,25 @@ object Verify {
       // the trailing orderBy's range-partitioned sort survives verbatim.
       // Every query ends in orderBy (an exchange), so coalesce single-tasks
       // only the final small sort, not the whole query.
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // the driver's comparator sorts + hashes SCALAR cells only — an
+        // array/map/struct output column crashes its pandas sort_values
+        // (the r16 q_embed_codes red row). Fail the query loudly here so
+        // a complex-typed oracled result can never reach the comparator;
+        // PlanGuardSpec enforces the same contract at build time.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val complex = df.schema.fields.collect {
+            case f if !Verify.comparatorSafe(f.dataType) =>
+              s"${f.name}: ${f.dataType.simpleString}"
+          }
+          require(complex.isEmpty, s"oracled query $name emits non-scalar " +
+            s"column(s) the driver comparator cannot sort/hash: " +
+            complex.mkString(", "))
+        }
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop any intermediates a query persisted before running the next

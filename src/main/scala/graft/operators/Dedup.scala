@@ -560,9 +560,18 @@ object Dedup extends org.apache.spark.internal.Logging {
     * fires once the pair plan is materialized into its cache — the hook
     * [[nearDupClusters]] uses to drop its (much larger) shingle base at
     * the earliest safe moment.
+    *
+    * `localEdgeCap` (0 disables): edge lists at or under the cap are
+    * collected in ONE job and clustered with in-memory union-find —
+    * identical output contract, no per-round scheduled jobs (the
+    * distributed loop's wall-clock driver at any data size, since its
+    * per-round state is tiny and its cost is stages). Dedup pair graphs
+    * are cap-bounded by construction, so in practice this is the executed
+    * path; the distributed loop remains the over-cap fallback.
     */
   def clusterPairs(pairList: DataFrame, maxIters: Int = 20,
-      afterFirstJob: () => Unit = () => ()): DataFrame = {
+      afterFirstJob: () => Unit = () => (),
+      localEdgeCap: Int = 1000000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import StorageLevel.MEMORY_AND_DISK
     // the pair list must be cached BEFORE the loop: every round's
@@ -577,6 +586,37 @@ object Dedup extends org.apache.spark.internal.Logging {
     // this function created.
     val callerCached = pairList.storageLevel != StorageLevel.NONE
     val pairs = if (callerCached) pairList else pairList.persist(MEMORY_AND_DISK)
+    // BOUNDED DRIVER-SIDE FAST PATH (r16 verdict #2/#3): the verified pair
+    // graph is tiny BY CONSTRUCTION — every candidate generator feeding
+    // this function caps its buckets, so |pairs| is O(corpus · cap), a few
+    // MiB at any corpus size — yet the distributed loop costs 2–10
+    // driver-SCHEDULED jobs whose per-job stall risk (not data) was the
+    // bench gate's single largest variance source two rounds running
+    // (driver q_dedup_semantic 21.3 s vs local 8.6 s, spread 10×; each
+    // round is a fixed-cost scheduled job on a tiny label set). When the
+    // edge list fits under `localEdgeCap` (16 bytes/edge of data; 1 M
+    // edges ≈ tens of MiB of transient driver rows — the same residence
+    // class as trainKMeansLocal's sample), collect it in ONE job and run
+    // union-find in memory: identical declared semantics (component-min
+    // rep, is_rep, cluster_size), property-tested against the distributed
+    // loop on the same graphs. take() scans incrementally and stops at
+    // cap+1, so an over-cap graph pays one bounded probe (whose computed
+    // partitions land in the pairs cache, not wasted) and falls back to
+    // the distributed loop below — the 100 TB path is unchanged.
+    if (localEdgeCap > 0) {
+      val sample = pairs
+        .select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .take(localEdgeCap + 1)
+      if (sample.length <= localEdgeCap) {
+        afterFirstJob()
+        if (!callerCached) pairs.unpersist(blocking = true)
+        logInfo(s"clusterPairs: driver-side union-find over " +
+          s"${sample.length} edge(s)")
+        return localComponents(pairList.sparkSession, sample)
+      }
+      logInfo(s"clusterPairs: edge count exceeds localEdgeCap=$localEdgeCap" +
+        " — distributed label propagation")
+    }
     // symmetrize with a map-side explode over the cached pairs (a
     // two-branch union would scan the cache twice); edges and labels are
     // each a few rows per near-dup doc (pair counts are bounded by the
@@ -689,6 +729,59 @@ object Dedup extends org.apache.spark.internal.Logging {
         count(lit(1)).over(Window.partitionBy("label")).cast("int"))
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
         (col("id") === col("label")).as("is_rep"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** [[clusterPairs]]'s bounded fast path: classic union-find (path
+    * halving + union by rank, near-O(α) per edge) over a collected edge
+    * list, then component-min relabeling so the output contract is
+    * bit-identical to the distributed loop's: (doc_id, cluster_rep =
+    * component-min id, is_rep, cluster_size), ordered by doc_id. The
+    * result is a LocalRelation of one row per distinct id — bounded by
+    * 2·|edges| — with the same trailing contract sort as the distributed
+    * path.
+    */
+  private def localComponents(s: SparkSession,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import s.implicits._
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def idOf(x: Long): Int =
+      idx.getOrElseUpdate(x, { ids += x; ids.size - 1 })
+    // intern ids first so the parent array can be sized once
+    val e = edges.map(r => (idOf(r.getLong(0)), idOf(r.getLong(1))))
+    val n = ids.size
+    val parent = Array.tabulate(n)(identity)
+    val rank = new Array[Int](n)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    e.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) += 1 }
+      }
+    }
+    val minId = Array.fill(n)(Long.MaxValue)
+    val csize = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (ids(i) < minId(r)) minId(r) = ids(i)
+      csize(r) += 1
+      i += 1
+    }
+    (0 until n).map { j =>
+      val r = find(j)
+      (ids(j), minId(r), ids(j) == minId(r), csize(r))
+    }.toDF("doc_id", "cluster_rep", "is_rep", "cluster_size")
       .orderBy("doc_id")
   }
 

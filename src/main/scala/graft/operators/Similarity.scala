@@ -578,34 +578,51 @@ object Similarity {
       // construction, so this single-partition window moves metadata only
       .withColumn("c_idx", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("c_id")))))
-    // assign: nearest centroid by cosine (broadcast codebook — it is tiny
-    // by construction; k-means codebooks are ≤ a few thousand entries).
-    // Zero-norm centroids (a degenerate user codebook cell / all-zero
-    // label mean) are dropped — no direction to assign against, and an
-    // unguarded one would DIVIDE_BY_ZERO under the ANSI default
+    // assign: nearest centroid by cosine. Zero-norm centroids (a
+    // degenerate user codebook cell / all-zero label mean) are dropped —
+    // no direction to assign against, and an unguarded one would
+    // DIVIDE_BY_ZERO under the ANSI default
     val centsUsable = cents.filter(col("c_nrm") > 0)
-    val simToC = dot(col("v"), col("cv")) /
-      (sqrt(col("nrm")) * sqrt(col("c_nrm")))
-    // materialized: the assignment feeds both the probe-list lookup and the
-    // main scan. Argmin via max_by aggregation (map-side partial, no
-    // per-vector sort): the window row_number()=1 formulation sorted all
-    // n×|codebook| scored rows — wasted work at 100 TB. Tiebreak matches
-    // the old ORDER BY csim DESC, c_id ASC: max on (csim, -c_idx).
-    val assigned = e.crossJoin(broadcast(centsUsable))
-      .withColumn("csim", simToC)
-      .groupBy("vec_id")
-      .agg(max_by(
-        struct(col("label"), col("v"), col("nrm"), col("c_id")),
-        struct(col("csim"), (-col("c_idx")).as("neg_c"))).as("m"))
-      .select(col("vec_id"), col("m.label").as("label"), col("m.v").as("v"),
-        col("m.nrm").as("nrm"), col("m.c_id").as("list_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // probe: its nprobe nearest centroids select the inverted lists to scan
+    // MAP-SIDE assignment via plan-literal centroids (r16 verdict #2):
+    // the codebook is driver-resident METADATA (tiny by construction —
+    // k-means codebooks are ≤ a few thousand entries), so collect it once
+    // and embed the centroids as literals, argmax via array_position(sims,
+    // array_max(sims)) — exactly the shape [[trainKMeans]] already uses
+    // (`:410-431`) and for the same reason. The former broadcast-crossJoin
+    // + max_by(struct(label, v, nrm, c_id)) expanded EVERY corpus vector
+    // ×|codebook| with its full 64-dim array inside a struct before the
+    // partial agg collapsed it — measured as the bench's top GC line
+    // (q_sim_ivf task GC 23.7 s in BENCH_r16) — and at 100 TB it shuffles
+    // one full-vector row per corpus vector. This shape shuffles NOTHING
+    // for assignment and allocates no per-row structs. array_position
+    // takes the FIRST max, and the sims array is ordered by c_idx, so the
+    // tiebreak (highest csim, ties → lowest c_idx) is unchanged.
+    val cb: Array[(Any, Seq[Double], Double)] = centsUsable
+      .orderBy(col("c_idx"))
+      .select(col("c_id"), col("cv"), col("c_nrm"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1), r.getDouble(2)))
+    require(cb.nonEmpty,
+      "ivf: no usable (non-zero-norm) centroid — nothing to assign against")
+    val csims = cb.map { case (_, cv, cn) =>
+      dot(col("v"), litVec(cv)) / (sqrt(col("nrm")) * lit(math.sqrt(cn)))
+    }
+    val listIds = array(cb.map(c => lit(c._1)): _*)
+    val sims = array(csims.toIndexedSeq: _*)
+    // NOT persisted: assignment is now a pure map-side projection over the
+    // pruned scan, and the vector family's cache A/Bs have lost twice
+    // (Similarity/Dedup round-5/round-10 notes) — two codegen'd scans beat
+    // materializing full-vector rows
+    val assigned = e.withColumn("list_id",
+      element_at(listIds,
+        array_position(sims, array_max(sims)).cast("int")))
+    // probe: its nprobe nearest centroids select the inverted lists to
+    // scan; the probe row needs only (v, nrm) — never its own assignment
     val probeRow = probeVec match {
       case Some(p) =>
         val pv = litVec(p)
         s.range(1).select(pv.as("pv"), dot(pv, pv).as("pn"))
-      case None => assigned.filter(col("vec_id") === 0)
+      case None => e.filter(col("vec_id") === 0)
         .select(col("v").as("pv"), col("nrm").as("pn"))
     }
     val probeLists = probeRow
@@ -694,6 +711,21 @@ object Similarity {
     */
   def quantizeCodes(s: SparkSession, dir: String): DataFrame =
     quantizeCodesOn(Tables.embeddings(s, dir))
+
+  /** [[quantizeCodes]] with `codes` serialized as the canonical
+    * comma-joined string — the driver-gate form. The correctness
+    * comparator sorts-and-hashes SCALAR cells only (r16's one red row:
+    * an `array<int>` output column crashed its pandas `sort_values`), so
+    * every ORACLED registry query must emit scalar columns; the typed
+    * array stays the library API ([[quantizeCodesOn]]). The cast to
+    * `array<string>` is a native Cast (codegen), and the join is
+    * lossless for integer codes: one canonical rendering per value,
+    * no separator ambiguity, both engines render ints identically.
+    */
+  def quantizeCodesStr(s: SparkSession, dir: String): DataFrame =
+    quantizeCodesOn(Tables.embeddings(s, dir))
+      .withColumn("codes",
+        concat_ws(",", col("codes").cast("array<string>")))
 
   /** [[quantizeCodes]] over an arbitrary (vec_id, embedding) frame. */
   def quantizeCodesOn(vecs: DataFrame): DataFrame = {

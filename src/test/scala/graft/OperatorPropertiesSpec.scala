@@ -233,13 +233,59 @@ class OperatorPropertiesSpec extends SparkSpec {
       (12L, 11L),                                                 // reversed dup
       (20L, 21L))
       .toDF("a_id", "b_id")
-    val out = Dedup.clusterPairs(pairs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getInt(3)))
-      .toMap
-    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L, 11L, 12L, 20L, 21L))
-    for (id <- 1L to 7L) assert(out(id) === ((1L, id == 1L, 7)))
-    for (id <- 10L to 12L) assert(out(id) === ((10L, id == 10L, 3)))
-    for (id <- 20L to 21L) assert(out(id) === ((20L, id == 20L, 2)))
+    // BOTH execution paths must produce identical components: the default
+    // (bounded driver-side union-find) and the distributed label-
+    // propagation loop (forced via localEdgeCap = 0 — the over-cap
+    // fallback at scale)
+    for (cap <- Seq(1000000, 0)) {
+      val out = Dedup.clusterPairs(pairs, localEdgeCap = cap).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getInt(3)))
+        .toMap
+      assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L, 11L, 12L, 20L, 21L))
+      for (id <- 1L to 7L) assert(out(id) === ((1L, id == 1L, 7)), s"cap=$cap")
+      for (id <- 10L to 12L) assert(out(id) === ((10L, id == 10L, 3)), s"cap=$cap")
+      for (id <- 20L to 21L) assert(out(id) === ((20L, id == 20L, 2)), s"cap=$cap")
+    }
+  }
+
+  test("clusterPairs: union-find and distributed propagation agree on seeded random graphs") {
+    import spark.implicits._
+    // adversarial shapes the clique-heavy dedup corpus never produces:
+    // long chains, stars, random sparse unions — exactly where a subtle
+    // divergence between the two paths would hide
+    val rng = new scala.util.Random(4217)
+    for (trial <- 1 to 3) {
+      val nodes = 40 + trial * 30
+      val edges = Seq.tabulate(nodes)(i =>
+        (rng.nextInt(nodes).toLong, rng.nextInt(nodes).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val local = Dedup.clusterPairs(pairs).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3)))
+          .toSet
+        val dist = Dedup.clusterPairs(pairs, maxIters = 40, localEdgeCap = 0)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3)))
+          .toSet
+        assert(local === dist, s"trial $trial: paths disagree")
+      } finally pairs.unpersist(blocking = true)
+    }
+  }
+
+  test("clusterPairs falls back to the distributed loop above localEdgeCap") {
+    import spark.implicits._
+    // 10 edges with a cap of 4: the take(cap+1) probe must see the
+    // over-cap count and route to label propagation — and still converge
+    // to the same components the union-find path reports
+    val pairs = (1L to 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val viaDist = Dedup.clusterPairs(pairs, localEdgeCap = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3))).toSet
+    val viaLocal = Dedup.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3))).toSet
+    assert(viaDist === viaLocal)
+    assert(viaDist.size === 11 && viaDist.forall(_._2 == 1L))
   }
 
   test("generic dedup overloads run on arbitrary frames and find the planted pair") {
@@ -634,8 +680,10 @@ class OperatorPropertiesSpec extends SparkSpec {
     import spark.implicits._
     val longPath = (1L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     // 11-hop path needs ~6 rounds; maxIters = 2 must fail loudly
+    // (localEdgeCap = 0 forces the distributed loop — union-find has no
+    // convergence bound to refuse on)
     val e = intercept[IllegalArgumentException] {
-      Dedup.clusterPairs(longPath, maxIters = 2).collect()
+      Dedup.clusterPairs(longPath, maxIters = 2, localEdgeCap = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
     spark.catalog.clearCache()

@@ -309,4 +309,39 @@ class PlanGuardSpec extends SparkSpec {
         s"$name(probeVec) still looks the probe up in the corpus:\n$plan")
     }
   }
+
+  test("ivf assigns map-side: no ×codebook corpus expansion through an aggregate") {
+    // the r16 shape crossJoined every corpus vector with the broadcast
+    // codebook and collapsed the ×k expansion through a max_by(struct(
+    // label, v, nrm, c_id)) partial aggregate — the bench's top GC line
+    // (task GC 23.7 s) and, at 100 TB, one full-vector shuffle row per
+    // corpus vector. The fixed shape embeds the collected codebook as
+    // plan literals and assigns via array_position(sims, array_max(sims))
+    // — pure map-side projection, nothing aggregated, nothing shuffled.
+    for (q <- Seq("q_sim_ivf", "q_sim_ivf_trained")) {
+      val plan = formatted(q)
+      assert(!plan.contains("max_by"),
+        s"$q: assignment regressed to the ×codebook max_by expansion")
+      assert(plan.contains("array_position"),
+        s"$q: literal-argmax assignment shape missing")
+    }
+  }
+
+  test("no oracled query emits a comparator-unsafe (array/map/struct) column") {
+    // the driver's correctness comparator sorts + hashes SCALAR cells only:
+    // an array<int> output column crashed its pandas sort_values in r16
+    // (q_embed_codes, the round's one red row). Schema derivation is pure
+    // plan analysis — no job runs — so the whole oracled registry is
+    // checked here at build time; Verify re-asserts it at dump time.
+    val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, sf0001).schema.fields.collect {
+        case f if !Verify.comparatorSafe(f.dataType) =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"oracled queries with non-scalar output columns: $offenders — " +
+        "serialize to a canonical scalar (comma-joined string) in BOTH " +
+        "the query and the oracle SQL")
+  }
 }

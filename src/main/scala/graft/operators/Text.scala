@@ -365,11 +365,15 @@ object Text {
     * aggregate, replacing three scans of the persisted token arrays)
     * measured 1.59 s → 2.17 s same-window — the 3-string-struct expansion
     * and wider group keys cost more than two cached re-scans of
-    * metadata-thin arrays. What remains above DuckDB is ~5 stage floors
-    * (floor_sec ≈ 0.2–0.3 s each), which amortize at real data sizes; the
-    * per-row work is bounded (O(cap²)), every aggregate has map-side
-    * partials, and nothing in the plan grows super-linearly in corpus
-    * size.
+    * metadata-thin arrays. The residual is now QUANTIFIED by the bench's
+    * per-query stage telemetry (r17): the query schedules 13 AQE jobs
+    * (persist fill, two-level pair agg, ndf, ntot, two AQE-materialized
+    * joins, TakeOrdered), and 13 × the measured ~0.16–0.18 s per-job
+    * scheduling price ≈ the full 2.0 s wall — the line is
+    * scheduling-bound end to end, constant in corpus size, and amortizes
+    * at real data sizes; the per-row work is bounded (O(cap²)), every
+    * aggregate has map-side partials, and nothing in the plan grows
+    * super-linearly in corpus size.
     */
   def collocationsOn(docs: DataFrame, k: Int = 50, cap: Int = 24,
       minPairDocs: Int = 3): DataFrame = {

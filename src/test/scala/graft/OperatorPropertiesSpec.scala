@@ -274,6 +274,23 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("clusterPairs: empty pair graph yields an empty, correctly-typed result on both paths") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    for (cap <- Seq(1000000, 0)) {
+      val out = Dedup.clusterPairs(empty, localEdgeCap = cap)
+      assert(out.columns.toSeq ===
+        Seq("doc_id", "cluster_rep", "is_rep", "cluster_size"), s"cap=$cap")
+      assert(out.count() === 0, s"cap=$cap")
+    }
+    // and the semantic composition still emits every vector as a singleton
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val sem = Dedup.semanticClustersOn(vecs, threshold = 0.999).collect()
+    assert(sem.length === 2 && sem.forall(_.getAs[Boolean]("is_rep")))
+  }
+
   test("clusterPairs falls back to the distributed loop above localEdgeCap") {
     import spark.implicits._
     // 10 edges with a cap of 4: the take(cap+1) probe must see the

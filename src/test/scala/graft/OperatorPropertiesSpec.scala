@@ -425,6 +425,31 @@ class OperatorPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivf fails loudly on a degenerate (all-zero-norm) codebook") {
+    import spark.implicits._
+    val vecs = (0 until 8).map(i =>
+        (i.toLong, Array.tabulate(4)(d => (i + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val zeroCb = Seq((0, Seq(0.0, 0.0, 0.0, 0.0)))
+      .toDF("c_id", "cv")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfOn(vecs, 3, 1, Seq(1.0, 2.0, 3.0, 4.0), zeroCb)
+    }
+    assert(e.getMessage.contains("no usable"),
+      "a codebook with no non-zero-norm centroid must fail at plan " +
+        "construction, not return an empty result silently")
+  }
+
+  test("q_embed_codes string serialization is the exact join of the typed codes") {
+    // the registry form (comparator-safe comma-joined string) must carry
+    // EXACTLY the library form's array — element order and rendering
+    val typed = Similarity.quantizeCodes(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2).mkString(",")).toMap
+    val str = Similarity.quantizeCodesStr(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(str.nonEmpty && str === typed)
+  }
+
   test("vocabTopKOn / tfidfTopTermsOn: hand-computed values on a synthetic corpus") {
     import spark.implicits._
     import graft.operators.Text

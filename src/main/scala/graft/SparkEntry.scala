@@ -39,6 +39,7 @@ object SparkEntry {
     "q_agg_gsets"      -> (Relational.aggGroupingSets _),
     "q_agg_pivot"      -> (Relational.aggPivot _),
     "q_agg_corr"       -> (Relational.corrProfile _),
+    "q_agg_hist"       -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
     "q_agg_zscore"     -> ((s: SparkSession, d: String) => Relational.zscoreOutliers(s, d)),
     // joins
     "q_join_inner"     -> (Relational.joinInner _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_lang_id"        -> (Text.langId _),
     "q_quality_score"  -> (Text.qualityScore _),
     "q_token_count"    -> (Text.tokenCount _),
+    "q_text_entropy"   -> (Text.tokenEntropy _),
     "q_vocab_topk"     -> ((s: SparkSession, d: String) => Text.vocabTopK(s, d)),
     "q_text_bigrams"   -> ((s: SparkSession, d: String) => Text.bigramTopK(s, d)),
     "q_text_collocations" -> ((s: SparkSession, d: String) => Text.collocations(s, d)),
@@ -750,6 +752,41 @@ object SparkEntry {
         |  ROUND(var_samp(l_discount) * 10000) / 10000 AS var_disc,
         |  ROUND(avg(l_extendedprice) * 10000) / 10000 AS avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_hist" ->
+      // bucket = floor(x / width): fixture prices carry 2 decimals, so the
+      // double division only lands ON an integer boundary when x is an
+      // exact multiple of the width — where IEEE division is exact — so
+      // the bucket id needs no rounding convention
+      """WITH b AS (SELECT l_returnflag AS grp,
+        |             CAST(floor(l_extendedprice / 10000) AS INT) AS bucket
+        |           FROM lineitem),
+        |c AS (SELECT grp, bucket, COUNT(1) AS cnt FROM b GROUP BY grp, bucket)
+        |SELECT grp, bucket, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY grp)
+        |    * 10000) / 10000 AS share
+        |FROM c ORDER BY grp, bucket""".stripMargin,
+
+    "q_text_entropy" ->
+      // H = ln(n) - sum(c*ln(c))/n over per-doc token counters; the `+ 0`
+      // normalizes a possible IEEE -0.0 (uniform docs compute ln(n) -
+      // n*ln(n)/n, which can land an ulp below zero; DuckDB keeps -0.0,
+      // Spark does not)
+      """WITH c AS (SELECT doc_id, tok, COUNT(1) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  GROUP BY doc_id, tok),
+        |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        CAST(COUNT(1) AS INT) AS distinct_tokens,
+        |        SUM(c * ln(c)) AS clc
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, distinct_tokens,
+        |  ROUND((ln(n_tokens) - clc / n_tokens) * 10000) / 10000 + 0 AS entropy,
+        |  CASE WHEN distinct_tokens > 1 THEN
+        |    ROUND((ln(n_tokens) - clc / n_tokens)
+        |      / ln(CAST(distinct_tokens AS DOUBLE)) * 10000) / 10000 + 0
+        |  END AS entropy_ratio
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_agg_zscore" ->
       """WITH st AS (SELECT event_type, avg(value) AS mu,

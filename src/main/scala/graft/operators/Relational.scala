@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Norm, Tables}
 
@@ -82,6 +83,38 @@ object Relational {
         Norm.r4(avg("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+
+  /** Per-group fixed-width histogram: bucket counts + in-group shares of
+    * `l_extendedprice` per return flag — the distribution-shape profiling
+    * primitive ([[graft.operators.TrainPrep.profileStats]] reports
+    * range/cardinality; this reports SHAPE, what a validation pipeline
+    * diffs across ingest batches to catch drift).
+    *
+    * Scale shape: ONE two-level aggregate — (group, bucket) counts with
+    * map-side partials (the shuffle carries counter rows bounded by
+    * |groups|×|buckets|, never data), then shares via a window over those
+    * counter rows (metadata-sized). Bucketing is `floor(x / width)`:
+    * fixture prices carry 2 decimals, so the double division only lands
+    * ON an integer boundary when x is an exact multiple of the width —
+    * where the division is exact in IEEE — making the bucket id
+    * deterministic across engines with no rounding convention needed.
+    */
+  def histogram(s: SparkSession, dir: String, width: Int = 10000): DataFrame =
+    histogramOn(Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"),
+        col("l_extendedprice").as("x")), width)
+
+  /** [[histogram]] over an arbitrary (grp, x) frame. */
+  def histogramOn(df: DataFrame, width: Int): DataFrame = {
+    require(width > 0, s"bucket width must be positive; got $width")
+    df
+      .select(col("grp"), floor(col("x") / width).cast("int").as("bucket"))
+      .groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share", Norm.r4(col("cnt") /
+        sum(col("cnt")).over(Window.partitionBy("grp"))))
+      .orderBy("grp", "bucket")
+  }
 
   /** Grouped second-moment statistics: Pearson correlation, sample
     * stddev/variance, and mean per return flag — the co-movement profile

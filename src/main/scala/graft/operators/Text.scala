@@ -200,6 +200,42 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Per-document token-distribution Shannon entropy — the
+    * lexical-diversity quality signal (low entropy = boilerplate,
+    * keyword stuffing, generation loops; the distribution-level
+    * complement of [[qualityRepetition]]'s n-gram signals). Uses the
+    * algebraic form H = ln(n) − Σ c·ln(c) / n over the per-doc token
+    * counters, so the whole query is ONE (doc_id, token) counting
+    * aggregate (map-side partials; the shuffle carries each doc's
+    * VOCABULARY) + one doc rollup — no per-token probability
+    * materialization. `entropy_ratio` = H / ln(distinct) ∈ [0,1]
+    * (null for single-token-type docs — ln(1) = 0 and ANSI x/0 throws).
+    * Cross-engine determinism: the libm `ln` and the float counter sums
+    * ride the repo's [[Norm.r4]] rounding convention, the same contract
+    * [[unigramLm]] hash-passes with at three scale factors.
+    */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    tokenEntropyOn(Tables.documents(s, dir))
+
+  /** [[tokenEntropy]] over an arbitrary (doc_id, text) frame. */
+  def tokenEntropyOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).cast("int").as("distinct_tokens"),
+        sum(col("c") * log(col("c"))).as("clc"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        Norm.r4(log(col("n_tokens")) - col("clc") / col("n_tokens"))
+          .as("entropy"),
+        Norm.r4(when(col("distinct_tokens") > 1,
+          (log(col("n_tokens")) - col("clc") / col("n_tokens")) /
+            log(col("distinct_tokens").cast("double"))))
+          .as("entropy_ratio"))
+      .orderBy("doc_id")
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (runs of ≤4 letters approximate subword pieces) + chars-per-token.
     */

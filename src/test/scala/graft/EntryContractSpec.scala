@@ -27,8 +27,8 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 92)
-    assert(SparkEntry.oracleSql.size === 84)
+    assert(SparkEntry.queries.size === 94)
+    assert(SparkEntry.oracleSql.size === 86)
   }
 
   test("bench re-sampling policy: healthy host-side outliers only, bounded") {

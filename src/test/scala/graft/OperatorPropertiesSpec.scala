@@ -450,6 +450,37 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(str.nonEmpty && str === typed)
   }
 
+  test("tokenEntropyOn: hand-computed values on a synthetic corpus") {
+    import spark.implicits._
+    import graft.operators.Text
+    // d1 uniform over 4 distinct tokens: H = ln(4), ratio = 1
+    // d2 all-same: H = 0, ratio null (single token type)
+    // d3 "a a b": H = ln(3) - (2 ln 2)/3
+    val docs = Seq((1L, "w x y z"), (2L, "q q q"), (3L, "a a b"))
+      .toDF("doc_id", "text")
+    val out = Text.tokenEntropyOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val r4 = (x: Double) => math.round(x * 10000).toDouble / 10000
+    assert(out(1L) === ((4L, 4, r4(math.log(4)), Some(1.0))))
+    assert(out(2L) === ((3L, 1, 0.0, None)))
+    val h3 = math.log(3) - 2 * math.log(2) / 3
+    assert(out(3L) === ((3L, 2, r4(h3), Some(r4(h3 / math.log(2))))))
+  }
+
+  test("histogramOn: hand-computed buckets and shares") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val df = Seq(("a", 5.0), ("a", 15.0), ("a", 17.0), ("a", 25.0),
+        ("b", 10.0))
+      .toDF("grp", "x")
+    val out = Relational.histogramOn(df, width = 10).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("a", 0, 1L, 0.25), ("a", 1, 2L, 0.5), ("a", 2, 1L, 0.25),
+      ("b", 1, 1L, 1.0)))
+  }
+
   test("vocabTopKOn / tfidfTopTermsOn: hand-computed values on a synthetic corpus") {
     import spark.implicits._
     import graft.operators.Text

@@ -310,6 +310,24 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q_agg_hist / q_text_entropy shuffle counter rows only (3 exchanges each)") {
+    // both are two-level aggregates whose data-sized stage is the scan +
+    // map-side partial; everything after moves (group, bucket) / (doc,
+    // vocab) counter rows. 3 exchanges = level-1 agg + level-2 rollup (or
+    // share window) + the contract sort; a 4th would mean a data re-shuffle
+    for (q <- Seq("q_agg_hist", "q_text_entropy")) {
+      val plan = formatted(q)
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllMatchIn(plan).size
+      assert(exchanges == 3, s"$q: expected 3 exchanges, got $exchanges:\n$plan")
+    }
+    // the histogram scan must prune lineitem to its 2 used columns
+    val read = formatted("q_agg_hist").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse(fail("no ReadSchema"))
+    assert(read.contains("l_returnflag") && read.contains("l_extendedprice")
+      && !read.contains("l_quantity"),
+      s"histogram scan must read exactly its 2 columns: $read")
+  }
+
   test("ivf assigns map-side: no ×codebook corpus expansion through an aggregate") {
     // the r16 shape crossJoined every corpus vector with the broadcast
     // codebook and collapsed the ×k expansion through a max_by(struct(

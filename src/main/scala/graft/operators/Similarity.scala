@@ -597,11 +597,22 @@ object Similarity {
     // for assignment and allocates no per-row structs. array_position
     // takes the FIRST max, and the sims array is ordered by c_idx, so the
     // tiebreak (highest csim, ties → lowest c_idx) is unchanged.
+    // bounded collect: a coarse codebook is ≤ a few thousand cells BY
+    // CONSTRUCTION (trainKMeans k, or a label domain); a high-cardinality
+    // label column is not a quantizer, and silently collecting it would
+    // trade the old shape's slow crossJoin for a driver OOM — fail loudly
+    // with the actionable fix instead. take(cap+1) bounds the fetch itself.
+    val MaxCodebookCells = 65536
     val cb: Array[(Any, Seq[Double], Double)] = centsUsable
       .orderBy(col("c_idx"))
       .select(col("c_id"), col("cv"), col("c_nrm"))
-      .collect()
+      .take(MaxCodebookCells + 1)
       .map(r => (r.get(0), r.getSeq[Double](1), r.getDouble(2)))
+    require(cb.length <= MaxCodebookCells,
+      s"ivf: coarse codebook exceeds $MaxCodebookCells cells — a " +
+        "label-derived quantizer this wide is not an IVF codebook; train " +
+        "a bounded one with trainKMeans/trainKMeansLocal and pass it to " +
+        "the codebook overload")
     require(cb.nonEmpty,
       "ivf: no usable (non-zero-norm) centroid — nothing to assign against")
     val csims = cb.map { case (_, cv, cn) =>

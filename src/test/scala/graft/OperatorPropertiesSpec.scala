@@ -425,6 +425,21 @@ class OperatorPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivf refuses a codebook wider than the driver-metadata bound") {
+    import org.apache.spark.sql.functions._
+    // 70k distinct labels = 70k label-mean "centroids": not a quantizer,
+    // and collecting it would be the driver-OOM shape the bound exists for
+    val vecs = spark.range(70000).select(col("id").as("vec_id"),
+      col("id").cast("string").as("label"),
+      array(lit(1.0f), (col("id") % 7 + 1).cast("float")).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfOn(vecs, 3, 1, Seq(1.0, 2.0))
+    }
+    assert(e.getMessage.contains("train a bounded one") ||
+      e.getMessage.contains("trainKMeans"),
+      s"over-wide codebook must fail with the actionable fix: ${e.getMessage}")
+  }
+
   test("ivf fails loudly on a degenerate (all-zero-norm) codebook") {
     import spark.implicits._
     val vecs = (0 until 8).map(i =>

@@ -203,7 +203,7 @@ object Text {
   /** Per-document token-distribution Shannon entropy — the
     * lexical-diversity quality signal (low entropy = boilerplate,
     * keyword stuffing, generation loops; the distribution-level
-    * complement of [[qualityRepetition]]'s n-gram signals). Uses the
+    * complement of [[repetition]]'s n-gram signals). Uses the
     * algebraic form H = ln(n) − Σ c·ln(c) / n over the per-doc token
     * counters, so the whole query is ONE (doc_id, token) counting
     * aggregate (map-side partials; the shuffle carries each doc's

@@ -516,8 +516,14 @@ object Bench {
       val p = java.nio.file.Paths.get(s"$baseDir/BASELINE_duckdb_$sf.json")
       if (java.nio.file.Files.exists(p)) {
         val txt = java.nio.file.Files.readString(p)
+        // baseline entries must be strictly positive: a 0 (or malformed
+        // pinned file) would put Infinity/NaN into the %.2f ratio fields,
+        // which Java renders as literal 'Infinity' and corrupts the JSON
+        // line (r17 advice) — so the guard is on EVERY ratio consumer,
+        // not just the s2 > 0 total.
         val baseQ = "\"(q_\\w+)\":\\s*([0-9.]+)".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0).toMap
         val mine = scored.collect { case (k, v, _, _, _, _, _) if baseQ.contains(k) => k -> v }.toMap
         val (s1, s2) = (mine.values.sum, mine.keys.map(baseQ).sum)
         // r16 verdict #5: the artifact self-identifies each intersection
@@ -531,11 +537,25 @@ object Bench {
         // END of the line, inside the driver's preserved tail.
         val ratios = mine.toSeq.sortBy(_._1).map { case (k, v) =>
           f""""$k":${v / baseQ(k)}%.2f""" }.mkString("{", ",", "}")
+        // r17 verdict #3: each weak line carries its own floor identity —
+        // {ratio, wall, jobs, floor_identity = jobs × floor_sec} — so the
+        // driver artifact alone can distinguish scheduling-bound lines
+        // (wall ≲ floor_identity: the cost is N driver-scheduled jobs at
+        // the measured per-job floor, which amortizes at real data sizes)
+        // from plan-bound ones, without consulting any local artifact.
+        val jobsMed = scored.map { case (k, _, _, _, ts, _, _) =>
+          val v = ts.map(_.jobs).sorted
+          k -> (if (v.isEmpty) 0L else v(v.size / 2))
+        }.toMap
         val weak = mine.toSeq
           .filter { case (k, v) =>
             v >= 1.0 && baseQ(k) >= 0.2 && v / baseQ(k) > 2.0 }
           .sortBy { case (k, v) => -(v / baseQ(k)) }
-          .map { case (k, v) => f""""$k":${v / baseQ(k)}%.2f""" }
+          .map { case (k, v) =>
+            val j = jobsMed.getOrElse(k, 0L)
+            f""""$k":{"ratio":${v / baseQ(k)}%.2f,"wall":$v%.2f,""" +
+              f""""jobs":$j,"floor_identity":${j * floorSec}%.2f}"""
+          }
           .mkString("{", ",", "}")
         if (s2 > 0) s""","baseline_total":$s2,"baseline_queries":${mine.size},"per_query_ratio":$ratios,"weak_lines":$weak,"vs_baseline":${s1 / s2}"""
         else ""

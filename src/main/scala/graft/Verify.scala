@@ -34,14 +34,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // optional comma-separated filter for focused local iteration (same
-    // contract as Bench's SPARK_GRAFT_ONLY; the driver leaves it unset)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // optional comma-separated filter for focused local iteration. The
+    // env var is VERIFY-specific (r17 advice): sharing Bench's
+    // SPARK_GRAFT_ONLY meant a leftover var from a bench shell could
+    // silently narrow the round-close correctness gate while gate3sf.sh
+    // still printed a pass. The summary line below makes any narrowing
+    // visible either way.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None => SparkEntry.queries
     }
+    var dumped = 0
     selected.foreach { case (name, fn) =>
       // coalesce(1), not repartition(1): the driver compares rows in FILE
       // ORDER against the oracle's ORDER BY, and repartition is a
@@ -64,14 +69,22 @@ object Verify {
             case f if !Verify.comparatorSafe(f.dataType) =>
               s"${f.name}: ${f.dataType.simpleString}"
           }
-          require(complex.isEmpty, s"oracled query $name emits non-scalar " +
-            s"column(s) the driver comparator cannot sort/hash: " +
-            complex.mkString(", "))
+          if (complex.nonEmpty)
+            throw new ComparatorViolation(s"oracled query $name emits " +
+              s"non-scalar column(s) the driver comparator cannot " +
+              s"sort/hash: " + complex.mkString(", "))
         }
         df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name.parquet")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        dumped += 1
+      } catch {
+        // a comparator-unsafe oracled column is a shipped builder bug, not
+        // a data condition — fail the whole dump loudly (r17 advice: the
+        // catch-all below would otherwise soften it to a dropped query
+        // that compare.py then counts as '0 bad' over a shrunken set)
+        case e: ComparatorViolation => throw e
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop any intermediates a query persisted before running the next
       spark.catalog.clearCache()
@@ -95,6 +108,20 @@ object Verify {
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-reporting summary (r17 advice): gate3sf.sh asserts this line's
+    // counts so a narrowed or partially-failed dump can never read as a
+    // clean gate. Printed to stdout ON PURPOSE — it is part of the
+    // verification record, not a diagnostic.
+    println(s"[verify] dumped $dumped/${selected.size} query results " +
+      s"(registry ${SparkEntry.queries.size}, " +
+      s"${SparkEntry.oracleSql.size} oracle entries)")
     spark.stop()
+    if (dumped != selected.size) sys.exit(2)
   }
 }
+
+/** A shipped comparator-contract bug (oracled query with a complex-typed
+  * output column) — distinct from runtime Throwables so [[Verify]]'s
+  * per-query catch-all can rethrow it and fail the dump loudly. */
+private[graft] final class ComparatorViolation(msg: String)
+  extends RuntimeException(msg)

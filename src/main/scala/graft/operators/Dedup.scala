@@ -594,18 +594,26 @@ object Dedup extends org.apache.spark.internal.Logging {
     // bench gate's single largest variance source two rounds running
     // (driver q_dedup_semantic 21.3 s vs local 8.6 s, spread 10×; each
     // round is a fixed-cost scheduled job on a tiny label set). When the
-    // edge list fits under `localEdgeCap` (16 bytes/edge of data; 1 M
-    // edges ≈ tens of MiB of transient driver rows — the same residence
-    // class as trainKMeansLocal's sample), collect it in ONE job and run
-    // union-find in memory: identical declared semantics (component-min
-    // rep, is_rep, cluster_size), property-tested against the distributed
-    // loop on the same graphs. take() scans incrementally and stops at
-    // cap+1, so an over-cap graph pays one bounded probe (whose computed
-    // partitions land in the pairs cache, not wasted) and falls back to
-    // the distributed loop below — the 100 TB path is unchanged.
+    // edge list fits under `localEdgeCap` (16 bytes/edge of payload, but
+    // take() lands boxed Rows at ~80-100 bytes each, so the 1 M default
+    // is ~100 MiB of TRANSIENT driver allocation — released when
+    // localComponents interns into primitive arrays; acceptable against
+    // the 100+ GiB driver heap this targets, and the cap exists precisely
+    // so a caller on a smaller driver can lower it), collect it in ONE
+    // job and run union-find in memory: identical declared semantics
+    // (component-min rep, is_rep, cluster_size), property-tested against
+    // the distributed loop on the same graphs. take() scans incrementally
+    // and stops at cap+1, so an over-cap graph pays one bounded probe
+    // (whose computed partitions land in the pairs cache, not wasted) and
+    // falls back to the distributed loop below — the 100 TB path is
+    // unchanged. Null ids are dropped HERE, matching the distributed
+    // path's effective semantics (its propagate() inner-joins on id, so a
+    // null-id edge never propagates a label) — without the filter the
+    // fast path NPE'd in getLong where the loop silently tolerated nulls.
     if (localEdgeCap > 0) {
       val sample = pairs
         .select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .filter(col("a_id").isNotNull && col("b_id").isNotNull)
         .take(localEdgeCap + 1)
       if (sample.length <= localEdgeCap) {
         afterFirstJob()

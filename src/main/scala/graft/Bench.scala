@@ -504,6 +504,27 @@ object Bench {
       }.sorted.apply(1)
       f""","ivf_split":{"train_sec":$trainSec%.3f,"probe_sec":${math.max(0.0, med - trainSec)}%.3f}"""
     }.getOrElse("")
+    // IVF-PQ evidence split (r17 verdict #1): a PQ query's timed line
+    // bundles train(coarse)+train(pq)+encode+search; report the
+    // train+encode share so the artifact shows the search stage itself —
+    // the only per-probe cost once codes are STORED — and the encoded
+    // row count (every encode output row carries m codes + a norm, never
+    // vector bytes, so `search_sec` is the scan-reads-codes number).
+    val pqSplit = scored.find(_._1 == "q_sim_ivf_pq").map { case (_, med, _, _, _, _, _) =>
+      val prepSec = (1 to 3).map { _ =>
+        reclaim()
+        val t0 = System.nanoTime()
+        val vecs = Tables.embeddings(spark, sfDir)
+        val coarse = graft.operators.Similarity.trainKMeansLocal(vecs,
+          k = graft.operators.Similarity.IvfTrainedCells,
+          iters = graft.operators.Similarity.IvfTrainedIters,
+          sampleCap = graft.operators.Similarity.IvfTrainedSampleCap)
+        val pq = graft.operators.Similarity.trainPqLocal(vecs)
+        graft.operators.Similarity.pqEncodeOn(vecs, coarse, pq).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+      f""","pq_split":{"train_encode_sec":$prepSec%.3f,"search_sec":${math.max(0.0, med - prepSec)}%.3f}"""
+    }.getOrElse("")
     // self-report the declared-baseline ratio (BASELINE.md convention: sum
     // over the intersection of query names vs the pinned DuckDB totals)
     // whenever the pinned baseline for this scale factor is present
@@ -561,7 +582,7 @@ object Bench {
         else ""
       } else ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"stages_jobs":$stageJson,"slow_samples":$slowSamples,"slow_telemetry":$slowTele,"spread_violations":$spreadViolations,"resampled":$resampledJson,"cold_first":$coldFirstJson,"heavy_stats":$heavyStats,"failed":$failed,"codegen_fallbacks":${codegenFailures.count.get},"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$ivfSplit$vsBaseline}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"stages_jobs":$stageJson,"slow_samples":$slowSamples,"slow_telemetry":$slowTele,"spread_violations":$spreadViolations,"resampled":$resampledJson,"cold_first":$coldFirstJson,"heavy_stats":$heavyStats,"failed":$failed,"codegen_fallbacks":${codegenFailures.count.get},"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$ivfSplit$pqSplit$vsBaseline}""")
     spark.stop()
   }
 }

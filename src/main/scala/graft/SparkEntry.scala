@@ -90,6 +90,7 @@ object SparkEntry {
     "q_sim_ann"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_sim_ivf"        -> ((s: SparkSession, d: String) => Similarity.ivf(s, d)),
     "q_sim_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.ivfTrained(s, d)),
+    "q_sim_ivf_pq"     -> ((s: SparkSession, d: String) => Similarity.ivfPq(s, d)),
     "q_sim_knn_join"   -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "q_sim_centroids"  -> (Similarity.centroids _),
     "q_embed_quantize" -> (Similarity.quantizeInt8 _),

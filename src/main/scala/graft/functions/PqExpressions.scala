@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** `pq_encode(v)` — product-quantization encoder: split an `array<double>`
+  * vector into `m` contiguous subvectors of `dsub` dims each and emit, per
+  * subvector, the index of its nearest (squared-L2) centroid in that
+  * subspace's `ksub`-entry codebook. One codegen loop per row; the flat
+  * `m × ksub × dsub` codebook rides along as a referenced plan object
+  * (driver-resident metadata, the same residence class as the IVF coarse
+  * codebook literals in [[graft.operators.Similarity]]).
+  *
+  * This is the storage-side half of IVF-PQ (Jégou, Douze, Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+  * faiss `IVFPQ` recipe with `by_residual=false`): at 100 TB the corpus is
+  * stored as `m` small codes + one norm per vector instead of `dim`
+  * floats — a 100 TB float corpus becomes ~3 TB of codes (m=8, dim=64) —
+  * and probes score codes through a lookup table without touching the
+  * vectors (see `Similarity.ivfPqSearch`).
+  *
+  * Subquantizer assignment is squared-L2 (NOT the cosine the coarse
+  * quantizer uses): PQ minimizes RECONSTRUCTION error of the subvector,
+  * for which L2 is the right objective — a zero subvector is routine and
+  * has no cosine direction, but it L2-assigns cleanly to the nearest
+  * centroid. Ties break toward the lower code (strict `<`), matching the
+  * family's deterministic-tiebreak convention.
+  *
+  * Null semantics (family convention, same as [[VecInt8Codes]]): input
+  * must be `containsNull=false` (wrap in `vec_clean` first — the type
+  * check enforces it); a vector whose length is not `m × dsub` (ragged)
+  * yields NULL rather than a silently misaligned encoding.
+  */
+case class PqEncode(child: Expression, m: Int, ksub: Int,
+    codebook: Seq[Double]) extends UnaryExpression {
+
+  require(m > 0 && ksub > 0, s"pq_encode needs m > 0, ksub > 0; got m=$m ksub=$ksub")
+  require(codebook.nonEmpty && codebook.length % (m * ksub) == 0,
+    s"pq_encode codebook length ${codebook.length} is not a multiple of " +
+      s"m*ksub = ${m * ksub} — expected a flat m × ksub × dsub array")
+
+  /** Subvector width implied by the codebook. */
+  val dsub: Int = codebook.length / (m * ksub)
+
+  @transient private lazy val cb: Array[Double] = codebook.toArray
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(DoubleType, true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "pq_encode requires containsNull=false input — wrap the column " +
+            "in vec_clean(...) first")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires array<double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    if (xs.numElements() != m * dsub) return null
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0
+        val base = (j * ksub + c) * dsub
+        var i = 0
+        while (i < dsub) {
+          val diff = xs.getDouble(j * dsub + i) - cb(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[]")
+      val codes = ctx.freshName("codes")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val base = ctx.freshName("base")
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      s"""
+         |if ($a.numElements() != ${m * dsub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $codes = new int[$m];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    int $best = 0;
+         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $c = 0; $c < $ksub; $c++) {
+         |      double $d = 0.0;
+         |      int $base = ($j * $ksub + $c) * $dsub;
+         |      for (int $i = 0; $i < $dsub; $i++) {
+         |        double $diff = $a.getDouble($j * $dsub + $i) - $cbRef[$base + $i];
+         |        $d += $diff * $diff;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |    }
+         |    $codes[$j] = $best;
+         |  }
+         |  ${ev.value} = new $gad($codes);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncode {
+  def info: ExpressionInfo =
+    new ExpressionInfo(classOf[PqEncode].getName, "pq_encode")
+}

@@ -751,4 +751,307 @@ object Similarity {
         col("q.codes").as("codes"))
       .orderBy("vec_id")
   }
+
+  // ----------------------------------------------------------------------
+  // IVF-PQ: product-quantized ADC search (Jégou et al., TPAMI 2011; the
+  // faiss IVFPQ recipe with by_residual=false). The 100 TB shape:
+  //   TRAIN  (once, bounded sample, driver-side — the faiss recipe)
+  //     coarse codebook: trainKMeansLocal          → `cells` centroids
+  //     product quantizer: [[trainPqLocal]]        → m × ksub sub-centroids
+  //   STORE  ([[pqEncodeOn]] — the corpus the probe actually scans)
+  //     (vec_id, label, list_id, nrm, codes: array<int> of m)
+  //     — m codes + one norm per vector instead of `dim` floats: the scan
+  //       bytes per vector drop ~16× at m=8/dim=64, which is the whole
+  //       point at 100 TB (the r17 verdict's "one real ANN gap": IVF
+  //       reranked with full float vectors, so candidate scans paid full
+  //       vector bytes)
+  //   SEARCH ([[ivfPqSearch]])
+  //     probe → nprobe nearest coarse cells (driver arithmetic over the
+  //       collected codebook — bounded metadata, same residence as the
+  //       literal-argmax assignment);
+  //     ADC: per-subspace lookup tables lut[j][c] = <probe_j, cent_{j,c}>
+  //       built ONCE from the probe (m × ksub doubles), embedded as plan
+  //       literals; each candidate row costs m element_at's on literal
+  //       arrays — pure map-side codegen, no shuffle, no vector bytes;
+  //     exact rerank of ONLY the top `rerank` ADC candidates against the
+  //       float vectors (a broadcast point-fetch of ≤ rerank ids — at
+  //       100 TB this is the only stage that touches vector bytes).
+  // ----------------------------------------------------------------------
+
+  /** Train a product quantizer on a bounded deterministic sample: per
+    * subspace `j` of width `dim/m`, plain squared-L2 Lloyd's over the
+    * sample's subvectors (ksub seeds = first ksub sampled subvectors,
+    * ties toward the lower code, empty cells retain their centroid —
+    * the family's determinism conventions). L2, not cosine: PQ minimizes
+    * subvector RECONSTRUCTION error, and zero subvectors (routine —
+    * sparse dims) have no cosine direction but L2-assign cleanly.
+    *
+    * Driver-side on a `sampleCap` sample for the same reason as
+    * [[trainKMeansLocal]]: a quantizer needs k × a-few-hundred vectors to
+    * place centroids stably, never the corpus — `sampleCap × dim` doubles
+    * of driver metadata, then the corpus is encoded ONCE map-side.
+    */
+  def trainPqLocal(vecs: DataFrame, m: Int = 8, ksub: Int = 32,
+      iters: Int = 8, seed: Long = 42L, sampleCap: Int = 4096): PqModel = {
+    require(m > 0 && ksub > 0 && iters >= 0,
+      s"need m > 0, ksub > 0, iters >= 0; got m=$m ksub=$ksub iters=$iters")
+    val sample: Array[Array[Double]] = nonZero(vecs
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", dot(col("v"), col("v"))))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
+      .limit(sampleCap)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      "trainPqLocal: no trainable vectors (corpus empty or all " +
+        "zero/null-norm) — nothing to train a quantizer from")
+    require(sample.length >= ksub,
+      s"trainPqLocal: ${sample.length} sampled vector(s) cannot seed " +
+        s"ksub=$ksub sub-centroids — lower ksub or grow the corpus/sample")
+    val dim = sample.head.length
+    sample.find(_.length != dim).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"trainPqLocal: ragged embeddings (size ${bad.length} vs $dim) — " +
+          "clean or filter the corpus first")
+    }
+    require(dim % m == 0,
+      s"trainPqLocal: dim=$dim is not divisible by m=$m subspaces — " +
+        "pick m dividing the embedding width")
+    val dsub = dim / m
+    val cb = new Array[Double](m * ksub * dsub)
+    val n = sample.length
+    var j = 0
+    while (j < m) {
+      val off = j * dsub
+      // seeds: the first ksub sampled subvectors (deterministic — the
+      // sample order is the xxhash64 order)
+      val cents = Array.tabulate(ksub)(c =>
+        java.util.Arrays.copyOfRange(sample(c), off, off + dsub))
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub, dsub)(0.0)
+        val counts = new Array[Long](ksub)
+        var vi = 0
+        while (vi < n) {
+          val v = sample(vi)
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0
+            var i = 0
+            while (i < dsub) {
+              val diff = v(off + i) - cents(c)(i)
+              d += diff * diff
+              i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(off + i); i += 1 }
+          vi += 1
+        }
+        var c = 0
+        while (c < ksub) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < dsub) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+          } // empty cell: previous centroid retained
+          c += 1
+        }
+      }
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(cents(c), 0, cb, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    PqModel(m, ksub, cb)
+  }
+
+  /** Shared (vec_id, label, v, nrm) projection: cleaned vectors with the
+    * zero-norm exclusion, label passthrough (null if the frame has none).
+    */
+  private def cleanedWithNrm(vecs: DataFrame): DataFrame = {
+    val labelCol =
+      if (vecs.columns.contains("label")) col("label")
+      else lit(null).cast("string").as("label")
+    nonZero(vecs
+      .select(col("vec_id"), labelCol, asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v"))))
+  }
+
+  /** Collect a (c_id, cv) codebook frame as driver metadata — ordered by
+    * c_id (the deterministic tiebreak index), zero-norm cells dropped,
+    * bounded by the same cap and loud failure as the IVF literal-argmax
+    * assignment.
+    */
+  private def collectCoarse(cb: DataFrame): Array[(Any, Array[Double], Double)] = {
+    val MaxCodebookCells = 65536
+    val rows = cb
+      .select(col("c_id"), col("cv").cast("array<double>").as("cv"))
+      .orderBy(col("c_id"))
+      .take(MaxCodebookCells + 1)
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.get(0), v, v.map(x => x * x).sum)
+      }
+      .filter(_._3 > 0)
+    require(rows.length <= MaxCodebookCells,
+      s"ivf_pq: coarse codebook exceeds $MaxCodebookCells cells — train a " +
+        "bounded one with trainKMeans/trainKMeansLocal")
+    require(rows.nonEmpty,
+      "ivf_pq: no usable (non-zero-norm) coarse centroid — nothing to " +
+        "assign against")
+    rows
+  }
+
+  /** The STORED IVF-PQ corpus: coarse cell (literal-argmax cosine
+    * assignment — the r17 no-expansion shape), exact norm, and the m
+    * PQ codes per vector ([[graft.functions.PqEncode]], one codegen pass).
+    * Zero-norm and ragged vectors are excluded (family convention). At
+    * 100 TB this frame is what lands in the bucketed table (partitioned
+    * by `list_id`); the float vectors are kept in a separate point-fetch
+    * table that only the rerank stage reads.
+    */
+  def pqEncodeOn(vecs: DataFrame, coarseCb: DataFrame, pq: PqModel): DataFrame = {
+    val coarse = collectCoarse(coarseCb)
+    val csims = coarse.map { case (_, cv, cn) =>
+      dot(col("v"), litVec(cv.toSeq)) /
+        (sqrt(col("nrm")) * lit(math.sqrt(cn)))
+    }
+    val listIds = array(coarse.map(c => lit(c._1)).toIndexedSeq: _*)
+    val sims = array(csims.toIndexedSeq: _*)
+    val enc = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+        pq.m, pq.ksub, pq.codebook.toSeq))
+    cleanedWithNrm(vecs)
+      .withColumn("list_id",
+        element_at(listIds,
+          array_position(sims, array_max(sims)).cast("int")))
+      .select(col("vec_id"), col("label"), col("list_id"), col("nrm"),
+        enc.as("codes"))
+      .filter(col("codes").isNotNull)
+  }
+
+  /** ADC search over a [[pqEncodeOn]]-shaped frame: the probe's `nprobe`
+    * coarse lists are chosen by driver arithmetic over the collected
+    * codebook, candidates in those lists are scored map-side through the
+    * probe's literal lookup tables (m element_at's per row — no vector
+    * bytes, no shuffle), and only the top `rerank` candidates are
+    * exact-reranked against `rerankVecs` via a broadcast point-fetch.
+    *
+    * `adc_cosine` uses the STORED exact norm (`lut-dot / (‖v‖·‖p‖)`) —
+    * the standard IP-metric IVFPQ posture of carrying one norm per vector
+    * alongside the codes; `cosine` is the exact rerank score the top-k is
+    * ordered by.
+    */
+  def ivfPqSearch(encoded: DataFrame, rerankVecs: DataFrame,
+      probeVec: Seq[Double], coarseCb: DataFrame, pq: PqModel,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k,
+      s"rerank window must cover k (got rerank=$rerank, k=$k)")
+    val p = probeVec.toArray
+    require(p.exists(_ != 0.0),
+      "zero probe vector has no direction — cosine scoring is undefined")
+    require(p.length == pq.m * pq.dsub,
+      s"probe dim ${p.length} does not match the quantizer's " +
+        s"${pq.m} × ${pq.dsub}")
+    val pn = math.sqrt(p.map(x => x * x).sum)
+    val coarse = collectCoarse(coarseCb)
+    // probe lists: driver arithmetic over collected metadata — ties break
+    // toward the lower c_id (the collect order), as everywhere in the family
+    val probeListIds: Seq[Any] = coarse.zipWithIndex
+      .map { case ((id, cv, cn), idx) =>
+        var dp = 0.0
+        var i = 0
+        while (i < math.min(cv.length, p.length)) { dp += cv(i) * p(i); i += 1 }
+        (id, idx, dp / (pn * math.sqrt(cn)))
+      }
+      .sortBy { case (_, idx, sim) => (-sim, idx) }
+      .take(nprobe).map(_._1).toSeq
+    // ADC lookup tables from the probe: lut[j][c] = <probe_j, cent_{j,c}>
+    val lut: Array[Array[Double]] = Array.tabulate(pq.m) { j =>
+      Array.tabulate(pq.ksub) { c =>
+        var s = 0.0
+        val base = (j * pq.ksub + c) * pq.dsub
+        var i = 0
+        while (i < pq.dsub) { s += p(j * pq.dsub + i) * pq.codebook(base + i); i += 1 }
+        s
+      }
+    }
+    // m element_at's on literal ksub-arrays: codegen-friendly (the 64-term
+    // unroll that hurt vec_dot is not at play at m=8), zero vector bytes
+    val adcDot = (0 until pq.m).map { j =>
+      element_at(litVec(lut(j).toSeq), col("codes")(j) + lit(1))
+    }.reduce(_ + _)
+    val cand = encoded
+      .filter(col("list_id").isin(probeListIds: _*))
+      .withColumn("adc_cosine", adcDot / (sqrt(col("nrm")) * lit(pn)))
+      .orderBy(col("adc_cosine").desc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id").as("cand_id"), col("adc_cosine"))
+    // exact rerank: broadcast the ≤ rerank candidate ids and point-fetch
+    // their float vectors — the ONLY stage that reads vector bytes
+    cleanedWithNrm(rerankVecs)
+      .join(broadcast(cand), col("vec_id") === col("cand_id"))
+      .select(col("vec_id"), col("label"),
+        Norm.r4(col("adc_cosine")).as("adc_cosine"),
+        Norm.r4(dot(col("v"), litVec(probeVec)) /
+          (sqrt(col("nrm")) * lit(pn))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Train-encode-search IVF-PQ over an arbitrary (vec_id[, label],
+    * embedding) frame — the one-call form; at scale you train once, store
+    * [[pqEncodeOn]]'s output bucketed by `list_id`, and serve probes with
+    * [[ivfPqSearch]].
+    */
+  def ivfPqOn(vecs: DataFrame, k: Int, nprobe: Int, probeVec: Seq[Double],
+      cells: Int = IvfTrainedCells, m: Int = 8, ksub: Int = 32,
+      rerank: Int = 64): DataFrame = {
+    val coarse = trainKMeansLocal(vecs, k = cells, iters = IvfTrainedIters,
+      sampleCap = IvfTrainedSampleCap)
+    val pq = trainPqLocal(vecs, m, ksub)
+    ivfPqSearch(pqEncodeOn(vecs, coarse, pq), vecs, probeVec, coarse, pq,
+      k, nprobe, rerank)
+  }
+
+  /** The end-to-end IVF-PQ fixture (registry `q_sim_ivf_pq`): same probe
+    * contract as [[ivf]]/[[ivfTrained]] (probe = vec 0, excluded), scored
+    * through trained coarse + product quantizers with ADC and exact
+    * rerank. Rows-only in the driver gate (k-means assignment and ADC
+    * compare FP distances — not oracle-stable across engines, the same
+    * declared reason as `q_sim_ivf`); the artifact carries its own recall
+    * evidence (`in_exact_topk`), and the ScalaTest suite asserts the
+    * recall floor against brute force plus determinism.
+    */
+  def ivfPq(s: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding"))).head.getSeq[Double](0).toSeq
+    withExactTopkFlag(s, dir, k,
+      ivfPqOn(vecs.filter(col("vec_id") =!= 0), k, nprobe, probe))
+  }
+}
+
+/** Driver-resident product-quantizer model — `m` subspaces × `ksub`
+  * sub-centroids of `dsub` dims each, flat row-major
+  * `[(j·ksub + c)·dsub + i]`. Plan metadata, the same residence class as
+  * the IVF coarse codebook (m·ksub·dsub doubles — 16 KiB at the 8×32×8
+  * default over 64-dim embeddings; production deployments typically use
+  * ksub=256, still metadata-sized).
+  */
+case class PqModel(m: Int, ksub: Int, codebook: Array[Double]) {
+  require(m > 0 && ksub > 0 && codebook.nonEmpty &&
+    codebook.length % (m * ksub) == 0,
+    s"PqModel: codebook length ${codebook.length} must be a positive " +
+      s"multiple of m*ksub = ${m * ksub}")
+  /** Subvector width implied by the codebook. */
+  def dsub: Int = codebook.length / (m * ksub)
 }

@@ -1218,6 +1218,131 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"ragged guard must fire: ${ex.getMessage}")
   }
 
+  test("pq_encode: codegen/interpreted bit-identity, nearest-subcentroid " +
+      "semantics, ragged null") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // m=2 subspaces, ksub=3 centroids, dsub=2: codebook laid out flat
+    // [(j*ksub + c)*dsub + i]
+    val cb = Seq(
+      0.0, 0.0,   1.0, 0.0,   0.0, 1.0, // subspace 0
+      5.0, 5.0,   -1.0, -1.0, 2.0, 2.0) // subspace 1
+    val expr0 = graft.functions.PqEncode(
+      BoundReference(0, ArrayType(DoubleType, containsNull = false),
+        nullable = true), 2, 3, cb)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr0))
+    def codesOf(v: Array[Double]): Seq[Int] = {
+      val gen = proj(InternalRow(new GenericArrayData(v))).getArray(0)
+      val genCodes = (0 until gen.numElements()).map(gen.getInt)
+      // interpreted eval must agree bit-for-bit with the generated code
+      val interp = expr0.eval(InternalRow(new GenericArrayData(v)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      assert((0 until interp.numElements()).map(interp.getInt) === genCodes,
+        "interpreted and generated encodings must be identical")
+      genCodes
+    }
+    // subvector (0.9, 0.1) is nearest (1,0) → code 1; (2.1, 1.9) → (2,2) = 2
+    assert(codesOf(Array(0.9, 0.1, 2.1, 1.9)) === Seq(1, 2))
+    // exact centroid hits
+    assert(codesOf(Array(0.0, 1.0, 5.0, 5.0)) === Seq(2, 0))
+    // tie between (0,0) and (1,0) at (0.5, 0): strict < keeps the LOWER code
+    assert(codesOf(Array(0.5, 0.0, -1.0, -1.0)) === Seq(0, 1))
+    // ragged (length != m*dsub) → null, both paths
+    val ragged = InternalRow(new GenericArrayData(Array(1.0, 2.0, 3.0)))
+    assert(proj(ragged).isNullAt(0), "generated: ragged must yield null")
+    assert(expr0.eval(ragged) === null, "interpreted: ragged must yield null")
+    // malformed model is a loud constructor error
+    intercept[IllegalArgumentException] {
+      graft.functions.PqEncode(expr0.child, 2, 3, Seq(1.0, 2.0)) }
+    intercept[IllegalArgumentException] {
+      graft.operators.PqModel(2, 3, Array(1.0)) }
+  }
+
+  test("IVF-PQ: recall floor vs brute force, determinism, probe excluded, " +
+      "search reads codes not vectors") {
+    import graft.Tables
+    import org.apache.spark.sql.functions.col
+    val exact = Similarity.cosineTopK(spark, sf0001, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val fixture = Similarity.ivfPq(spark, sf0001, k = 10, nprobe = 3)
+    val got = fixture.collect()
+    assert(got.length === 10)
+    assert(!got.map(_.getLong(0)).contains(0L),
+      "the probe vector itself must be excluded")
+    // ADC + exact rerank must hold the family's recall floor (losses come
+    // only from coarse-list misses — the q_sim_ivf exposure — or a true
+    // neighbor ranked below the ADC rerank window; measured at the 8×32
+    // default the PQ path returns the trained-IVF answer verbatim)
+    val recall = (exact & got.map(_.getLong(0)).toSet).size
+    assert(recall >= 3, s"IVF-PQ recall too low: $recall/10")
+    // the artifact's own recall evidence column agrees
+    assert(got.count(_.getAs[Boolean]("in_exact_topk")) === recall)
+    // determinism: trainers are hash-ordered and ADC is map-side literal
+    // arithmetic — two runs produce identical rows
+    val again = Similarity.ivfPq(spark, sf0001, k = 10, nprobe = 3).collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq,
+      "IVF-PQ must be deterministic run-to-run")
+    // storage/search split: encode to parquet, search from the parquet —
+    // the search scan must read codes and never the embedding column
+    val vecs = Tables.embeddings(spark, sf0001).filter(col("vec_id") =!= 0)
+    val probe = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    val coarse = Similarity.trainKMeansLocal(vecs,
+      k = Similarity.IvfTrainedCells, iters = Similarity.IvfTrainedIters,
+      sampleCap = Similarity.IvfTrainedSampleCap)
+    val pq = Similarity.trainPqLocal(vecs)
+    val dir = java.nio.file.Files.createTempDirectory("pq_codes").toString
+    Similarity.pqEncodeOn(vecs, coarse, pq).write.mode("overwrite").parquet(dir)
+    val encoded = spark.read.parquet(dir)
+    val fromCodes = Similarity.ivfPqSearch(encoded, vecs, probe, coarse, pq,
+      k = 10, nprobe = 3, rerank = 64)
+    // plan evidence: the candidate side scans the codes table (no
+    // embedding column anywhere in its ReadSchema)
+    val plan = fromCodes.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val codesRead = plan.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(codesRead.exists(_.contains("codes")),
+      s"search must scan the stored codes:\n$plan")
+    assert(codesRead.count(_.contains("embedding")) <= 1,
+      s"only the rerank point-fetch may touch vector bytes:\n$plan")
+    // and the stored-table path answers identically to the inline path
+    val inline = Similarity.ivfPqOn(vecs, k = 10, nprobe = 3, probeVec = probe)
+    assert(fromCodes.collect().map(_.toString).toSeq ===
+      inline.collect().map(_.toString).toSeq,
+      "parquet-stored codes must answer identically to inline encoding")
+    // EXACTNESS identity: probing every list with a rerank window covering
+    // the corpus must reproduce brute-force top-k exactly — proves the
+    // ADC → rerank pipeline loses nothing beyond its declared windows
+    val full = Similarity.ivfPqOn(vecs, k = 10,
+        nprobe = Similarity.IvfTrainedCells, probeVec = probe, rerank = 500)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full === exact,
+      s"nprobe=all + rerank=corpus must equal brute force: $full vs $exact")
+    // window identity: at a corpus-covering rerank the PQ path answers
+    // exactly what trained IVF answers on the same codebook (the ADC
+    // order inside the window is irrelevant once the window covers it)
+    val coarseIvf = Similarity.ivfOn(vecs, k = 10, nprobe = 3,
+        probeVec = probe, codebook = coarse)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val widePq = Similarity.ivfPqSearch(encoded, vecs, probe, coarse, pq,
+        k = 10, nprobe = 3, rerank = 500)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(widePq === coarseIvf,
+      "a corpus-covering rerank window must reduce IVF-PQ to trained IVF")
+    // contract edges
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqSearch(encoded, vecs, probe, coarse, pq,
+        k = 10, nprobe = 3, rerank = 5) } // rerank < k
+    intercept[IllegalArgumentException] {
+      Similarity.trainPqLocal(vecs, m = 7) } // 64 % 7 != 0
+    spark.catalog.clearCache()
+  }
+
   test("k-means rejects ragged embeddings loudly (no silent centroid bias)") {
     // sum(v[i]) skips a short vector's null dims while count() still counts
     // the row — without the guard a ragged corpus silently skews the

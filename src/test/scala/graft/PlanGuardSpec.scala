@@ -345,6 +345,28 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("ivf_pq scores candidates map-side through literal lookup tables") {
+    // the IVF-PQ pins: coarse assignment stays literal-argmax (no
+    // ×codebook expansion), ADC is element_at lookups on plan-literal
+    // tables (never a per-row join against a codebook relation), and the
+    // exact rerank joins via BROADCAST of the ≤ rerank candidate ids —
+    // no shuffle anywhere on the corpus side
+    val plan = formatted("q_sim_ivf_pq")
+    assert(!plan.contains("max_by"),
+      "coarse assignment regressed to the ×codebook max_by expansion")
+    assert(plan.contains("array_position"),
+      "literal-argmax coarse assignment shape missing")
+    assert(plan.contains("element_at"),
+      "ADC literal-lookup-table scoring shape missing")
+    assert(plan.contains("pq_encode"),
+      "codegen pq_encode expression missing from the encode projection")
+    assert(!plan.contains("CartesianProduct"),
+      "IVF-PQ must never cartesian-join")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the exact rerank must broadcast the candidate ids")
+  }
+
   test("no oracled query emits a comparator-unsafe (array/map/struct) column") {
     // the driver's correctness comparator sorts + hashes SCALAR cells only:
     // an array<int> output column crashed its pandas sort_values in r16

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_dedup_ngram"    -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_dedup_embed"    -> ((s: SparkSession, d: String) => Dedup.embedCosine(s, d)),
     "q_dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
+    "q_span_scrub"     -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
     "q_dedup_cluster"  -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     "q_dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticClusters(s, d)),
     // similarity search
@@ -501,6 +502,44 @@ object SparkEntry {
         |  COALESCE(dup_grams, 0) AS dup_grams,
         |  COALESCE(dup_frac, 0.0) AS dup_frac,
         |  COALESCE(dup_frac, 0.0) < 0.8 AS keep
+        |FROM documents dd LEFT JOIN p ON dd.doc_id = p.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
+
+    // span-level removal: POSITIONAL grams (every occurrence), df over
+    // distinct containing docs, covered tokens = any position spanned by a
+    // df>=2 gram occurrence, runs marked by the lag(t)=t-1 start flag —
+    // mirrors Dedup.spanScrubOn step for step
+    "q_span_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |        tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+        |      FROM (SELECT doc_id, tk,
+        |              unnest(generate_series(1, len(tk) - 2)) AS i
+        |            FROM d WHERE len(tk) >= 3) s),
+        |f AS (SELECT gram FROM (
+        |        SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        |      WHERE nd >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + unnest([0, 1, 2]) AS t
+        |        FROM g JOIN f USING (gram)),
+        |covl AS (SELECT c.doc_id, c.t, len(d.tk[c.t]) AS tok_len
+        |         FROM cov c JOIN d USING (doc_id)),
+        |m AS (SELECT doc_id, t, tok_len,
+        |        CASE WHEN LAG(t) OVER (PARTITION BY doc_id ORDER BY t) = t - 1
+        |             THEN 0 ELSE 1 END AS is_start
+        |      FROM covl),
+        |p AS (SELECT doc_id, COUNT(1) AS tokens_removed,
+        |        CAST(SUM(is_start) AS BIGINT) AS spans_removed,
+        |        CAST(SUM(tok_len) + COUNT(1) - SUM(is_start) AS BIGINT)
+        |          AS chars_removed
+        |      FROM m GROUP BY 1)
+        |SELECT dd.doc_id,
+        |  CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS n_tokens,
+        |  COALESCE(tokens_removed, 0) AS tokens_removed,
+        |  COALESCE(spans_removed, 0) AS spans_removed,
+        |  COALESCE(chars_removed, 0) AS chars_removed,
+        |  ROUND(COALESCE(tokens_removed, 0) * 1.0
+        |    / len(string_split(dd.text, ' ')), 4) AS span_frac
         |FROM documents dd LEFT JOIN p ON dd.doc_id = p.doc_id
         |ORDER BY dd.doc_id""".stripMargin,
 

@@ -470,6 +470,103 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("doc_id")
   }
 
+  /** SPAN-level duplicated-text removal stats (registry `q_span_scrub`):
+    * where [[substringDup]] GATES whole documents by their duplicated-gram
+    * fraction, real pipelines remove the duplicated spans themselves and
+    * keep the rest of the document (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" §4.1 ExactSubstr;
+    * RefinedWeb, Penedo et al. 2023 — public papers). Declared semantics:
+    *   - positional word-3-grams per document (every occurrence, NOT
+    *     deduplicated — position matters for spans);
+    *   - a gram occurrence is DUPLICATED when its gram appears in
+    *     ≥ `minDf` distinct documents;
+    *   - a token is covered when any duplicated gram occurrence spans it;
+    *   - maximal runs of covered tokens are the spans to scrub. Per doc:
+    *     `n_tokens`, `tokens_removed` (covered tokens), `spans_removed`
+    *     (maximal runs), `chars_removed` (covered token chars + each
+    *     run's internal spaces — what excising the runs would delete),
+    *     and `span_frac` = tokens_removed / n_tokens.
+    *
+    * Scale shape — counters only, the suffix-array-free formulation:
+    * the persisted base holds per-doc POSITIONAL gram fingerprints and
+    * token lengths (longs/ints, never text — the [[gramFingerprints]]
+    * discipline); document frequency is one gram-keyed aggregate over
+    * map-side-distinct arrays; duplicated occurrences come from a
+    * LEFT SEMI join against the ≥ minDf gram keys (a filter — boilerplate
+    * grams are one skewed join key, AQE-splittable, never a pair
+    * expansion); coverage is a bounded ×3 position explode + distinct;
+    * runs need no islands-distinct (no Expand) — a lag-window marks run
+    * STARTS and one per-doc aggregate folds counts, starts, and chars.
+    * Every shuffle carries (id, int) counters. Deterministic → full
+    * DuckDB oracle, hash-checked at all three SFs.
+    */
+  def spanScrub(s: SparkSession, dir: String, minDf: Int = 2): DataFrame =
+    spanScrubOn(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      minDf)
+
+  /** [[spanScrub]] over an arbitrary (doc_id, text) frame. */
+  def spanScrubOn(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    // one persisted, text-free base per doc: n_tokens, positional gram
+    // fingerprints (null when < SHINGLE tokens — explode skips it), and
+    // per-token char lengths. Three consumers (df aggregate, occurrence
+    // stream, token-length stream) and the same optimizer barrier the
+    // substringDup base documents (un-persisted, the inferred non-empty
+    // filter inlines split(text) per gram access).
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        when(size(col("tk")) >= SHINGLE, transform(
+          sequence(lit(0), size(col("tk")) - SHINGLE),
+          i => xxhash64(concat_ws(" ",
+            col("tk")(i), col("tk")(i + 1), col("tk")(i + 2)))))
+          .as("gfps"),
+        transform(col("tk"), t => length(t)).as("tlens"))
+      .persist(MEMORY_AND_DISK)
+    // document frequency over per-doc-DISTINCT grams (map-side distinct,
+    // so count(1) = containing docs) — only the ≥ minDf keys survive
+    val dupKeys = base
+      .select(explode(array_distinct(col("gfps"))).as("gfp"))
+      .groupBy("gfp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDf)
+      .select("gfp")
+    // duplicated gram OCCURRENCES → covered token positions (×3 bounded
+    // explode, then distinct: overlapping grams cover shared tokens once)
+    val covered = base
+      .select(col("doc_id"), posexplode(col("gfps")).as(Seq("pos", "gfp")))
+      .join(dupKeys, Seq("gfp"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(2))).as("t"))
+      .distinct()
+    // attach token lengths, mark run starts with ONE lag window (no
+    // countDistinct → no Expand), fold per doc
+    val tlen = base.select(col("doc_id"),
+      posexplode(col("tlens")).as(Seq("t", "tok_len")))
+    val w = Window.partitionBy("doc_id").orderBy("t")
+    val perDoc = covered
+      .join(tlen, Seq("doc_id", "t"))
+      .withColumn("is_start",
+        when(lag(col("t"), 1).over(w) === col("t") - 1, 0L).otherwise(1L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("tokens_removed"),
+        sum(col("is_start")).as("spans_removed"),
+        (sum(col("tok_len")) + count(lit(1)) - sum(col("is_start")))
+          .as("chars_removed"))
+    // every doc gets a verdict (sub-3-token docs have no grams → zeros),
+    // the substringDup completeness convention
+    base.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        coalesce(col("spans_removed"), lit(0L)).as("spans_removed"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"))
+      .withColumn("span_frac",
+        Norm.r4(col("tokens_removed") / col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
   /** Core of [[ngramJaccard]] over an already-persisted shingle base —
     * factored out so [[nearDupClusters]] can own the base's lifecycle and
     * unpersist the (large) shingle arrays the moment the (tiny) pair graph

@@ -1504,6 +1504,44 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(tw(3L) === 0.0)
   }
 
+  test("spanScrub: hand-computed spans, multi-run docs, short-doc zeros, " +
+      "within-doc repeats don't self-duplicate") {
+    // d1/d2 share "a b c" and "b c d" (df=2): d1 grams 0,1 duplicated →
+    // tokens 0-3 covered, ONE run of 4; chars = |a|+|b|+|c|+|d| + 3
+    // internal spaces = 7. d2 symmetric (positions 1,2 → tokens 1-4).
+    // d5 has TWO separated duplicated runs ("a b c" at 0, "b c d" at 7);
+    // its own "z z z" repeats WITHIN the doc only (df=1) → not duplicated.
+    // d3 is sub-3-token (no grams), d4 is unique — both all-zero.
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "one two"),
+      (4L, "p q r s"),
+      (5L, "a b c z z z z b c d")))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanScrubOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(1L) === ((6L, 4L, 1L, 7L, 0.6667)))
+    assert(got(2L) === ((6L, 4L, 1L, 7L, 0.6667)))
+    assert(got(3L) === ((2L, 0L, 0L, 0L, 0.0)))
+    assert(got(4L) === ((4L, 0L, 0L, 0L, 0.0)))
+    assert(got(5L) === ((10L, 6L, 2L, 10L, 0.6)))
+    // whole-doc duplication covers every token in one run: chars_removed
+    // equals the full text length (excising the run deletes everything)
+    val twin = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta")))
+      .toDF("doc_id", "text")
+    val tw = Dedup.spanScrubOn(twin).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(tw(1L) === ((4L, 1L, "alpha beta gamma delta".length.toLong)))
+    assert(tw(1L) === tw(2L))
+    // contract edge
+    intercept[IllegalArgumentException] { Dedup.spanScrubOn(docs, minDf = 0) }
+  }
+
   test("cosine paths tolerate zero vectors: excluded, not DIVIDE_BY_ZERO") {
     import spark.implicits._
     import graft.operators.{Dedup, Similarity}

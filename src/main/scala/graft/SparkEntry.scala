@@ -40,6 +40,7 @@ object SparkEntry {
     "q_agg_pivot"      -> (Relational.aggPivot _),
     "q_agg_corr"       -> (Relational.corrProfile _),
     "q_agg_hist"       -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
+    "q_agg_hist_eq"    -> ((s: SparkSession, d: String) => Quantiles.histogramEqDepth(s, d)),
     "q_agg_zscore"     -> ((s: SparkSession, d: String) => Relational.zscoreOutliers(s, d)),
     // joins
     "q_join_inner"     -> (Relational.joinInner _),
@@ -806,6 +807,44 @@ object SparkEntry {
         |  ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY grp)
         |    * 10000) / 10000 AS share
         |FROM c ORDER BY grp, bucket""".stripMargin,
+
+    // equi-depth: exact interpolated octile edges, rows equal to an edge
+    // bin DOWN (x <= edge), empty bins absent on both sides; edges are
+    // compared unrounded (strictly between adjacent distinct values, or
+    // exactly on one — see Quantiles.histogramEqDepthOn)
+    "q_agg_hist_eq" ->
+      """WITH e AS (SELECT l_returnflag AS grp,
+        |    quantile_cont(l_extendedprice, 0.125) AS e0,
+        |    quantile_cont(l_extendedprice, 0.25) AS e1,
+        |    quantile_cont(l_extendedprice, 0.375) AS e2,
+        |    quantile_cont(l_extendedprice, 0.5) AS e3,
+        |    quantile_cont(l_extendedprice, 0.625) AS e4,
+        |    quantile_cont(l_extendedprice, 0.75) AS e5,
+        |    quantile_cont(l_extendedprice, 0.875) AS e6
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT l.l_returnflag AS grp,
+        |    CASE WHEN l_extendedprice <= e0 THEN 0
+        |         WHEN l_extendedprice <= e1 THEN 1
+        |         WHEN l_extendedprice <= e2 THEN 2
+        |         WHEN l_extendedprice <= e3 THEN 3
+        |         WHEN l_extendedprice <= e4 THEN 4
+        |         WHEN l_extendedprice <= e5 THEN 5
+        |         WHEN l_extendedprice <= e6 THEN 6 ELSE 7 END AS bin,
+        |    CASE WHEN l_extendedprice <= e0 THEN e0
+        |         WHEN l_extendedprice <= e1 THEN e1
+        |         WHEN l_extendedprice <= e2 THEN e2
+        |         WHEN l_extendedprice <= e3 THEN e3
+        |         WHEN l_extendedprice <= e4 THEN e4
+        |         WHEN l_extendedprice <= e5 THEN e5
+        |         WHEN l_extendedprice <= e6 THEN e6 ELSE NULL END AS hi
+        |  FROM lineitem l JOIN e ON l.l_returnflag = e.grp),
+        |c AS (SELECT grp, bin, COUNT(1) AS cnt, MAX(hi) AS hi
+        |      FROM b GROUP BY 1, 2)
+        |SELECT grp, bin, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY grp)
+        |    * 10000) / 10000 AS share,
+        |  ROUND(hi * 10000) / 10000 AS hi
+        |FROM c ORDER BY grp, bin""".stripMargin,
 
     "q_text_entropy" ->
       // H = ln(n) - sum(c*ln(c))/n over per-doc token counters; the `+ 0`

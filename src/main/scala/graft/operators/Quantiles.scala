@@ -153,4 +153,63 @@ object Quantiles {
           .otherwise((lit(1.0) - col("frac")) * col("v_l") +
             col("frac") * col("v_u")).as("pct"))
   }
+
+  /** EQUI-DEPTH histogram (registry `q_agg_hist_eq`): `bins` buckets per
+    * group whose edges are the EXACT interpolated quantiles at
+    * i/bins (i = 1..bins−1) — the profile that stays informative on
+    * heavy-tailed columns where fixed-width buckets
+    * ([[Relational.histogramOn]]) put everything in one bucket. Per
+    * (group, bin): count, share, and the bin's upper edge (`hi`, null for
+    * the last bin).
+    *
+    * Composition of two proven pieces, nothing new touches the corpus:
+    * edges come from [[exactPercentilesOn]] (bracket-and-verify — two
+    * map-side passes, metadata-sized shuffles at any corpus), then ONE
+    * more map-side pass bins each row against its group's broadcast edge
+    * row (a chained `when`, codegen) and folds (group, bin) counters.
+    * Rows equal to an edge go DOWN (`x <= edge`), the shared convention
+    * with the DuckDB oracle's CASE binning; edge values are compared
+    * unrounded — interpolated edges lie strictly between adjacent
+    * distinct data values (or exactly ON a data value when the rank is
+    * integral or tied, where both engines' interpolation is exact), so
+    * the comparison is not ulp-fragile. Empty bins (possible under heavy
+    * ties) are absent from the output on both sides, same convention.
+    */
+  def histogramEqDepth(s: SparkSession, dir: String,
+      bins: Int = 8): DataFrame =
+    histogramEqDepthOn(Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"),
+        col("l_extendedprice").as("x")), bins)
+
+  /** [[histogramEqDepth]] over an arbitrary (grp, x) frame. */
+  def histogramEqDepthOn(df: DataFrame, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 64,
+      s"bins must be in [2, 64] (edges are broadcast plan metadata); got $bins")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val base = df.filter(col("x").isNotNull)
+      .select(col("grp"), col("x").cast("double").as("x"))
+    // one edge row per group, wide: e0..e{bins-2} (tiny by construction —
+    // |groups| × (bins−1) doubles)
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      max(when(col("p") === p, col("pct"))).as(s"e$i") }
+    val wide = exactPercentilesOn(base, "grp", "x", ps)
+      .groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+    var binW: Column = when(col("x") <= col("e0"), 0)
+    for (i <- 1 until bins - 1)
+      binW = binW.when(col("x") <= col(s"e$i"), i)
+    var hiW: Column = when(col("x") <= col("e0"), col("e0"))
+    for (i <- 1 until bins - 1)
+      hiW = hiW.when(col("x") <= col(s"e$i"), col(s"e$i"))
+    // null-safe group join, like the classifier pass it mirrors
+    base.join(broadcast(wide), col("grp") <=> col("g")).drop("g")
+      .select(col("grp"), binW.otherwise(bins - 1).as("bin"),
+        hiW.otherwise(lit(null).cast("double")).as("hi"))
+      .groupBy("grp", "bin")
+      .agg(count(lit(1)).as("cnt"), max(col("hi")).as("hi0"))
+      .withColumn("share", Norm.r4(col("cnt") /
+        sum(col("cnt")).over(Window.partitionBy("grp"))))
+      .select(col("grp"), col("bin"), col("cnt"), col("share"),
+        Norm.r4(col("hi0")).as("hi"))
+      .orderBy("grp", "bin")
+  }
 }

@@ -27,8 +27,8 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 96)
-    assert(SparkEntry.oracleSql.size === 87)
+    assert(SparkEntry.queries.size === 97)
+    assert(SparkEntry.oracleSql.size === 88)
   }
 
   test("bench re-sampling policy: healthy host-side outliers only, bounded") {

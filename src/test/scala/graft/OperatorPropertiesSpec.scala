@@ -1504,6 +1504,35 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(tw(3L) === 0.0)
   }
 
+  test("equi-depth histogram: hand-computed quartiles, edge-equal rows " +
+      "bin down, shares sum to 1") {
+    import graft.operators.Quantiles
+    // x = 1..16, bins = 4: edges at t = p·15 → 4.75 / 8.5 / 12.25, so the
+    // quartile bins each hold exactly 4 rows
+    val df = spark.createDataFrame((1 to 16).map(i => ("a", i.toDouble)))
+      .toDF("grp", "x")
+    val got = Quantiles.histogramEqDepthOn(df, bins = 4).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))))
+      .toMap
+    assert(got(0) === ((4L, 0.25, 4.75)))
+    assert(got(1) === ((4L, 0.25, 8.5)))
+    assert(got(2) === ((4L, 0.25, 12.25)))
+    assert(got(3)._1 === 4L && got(3)._2 === 0.25 && got(3)._3.isNaN)
+    // edge-equal rows bin DOWN: with x = (1,1,1,2), the median edge IS 1.0
+    // and all three 1s land in the low bins, the single 2 above
+    val ties = spark.createDataFrame(
+      Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 2.0))).toDF("grp", "x")
+    val t2 = Quantiles.histogramEqDepthOn(ties, bins = 2).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(t2(0) === 3L && t2(1) === 1L,
+      s"rows equal to the median edge must bin down: $t2")
+    intercept[IllegalArgumentException] {
+      Quantiles.histogramEqDepthOn(df, bins = 1) }
+    intercept[IllegalArgumentException] {
+      Quantiles.histogramEqDepthOn(df, bins = 100) }
+  }
+
   test("spanScrub: hand-computed spans, multi-run docs, short-doc zeros, " +
       "within-doc repeats don't self-duplicate") {
     // d1/d2 share "a b c" and "b c d" (df=2): d1 grams 0,1 duplicated →

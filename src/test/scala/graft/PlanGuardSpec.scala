@@ -328,6 +328,20 @@ class PlanGuardSpec extends SparkSpec {
       s"histogram scan must read exactly its 2 columns: $read")
   }
 
+  test("q_agg_hist_eq scans exactly its 2 columns and binning is a " +
+      "broadcast, not a shuffle of the fact side") {
+    val plan = formatted("q_agg_hist_eq")
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      r.contains("l_returnflag") && r.contains("l_extendedprice") &&
+        !r.contains("l_quantity")),
+      s"every lineitem scan must read exactly its 2 columns:\n$reads")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-group edge row must broadcast to the classifier pass")
+    assert(!plan.contains("SortMergeJoin"),
+      "binning must never shuffle the fact side against the edges")
+  }
+
   test("ivf assigns map-side: no ×codebook corpus expansion through an aggregate") {
     // the r16 shape crossJoined every corpus vector with the broadcast
     // codebook and collapsed the ×k expansion through a max_by(struct(

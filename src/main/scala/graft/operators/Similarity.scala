@@ -478,12 +478,24 @@ object Similarity {
     */
   def trainKMeansLocal(vecs: DataFrame, k: Int, iters: Int = 8,
       seed: Long = 42L, sampleCap: Int = 4096): DataFrame = {
-    val s = vecs.sparkSession
-    import s.implicits._
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     require(sampleCap >= k,
       s"sampleCap must be >= k (got sampleCap=$sampleCap, k=$k) — fewer " +
         "sampled vectors than cells cannot seed the codebook")
+    kMeansLocalCore(vecs.sparkSession,
+      hashSample(vecs, seed, sampleCap, "trainKMeansLocal"), k, iters)
+  }
+
+  /** The deterministic bounded training sample every driver-side trainer
+    * draws: hash-ordered (a uniform pseudo-random subset chosen by one
+    * TakeOrdered pass — a row property, identical on any cluster layout),
+    * zero/null-norm excluded, ragged corpora fail loudly. Shared by
+    * [[trainKMeansLocal]] and [[trainPqLocal]] so [[ivfPqOn]] (which
+    * trains BOTH quantizers with the same seed/cap) collects the corpus
+    * sample once instead of twice.
+    */
+  private def hashSample(vecs: DataFrame, seed: Long, sampleCap: Int,
+      caller: String): Array[Array[Double]] = {
     val sample: Array[Array[Double]] = nonZero(vecs
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("nrm", dot(col("v"), col("v"))))
@@ -492,15 +504,24 @@ object Similarity {
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty,
-      "trainKMeansLocal: no trainable vectors (corpus empty or all " +
+      s"$caller: no trainable vectors (corpus empty or all " +
         "zero/null-norm) — nothing to seed a codebook from")
     val dim = sample.head.length
     sample.find(_.length != dim).foreach { bad =>
       throw new IllegalArgumentException(
-        s"trainKMeansLocal: ragged embeddings (size ${bad.length} vs $dim) " +
+        s"$caller: ragged embeddings (size ${bad.length} vs $dim) " +
           "— ragged embeddings would silently bias the codebook; clean or " +
           "filter the corpus first")
     }
+    sample
+  }
+
+  /** Lloyd's over an in-memory sample — [[trainKMeansLocal]]'s core,
+    * callable with a pre-collected [[hashSample]]. */
+  private def kMeansLocalCore(s: SparkSession, sample: Array[Array[Double]],
+      k: Int, iters: Int): DataFrame = {
+    import s.implicits._
+    val dim = sample.head.length
     val nCells = math.min(k, sample.length)
     val cents = Array.tabulate(nCells)(i => sample(i).clone())
     val vnorms = sample.map(v => math.sqrt(v.map(x => x * x).sum))
@@ -795,25 +816,18 @@ object Similarity {
       iters: Int = 8, seed: Long = 42L, sampleCap: Int = 4096): PqModel = {
     require(m > 0 && ksub > 0 && iters >= 0,
       s"need m > 0, ksub > 0, iters >= 0; got m=$m ksub=$ksub iters=$iters")
-    val sample: Array[Array[Double]] = nonZero(vecs
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", dot(col("v"), col("v"))))
-      .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
-      .limit(sampleCap)
-      .select("v").collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty,
-      "trainPqLocal: no trainable vectors (corpus empty or all " +
-        "zero/null-norm) — nothing to train a quantizer from")
+    pqLocalCore(hashSample(vecs, seed, sampleCap, "trainPqLocal"),
+      m, ksub, iters)
+  }
+
+  /** Per-subspace L2 Lloyd's over an in-memory sample — [[trainPqLocal]]'s
+    * core, callable with a pre-collected [[hashSample]]. */
+  private def pqLocalCore(sample: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int): PqModel = {
     require(sample.length >= ksub,
       s"trainPqLocal: ${sample.length} sampled vector(s) cannot seed " +
         s"ksub=$ksub sub-centroids — lower ksub or grow the corpus/sample")
     val dim = sample.head.length
-    sample.find(_.length != dim).foreach { bad =>
-      throw new IllegalArgumentException(
-        s"trainPqLocal: ragged embeddings (size ${bad.length} vs $dim) — " +
-          "clean or filter the corpus first")
-    }
     require(dim % m == 0,
       s"trainPqLocal: dim=$dim is not divisible by m=$m subspaces — " +
         "pick m dividing the embedding width")
@@ -1014,9 +1028,16 @@ object Similarity {
   def ivfPqOn(vecs: DataFrame, k: Int, nprobe: Int, probeVec: Seq[Double],
       cells: Int = IvfTrainedCells, m: Int = 8, ksub: Int = 32,
       rerank: Int = 64): DataFrame = {
-    val coarse = trainKMeansLocal(vecs, k = cells, iters = IvfTrainedIters,
-      sampleCap = IvfTrainedSampleCap)
-    val pq = trainPqLocal(vecs, m, ksub)
+    // both quantizers train on the SAME deterministic hash sample (same
+    // seed/cap), so collect it once — the results are bit-identical to
+    // calling the two public trainers separately (asserted by the
+    // parquet-path identity test), one corpus TakeOrdered pass cheaper
+    val sample = hashSample(vecs, 42L, IvfTrainedSampleCap, "ivfPqOn")
+    require(IvfTrainedSampleCap >= cells,
+      s"sampleCap must be >= cells (got $IvfTrainedSampleCap, $cells)")
+    val coarse = kMeansLocalCore(vecs.sparkSession, sample, cells,
+      IvfTrainedIters)
+    val pq = pqLocalCore(sample, m, ksub, iters = 8)
     ivfPqSearch(pqEncodeOn(vecs, coarse, pq), vecs, probeVec, coarse, pq,
       k, nprobe, rerank)
   }

@@ -124,12 +124,21 @@ object Quantiles {
       .withColumn("cum_start", col("cum_end") - col("c"))
       .groupBy("g", "p")
       .agg(first(col("t")).as("t"),
+        first(col("n")).as("n"),
         first(col("below")).as("below"),
         first(col("prevv")).as("prevv"),
         first(col("nextv")).as("nextv"),
         sum(col("c")).as("csum"),
         max(when(col("cum_start") <= floor(col("t")) &&
           floor(col("t")) < col("cum_end"), col("cv"))).as("v_l0"),
+        // v_l's cumulative rank rides the same conditional — it is
+        // #rows ≤ v_l, which is also #rows ≤ the interpolated quantile
+        // (the edge lies strictly between v_l and the next distinct
+        // value when frac > 0, and IS v_l's value when frac = 0 or on a
+        // tie) — what [[histogramEqDepthOn]] bins by without a third
+        // corpus pass
+        max(when(col("cum_start") <= floor(col("t")) &&
+          floor(col("t")) < col("cum_end"), col("cum_end"))).as("rank_l0"),
         max(when(col("cum_start") <= ceil(col("t")) &&
           ceil(col("t")) < col("cum_end"), col("cv"))).as("v_u0"))
       // rank below−1 is the below-class maximum; rank below+csum is the
@@ -148,10 +157,20 @@ object Quantiles {
       // (1−frac)·lower + frac·higher (not lower + frac·(higher−lower)),
       // keeping the bit-identity claim robust rather than 1-ulp-fragile.
       .withColumn("frac", col("t") - floor(col("t")))
-      .select(col("g"), col("p"),
+      .select(col("g"), col("p"), col("n"),
         when(col("frac") === 0.0, coalesce(col("v_l"), col("v_u")))
           .otherwise((lit(1.0) - col("frac")) * col("v_l") +
-            col("frac") * col("v_u")).as("pct"))
+            col("frac") * col("v_u")).as("pct"),
+        // #rows ≤ the quantile value: v_l's cum_end, or the below-count
+        // when v_l resolved via the prevv neighbor (all below-class rows
+        // are ≤ prevv and nothing else is). NULL only in the
+        // frac=0-resolved-via-nextv corner (the pct there is the
+        // above-bracket minimum, whose ties the bracket cannot count) —
+        // a one-rank sketch miss on the high side at an integral rank;
+        // rank consumers fail loudly on it rather than mis-bin.
+        coalesce(col("rank_l0"),
+          when(floor(col("t")) === col("below") - 1, col("below")))
+          .as("rank_le"))
   }
 
   /** EQUI-DEPTH histogram (registry `q_agg_hist_eq`): `bins` buckets per
@@ -181,35 +200,61 @@ object Quantiles {
       .select(col("l_returnflag").as("grp"),
         col("l_extendedprice").as("x")), bins)
 
-  /** [[histogramEqDepth]] over an arbitrary (grp, x) frame. */
+  /** [[histogramEqDepth]] over an arbitrary (grp, x) frame.
+    *
+    * No binning pass: the bin populations are already implied by the
+    * quantile machinery's cumulative ranks. `#rows with x ≤ edge_p` is
+    * exactly [[exactPercentilesOn]]'s `rank_le` — when the edge
+    * interpolates strictly between two adjacent distinct values nothing
+    * sits between them, and when it lands ON a value (integral rank or a
+    * tie) `rank_le` counts through that value's ties, the same rows the
+    * oracle's `x <= edge` CASE admits (and MORE robustly: ranks are
+    * integers, immune to the one-ulp interpolation drift a raw
+    * edge-comparison binning pass would be exposed to on ties). So:
+    * `cnt_i = rank_le(p_i) − rank_le(p_{i−1})`, last bin = `n − rank_le
+    * (p_last)`, and the whole histogram assembles from the (g, p)
+    * METADATA — two corpus passes total (the quantile sketch + classify),
+    * vs three for the naive edge-rebroadcast formulation (A/B at sf0.1:
+    * 13 jobs → 10; at 100 TB one full corpus pass + a broadcast join
+    * simply disappear). A null `rank_le` (the documented
+    * one-rank-sketch-miss corner) fails loudly via raise_error rather
+    * than mis-binning.
+    */
   def histogramEqDepthOn(df: DataFrame, bins: Int): DataFrame = {
     require(bins >= 2 && bins <= 64,
       s"bins must be in [2, 64] (edges are broadcast plan metadata); got $bins")
     val ps = (1 until bins).map(_.toDouble / bins)
     val base = df.filter(col("x").isNotNull)
       .select(col("grp"), col("x").cast("double").as("x"))
-    // one edge row per group, wide: e0..e{bins-2} (tiny by construction —
-    // |groups| × (bins−1) doubles)
-    val aggs = ps.zipWithIndex.map { case (p, i) =>
-      max(when(col("p") === p, col("pct"))).as(s"e$i") }
+    // one row per group, wide: edges e0.. and their cumulative ranks r0..
+    // (|groups| × (bins−1) doubles+longs — plan metadata)
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) => Seq(
+      max(when(col("p") === p, col("pct"))).as(s"e$i"),
+      max(when(col("p") === p,
+        when(col("rank_le").isNull, raise_error(lit(
+          s"histogramEqDepth: rank for quantile $p unresolved (one-rank " +
+            "sketch miss at an integral rank) — raise accuracy")))
+          .otherwise(col("rank_le")))).as(s"r$i")) } :+
+      max(col("n")).as("n")
     val wide = exactPercentilesOn(base, "grp", "x", ps)
       .groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
-    var binW: Column = when(col("x") <= col("e0"), 0)
-    for (i <- 1 until bins - 1)
-      binW = binW.when(col("x") <= col(s"e$i"), i)
-    var hiW: Column = when(col("x") <= col("e0"), col("e0"))
-    for (i <- 1 until bins - 1)
-      hiW = hiW.when(col("x") <= col(s"e$i"), col(s"e$i"))
-    // null-safe group join, like the classifier pass it mirrors
-    base.join(broadcast(wide), col("grp") <=> col("g")).drop("g")
-      .select(col("grp"), binW.otherwise(bins - 1).as("bin"),
-        hiW.otherwise(lit(null).cast("double")).as("hi"))
-      .groupBy("grp", "bin")
-      .agg(count(lit(1)).as("cnt"), max(col("hi")).as("hi0"))
-      .withColumn("share", Norm.r4(col("cnt") /
-        sum(col("cnt")).over(Window.partitionBy("grp"))))
-      .select(col("grp"), col("bin"), col("cnt"), col("share"),
-        Norm.r4(col("hi0")).as("hi"))
+    // bins as metadata arithmetic: cnt_i = r_i − r_{i−1}; hi_i = e_i
+    // (null for the open-ended last bin). Empty bins are dropped, the
+    // shared convention with the oracle's CASE binning.
+    def r(i: Int): Column =
+      if (i < 0) lit(0L) else if (i >= bins - 1) col("n") else col(s"r$i")
+    val binRows = (0 until bins).map { i =>
+      struct(lit(i).as("bin"), (r(i) - r(i - 1)).as("cnt"),
+        (if (i < bins - 1) col(s"e$i") else lit(null).cast("double"))
+          .as("hi"))
+    }
+    wide
+      .select(col("g").as("grp"), col("n"),
+        explode(array(binRows: _*)).as("b"))
+      .select(col("grp"), col("b.bin").as("bin"), col("b.cnt").as("cnt"),
+        Norm.r4(col("b.cnt") / col("n")).as("share"),
+        Norm.r4(col("b.hi")).as("hi"))
+      .filter(col("cnt") > 0)
       .orderBy("grp", "bin")
   }
 }

@@ -515,11 +515,9 @@ object Bench {
         reclaim()
         val t0 = System.nanoTime()
         val vecs = Tables.embeddings(spark, sfDir)
-        val coarse = graft.operators.Similarity.trainKMeansLocal(vecs,
-          k = graft.operators.Similarity.IvfTrainedCells,
-          iters = graft.operators.Similarity.IvfTrainedIters,
-          sampleCap = graft.operators.Similarity.IvfTrainedSampleCap)
-        val pq = graft.operators.Similarity.trainPqLocal(vecs)
+        // ivfPqTrain IS the query's own training call (shared-sample
+        // form) — a re-assembled copy here could silently drift
+        val (coarse, pq) = graft.operators.Similarity.ivfPqTrain(vecs)
         graft.operators.Similarity.pqEncodeOn(vecs, coarse, pq).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)

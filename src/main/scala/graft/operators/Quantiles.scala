@@ -157,10 +157,14 @@ object Quantiles {
       // (1−frac)·lower + frac·higher (not lower + frac·(higher−lower)),
       // keeping the bit-identity claim robust rather than 1-ulp-fragile.
       .withColumn("frac", col("t") - floor(col("t")))
-      .select(col("g"), col("p"), col("n"),
+      // (g, p, pct) keep their positions — callers index rows positionally
+      // (the bit-identity spec, aggPercentileExact's select); the r18 rank
+      // additions ride BEHIND them
+      .select(col("g"), col("p"),
         when(col("frac") === 0.0, coalesce(col("v_l"), col("v_u")))
           .otherwise((lit(1.0) - col("frac")) * col("v_l") +
             col("frac") * col("v_u")).as("pct"),
+        col("n"),
         // #rows ≤ the quantile value: v_l's cum_end, or the below-count
         // when v_l resolved via the prevv neighbor (all below-class rows
         // are ≤ prevv and nothing else is). NULL only in the

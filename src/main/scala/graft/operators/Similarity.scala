@@ -1025,19 +1025,26 @@ object Similarity {
     * [[pqEncodeOn]]'s output bucketed by `list_id`, and serve probes with
     * [[ivfPqSearch]].
     */
+  /** [[ivfPqOn]]'s training step, exposed so external timers (Bench's
+    * `pq_split`) provably measure the SAME preparation the query runs:
+    * both quantizers train on the SAME deterministic hash sample (same
+    * seed/cap), collected once — results bit-identical to calling the two
+    * public trainers separately (asserted by the parquet-path identity
+    * test), one corpus TakeOrdered pass cheaper.
+    */
+  def ivfPqTrain(vecs: DataFrame, cells: Int = IvfTrainedCells,
+      m: Int = 8, ksub: Int = 32): (DataFrame, PqModel) = {
+    require(IvfTrainedSampleCap >= cells,
+      s"sampleCap must be >= cells (got $IvfTrainedSampleCap, $cells)")
+    val sample = hashSample(vecs, 42L, IvfTrainedSampleCap, "ivfPqTrain")
+    (kMeansLocalCore(vecs.sparkSession, sample, cells, IvfTrainedIters),
+      pqLocalCore(sample, m, ksub, iters = 8))
+  }
+
   def ivfPqOn(vecs: DataFrame, k: Int, nprobe: Int, probeVec: Seq[Double],
       cells: Int = IvfTrainedCells, m: Int = 8, ksub: Int = 32,
       rerank: Int = 64): DataFrame = {
-    // both quantizers train on the SAME deterministic hash sample (same
-    // seed/cap), so collect it once — the results are bit-identical to
-    // calling the two public trainers separately (asserted by the
-    // parquet-path identity test), one corpus TakeOrdered pass cheaper
-    val sample = hashSample(vecs, 42L, IvfTrainedSampleCap, "ivfPqOn")
-    require(IvfTrainedSampleCap >= cells,
-      s"sampleCap must be >= cells (got $IvfTrainedSampleCap, $cells)")
-    val coarse = kMeansLocalCore(vecs.sparkSession, sample, cells,
-      IvfTrainedIters)
-    val pq = pqLocalCore(sample, m, ksub, iters = 8)
+    val (coarse, pq) = ivfPqTrain(vecs, cells, m, ksub)
     ivfPqSearch(pqEncodeOn(vecs, coarse, pq), vecs, probeVec, coarse, pq,
       k, nprobe, rerank)
   }

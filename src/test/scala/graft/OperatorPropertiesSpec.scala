@@ -1571,6 +1571,62 @@ class OperatorPropertiesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.spanScrubOn(docs, minDf = 0) }
   }
 
+  test("spanScrub equals driver-side brute force on the fixture corpus") {
+    // brute force: positional 3-grams, df over containing docs, covered
+    // positions, maximal runs — an independent reimplementation in plain
+    // Scala (test-only driver loop over sf0.001's 500 docs)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toIndexedSeq))
+    val df = scala.collection.mutable.HashMap.empty[String, Set[Long]]
+    for ((id, tk) <- docs; i <- 0 to tk.length - 3) {
+      val g = s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}"
+      df(g) = df.getOrElse(g, Set.empty) + id
+    }
+    val expected = docs.map { case (id, tk) =>
+      val covered = scala.collection.mutable.SortedSet.empty[Int]
+      for (i <- 0 to tk.length - 3
+           if df(s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").size >= 2)
+        covered ++= Seq(i, i + 1, i + 2)
+      val runs = covered.toSeq.foldLeft((0, -2)) { case ((n, prev), t) =>
+        (if (t == prev + 1) n else n + 1, t) }._1
+      val chars = covered.toSeq.map(t => tk(t).length).sum +
+        covered.size - runs
+      id -> ((tk.length.toLong, covered.size.toLong, runs.toLong,
+        (if (covered.isEmpty) 0L else chars.toLong)))
+    }.toMap
+    val got = Dedup.spanScrub(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, v) =>
+      assert(v === expected(id), s"doc $id span stats diverge from brute force")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("equi-depth histogram invariants on the fixture: counts sum to n, " +
+      "shares to ~1, bins ordered by their edges") {
+    import graft.operators.Quantiles
+    val got = Quantiles.histogramEqDepth(spark, sf0001).collect()
+    val n = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_.getString(0)).foreach { case (grp, rows) =>
+      assert(rows.map(_.getLong(2)).sum === n(grp),
+        s"group $grp: bin counts must sum to the group size")
+      val shares = rows.map(_.getDouble(3)).sum
+      assert(math.abs(shares - 1.0) < 0.01,
+        s"group $grp: shares must sum to ~1 (got $shares)")
+      val his = rows.sortBy(_.getInt(1)).flatMap(r =>
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+      assert(his.sameElements(his.sorted),
+        s"group $grp: bin upper edges must be non-decreasing")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("cosine paths tolerate zero vectors: excluded, not DIVIDE_BY_ZERO") {
     import spark.implicits._
     import graft.operators.{Dedup, Similarity}

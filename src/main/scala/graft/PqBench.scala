@@ -63,40 +63,62 @@ object PqBench {
         .write.mode("overwrite").parquet(codesDir)
       val trainEncodeSec = (System.nanoTime() - t0) / 1e9
       val encoded = spark.read.parquet(codesDir)
-      val probe = vecs.filter(col("vec_id") === 0)
+      // recall@10 averaged over 8 probes: a single probe's overlap-of-10
+      // is a high-variance statistic (one flip = 10 points) — measured:
+      // single-probe runs flipped residual-vs-plain orderings between
+      // windows that the 8-probe mean ranks consistently
+      val probes: Seq[Seq[Double]] = vecs.filter(col("vec_id") < 8)
+        .orderBy("vec_id")
         .select(col("embedding").cast("array<double>"))
-        .head.getSeq[Double](0).toSeq
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val probe = probes.head
       val bruteSec = med3(
         Similarity.cosineTopKOn(vecs.withColumn("label", lit("x")), 10, probe)
           .count())
-      val exact = Similarity
-        .cosineTopKOn(vecs.withColumn("label", lit("x")), 10, probe)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exactSets: Seq[Set[Long]] = probes.map(pv => Similarity
+        .cosineTopKOn(vecs.withColumn("label", lit("x")), 10, pv)
+        .select("vec_id").collect().map(_.getLong(0)).toSet)
       // rerank is the recall/scan-bytes knob: independent RANDOM vectors
       // are ANN's worst case (near-uniform cosines, no cluster structure
       // — the curse-of-dimensionality regime the faiss literature calls
       // out), so ADC noise swamps tiny cosine gaps at a fixed window;
       // report both the shipped default and a corpus-scaled window so the
       // artifact shows the knob, not just one point on the curve
-      def pqAt(rr: Int): (Double, Int) = {
-        val sec = med3(
-          Similarity.ivfPqSearch(encoded, vecs, probe, coarse, pq,
-            k = 10, nprobe = nprobe, rerank = rr).count())
-        val got = Similarity.ivfPqSearch(encoded, vecs, probe, coarse, pq,
-            k = 10, nprobe = nprobe, rerank = rr)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        (sec, (exact & got).size)
-      }
-      val (pqSec, recall) = pqAt(64)
+      def meanRecall(enc: org.apache.spark.sql.DataFrame, cb0: org.apache.spark.sql.DataFrame,
+          model: graft.operators.PqModel, rr: Int): Double =
+        probes.zip(exactSets).map { case (pv, ex) =>
+          (ex & Similarity.ivfPqSearch(enc, vecs, pv, cb0, model,
+              k = 10, nprobe = nprobe, rerank = rr)
+            .select("vec_id").collect().map(_.getLong(0)).toSet).size
+        }.sum.toDouble / probes.size
+      val pqSec = med3(
+        Similarity.ivfPqSearch(encoded, vecs, probe, coarse, pq,
+          k = 10, nprobe = nprobe, rerank = 64).count())
       val wideRerank = math.max(64, n / 50)
-      val (pqSecW, recallW) = pqAt(wideRerank)
+      val pqSecW = med3(
+        Similarity.ivfPqSearch(encoded, vecs, probe, coarse, pq,
+          k = 10, nprobe = nprobe, rerank = wideRerank).count())
+      val recall = meanRecall(encoded, coarse, pq, 64)
+      val recallW = meanRecall(encoded, coarse, pq, wideRerank)
+      // residual variant (faiss by_residual=true): same bit budget, the
+      // quantizer trained on v − C[cell] — the recall fix for
+      // weakly-clustered corpora
+      val (coarseR, pqR) = Similarity.ivfPqTrain(vecs, cells = cells,
+        byResidual = true)
+      val codesResDir = s"$base/codes_res"
+      Similarity.pqEncodeOn(vecs, coarseR, pqR)
+        .write.mode("overwrite").parquet(codesResDir)
+      val encodedR = spark.read.parquet(codesResDir)
+      val recallRes = meanRecall(encodedR, coarseR, pqR, 64)
+      val recallResW = meanRecall(encodedR, coarseR, pqR, wideRerank)
       val fb = dirBytes(floatDir)
       val cb = dirBytes(codesDir)
-      f"""{"n":$n,"cells":$cells,"nprobe":$nprobe,""" +
+      f"""{"n":$n,"cells":$cells,"nprobe":$nprobe,"probes":${probes.size},""" +
         f""""train_encode_sec":$trainEncodeSec%.3f,""" +
         f""""brute_sec":$bruteSec%.3f,"pq_search_sec":$pqSec%.3f,""" +
-        f""""recall10":$recall,"wide_rerank":$wideRerank,""" +
-        f""""pq_search_sec_wide":$pqSecW%.3f,"recall10_wide":$recallW,""" +
+        f""""recall10":$recall%.1f,"wide_rerank":$wideRerank,""" +
+        f""""pq_search_sec_wide":$pqSecW%.3f,"recall10_wide":$recallW%.1f,""" +
+        f""""recall10_res":$recallRes%.1f,"recall10_res_wide":$recallResW%.1f,""" +
         f""""float_bytes":$fb,"codes_bytes":$cb,""" +
         f""""bytes_ratio":${fb.toDouble / math.max(1L, cb)}%.2f}"""
     }

@@ -139,3 +139,138 @@ object PqEncode {
   def info: ExpressionInfo =
     new ExpressionInfo(classOf[PqEncode].getName, "pq_encode")
 }
+
+/** `pq_encode_res(v, cell)` — [[PqEncode]]'s RESIDUAL form (the faiss
+  * `by_residual=true` default): encode `v − C[cell]` instead of `v`,
+  * where `C` is the flat `cells × dim` coarse-centroid array held by the
+  * expression and `cell` is the row's 0-based coarse assignment index.
+  * Residuals concentrate around the origin with far smaller spread than
+  * raw vectors, so the same m × ksub budget quantizes them with less
+  * error — the standard fix for ADC recall decay on hard
+  * (weakly-clustered) corpora.
+  *
+  * One codegen loop: subtract into a scratch subvector on the fly inside
+  * the same argmin as [[PqEncode]] (no materialized residual array).
+  * Null semantics: ragged `v` (length ≠ m·dsub or ≠ the coarse dim) or an
+  * out-of-range `cell` yield NULL; input must be `containsNull=false`
+  * (vec_clean) like the whole family.
+  */
+case class PqEncodeResidual(vec: Expression, cell: Expression,
+    coarse: Seq[Double], m: Int, ksub: Int, codebook: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(m > 0 && ksub > 0, s"pq_encode_res needs m > 0, ksub > 0; got m=$m ksub=$ksub")
+  require(codebook.nonEmpty && codebook.length % (m * ksub) == 0,
+    s"pq_encode_res codebook length ${codebook.length} is not a multiple " +
+      s"of m*ksub = ${m * ksub}")
+  val dsub: Int = codebook.length / (m * ksub)
+  require(coarse.nonEmpty && coarse.length % (m * dsub) == 0,
+    s"pq_encode_res coarse length ${coarse.length} is not a multiple of " +
+      s"dim = ${m * dsub}")
+  /** Number of coarse cells implied by the centroid array. */
+  val cells: Int = coarse.length / (m * dsub)
+
+  @transient private lazy val cb: Array[Double] = codebook.toArray
+  @transient private lazy val cc: Array[Double] = coarse.toArray
+
+  override def left: Expression = vec
+  override def right: Expression = cell
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, cell.dataType) match {
+      case (ArrayType(DoubleType, false), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, true), _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "pq_encode_res requires containsNull=false input — wrap the " +
+            "column in vec_clean(...) first")
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode_res requires (array<double>, int), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ci = b.asInstanceOf[Int]
+    val dim = m * dsub
+    if (xs.numElements() != dim || ci < 0 || ci >= cells) return null
+    val off0 = ci * dim
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0
+        val base = (j * ksub + c) * dsub
+        var i = 0
+        while (i < dsub) {
+          val diff = (xs.getDouble(j * dsub + i) - cc(off0 + j * dsub + i)) -
+            cb(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cbRef = ctx.addReferenceObj("pqResCodebook", cb, "double[]")
+      val ccRef = ctx.addReferenceObj("pqResCoarse", cc, "double[]")
+      val codes = ctx.freshName("codes")
+      val off0 = ctx.freshName("off0")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val base = ctx.freshName("base")
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      s"""
+         |if ($a.numElements() != ${m * dsub} || $b < 0 || $b >= $cells) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $off0 = $b * ${m * dsub};
+         |  int[] $codes = new int[$m];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    int $best = 0;
+         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $c = 0; $c < $ksub; $c++) {
+         |      double $d = 0.0;
+         |      int $base = ($j * $ksub + $c) * $dsub;
+         |      for (int $i = 0; $i < $dsub; $i++) {
+         |        double $diff = ($a.getDouble($j * $dsub + $i)
+         |          - $ccRef[$off0 + $j * $dsub + $i]) - $cbRef[$base + $i];
+         |        $d += $diff * $diff;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |    }
+         |    $codes[$j] = $best;
+         |  }
+         |  ${ev.value} = new $gad($codes);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeResidual =
+    copy(vec = newLeft, cell = newRight)
+
+  override def prettyName: String = "pq_encode_res"
+}

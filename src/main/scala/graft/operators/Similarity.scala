@@ -930,6 +930,24 @@ object Similarity {
     * by `list_id`); the float vectors are kept in a separate point-fetch
     * table that only the rerank stage reads.
     */
+  /** Enforce that a residual model is paired with the coarse codebook it
+    * was trained against — a silently different codebook would mis-center
+    * every residual. Bit-for-bit compare of the flat centroid arrays.
+    */
+  private def requireResidualPairing(pq: PqModel,
+      coarse: Array[(Any, Array[Double], Double)]): Array[Double] = {
+    val flat = pq.residualCoarse.get
+    val dim = pq.m * pq.dsub
+    require(flat.length == coarse.length * dim &&
+      coarse.zipWithIndex.forall { case ((_, cv, _), i) =>
+        java.util.Arrays.equals(cv, 0, dim,
+          flat, i * dim, (i + 1) * dim) },
+      "residual PqModel is paired with a DIFFERENT coarse codebook than " +
+        "it was trained against — train and serve with the same ivfPqTrain " +
+        "output")
+    flat
+  }
+
   def pqEncodeOn(vecs: DataFrame, coarseCb: DataFrame, pq: PqModel): DataFrame = {
     val coarse = collectCoarse(coarseCb)
     val csims = coarse.map { case (_, cv, cn) =>
@@ -938,14 +956,23 @@ object Similarity {
     }
     val listIds = array(coarse.map(c => lit(c._1)).toIndexedSeq: _*)
     val sims = array(csims.toIndexedSeq: _*)
-    val enc = org.apache.spark.sql.GraftSqlBridge.column(
+    val enc = if (pq.residual) {
+      val flat = requireResidualPairing(pq, coarse)
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.PqEncodeResidual(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+          org.apache.spark.sql.GraftSqlBridge.expression(col("cidx")),
+          flat.toSeq, pq.m, pq.ksub, pq.codebook.toSeq))
+    } else org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.PqEncode(
         org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
         pq.m, pq.ksub, pq.codebook.toSeq))
     cleanedWithNrm(vecs)
-      .withColumn("list_id",
-        element_at(listIds,
-          array_position(sims, array_max(sims)).cast("int")))
+      // 0-based coarse index once; list_id derives from it so the residual
+      // encoder and the emitted list agree by construction
+      .withColumn("cidx",
+        (array_position(sims, array_max(sims)) - 1).cast("int"))
+      .withColumn("list_id", element_at(listIds, col("cidx") + 1))
       .select(col("vec_id"), col("label"), col("list_id"), col("nrm"),
         enc.as("codes"))
       .filter(col("codes").isNotNull)
@@ -978,7 +1005,7 @@ object Similarity {
     val coarse = collectCoarse(coarseCb)
     // probe lists: driver arithmetic over collected metadata — ties break
     // toward the lower c_id (the collect order), as everywhere in the family
-    val probeListIds: Seq[Any] = coarse.zipWithIndex
+    val probed: Seq[(Any, Int)] = coarse.zipWithIndex
       .map { case ((id, cv, cn), idx) =>
         var dp = 0.0
         var i = 0
@@ -986,8 +1013,13 @@ object Similarity {
         (id, idx, dp / (pn * math.sqrt(cn)))
       }
       .sortBy { case (_, idx, sim) => (-sim, idx) }
-      .take(nprobe).map(_._1).toSeq
-    // ADC lookup tables from the probe: lut[j][c] = <probe_j, cent_{j,c}>
+      .take(nprobe).map(t => (t._1, t._2)).toSeq
+    val probeListIds: Seq[Any] = probed.map(_._1)
+    // ADC lookup tables from the probe: lut[j][c] = <probe_j, cent_{j,c}>.
+    // On the residual path the pq centroids quantize v − C[cell], and for
+    // the INNER-PRODUCT metric <p, v> = <p, C_cell> + <p, residual> — the
+    // SAME shared tables plus one per-list constant (faiss's IP
+    // by_residual decomposition; only L2 needs per-list tables).
     val lut: Array[Array[Double]] = Array.tabulate(pq.m) { j =>
       Array.tabulate(pq.ksub) { c =>
         var s = 0.0
@@ -999,9 +1031,27 @@ object Similarity {
     }
     // m element_at's on literal ksub-arrays: codegen-friendly (the 64-term
     // unroll that hurt vec_dot is not at play at m=8), zero vector bytes
-    val adcDot = (0 until pq.m).map { j =>
+    val sumLut = (0 until pq.m).map { j =>
       element_at(litVec(lut(j).toSeq), col("codes")(j) + lit(1))
     }.reduce(_ + _)
+    val adcDot = if (!pq.residual) sumLut else {
+      val flat = requireResidualPairing(pq, coarse)
+      val dim = pq.m * pq.dsub
+      // per probed list: const_l = <p, C_l>, selected by a ≤ nprobe-branch
+      // literal when-chain (candidates are filtered to the probed lists,
+      // so every row matches a branch)
+      val consts = probed.map { case (id, idx) =>
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += p(i) * flat(idx * dim + i); i += 1 }
+        (id, s)
+      }
+      val constCol = consts.tail.foldLeft(
+        when(col("list_id") === lit(consts.head._1), lit(consts.head._2))) {
+        case (w, (id, s)) => w.when(col("list_id") === lit(id), lit(s))
+      }
+      constCol + sumLut
+    }
     val cand = encoded
       .filter(col("list_id").isin(probeListIds: _*))
       .withColumn("adc_cosine", adcDot / (sqrt(col("nrm")) * lit(pn)))
@@ -1033,18 +1083,56 @@ object Similarity {
     * test), one corpus TakeOrdered pass cheaper.
     */
   def ivfPqTrain(vecs: DataFrame, cells: Int = IvfTrainedCells,
-      m: Int = 8, ksub: Int = 32): (DataFrame, PqModel) = {
+      m: Int = 8, ksub: Int = 32,
+      byResidual: Boolean = false): (DataFrame, PqModel) = {
     require(IvfTrainedSampleCap >= cells,
       s"sampleCap must be >= cells (got $IvfTrainedSampleCap, $cells)")
     val sample = hashSample(vecs, 42L, IvfTrainedSampleCap, "ivfPqTrain")
-    (kMeansLocalCore(vecs.sparkSession, sample, cells, IvfTrainedIters),
-      pqLocalCore(sample, m, ksub, iters = 8))
+    val coarse = kMeansLocalCore(vecs.sparkSession, sample, cells,
+      IvfTrainedIters)
+    if (!byResidual)
+      return (coarse, pqLocalCore(sample, m, ksub, iters = 8))
+    // RESIDUAL training (faiss by_residual=true): quantize v − C[cell]
+    // instead of v. The sample's coarse assignment mirrors the map-side
+    // literal-argmax EXACTLY (cosine, strict > → lowest index on ties,
+    // zero-norm cells dropped) so training and encoding see the same
+    // geometry; the model carries the flat centroid array it was trained
+    // against and the consumers enforce the pairing bit-for-bit.
+    val cc = collectCoarse(coarse)
+    val dim = sample.head.length
+    val flat = new Array[Double](cc.length * dim)
+    cc.zipWithIndex.foreach { case ((_, cv, _), i) =>
+      require(cv.length == dim,
+        s"ivfPqTrain: coarse centroid dim ${cv.length} != corpus dim $dim")
+      System.arraycopy(cv, 0, flat, i * dim, dim)
+    }
+    val residuals = sample.map { v =>
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < cc.length) {
+        val cv = cc(c)._2
+        var dp = 0.0
+        var i = 0
+        while (i < dim) { dp += v(i) * cv(i); i += 1 }
+        val sim = dp / (vn * math.sqrt(cc(c)._3))
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      val r = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - flat(best * dim + i); i += 1 }
+      r
+    }
+    val pq = pqLocalCore(residuals, m, ksub, iters = 8)
+    (coarse, pq.copy(residualCoarse = Some(flat)))
   }
 
   def ivfPqOn(vecs: DataFrame, k: Int, nprobe: Int, probeVec: Seq[Double],
       cells: Int = IvfTrainedCells, m: Int = 8, ksub: Int = 32,
-      rerank: Int = 64): DataFrame = {
-    val (coarse, pq) = ivfPqTrain(vecs, cells, m, ksub)
+      rerank: Int = 64, byResidual: Boolean = false): DataFrame = {
+    val (coarse, pq) = ivfPqTrain(vecs, cells, m, ksub, byResidual)
     ivfPqSearch(pqEncodeOn(vecs, coarse, pq), vecs, probeVec, coarse, pq,
       k, nprobe, rerank)
   }
@@ -1066,6 +1154,23 @@ object Similarity {
     withExactTopkFlag(s, dir, k,
       ivfPqOn(vecs.filter(col("vec_id") =!= 0), k, nprobe, probe))
   }
+
+  /** The RESIDUAL IVF-PQ fixture (registry `q_sim_ivf_pq_res`): same
+    * contract as [[ivfPq]] with `by_residual=true` — the faiss default,
+    * and the measured fix for ADC recall decay on weakly-clustered
+    * corpora (PQBENCH: residuals concentrate near the origin, so the same
+    * m × ksub budget quantizes them with less error). Rows-only for the
+    * same declared reason as the whole IVF family.
+    */
+  def ivfPqResidual(s: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding"))).head.getSeq[Double](0).toSeq
+    withExactTopkFlag(s, dir, k,
+      ivfPqOn(vecs.filter(col("vec_id") =!= 0), k, nprobe, probe,
+        byResidual = true))
+  }
 }
 
 /** Driver-resident product-quantizer model — `m` subspaces × `ksub`
@@ -1075,11 +1180,24 @@ object Similarity {
   * default over 64-dim embeddings; production deployments typically use
   * ksub=256, still metadata-sized).
   */
-case class PqModel(m: Int, ksub: Int, codebook: Array[Double]) {
+case class PqModel(m: Int, ksub: Int, codebook: Array[Double],
+    residualCoarse: Option[Array[Double]] = None) {
   require(m > 0 && ksub > 0 && codebook.nonEmpty &&
     codebook.length % (m * ksub) == 0,
     s"PqModel: codebook length ${codebook.length} must be a positive " +
       s"multiple of m*ksub = ${m * ksub}")
   /** Subvector width implied by the codebook. */
   def dsub: Int = codebook.length / (m * ksub)
+  /** True when the quantizer was trained on coarse-cell RESIDUALS
+    * (faiss `by_residual=true`): the model then carries the flat
+    * `cells × dim` centroid array it was trained against (index order =
+    * cell index), and encode/search MUST pair it with the same coarse
+    * codebook — enforced bit-for-bit by the consumers.
+    */
+  def residual: Boolean = residualCoarse.nonEmpty
+  residualCoarse.foreach { cc =>
+    require(cc.nonEmpty && cc.length % (m * dsub) == 0,
+      s"PqModel: residual coarse length ${cc.length} must be a positive " +
+        s"multiple of dim = ${m * dsub}")
+  }
 }

@@ -12,7 +12,8 @@ class EntryContractSpec extends AnyFunSuite {
   // covered by a named property test (SURVEY §2.C)
   private val rowsOnlyByDesign = Set(
     "q_agg_approx", "q_agg_approx_pct", "q_dedup_near", "q_dedup_simhash",
-    "q_sim_ivf", "q_sim_ivf_trained", "q_sim_ivf_pq", "q_fingerprint_rolling",
+    "q_sim_ivf", "q_sim_ivf_trained", "q_sim_ivf_pq", "q_sim_ivf_pq_res",
+    "q_fingerprint_rolling",
     "q_vocab_heavy")
 
   test("every oracle key names a registered query") {
@@ -27,7 +28,7 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 97)
+    assert(SparkEntry.queries.size === 98)
     assert(SparkEntry.oracleSql.size === 88)
   }
 

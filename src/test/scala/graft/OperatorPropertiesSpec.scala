@@ -1261,6 +1261,105 @@ class OperatorPropertiesSpec extends SparkSpec {
       graft.operators.PqModel(2, 3, Array(1.0)) }
   }
 
+  test("pq_encode_res: codegen/interpreted bit-identity, residual " +
+      "semantics, out-of-range cell nulls") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    // m=2, ksub=2, dsub=2 (dim 4); 2 coarse cells. Residual of v against
+    // C[cell] must be what gets encoded.
+    val pqCb = Seq(
+      0.0, 0.0,   1.0, 1.0,  // subspace 0: codes 0 / 1
+      0.0, 0.0,   -1.0, -1.0) // subspace 1
+    val coarse = Seq(
+      10.0, 10.0, 10.0, 10.0, // cell 0
+      0.0, 0.0, 0.0, 0.0)     // cell 1 (origin: residual == v)
+    val e = graft.functions.PqEncodeResidual(
+      BoundReference(0, ArrayType(DoubleType, containsNull = false),
+        nullable = true),
+      BoundReference(1, IntegerType, nullable = true),
+      coarse, 2, 2, pqCb)
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    def codesOf(v: Array[Double], cell: Int): Seq[Int] = {
+      val row = InternalRow(new GenericArrayData(v), cell)
+      val gen = proj(row).getArray(0)
+      val genCodes = (0 until gen.numElements()).map(gen.getInt)
+      val interp = e.eval(row)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      assert((0 until interp.numElements()).map(interp.getInt) === genCodes,
+        "interpreted and generated residual encodings must be identical")
+      genCodes
+    }
+    // cell 0: residual of (10.9, 10.9, 9.2, 9.2) is (0.9, 0.9, -0.8,
+    // -0.8) → nearest (1,1) then (-1,-1) → codes (1, 1)
+    assert(codesOf(Array(10.9, 10.9, 9.2, 9.2), 0) === Seq(1, 1))
+    // cell 1 (origin): residual == v, so it must agree with plain
+    // pq_encode on the same codebook
+    val plain = graft.functions.PqEncode(
+      BoundReference(0, ArrayType(DoubleType, containsNull = false),
+        nullable = true), 2, 2, pqCb)
+    val v2 = Array(0.9, 0.9, -0.2, -0.2)
+    val plainCodes = {
+      val r = plain.eval(InternalRow(new GenericArrayData(v2)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until r.numElements()).map(r.getInt)
+    }
+    assert(codesOf(v2, 1) === plainCodes,
+      "origin-cell residual encoding must equal plain encoding")
+    // out-of-range cell and ragged vector → null, both paths
+    val oob = InternalRow(new GenericArrayData(Array(1.0, 2.0, 3.0, 4.0)), 7)
+    assert(proj(oob).isNullAt(0) && e.eval(oob) === null,
+      "out-of-range cell must yield null")
+    val ragged = InternalRow(new GenericArrayData(Array(1.0, 2.0)), 0)
+    assert(proj(ragged).isNullAt(0) && e.eval(ragged) === null,
+      "ragged vector must yield null")
+  }
+
+  test("residual IVF-PQ: recall floor, determinism, trained-IVF window " +
+      "identity, codebook-pairing guard") {
+    import graft.Tables
+    import org.apache.spark.sql.functions.col
+    val exact = Similarity.cosineTopK(spark, sf0001, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val fixture = Similarity.ivfPqResidual(spark, sf0001, k = 10, nprobe = 3)
+    val got = fixture.collect()
+    assert(got.length === 10)
+    assert(!got.map(_.getLong(0)).contains(0L), "probe must be excluded")
+    val recall = (exact & got.map(_.getLong(0)).toSet).size
+    assert(recall >= 3, s"residual IVF-PQ recall too low: $recall/10")
+    val again = Similarity.ivfPqResidual(spark, sf0001, k = 10, nprobe = 3)
+      .collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq,
+      "residual IVF-PQ must be deterministic run-to-run")
+    // corpus-covering rerank reduces to trained IVF exactly, same as the
+    // non-residual path (the ADC order inside the window is irrelevant)
+    val vecs = Tables.embeddings(spark, sf0001).filter(col("vec_id") =!= 0)
+    val probe = Tables.embeddings(spark, sf0001).filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    val (coarse, pq) = Similarity.ivfPqTrain(vecs, byResidual = true)
+    assert(pq.residual, "ivfPqTrain(byResidual) must mark the model")
+    val encoded = Similarity.pqEncodeOn(vecs, coarse, pq)
+    val widePq = Similarity.ivfPqSearch(encoded, vecs, probe, coarse, pq,
+        k = 10, nprobe = 3, rerank = 500)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val coarseIvf = Similarity.ivfOn(vecs, k = 10, nprobe = 3,
+        probeVec = probe, codebook = coarse)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(widePq === coarseIvf,
+      "a corpus-covering rerank must reduce residual IVF-PQ to trained IVF")
+    // pairing guard: a residual model must refuse a different coarse
+    // codebook (here: the label-means codebook instead of the trained one)
+    val otherCb = Similarity.trainKMeansLocal(vecs, k = 5, iters = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqEncodeOn(vecs, otherCb, pq)
+    }
+    assert(ex.getMessage.contains("DIFFERENT coarse codebook"),
+      s"pairing guard must fire: ${ex.getMessage}")
+    spark.catalog.clearCache()
+  }
+
   test("IVF-PQ: recall floor vs brute force, determinism, probe excluded, " +
       "search reads codes not vectors") {
     import graft.Tables

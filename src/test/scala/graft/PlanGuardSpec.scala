@@ -365,20 +365,22 @@ class PlanGuardSpec extends SparkSpec {
     // tables (never a per-row join against a codebook relation), and the
     // exact rerank joins via BROADCAST of the ≤ rerank candidate ids —
     // no shuffle anywhere on the corpus side
-    val plan = formatted("q_sim_ivf_pq")
-    assert(!plan.contains("max_by"),
-      "coarse assignment regressed to the ×codebook max_by expansion")
-    assert(plan.contains("array_position"),
-      "literal-argmax coarse assignment shape missing")
-    assert(plan.contains("element_at"),
-      "ADC literal-lookup-table scoring shape missing")
-    assert(plan.contains("pq_encode"),
-      "codegen pq_encode expression missing from the encode projection")
-    assert(!plan.contains("CartesianProduct"),
-      "IVF-PQ must never cartesian-join")
-    assert(plan.contains("BroadcastHashJoin") ||
-      plan.contains("BroadcastNestedLoopJoin"),
-      "the exact rerank must broadcast the candidate ids")
+    for (q <- Seq("q_sim_ivf_pq", "q_sim_ivf_pq_res")) {
+      val plan = formatted(q)
+      assert(!plan.contains("max_by"),
+        s"$q: coarse assignment regressed to the ×codebook max_by expansion")
+      assert(plan.contains("array_position"),
+        s"$q: literal-argmax coarse assignment shape missing")
+      assert(plan.contains("element_at"),
+        s"$q: ADC literal-lookup-table scoring shape missing")
+      assert(plan.contains("pq_encode"),
+        s"$q: codegen pq_encode expression missing from the encode projection")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: IVF-PQ must never cartesian-join")
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: the exact rerank must broadcast the candidate ids")
+    }
   }
 
   test("no oracled query emits a comparator-unsafe (array/map/struct) column") {

@@ -504,28 +504,55 @@ object Bench {
       }.sorted.apply(1)
       f""","ivf_split":{"train_sec":$trainSec%.3f,"probe_sec":${math.max(0.0, med - trainSec)}%.3f}"""
     }.getOrElse("")
-    // IVF-PQ evidence split (r17 verdict #1): a PQ query's timed line
-    // bundles train(coarse)+train(pq)+encode+search; report the
-    // train+encode share so the artifact shows the search stage itself —
-    // the only per-probe cost once codes are STORED — and the encoded
-    // row count (every encode output row carries m codes + a norm, never
-    // vector bytes, so `search_sec` is the scan-reads-codes number).
+    // IVF-PQ evidence split (r17 verdict #1, re-attributed per r18 advice):
+    // a PQ query's timed line bundles train(coarse)+train(pq)+encode+
+    // search PLUS the fixture-evidence overhead (withExactTopkFlag's
+    // brute-force exact top-k and the probe point-fetch), so `med − prep`
+    // was NOT the search stage. Instead, time the search stage DIRECTLY:
+    // write the encoded codes to a parquet (the stored-index shape — what
+    // a 100 TB deployment serves probes from) and run ivfPqSearch over it
+    // with the query's own constants. `search_sec` is then the honest
+    // scan-reads-codes number; `evidence_overhead_sec` is the residual the
+    // fixture pays for its in_exact_topk recall column (absent at scale).
     val pqSplit = scored.find(_._1 == "q_sim_ivf_pq").map { case (_, med, _, _, _, _, _) =>
+      import org.apache.spark.sql.functions.col
+      val Sim = graft.operators.Similarity
+      val vecsAll = Tables.embeddings(spark, sfDir)
+      // the query trains/encodes on the probe-EXCLUDED corpus (r18
+      // advice: an unfiltered prep here was off by the probe row)
+      val vecs = vecsAll.filter(col("vec_id") =!= 0)
+      val probe = vecsAll.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toSeq
       val prepSec = (1 to 3).map { _ =>
         reclaim()
         val t0 = System.nanoTime()
-        val vecs = Tables.embeddings(spark, sfDir)
         // ivfPqTrain IS the query's own training call (shared-sample
         // form) — a re-assembled copy here could silently drift
-        val (coarse, pq) = graft.operators.Similarity.ivfPqTrain(vecs)
-        graft.operators.Similarity.pqEncodeOn(vecs, coarse, pq).count()
+        val (coarse, pq) = Sim.ivfPqTrain(vecs)
+        Sim.pqEncodeOn(vecs, coarse, pq).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)
-      f""","pq_split":{"train_encode_sec":$prepSec%.3f,"search_sec":${math.max(0.0, med - prepSec)}%.3f}"""
+      val (coarse, pq) = Sim.ivfPqTrain(vecs)
+      val codesDir = java.nio.file.Files
+        .createTempDirectory("graft_pq_codes").toString
+      Sim.pqEncodeOn(vecs, coarse, pq)
+        .write.mode("overwrite").parquet(codesDir)
+      val stored = spark.read.parquet(codesDir)
+      val searchSec = (1 to 3).map { _ =>
+        reclaim()
+        val t0 = System.nanoTime()
+        Sim.ivfPqSearch(stored, vecs, probe, coarse, pq,
+            Sim.IvfPqK, Sim.IvfPqNprobe, Sim.IvfPqRerank)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+      f""","pq_split":{"train_encode_sec":$prepSec%.3f,"search_sec":$searchSec%.3f,"evidence_overhead_sec":${math.max(0.0, med - prepSec - searchSec)}%.3f}"""
     }.getOrElse("")
     // self-report the declared-baseline ratio (BASELINE.md convention: sum
     // over the intersection of query names vs the pinned DuckDB totals)
     // whenever the pinned baseline for this scale factor is present
+    var vsBaselineCompact = ""
     val vsBaseline = {
       val sf = sfDir.replaceAll("/+$", "").split("/").last
       // baseline file resolves relative to an explicit env override, else
@@ -576,11 +603,23 @@ object Bench {
               f""""jobs":$j,"floor_identity":${j * floorSec}%.2f}"""
           }
           .mkString("{", ",", "}")
-        if (s2 > 0) s""","baseline_total":$s2,"baseline_queries":${mine.size},"per_query_ratio":$ratios,"weak_lines":$weak,"vs_baseline":${s1 / s2}"""
+        if (s2 > 0) {
+          vsBaselineCompact =
+            f""","vs_baseline":${s1 / s2}%.4f,"baseline_queries":${mine.size},"weak_lines":$weak"""
+          s""","baseline_total":$s2,"baseline_queries":${mine.size},"per_query_ratio":$ratios,"weak_lines":$weak,"vs_baseline":${s1 / s2}"""
+        }
         else ""
       } else ""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"stages_jobs":$stageJson,"slow_samples":$slowSamples,"slow_telemetry":$slowTele,"spread_violations":$spreadViolations,"resampled":$resampledJson,"cold_first":$coldFirstJson,"heavy_stats":$heavyStats,"failed":$failed,"codegen_fallbacks":${codegenFailures.count.get},"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$ivfSplit$pqSplit$vsBaseline}""")
+    // r18 verdict #6: the driver wrapper keeps only the TAIL of stdout, so
+    // the full line above loses its head in BENCH_r{N}.json and the
+    // wrapper's `parsed` comes back null. Print a compact summary line
+    // LAST — vs_baseline, weak_lines, ref/floor, counts, the splits —
+    // small enough (≲1 KiB) to survive whole inside the preserved tail.
+    // The per-query medians stay on the full line and in the committed
+    // BENCH_local_r{N}*.json pins.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${scored.size},"repeats":$Repeats,"failed":$failed,"spread_violations":$spreadViolations,"slow_samples":$slowSamples,"codegen_fallbacks":${codegenFailures.count.get},"ref_sec":$refSec,"floor_sec":$floorSec$ivfSplit$pqSplit$vsBaselineCompact}""")
     spark.stop()
   }
 }

@@ -272,6 +272,15 @@ object Similarity {
   val IvfTrainedIters: Int = 4
   val IvfTrainedSampleCap: Int = 4096
 
+  /** The IVF-PQ registry queries' constants, exposed for the same reason
+    * as the trained-IVF trio above: Bench's `pq_split` times the search
+    * stage directly with the query's OWN k/nprobe/rerank — hard-coded
+    * copies there could silently drift from what `q_sim_ivf_pq` runs.
+    */
+  val IvfPqK: Int = 10
+  val IvfPqNprobe: Int = 3
+  val IvfPqRerank: Int = 64
+
   /** The end-to-end TRAINED IVF fixture (registry `q_sim_ivf_trained`):
     * train a [[trainKMeansLocal]] codebook on a bounded sample of the
     * corpus, then answer the same probe contract as [[ivf]] (probe =
@@ -904,18 +913,22 @@ object Similarity {
     */
   private def collectCoarse(cb: DataFrame): Array[(Any, Array[Double], Double)] = {
     val MaxCodebookCells = 65536
-    val rows = cb
+    val taken = cb
       .select(col("c_id"), col("cv").cast("array<double>").as("cv"))
       .orderBy(col("c_id"))
       .take(MaxCodebookCells + 1)
+    // over-cap check runs on the UNFILTERED fetch (r18 advice): a
+    // zero-norm cell inside the fetched window must not let an oversized
+    // codebook slip under the cap and be silently truncated
+    require(taken.length <= MaxCodebookCells,
+      s"ivf_pq: coarse codebook exceeds $MaxCodebookCells cells — train a " +
+        "bounded one with trainKMeans/trainKMeansLocal")
+    val rows = taken
       .map { r =>
         val v = r.getSeq[Double](1).toArray
         (r.get(0), v, v.map(x => x * x).sum)
       }
       .filter(_._3 > 0)
-    require(rows.length <= MaxCodebookCells,
-      s"ivf_pq: coarse codebook exceeds $MaxCodebookCells cells — train a " +
-        "bounded one with trainKMeans/trainKMeansLocal")
     require(rows.nonEmpty,
       "ivf_pq: no usable (non-zero-norm) coarse centroid — nothing to " +
         "assign against")
@@ -1007,9 +1020,16 @@ object Similarity {
     // toward the lower c_id (the collect order), as everywhere in the family
     val probed: Seq[(Any, Int)] = coarse.zipWithIndex
       .map { case ((id, cv, cn), idx) =>
+        // loud dim check against the COARSE codebook too (r18 advice): the
+        // probe is validated against the PQ model above, but on the
+        // non-residual path a wrong-dim coarse codebook would otherwise
+        // select probe lists from a truncated dot product
+        require(cv.length == p.length,
+          s"ivf_pq: coarse centroid $id dim ${cv.length} != probe dim " +
+            s"${p.length}")
         var dp = 0.0
         var i = 0
-        while (i < math.min(cv.length, p.length)) { dp += cv(i) * p(i); i += 1 }
+        while (i < p.length) { dp += cv(i) * p(i); i += 1 }
         (id, idx, dp / (pn * math.sqrt(cn)))
       }
       .sortBy { case (_, idx, sim) => (-sim, idx) }
@@ -1131,7 +1151,7 @@ object Similarity {
 
   def ivfPqOn(vecs: DataFrame, k: Int, nprobe: Int, probeVec: Seq[Double],
       cells: Int = IvfTrainedCells, m: Int = 8, ksub: Int = 32,
-      rerank: Int = 64, byResidual: Boolean = false): DataFrame = {
+      rerank: Int = IvfPqRerank, byResidual: Boolean = false): DataFrame = {
     val (coarse, pq) = ivfPqTrain(vecs, cells, m, ksub, byResidual)
     ivfPqSearch(pqEncodeOn(vecs, coarse, pq), vecs, probeVec, coarse, pq,
       k, nprobe, rerank)
@@ -1146,8 +1166,8 @@ object Similarity {
     * evidence (`in_exact_topk`), and the ScalaTest suite asserts the
     * recall floor against brute force plus determinism.
     */
-  def ivfPq(s: SparkSession, dir: String, k: Int = 10,
-      nprobe: Int = 3): DataFrame = {
+  def ivfPq(s: SparkSession, dir: String, k: Int = IvfPqK,
+      nprobe: Int = IvfPqNprobe): DataFrame = {
     val vecs = Tables.embeddings(s, dir)
     val probe = vecs.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding"))).head.getSeq[Double](0).toSeq
@@ -1162,8 +1182,8 @@ object Similarity {
     * m × ksub budget quantizes them with less error). Rows-only for the
     * same declared reason as the whole IVF family.
     */
-  def ivfPqResidual(s: SparkSession, dir: String, k: Int = 10,
-      nprobe: Int = 3): DataFrame = {
+  def ivfPqResidual(s: SparkSession, dir: String, k: Int = IvfPqK,
+      nprobe: Int = IvfPqNprobe): DataFrame = {
     val vecs = Tables.embeddings(s, dir)
     val probe = vecs.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding"))).head.getSeq[Double](0).toSeq

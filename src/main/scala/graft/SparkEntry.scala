@@ -134,6 +134,7 @@ object SparkEntry {
     "q_multimodal_stats"  -> (Multimodal.stats _),
     "q_multimodal_decode" -> (Multimodal.decodePipeline _),
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => Multimodal.framePipeline(s, d)),
+    "q_multimodal_parse"  -> (Multimodal.parsePipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1161,5 +1162,21 @@ object SparkEntry {
         |  ROUND(AVG(rs_height), 2) AS avg_rs_height
         |FROM f WHERE frame_idx % 4 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the oracle recomputes the GM01 header fields ARITHMETICALLY from the
+    // doc columns the fixture encoded them from (doc_id, n_chars — not
+    // derivable from body length), while the Spark side must recover them
+    // from the payload BYTES it wrote: an endianness/offset/magic bug on
+    // either side fails the hash instead of cancelling out
+    "q_multimodal_parse" ->
+      """SELECT lang,
+        |  COUNT(1) FILTER (WHERE doc_id % 97 <> 0) AS cnt_ok,
+        |  COUNT(1) FILTER (WHERE doc_id % 97 = 0) AS cnt_bad,
+        |  ROUND(AVG(64 + n_chars % 640) FILTER (WHERE doc_id % 97 <> 0), 2) AS avg_width,
+        |  ROUND(AVG(64 + (n_chars * 7) % 480) FILTER (WHERE doc_id % 97 <> 0), 2) AS avg_height,
+        |  CAST(SUM(1 + doc_id % 4) FILTER (WHERE doc_id % 97 <> 0) AS BIGINT) AS sum_channels,
+        |  CAST(MAX(1 + n_chars % 16) FILTER (WHERE doc_id % 97 <> 0) AS INT) AS max_frames,
+        |  CAST(SUM(strlen(text)) FILTER (WHERE doc_id % 97 <> 0) AS BIGINT) AS sum_body_bytes
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -122,6 +122,121 @@ object Multimodal {
       .orderBy("lang")
   }
 
+  /** Little-endian byte decomposition as hex, for the fixture ENCODER:
+    * `nBytes` bytes of `v`, least-significant first, each as 2 hex chars.
+    * Pure `shiftright`/`bitwiseAND`/`hex` column arithmetic — deliberately
+    * independent of the byte-level PARSER ([[graft.functions
+    * .MediaHeaderParse]]), so an endianness or offset bug in either side
+    * fails the oracle hash instead of cancelling out.
+    */
+  private def leHex(v: org.apache.spark.sql.Column, nBytes: Int) =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255))), 2, "0")): _*)
+
+  /** STRUCTURED media fixture over the documents table: each doc becomes a
+    * GM01 container (see [[graft.functions.MediaHeaderParse]] for the
+    * layout) — magic + version, channels byte, little-endian int32
+    * width/height, little-endian uint16 frame count, then the text bytes
+    * as the opaque body. Docs with `doc_id % 97 == 0` get a corrupted
+    * magic ("XX"), so the parse side has real invalid inputs to detect.
+    * Field values are arithmetic over (doc_id, n_chars) — NOT derivable
+    * from the body length — which is what makes `q_multimodal_parse`
+    * oracle-checkable: DuckDB recomputes the same arithmetic while Spark
+    * must recover the values from the bytes it actually wrote.
+    */
+  def mediaFixture(docs: DataFrame): DataFrame = {
+    val magicHex = when(col("doc_id") % 97 === 0, lit("585801"))
+      .otherwise(lit("474D01"))
+    val headerHex = concat(
+      magicHex,
+      lpad(hex(lit(1) + col("doc_id") % 4), 2, "0"),
+      leHex(lit(64) + col("n_chars") % 640, 4),
+      leHex(lit(64) + (col("n_chars") * 7) % 480, 4),
+      leHex(lit(1) + col("n_chars") % 16, 2))
+    docs.select(col("doc_id"), col("lang"),
+      concat(unhex(headerHex), col("text").cast("binary")).as("payload"))
+  }
+
+  /** Binary header-PARSE pipeline (registry `q_multimodal_parse`): decode
+    * the GM01 containers back out of the raw bytes — magic/version
+    * validation plus little-endian field assembly in ONE codegen pass
+    * ([[graft.functions.MediaHeaderParse]]) — and aggregate per-lang image
+    * stats in the same job, corrupt payloads counted (not silently
+    * dropped). This is the real multimodal decode shape: at 100 TB the
+    * payload column is the dominant bytes and everything here is map-side
+    * until the final k-group aggregate; only the scrub counters shuffle.
+    */
+  def parsePipeline(s: SparkSession, dir: String): DataFrame =
+    parseOn(mediaFixture(Tables.documents(s, dir)))
+
+  /** [[parsePipeline]] over an arbitrary (lang, payload: binary) frame —
+    * the form a real media table (parquet binary column) feeds directly.
+    */
+  def parseOn(media: DataFrame): DataFrame = {
+    val h = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MediaHeaderParse(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("payload"))))
+    media
+      .select(col("lang"), h.as("h"))
+      .groupBy("lang")
+      .agg(
+        count(when(col("h.ok"), 1)).as("cnt_ok"),
+        count(when(!col("h.ok"), 1)).as("cnt_bad"),
+        Norm.r2(avg(when(col("h.ok"), col("h.width")))).as("avg_width"),
+        Norm.r2(avg(when(col("h.ok"), col("h.height")))).as("avg_height"),
+        sum(when(col("h.ok"), col("h.channels"))).as("sum_channels"),
+        max(when(col("h.ok"), col("h.frames"))).as("max_frames"),
+        sum(when(col("h.ok"), col("h.body_bytes"))).as("sum_body_bytes"))
+      .orderBy("lang")
+  }
+
+  /** Parsed per-payload record, the batched parser's typed output. */
+  case class ParsedRow(doc_id: Long, lang: String, ok: Boolean,
+    channels: Int, width: Int, height: Int, frames: Int, body_bytes: Int)
+
+  /** [[parseOn]]'s per-partition BATCHED form: the same GM01 parse through
+    * `java.nio.ByteBuffer` little-endian reads inside `mapPartitions` —
+    * the plumbing shape a real decoder (JNI/opencv/model handle) slots
+    * into, paying the encoder round-trip the expression form avoids. One
+    * parser "instance" per partition streams the batch; the suite asserts
+    * its aggregate is identical to [[parseOn]]'s.
+    */
+  def parseBatched(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    val typed = media.select(col("doc_id"), col("lang"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+    typed
+      .filter((r: (Long, String, Array[Byte])) => r._3 != null)
+      .mapPartitions { batch =>
+        // per-partition decoder setup would go here (JNI init, model load)
+        batch.map { case (id, lang, b) =>
+          val ok = b.length >= 14 &&
+            b(0) == 0x47.toByte && b(1) == 0x4D.toByte && b(2) == 0x01.toByte
+          if (!ok) ParsedRow(id, lang, ok = false, 0, 0, 0, 0, 0)
+          else {
+            val buf = java.nio.ByteBuffer.wrap(b)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            ParsedRow(id, lang, ok = true,
+              channels = b(3) & 0xFF,
+              width = buf.getInt(4),
+              height = buf.getInt(8),
+              frames = buf.getShort(12) & 0xFFFF,
+              body_bytes = b.length - 14)
+          }
+        }
+      }
+      .groupBy("lang")
+      .agg(
+        count(when(col("ok"), 1)).as("cnt_ok"),
+        count(when(!col("ok"), 1)).as("cnt_bad"),
+        Norm.r2(avg(when(col("ok"), col("width")))).as("avg_width"),
+        Norm.r2(avg(when(col("ok"), col("height")))).as("avg_height"),
+        sum(when(col("ok"), col("channels"))).as("sum_channels"),
+        max(when(col("ok"), col("frames"))).as("max_frames"),
+        sum(when(col("ok"), col("body_bytes"))).as("sum_body_bytes"))
+      .orderBy("lang")
+  }
+
   /** Binary-column decode pipeline, batched-decoder form: typed
     * per-partition iteration (`mapPartitions` — the Scala analogue of
     * mapInPandas: ONE decoder instance per partition streaming over the

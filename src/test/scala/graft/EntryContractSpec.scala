@@ -28,8 +28,8 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 98)
-    assert(SparkEntry.oracleSql.size === 88)
+    assert(SparkEntry.queries.size === 99)
+    assert(SparkEntry.oracleSql.size === 89)
   }
 
   test("bench re-sampling policy: healthy host-side outliers only, bounded") {

@@ -1794,4 +1794,90 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(u2.isNullAt(4) && u2.isNullAt(5),
       "a single-event user has no gaps: max/avg must be null")
   }
+
+  test("media_header_parse: codegen/interpreted bit-identity, full-range " +
+      "LE assembly, corrupt/short payloads row not null, null payload null") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.BinaryType
+    val expr0 = graft.functions.MediaHeaderParse(
+      BoundReference(0, BinaryType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr0))
+    def mk(m0: Int, m1: Int, version: Int, channels: Int, width: Int,
+        height: Int, frames: Int, body: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(14 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(m0.toByte).put(m1.toByte).put(version.toByte)
+        .put(channels.toByte).putInt(width).putInt(height)
+        .putShort(frames.toShort).put(body)
+      buf.array()
+    }
+    def parse(b: Array[Byte]): (Boolean, Int, Int, Int, Int, Int) = {
+      val gen = proj(InternalRow(b)).getStruct(0, 6)
+      val g = (gen.getBoolean(0), gen.getInt(1), gen.getInt(2),
+        gen.getInt(3), gen.getInt(4), gen.getInt(5))
+      // interpreted eval must agree bit-for-bit with the generated code
+      val it = expr0.eval(InternalRow(b)).asInstanceOf[InternalRow]
+      assert((it.getBoolean(0), it.getInt(1), it.getInt(2), it.getInt(3),
+        it.getInt(4), it.getInt(5)) === g,
+        "interpreted and generated parses must be identical")
+      g
+    }
+    // full-range little-endian assembly: every width/height byte distinct
+    // (catches any offset or endianness slip), frames at the uint16 max,
+    // channels at the uint8 max
+    assert(parse(mk('G', 'M', 1, 255, 0x12345678, 0x0A0B0C0D, 0xFFFF,
+      "xyz".getBytes("UTF-8"))) ===
+      ((true, 255, 0x12345678, 0x0A0B0C0D, 0xFFFF, 3)))
+    // header-only payload is valid with an empty body
+    assert(parse(mk('G', 'M', 1, 3, 640, 480, 1, Array.empty)) ===
+      ((true, 3, 640, 480, 1, 0)))
+    // corrupt magic / wrong version / truncated header → ok=false ROW
+    // (countable), never null
+    assert(parse(mk('X', 'X', 1, 3, 640, 480, 1, Array.empty)) ===
+      ((false, 0, 0, 0, 0, 0)))
+    assert(parse(mk('G', 'M', 2, 3, 640, 480, 1, Array.empty)) ===
+      ((false, 0, 0, 0, 0, 0)))
+    assert(parse(Array[Byte](0x47, 0x4D, 0x01)) === ((false, 0, 0, 0, 0, 0)))
+    assert(parse(Array.empty[Byte]) === ((false, 0, 0, 0, 0, 0)))
+    // null payload → null struct, both paths
+    assert(proj(InternalRow(null)).isNullAt(0), "generated: null payload")
+    assert(expr0.eval(InternalRow(null)) === null, "interpreted: null payload")
+  }
+
+  test("multimodal parse: fixture-wide brute force from doc columns; " +
+      "batched ByteBuffer path ≡ expression path") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sf0001)
+    val media = Multimodal.mediaFixture(docs)
+    val viaExpr = Multimodal.parseOn(media).collect()
+    // the mapPartitions/ByteBuffer parser (the real-decoder plumbing) must
+    // agree with the codegen expression on every aggregate cell
+    val viaBatch = Multimodal.parseBatched(media).collect()
+    assert(viaExpr.map(_.toSeq).toSeq === viaBatch.map(_.toSeq).toSeq,
+      "batched and expression parse pipelines must agree exactly")
+    // brute force: re-derive the expected stats from the doc columns in
+    // plain Scala (independent of BOTH the encoder's and the parser's
+    // byte arithmetic)
+    val raw = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val expected = raw.groupBy(_._2).map { case (lang, rows) =>
+      val ok = rows.filter(_._1 % 97 != 0)
+      val bad = rows.length - ok.length
+      def r2(x: Double) = math.round(x * 100.0) / 100.0
+      (lang, ok.length.toLong, bad.toLong,
+        r2(ok.map(t => 64 + t._3 % 640).sum.toDouble / ok.length),
+        r2(ok.map(t => 64 + (t._3 * 7) % 480).sum.toDouble / ok.length),
+        ok.map(t => 1 + t._1 % 4).sum,
+        ok.map(t => 1 + t._3 % 16).max.toInt,
+        ok.map(_._4.getBytes("UTF-8").length.toLong).sum)
+    }.toSeq.sortBy(_._1)
+    val got = viaExpr.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4), r.getLong(5), r.getInt(6),
+      r.getLong(7))).toSeq
+    assert(got === expected,
+      "parsed per-lang stats must equal the arithmetic re-derivation")
+  }
 }

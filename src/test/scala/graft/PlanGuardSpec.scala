@@ -400,4 +400,31 @@ class PlanGuardSpec extends SparkSpec {
         "serialize to a canonical scalar (comma-joined string) in BOTH " +
         "the query and the oracle SQL")
   }
+
+  test("q_multimodal_parse: pruned scan, map-side codegen parse, " +
+      "counters-only shuffles") {
+    val plan = formatted("q_multimodal_parse")
+    // the scan reads exactly the fixture's four source columns (`source`
+    // pruned); at 100 TB a real media table scans (lang, payload) only —
+    // this pins that pruning reaches the parquet scan
+    val read = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema line in plan:\n$plan"))
+    val fields = read.substring(read.indexOf("struct<") + "struct<".length)
+      .stripSuffix(">").split(",").map(_.split(":")(0).trim).toSet
+    assert(fields == Set("doc_id", "text", "lang", "n_chars"),
+      s"scan must prune to the fixture columns, got $fields")
+    // the byte-level parse runs as the codegen expression, once, map-side
+    assert(plan.contains("media_header_parse"),
+      s"plan must run the codegen header parse:\n$plan")
+    assert("media_header_parse".r.findAllMatchIn(
+      plan.linesIterator.filter(_.contains("partial_")).mkString).isEmpty,
+      "the parse must happen in the Project, not re-run per aggregate")
+    // only k-group counter rows shuffle: partial-agg exchange + the
+    // contract sort's range exchange — payload bytes never cross the wire
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges == 2,
+      s"expected agg + contract-sort exchanges only, got $exchanges:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Expand"),
+      s"parse pipeline must not join or expand:\n$plan")
+  }
 }

@@ -94,6 +94,7 @@ object SparkEntry {
     "q_sim_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.ivfTrained(s, d)),
     "q_sim_ivf_pq"     -> ((s: SparkSession, d: String) => Similarity.ivfPq(s, d)),
     "q_sim_ivf_pq_res" -> ((s: SparkSession, d: String) => Similarity.ivfPqResidual(s, d)),
+    "q_sim_ivf_pq_stored" -> ((s: SparkSession, d: String) => Similarity.ivfPqStored(s, d)),
     "q_sim_knn_join"   -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "q_sim_centroids"  -> (Similarity.centroids _),
     "q_embed_quantize" -> (Similarity.quantizeInt8 _),

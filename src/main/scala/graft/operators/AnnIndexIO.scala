@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index lifecycle (r18 verdict #3): save/load of the
+  * FULL search model — coarse codebook, product quantizer, and the encoded
+  * corpus — so a NEW session serves probes without retraining or touching
+  * the float corpus.
+  *
+  * Layout under `basePath`:
+  *   - `pq_model/`  one-row parquet: format version, m, ksub, flat PQ
+  *     codebook, and (residual models) the flat coarse array the quantizer
+  *     was trained against — the pairing [[Similarity.ivfPqSearch]]
+  *     enforces bit-for-bit survives parquet because doubles round-trip
+  *     exactly.
+  *   - `coarse/`    the (c_id, cv) coarse codebook (≤ 65536 rows —
+  *     metadata-sized, same cap as the in-session collect).
+  *   - `codes/`     the [[Similarity.pqEncodeOn]] corpus, PARTITIONED BY
+  *     `list_id`: a probe's `nprobe`-list candidate filter becomes
+  *     partition PRUNING on the stored table, so serving reads only the
+  *     probed lists' code files — at 100 TB the scan cost per probe is
+  *     O(corpus · nprobe / cells) code bytes, never the table.
+  *
+  * The codes table is an ordinary parquet relation, so the same frame can
+  * land through the sink's manifest-governed writer where a deployment
+  * wants transactional appends; the layout contract here is only the three
+  * directory names and the partition column.
+  */
+object AnnIndexIO {
+
+  val FormatVersion = 1
+  val ModelDir = "pq_model"
+  val CoarseDir = "coarse"
+  val CodesDir = "codes"
+
+  /** Persist a trained index: `coarse`/`pq` from
+    * [[Similarity.ivfPqTrain]], `encoded` from [[Similarity.pqEncodeOn]].
+    * Overwrites any index already at `basePath` (the swap is per-directory
+    * — readers of a live index should point at a versioned path and flip a
+    * pointer, the same publish discipline as the sink's manifests).
+    */
+  def save(basePath: String, coarse: DataFrame, pq: PqModel,
+      encoded: DataFrame): Unit = {
+    val s = coarse.sparkSession
+    import s.implicits._
+    Seq((FormatVersion, pq.m, pq.ksub, pq.codebook.toSeq,
+        pq.residualCoarse.map(_.toSeq)))
+      .toDF("version", "m", "ksub", "codebook", "residual_coarse")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$basePath/$ModelDir")
+    coarse.write.mode("overwrite").parquet(s"$basePath/$CoarseDir")
+    encoded.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$basePath/$CodesDir")
+  }
+
+  /** Reopen a saved index: (coarse codebook, PQ model, encoded codes).
+    * The codes frame is a lazy relation — nothing scans until a search
+    * runs, and the search's list filter prunes to the probed partitions.
+    */
+  def load(s: SparkSession, basePath: String): (DataFrame, PqModel, DataFrame) = {
+    val mrows = s.read.parquet(s"$basePath/$ModelDir").collect()
+    require(mrows.length == 1,
+      s"ann index at $basePath: expected exactly one model row, got " +
+        s"${mrows.length} — not a saved index or a torn write")
+    val m = mrows.head
+    val version = m.getAs[Int]("version")
+    require(version == FormatVersion,
+      s"ann index at $basePath: format version $version, this build " +
+        s"reads $FormatVersion")
+    val pq = PqModel(
+      m.getAs[Int]("m"), m.getAs[Int]("ksub"),
+      m.getAs[scala.collection.Seq[Double]]("codebook").toArray,
+      Option(m.getAs[scala.collection.Seq[Double]]("residual_coarse"))
+        .map(_.toArray))
+    (s.read.parquet(s"$basePath/$CoarseDir"), pq,
+      s.read.parquet(s"$basePath/$CodesDir"))
+  }
+
+  /** Serve one probe from a saved index: codes-only ADC over the probed
+    * (pruned) lists, exact rerank against `rerankVecs` — the only stage
+    * that reads float vectors, via broadcast point-fetch of ≤ `rerank`
+    * ids. Identical top-k to the in-session [[Similarity.ivfPqSearch]]
+    * over the pre-save frames (round-trip asserted in AnnIndexIOSpec).
+    */
+  def searchStored(s: SparkSession, basePath: String, rerankVecs: DataFrame,
+      probeVec: Seq[Double], k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val (coarse, pq, codes) = load(s, basePath)
+    Similarity.ivfPqSearch(codes, rerankVecs, probeVec, coarse, pq,
+      k, nprobe, rerank)
+  }
+}

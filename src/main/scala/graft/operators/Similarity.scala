@@ -1191,6 +1191,31 @@ object Similarity {
       ivfPqOn(vecs.filter(col("vec_id") =!= 0), k, nprobe, probe,
         byResidual = true))
   }
+
+  /** The PERSISTED-index fixture (registry `q_sim_ivf_pq_stored`, r19):
+    * the full index lifecycle — train (residual, the faiss default), save
+    * through [[AnnIndexIO]], REOPEN from disk, and serve the same probe
+    * contract as [[ivfPqResidual]] from the stored codes. The search scans
+    * only the probed lists' partitions of the codes table (partition
+    * pruning — AnnIndexIOSpec pins the PartitionFilters and the
+    * vector-free ReadSchema); results are identical to the in-session
+    * path, so the pin/rows-only evidence carries over. Rows-only for the
+    * family's declared reason (FP k-means + ADC).
+    */
+  def ivfPqStored(s: SparkSession, dir: String, k: Int = IvfPqK,
+      nprobe: Int = IvfPqNprobe): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding"))).head.getSeq[Double](0).toSeq
+    val corpus = vecs.filter(col("vec_id") =!= 0)
+    val (coarse, pq) = ivfPqTrain(corpus, byResidual = true)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ann_index").toString
+    AnnIndexIO.save(base, coarse, pq, pqEncodeOn(corpus, coarse, pq))
+    withExactTopkFlag(s, dir, k,
+      AnnIndexIO.searchStored(s, base, corpus, probe, k, nprobe,
+        IvfPqRerank))
+  }
 }
 
 /** Driver-resident product-quantizer model — `m` subspaces × `ksub`

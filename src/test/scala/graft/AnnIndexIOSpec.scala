@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndexIO, Similarity}
+
+/** Persisted IVF-PQ index lifecycle (r18 verdict #3): a saved index
+  * reopened by a fresh reader must serve the SAME top-k as the in-session
+  * search, and the stored-path plan must read only the probed lists' code
+  * partitions with a vector-free schema.
+  */
+class AnnIndexIOSpec extends SparkSpec {
+
+  private def fixture(byResidual: Boolean) = {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toSeq
+    val corpus = vecs.filter(col("vec_id") =!= 0)
+    val (coarse, pq) = Similarity.ivfPqTrain(corpus, byResidual = byResidual)
+    (corpus, probe, coarse, pq)
+  }
+
+  private def tmpBase(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_annio_$tag").toString
+
+  for (byResidual <- Seq(false, true)) {
+    val tag = if (byResidual) "residual" else "plain"
+    test(s"save → reopen → search returns the in-session top-k ($tag)") {
+      val (corpus, probe, coarse, pq) = fixture(byResidual)
+      val encoded = Similarity.pqEncodeOn(corpus, coarse, pq)
+      val inSession = Similarity.ivfPqSearch(encoded, corpus, probe,
+        coarse, pq, k = 10, nprobe = 3, rerank = 64).collect()
+
+      val base = tmpBase(tag)
+      AnnIndexIO.save(base, coarse, pq, encoded)
+      val stored = AnnIndexIO.searchStored(spark, base, corpus, probe,
+        k = 10, nprobe = 3, rerank = 64).collect()
+
+      assert(stored.length == 10)
+      assert(stored.toSeq == inSession.toSeq,
+        "stored-index search must be row-identical to the in-session search")
+    }
+  }
+
+  test("reopened model round-trips bit-for-bit (pairing guard satisfied)") {
+    val (corpus, _, coarse, pq) = fixture(byResidual = true)
+    val base = tmpBase("model")
+    AnnIndexIO.save(base, coarse, pq, Similarity.pqEncodeOn(corpus, coarse, pq))
+    val (coarse2, pq2, codes) = AnnIndexIO.load(spark, base)
+    assert(pq2.m == pq.m && pq2.ksub == pq.ksub)
+    assert(java.util.Arrays.equals(pq2.codebook, pq.codebook))
+    assert(pq2.residual && java.util.Arrays.equals(
+      pq2.residualCoarse.get, pq.residualCoarse.get))
+    // coarse centroids round-trip exactly (doubles are exact in parquet)
+    val a = coarse.orderBy("c_id").collect().map(_.getSeq[Double](1))
+    val b = coarse2.orderBy("c_id").collect().map(_.getSeq[Double](1))
+    assert(a.toSeq == b.toSeq)
+    assert(codes.columns.toSet ==
+      Set("vec_id", "label", "nrm", "codes", "list_id"))
+  }
+
+  test("stored search prunes codes partitions and reads no vector bytes") {
+    val (corpus, probe, coarse, pq) = fixture(byResidual = true)
+    val base = tmpBase("plan")
+    AnnIndexIO.save(base, coarse, pq, Similarity.pqEncodeOn(corpus, coarse, pq))
+    val df = AnnIndexIO.searchStored(spark, base, corpus, probe,
+      k = 10, nprobe = 3, rerank = 64)
+    val plan = df.queryExecution.explainString(FormattedMode)
+    // locate the codes-table scan node: its Location carries the base path
+    val blocks = plan.split("\n\n")
+    val codesBlock = blocks.find(b => b.contains("graft_annio_plan") &&
+        b.contains(AnnIndexIO.CodesDir))
+      .getOrElse(fail(s"no codes-table scan in plan:\n$plan"))
+    val read = codesBlock.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in codes scan:\n$codesBlock"))
+    assert(!read.contains("embedding") && !read.contains("cv"),
+      s"codes scan must be vector-free, got:\n$read")
+    val pf = codesBlock.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail(s"no PartitionFilters in codes scan:\n$codesBlock"))
+    assert(pf.contains("list_id"),
+      s"probed-list filter must prune codes partitions, got:\n$pf")
+    // the list filter must NOT survive as a post-scan data filter instead
+    assert(df.collect().length == 10)
+  }
+
+  test("format-version guard fails loudly on a foreign layout") {
+    val s = spark
+    import s.implicits._
+    val base = tmpBase("badver")
+    Seq((99, 8, 32, Seq(0.0), Option.empty[Seq[Double]]))
+      .toDF("version", "m", "ksub", "codebook", "residual_coarse")
+      .write.parquet(s"$base/${AnnIndexIO.ModelDir}")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexIO.load(spark, base)
+    }
+    assert(e.getMessage.contains("format version"))
+  }
+}

@@ -13,6 +13,7 @@ class EntryContractSpec extends AnyFunSuite {
   private val rowsOnlyByDesign = Set(
     "q_agg_approx", "q_agg_approx_pct", "q_dedup_near", "q_dedup_simhash",
     "q_sim_ivf", "q_sim_ivf_trained", "q_sim_ivf_pq", "q_sim_ivf_pq_res",
+    "q_sim_ivf_pq_stored",
     "q_fingerprint_rolling",
     "q_vocab_heavy")
 
@@ -28,7 +29,7 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 99)
+    assert(SparkEntry.queries.size === 100)
     assert(SparkEntry.oracleSql.size === 89)
   }
 

@@ -41,10 +41,10 @@ object DedupBench {
     // 0 = off (default): in-loop minor table compaction is an opt-in
     val compactTableEvery =
       sys.env.getOrElse("SPARK_GRAFT_DEDUP_COMPACT_TABLE_EVERY", "0").toInt
-    // banding scheme under test: minhash (default) or simhash — the same
-    // index/probe machinery over 4 tagged 16-bit chunks instead of 8
-    // hashed minhash bands (drop RATES differ by design; the flatness
-    // ratios are the comparable part)
+    // banding scheme under test: minhash (default), simhash (4 tagged
+    // 16-bit chunks), or embed (8 tagged 8-bit sign-LSH keys over a
+    // synthetic embedding stream) — the same index/probe machinery; drop
+    // RATES differ by design, the flatness ratios are the comparable part
     val banding = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BANDING",
       graft.streaming.StreamingNearDedup.BandingMinHash)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,18 +76,58 @@ object DedupBench {
       (i, mutated.mkString(" "))
     }
 
+    // embed-scheme fixture (r19): same seed/dup structure, but the doc IS
+    // a 64-dim vector — near-dups nudge one coordinate, so they stay
+    // cosine-close and (usually) share a sign-LSH band. Drop RATES differ
+    // from the text schemes by design (8-bit bands saturate at bench
+    // corpus sizes — the documented scale knob is wider bands); the
+    // flatness ratios are the comparable part, and the index still
+    // records EVERY arrival, so the state it probes grows identically.
+    def vec(i: Long): (Long, Seq[Double]) = {
+      val seed =
+        if (i % 10 == 4) i - 4
+        else if (i % 10 == 9 && i >= docsPerEpoch) i - docsPerEpoch - 3
+        else i
+      val v = (0 until 64).map { d =>
+        var h = seed * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+        h ^= (h >>> 31); h *= 0x94D049BB133111EBL; h ^= (h >>> 29)
+        (math.floorMod(h, 2000003L).toDouble / 1000001.5) - 1.0
+      }
+      val mutated =
+        if (seed != i) {
+          val d = (i % 64).toInt
+          v.updated(d, v(d) + 0.05)
+        } else v
+      (i, mutated)
+    }
+
+    val isEmbed = banding == graft.streaming.StreamingNearDedup.BandingEmbed
     val dir = java.nio.file.Files.createTempDirectory("graft_dedupbench").toString
-    val in = MemoryStream[(Long, String)]
+    // vector payloads need the columnar landing (jsonl is scalar-only)
+    val sinkOpts =
+      if (isEmbed) Map(graft.sink.GraftSinkOptions.FORMAT ->
+        graft.sink.GraftSinkOptions.FORMAT_PARQUET)
+      else Map.empty[String, String]
+    val (docsDF, addEpoch) =
+      if (isEmbed) {
+        val in = MemoryStream[(Long, Seq[Double])]
+        (in.toDF().toDF("doc_id", "embedding"),
+          (lo: Long) => { in.addData((lo until lo + docsPerEpoch).map(vec): _*); () })
+      } else {
+        val in = MemoryStream[(Long, String)]
+        (in.toDF().toDF("doc_id", "text"),
+          (lo: Long) => { in.addData((lo until lo + docsPerEpoch).map(doc): _*); () })
+      }
     val q = graft.streaming.StreamingNearDedup.start(
-      in.toDF().toDF("doc_id", "text"),
+      docsDF,
       dir, "bench", "docs", s"$dir/_cp", compactEvery = compactEvery,
-      compactTableEvery = compactTableEvery, banding = banding)
+      compactTableEvery = compactTableEvery, banding = banding,
+      sinkOptions = sinkOpts)
 
     val epochSecs = (0 until epochs).map { e =>
       val lo = e.toLong * docsPerEpoch
-      val batch = (lo until lo + docsPerEpoch).map(doc)
       val t0 = System.nanoTime()
-      in.addData(batch: _*)
+      addEpoch(lo)
       q.processAllAvailable()
       (System.nanoTime() - t0) / 1e9
     }

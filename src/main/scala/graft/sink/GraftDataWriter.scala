@@ -55,7 +55,12 @@ final class GraftDataWriter(
   }.toArray
   private val dataIdx: Seq[Int] =
     schema.fields.indices.filterNot(partIdx.contains(_))
-  private val encoder = new JsonRowEncoder(schema, dataIdx)
+  // LAZY: only the jsonl landing encodes rows as JSON, and its encoder
+  // enforces the reference's scalar-only column contract at construction.
+  // The columnar landings (parquet/orc) handle nested types natively —
+  // e.g. the embed-banded dedup stream lands its `embedding` array — so
+  // the scalar check must not fire for formats that never use the encoder.
+  private lazy val encoder = new JsonRowEncoder(schema, dataIdx)
 
   private val tablePath = new Path(opts.tableDir)
   // with Kerberos options configured, obtain the filesystem under the

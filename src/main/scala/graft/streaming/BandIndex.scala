@@ -86,6 +86,16 @@ object BandIndex {
         "banding" -> StreamingNearDedup.BandingSimHash,
         "numBands" -> StreamingNearDedup.SimHashBands.toString,
         "bandSize" -> StreamingNearDedup.SimHashBandBits.toString)
+      case e if StreamingNearDedup.embedBanding(e).isDefined =>
+        // embed records the PARAMETERIZED banding (numBands × bitsPerBand
+        // — the corpus-size knob), so an `embed-8x24` table rejects an
+        // `embed` (8x8) writer through the same numBands/bandSize diff
+        val (nb, bits) = StreamingNearDedup.embedBanding(e).get
+        Seq(
+          "numBuckets" -> NumBuckets.toString,
+          "banding" -> StreamingNearDedup.BandingEmbed,
+          "numBands" -> nb.toString,
+          "bandSize" -> bits.toString)
       case other => throw new IllegalArgumentException(
         s"unknown banding '$other'")
     }

@@ -50,8 +50,47 @@ object StreamingNearDedup {
   val BandingMinHash = "minhash"
   val BandingSimHash = "simhash"
 
+  /** Embedding sign-LSH banding (r18 verdict #4): bands the fixed
+    * [[graft.operators.Hyperplanes]] family's 8 × 8-bit keys over an
+    * `embedding` column — the batch `q_dedup_embed`/`q_dedup_semantic`
+    * candidate generator's exact construction — so SemDeDup-style
+    * semantic dedup runs ON INGEST: a new arrival whose embedding is
+    * cosine-close to ANY earlier arrival (kept or dropped) shares a band
+    * key with it and is dropped before landing.
+    */
+  val BandingEmbed = "embed"
+
   val SimHashBands = 4
   val SimHashBandBits = 16
+
+  val EmbedBands: Int = graft.operators.Hyperplanes.NumBands // 8
+  val EmbedBandBits: Int = graft.operators.Hyperplanes.BitsPerBand // 8
+
+  /** Parse an embed scheme name to its (numBands, bitsPerBand) banding.
+    * `embed` is the fixture default (8×8 — matches the batch oracle
+    * semantics); `embed-<bands>x<bits>` is the CORPUS-SIZE knob: random
+    * pairs collide in a band with p ≈ 2^−bits, so expected false
+    * candidates are quadratic in corpus at fixed width — 8 bits suffices
+    * at thousands of docs, a 100 TB ingest wants 24+ (the same sizing rule
+    * as the batch `Hyperplanes.bandKeysWide`). Bounded by the fixed
+    * 256-plane family and the 31-bit int key, like the batch side.
+    */
+  private[graft] def embedBanding(banding: String): Option[(Int, Int)] =
+    banding match {
+      case BandingEmbed => Some((EmbedBands, EmbedBandBits))
+      case EmbedWide(b, w) =>
+        val (nb, bits) = (b.toInt, w.toInt)
+        // same bounds as bandKeysWide, checked here so start() fails at
+        // construction, not first epoch
+        require(nb > 0 && bits > 0 && bits <= 31 &&
+          nb * bits <= graft.operators.Hyperplanes.MaxPlanes,
+          s"embed banding ${nb}x$bits out of range: need bands>0, " +
+            s"0<bits<=31, bands*bits <= ${graft.operators.Hyperplanes.MaxPlanes}")
+        Some((nb, bits))
+      case _ => None
+    }
+
+  private val EmbedWide = raw"embed-(\d+)x(\d+)".r
 
   /** Consecutive in-loop table-compaction failures tolerated before the
     * query fails: transient FS faults skip the cycle and retry next time;
@@ -107,13 +146,53 @@ object StreamingNearDedup {
     }.drop("_sh")
   }
 
-  /** [[withBands]] / [[withSimHashBands]] by declared scheme name. */
+  /** Adds band_0..band_7 sign-LSH key columns from `embedding` — the 8-bit
+    * hyperplane-sign keys of [[graft.operators.Hyperplanes.bandKey]], each
+    * TAGGED with its band index (`b·2⁸ + key`) like the simhash chunks so
+    * band b's key space never aliases band b' through the index's single
+    * `bk` column. A null/ragged embedding (nulled whole by `vec_clean`)
+    * and a zero-norm one (no direction — the cosine family's exclusion)
+    * yield NULL keys on every band and always pass, like minhash's short
+    * docs.
+    */
+  def withEmbedBands(docs: DataFrame): DataFrame =
+    withEmbedBands(docs, EmbedBands, EmbedBandBits)
+
+  /** [[withEmbedBands]] at an arbitrary `numBands × bitsPerBand` banding
+    * over the fixed hyperplane family (the `embed-<bands>x<bits>` scheme).
+    */
+  def withEmbedBands(docs: DataFrame, numBands: Int,
+      bitsPerBand: Int): DataFrame = {
+    require(docs.columns.contains("embedding"),
+      s"banding '$BandingEmbed' needs an `embedding` column " +
+        s"(array<float|double>); the stream has: ${docs.columns.mkString(", ")}")
+    import graft.operators.Hyperplanes
+    val withV = docs
+      .withColumn("_v", Hyperplanes.vecClean(col("embedding").cast("array<double>")))
+      .withColumn("_nrm", Hyperplanes.dot64(col("_v"), col("_v")))
+    (0 until numBands).foldLeft(withV) { (d, b) =>
+      val key = (0 until bitsPerBand).map { i =>
+        when(Hyperplanes.planeDot(col("_v"), b * bitsPerBand + i) >= 0.0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      d.withColumn(s"band_$b",
+        when(col("_v").isNotNull && col("_nrm") > 0,
+          key.cast("long") + lit(b.toLong << bitsPerBand)))
+    }.drop("_v", "_nrm")
+  }
+
+  /** [[withBands]] / [[withSimHashBands]] / [[withEmbedBands]] by declared
+    * scheme name. */
   def withBandsFor(docs: DataFrame, banding: String): DataFrame =
     banding match {
       case BandingMinHash => withBands(docs)
       case BandingSimHash => withSimHashBands(docs)
+      case e if embedBanding(e).isDefined =>
+        val (nb, bits) = embedBanding(e).get
+        withEmbedBands(docs, nb, bits)
       case other => throw new IllegalArgumentException(
-        s"unknown banding '$other'; supported: $BandingMinHash, $BandingSimHash")
+        s"unknown banding '$other'; supported: $BandingMinHash, " +
+          s"$BandingSimHash, $BandingEmbed, $BandingEmbed-<bands>x<bits>")
     }
 
   /** Exploded (doc_id, band key) rows over WHATEVER band_i columns the
@@ -159,9 +238,12 @@ object StreamingNearDedup {
       compactEvery: Int = 0,
       leaseStaleMs: Long = 10L * 60 * 1000,
       compactTableEvery: Int = 0,
-      banding: String = BandingMinHash): StreamingQuery = {
-    require(banding == BandingMinHash || banding == BandingSimHash,
-      s"unknown banding '$banding'; supported: $BandingMinHash, $BandingSimHash")
+      banding: String = BandingMinHash,
+      sinkOptions: Map[String, String] = Map.empty): StreamingQuery = {
+    require(banding == BandingMinHash || banding == BandingSimHash ||
+      embedBanding(banding).isDefined,
+      s"unknown banding '$banding'; supported: $BandingMinHash, " +
+        s"$BandingSimHash, $BandingEmbed, $BandingEmbed-<bands>x<bits>")
     val tableDir = s"$path/$db.$table"
     val owner = java.util.UUID.randomUUID.toString
     // consecutive in-loop table-compaction failures: transient FS faults
@@ -225,6 +307,12 @@ object StreamingNearDedup {
         val drops = indexHit.union(withinHit).distinct()
         banded.join(drops, Seq("doc_id"), "left_anti")
           .write.format("graft-streaming").mode("append")
+          // passthrough first: the routing/epoch options below are the
+          // dedup loop's contract and always win. The embed scheme's
+          // streams carry an array `embedding` column, which the default
+          // jsonl landing (reference JSON-scalar contract) rejects — pass
+          // format=parquet/orc here to land vector payloads columnar.
+          .options(sinkOptions)
           .option("path", path).option("db", db).option("table", table)
           .option(graft.sink.GraftSinkOptions.COMMIT_EPOCH, epochId)
           .save()

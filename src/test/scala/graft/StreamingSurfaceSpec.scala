@@ -408,6 +408,151 @@ class StreamingSurfaceSpec extends SparkSpec {
     assert(ex.getMessage.contains("layout mismatch"))
   }
 
+  test("streaming SEMANTIC dedup with embed banding: sign-LSH collisions drop arrivals; meta pins the scheme") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // doc_id -> tagged 8-bit sign-LSH keys, via the operator's own banding
+    def embBands(rows: Seq[(Long, Seq[Double])]): Map[Long, Set[Long]] =
+      graft.streaming.StreamingNearDedup
+        .withEmbedBands(rows.toDF("doc_id", "embedding"))
+        .collect().map { r =>
+          r.getLong(0) -> (0 until 8).flatMap(b =>
+            Option(r.get(r.fieldIndex(s"band_$b"))).map(_.asInstanceOf[Long]))
+            .toSet
+        }.toMap
+    val dir = java.nio.file.Files.createTempDirectory("sembdedup").toString
+    val tableDir = s"$dir/corpus.docs"
+    val rnd = new scala.util.Random(7L)
+    val base = Seq.fill(64)(rnd.nextGaussian())
+    // deterministic fixture search (same approach as the simhash case):
+    // a one-coordinate nudge moves few of the 64 plane signs, so most
+    // variants share a band with base — but we never ASSUME one does
+    val baseBands = embBands(Seq((1L, base)))(1L)
+    val nearDup = (0 until 64).map(p => base.updated(p, base(p) + 0.05))
+      .find(v => (embBands(Seq((9L, v)))(9L) & baseBands).nonEmpty)
+      .getOrElse(fail("no one-coordinate variant shares a sign-LSH band " +
+        "with base; widen the fixture search, not the code"))
+    val rows = Seq(
+      (1L, base),
+      (2L, nearDup),                           // drops: shares a band
+      (3L, base),                              // drops: exact dup
+      (4L, Seq.fill(64)(rnd.nextGaussian())),  // may or may not collide
+      (5L, Seq.fill(64)(0.0)))                 // zero norm: no evidence, passes
+    val bands = embBands(rows)
+    assert(bands(5L).isEmpty, "zero-norm embedding must band to NULL keys")
+    val expected = rows.map(_._1).foldLeft(Vector.empty[Long]) { (kept, id) =>
+      if (rows.map(_._1).filter(_ < id)
+          .exists(e => (bands(e) & bands(id)).nonEmpty)) kept
+      else kept :+ id
+    }
+    assert(expected.contains(1L) && !expected.contains(2L) &&
+      !expected.contains(3L) && expected.contains(5L),
+      s"fixture sanity: $expected")
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingNearDedup.start(
+      in.toDF().toDF("doc_id", "embedding"), dir, "corpus", "docs",
+      s"$dir/_cp",
+      banding = graft.streaming.StreamingNearDedup.BandingEmbed,
+      // the embedding array can't land through the scalar-only jsonl
+      // default — vector payloads take the columnar landing
+      sinkOptions = Map(graft.sink.GraftSinkOptions.FORMAT ->
+        graft.sink.GraftSinkOptions.FORMAT_PARQUET))
+    in.addData(rows(0), rows(1))
+    q.processAllAvailable()
+    in.addData(rows(2), rows(3), rows(4))
+    q.processAllAvailable()
+    q.stop()
+    val out = graft.sink.CommitLog.readCommitted(spark, tableDir)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      expected.sorted, "stream must agree with the policy simulation")
+    // the embed layout: 8 tagged band columns
+    assert(out.columns.count(_.startsWith("band_")) === 8)
+    // zero-norm doc landed with NULL band keys (no false sharing)
+    assert(out.filter($"doc_id" === 5L).select("band_0").collect()
+      .forall(_.isNullAt(0)))
+    // the scheme is pinned in the index meta...
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = graft.sink.CommitLog.readFully(fs, new org.apache.hadoop.fs.Path(
+      s"${graft.streaming.BandIndex.dir(tableDir)}/_meta"))
+    assert(meta.contains("banding=embed") && meta.contains("numBands=8"))
+    // ...so a minhash writer entering this table fails loudly, pre-probe
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.BandIndex.ensureBackfilled(spark, tableDir,
+        banding = graft.streaming.StreamingNearDedup.BandingMinHash)
+    }
+    assert(ex.getMessage.contains("layout mismatch"))
+  }
+
+  test("wide embed banding (embed-4x16): the corpus-size knob bands identically and pins its width") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def wBands(rows: Seq[(Long, Seq[Double])]): Map[Long, Set[Long]] =
+      graft.streaming.StreamingNearDedup
+        .withEmbedBands(rows.toDF("doc_id", "embedding"), 4, 16)
+        .collect().map { r =>
+          r.getLong(0) -> (0 until 4).flatMap(b =>
+            Option(r.get(r.fieldIndex(s"band_$b"))).map(_.asInstanceOf[Long]))
+            .toSet
+        }.toMap
+    val dir = java.nio.file.Files.createTempDirectory("swembdedup").toString
+    val tableDir = s"$dir/corpus.docs"
+    val rnd = new scala.util.Random(11L)
+    val base = Seq.fill(64)(rnd.nextGaussian())
+    val baseBands = wBands(Seq((1L, base)))(1L)
+    // 16-bit bands: one-coordinate nudges flip few of the 64 plane signs,
+    // so a variant sharing a full 16-plane band exists — found, not assumed
+    val nearDup = (0 until 64).map(p => base.updated(p, base(p) + 0.02))
+      .find(v => (wBands(Seq((9L, v)))(9L) & baseBands).nonEmpty)
+      .getOrElse(fail("no one-coordinate variant shares a 16-bit band; " +
+        "widen the fixture search, not the code"))
+    val rows = Seq((1L, base), (2L, nearDup), (3L, base),
+      (4L, Seq.fill(64)(rnd.nextGaussian())))
+    val bands = wBands(rows)
+    val expected = rows.map(_._1).foldLeft(Vector.empty[Long]) { (kept, id) =>
+      if (rows.map(_._1).filter(_ < id)
+          .exists(e => (bands(e) & bands(id)).nonEmpty)) kept
+      else kept :+ id
+    }
+    assert(expected.contains(1L) && !expected.contains(2L) &&
+      !expected.contains(3L), s"fixture sanity: $expected")
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingNearDedup.start(
+      in.toDF().toDF("doc_id", "embedding"), dir, "corpus", "docs",
+      s"$dir/_cp", banding = "embed-4x16",
+      sinkOptions = Map(graft.sink.GraftSinkOptions.FORMAT ->
+        graft.sink.GraftSinkOptions.FORMAT_PARQUET))
+    in.addData(rows(0), rows(1))
+    q.processAllAvailable()
+    in.addData(rows(2), rows(3))
+    q.processAllAvailable()
+    q.stop()
+    val out = graft.sink.CommitLog.readCommitted(spark, tableDir)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      expected.sorted, "stream must agree with the policy simulation")
+    assert(out.columns.count(_.startsWith("band_")) === 4)
+    // meta pins the WIDTH, so the default 8x8 embed writer is rejected
+    val meta = graft.sink.CommitLog.readFully(
+      new org.apache.hadoop.fs.Path(tableDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(
+        s"${graft.streaming.BandIndex.dir(tableDir)}/_meta"))
+    assert(meta.contains("banding=embed") && meta.contains("numBands=4") &&
+      meta.contains("bandSize=16"))
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.BandIndex.ensureBackfilled(spark, tableDir,
+        banding = graft.streaming.StreamingNearDedup.BandingEmbed)
+    }
+    assert(ex.getMessage.contains("layout mismatch"))
+    // out-of-range widths fail at construction
+    val bad = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingNearDedup.start(
+        in.toDF().toDF("doc_id", "embedding"), dir, "corpus", "docs2",
+        s"$dir/_cp2", banding = "embed-8x33")
+    }
+    assert(bad.getMessage.contains("out of range"))
+  }
+
   test("band index bounds the per-epoch state read to the batch's touched buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

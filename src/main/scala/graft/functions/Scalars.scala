@@ -99,13 +99,22 @@ object Scalars {
     * engines.
     */
   def toJson(s: SparkSession, dir: String): DataFrame =
+    // sort BEFORE the encode (the q_from_json lesson, r19): ordering by
+    // the computed `doc` makes the range-exchange sampling pass AND the
+    // shuffle map side both evaluate to_json, and the encoded strings
+    // ride the wire. Sorting the raw 4-column projection ships parquet
+    // columns and encodes once, post-shuffle. Order-equivalent: doc is a
+    // function of the 4 sort columns with fixed field structure, so
+    // lexicographic doc order within (l_orderkey, l_linenumber) ties IS
+    // (l_returnflag, l_linestatus) order — the dump stays deterministic
+    // and byte-identical to the previous output.
     Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"))
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
       .select(col("l_orderkey"), col("l_linenumber"),
         to_json(struct(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_linestatus"))).as("doc"))
-      // (l_orderkey, l_linenumber) is NOT unique in the fixtures; order by
-      // the full output row for a deterministic cross-engine dump.
-      .orderBy("l_orderkey", "l_linenumber", "doc")
 
   /** JSON field extraction from events.props (the inverse of the sink's A6
     * encode): props is a JSON object like {"k": 87}. `from_json` with an

@@ -4,10 +4,21 @@ parquet written by graft.Verify, run the matching oracle SQL in DuckDB over
 the same scale-factor tables and compare (rows, schema-insensitive column
 set, values with columns sorted by name).
 
+Queries with no oracle SQL (sketch/FP-clustering semantics DuckDB cannot
+replay) are checked against committed GOLDEN PINS (r18 verdict #2): a
+canonical sha256 of the result (columns sorted by name, rows sorted by
+their normalized cell tuple) per scale factor, stored in
+tools/golden_pins.json and regenerated only deliberately via
+tools/pin_golden.py. A seeding/semantic drift in e.g. min_hashes now
+fails the gate instead of passing silently as "rows-only".
+
 Usage: python3 tools/compare.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import json, math, sys, glob, os
+import json, math, sys, glob, os, hashlib
 import duckdb
+
+PINS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "golden_pins.json")
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -24,6 +35,26 @@ def norm_cell(v):
         return "true" if v else "false"
     return str(v)
 
+def canon_hash(df):
+    """Order-insensitive canonical sha256 of a result frame: columns
+    sorted by name, each row rendered with norm_cell (so float noise at
+    the 10-sig-digit boundary is normalized identically to the oracle
+    compare), rows sorted lexicographically."""
+    cols = sorted(df.columns)
+    rows = sorted("\x1f".join(norm_cell(df.iloc[i][c]) for c in cols)
+                  for i in range(len(df)))
+    h = hashlib.sha256()
+    h.update(("\x1f".join(cols) + "\n").encode())
+    for r in rows:
+        h.update((r + "\n").encode())
+    return h.hexdigest()
+
+def load_pins(sf_dir):
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if os.path.exists(PINS_PATH):
+        return json.load(open(PINS_PATH)).get(sf, {})
+    return {}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -31,13 +62,25 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    pins = load_pins(sf_dir)
     results = {}
     for qdir in sorted(glob.glob(os.path.join(out_dir, "q_*.parquet"))):
         name = os.path.basename(qdir)[:-len(".parquet")]
         spark_df = duckdb.connect().execute(
             f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetchdf()
         if name not in oracle:
-            results[name] = {"status": "rows_only", "rows": len(spark_df)}
+            h = canon_hash(spark_df)
+            pin = pins.get(name)
+            if pin is None:
+                results[name] = {"status": "rows_only", "rows": len(spark_df),
+                                 "hash": h}
+            elif pin["hash"] == h and pin["rows"] == len(spark_df):
+                results[name] = {"status": "ok_pinned", "rows": len(spark_df)}
+            else:
+                results[name] = {"status": "pin_mismatch",
+                                 "rows": len(spark_df), "hash": h,
+                                 "pin_rows": pin["rows"],
+                                 "pin_hash": pin["hash"]}
             continue
         try:
             oracle_df = con.execute(oracle[name]).fetchdf()
@@ -69,12 +112,15 @@ def main(sf_dir, out_dir):
         else:
             results[name] = {"status": "ok", "rows": len(s)}
     n_ok = sum(1 for r in results.values() if r["status"] == "ok")
+    n_pinned = sum(1 for r in results.values() if r["status"] == "ok_pinned")
     n_rows_only = sum(1 for r in results.values() if r["status"] == "rows_only")
     for name, r in sorted(results.items()):
-        flag = "OK " if r["status"] == "ok" else ("ro " if r["status"] == "rows_only" else "BAD")
+        flag = {"ok": "OK ", "ok_pinned": "PIN",
+                "rows_only": "ro "}.get(r["status"], "BAD")
         print(f"{flag} {name}: {json.dumps(r)[:220]}")
-    print(f"\n{n_ok} ok, {n_rows_only} rows-only, "
-          f"{len(results) - n_ok - n_rows_only} bad, of {len(results)}")
+    print(f"\n{n_ok} ok, {n_pinned} pinned, {n_rows_only} rows-only, "
+          f"{len(results) - n_ok - n_pinned - n_rows_only} bad, "
+          f"of {len(results)}")
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])

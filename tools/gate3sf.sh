@@ -36,7 +36,12 @@ for sf in sf0.001 sf0.01 sf0.1; do
     continue
   fi
   res="$(python3 tools/compare.py "/root/testdata/$sf" "$out")"
-  echo "$res" | grep -Ev '^OK ' | tail -6
-  echo "$res" | grep -q ' 0 bad,' || { echo "GATE FAILED at $sf"; fail=1; }
+  echo "$res" | grep -Ev '^(OK|PIN) ' | tail -6
+  # r19: every no-oracle query must match its committed golden pin
+  # (tools/golden_pins.json) — "rows-only" now means UNPINNED and fails
+  # the gate, so a new no-oracle query forces a deliberate pin_golden run
+  # and a semantic drift in a pinned one reads as bad, not as a pass.
+  echo "$res" | grep -q ' 0 rows-only, 0 bad,' \
+    || { echo "GATE FAILED at $sf"; fail=1; }
 done
 exit $fail

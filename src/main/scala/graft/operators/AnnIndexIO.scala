@@ -50,7 +50,13 @@ object AnnIndexIO {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$basePath/$ModelDir")
     coarse.write.mode("overwrite").parquet(s"$basePath/$CoarseDir")
-    encoded.write.mode("overwrite").partitionBy("list_id")
+    // co-partition on list_id before the partitioned write: without it
+    // every write task emits a file into every list directory it sees
+    // (tasks × lists small files at scale); hashed on the partition column,
+    // each list's rows land in one task, so file count is bounded by
+    // min(lists, shuffle partitions) — the one shuffle this lifecycle pays
+    encoded.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$basePath/$CodesDir")
   }
 

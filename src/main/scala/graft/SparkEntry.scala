@@ -136,6 +136,7 @@ object SparkEntry {
     "q_multimodal_decode" -> (Multimodal.decodePipeline _),
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => Multimodal.framePipeline(s, d)),
     "q_multimodal_parse"  -> (Multimodal.parsePipeline _),
+    "q_multimodal_body"   -> (Multimodal.bodyPipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1179,5 +1180,18 @@ object SparkEntry {
         |  CAST(MAX(1 + n_chars % 16) FILTER (WHERE doc_id % 97 <> 0) AS INT) AS max_frames,
         |  CAST(SUM(strlen(text)) FILTER (WHERE doc_id % 97 <> 0) AS BIGINT) AS sum_body_bytes
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_multimodal_body" ->
+      """WITH amps AS (
+        |  SELECT lang, doc_id % 97 = 0 AS bad,
+        |    [ascii(substr(text, 1 + i*7, 1)) FOR i IN generate_series(0, (strlen(text)-1)//7)] AS a
+        |  FROM documents)
+        |SELECT lang,
+        |  COUNT(1) FILTER (WHERE NOT bad) AS cnt_ok,
+        |  COUNT(1) FILTER (WHERE bad) AS cnt_bad,
+        |  CAST(SUM(len(a)) FILTER (WHERE NOT bad) AS BIGINT) AS n_samples,
+        |  ROUND(SUM(list_sum(a)) FILTER (WHERE NOT bad) / SUM(len(a)) FILTER (WHERE NOT bad), 4) AS mean_amp,
+        |  CAST(MAX(list_max(a)) FILTER (WHERE NOT bad) AS INT) AS max_amp
+        |FROM amps GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

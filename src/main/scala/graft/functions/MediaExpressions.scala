@@ -121,3 +121,103 @@ case class MediaHeaderParse(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "media_header_parse"
 }
+
+/** `media_body_stats(payload, stride)` — the BODY-level decode step over
+  * GM01 containers: validate the header (same magic/version check as
+  * [[MediaHeaderParse]]), then stream the opaque body bytes at a fixed
+  * sampling stride and fold amplitude statistics in the same codegen pass —
+  * the PCM/waveform "sampled amplitude" shape an audio pipeline runs, with
+  * the body treated as unsigned 8-bit samples. At 100 TB the payload
+  * column dominates the table's bytes and this pass is the one that must
+  * never leave the scan stage: one loop per row, no intermediate arrays,
+  * counters-only output.
+  *
+  * Output: `struct<ok: boolean, n_samples: int, sum_amp: long,
+  * max_amp: int>`. Corrupt/short payloads yield `ok = false` with zeroed
+  * stats (a row, not a null — countable in the same aggregate); only a
+  * NULL payload nulls the struct.
+  */
+case class MediaBodyStats(child: Expression, stride: Int)
+  extends UnaryExpression {
+
+  require(stride > 0, s"media_body_stats: stride must be > 0, got $stride")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"media_body_stats requires binary, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("sum_amp", org.apache.spark.sql.types.LongType,
+      nullable = false),
+    StructField("max_amp", IntegerType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  private val HeaderLen: Int = 14
+
+  override def nullSafeEval(a: Any): Any = {
+    val b = a.asInstanceOf[Array[Byte]]
+    val ok = b.length >= HeaderLen &&
+      b(0) == 0x47.toByte && b(1) == 0x4D.toByte && b(2) == 0x01.toByte
+    if (!ok) InternalRow(false, 0, 0L, 0)
+    else {
+      var n = 0
+      var sum = 0L
+      var max = 0
+      var p = HeaderLen
+      while (p < b.length) {
+        val v = b(p) & 0xFF
+        n += 1
+        sum += v
+        if (v > max) max = v
+        p += stride
+      }
+      InternalRow(true, n, sum, max)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ok = ctx.freshName("ok")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val max = ctx.freshName("max")
+      val v = ctx.freshName("v")
+      val p = ctx.freshName("p")
+      val vals = ctx.freshName("vals")
+      val gir = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+      s"""
+         |boolean $ok = $a.length >= $HeaderLen
+         |  && $a[0] == (byte) 0x47 && $a[1] == (byte) 0x4D
+         |  && $a[2] == (byte) 0x01;
+         |int $n = 0; long $sum = 0L; int $max = 0;
+         |if ($ok) {
+         |  for (int $p = $HeaderLen; $p < $a.length; $p += $stride) {
+         |    int $v = $a[$p] & 0xFF;
+         |    $n++;
+         |    $sum += $v;
+         |    if ($v > $max) { $max = $v; }
+         |  }
+         |}
+         |Object[] $vals = new Object[4];
+         |$vals[0] = Boolean.valueOf($ok);
+         |$vals[1] = Integer.valueOf($n);
+         |$vals[2] = Long.valueOf($sum);
+         |$vals[3] = Integer.valueOf($max);
+         |${ev.value} = new $gir($vals);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MediaBodyStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "media_body_stats"
+}

@@ -190,6 +190,37 @@ object Multimodal {
       .orderBy("lang")
   }
 
+  /** Body-level decode pipeline (registry `q_multimodal_body`, r19): after
+    * the header validates, stream the opaque BODY bytes as unsigned 8-bit
+    * samples at a fixed stride and aggregate per-lang amplitude stats —
+    * the PCM/waveform feature-extract shape, one codegen pass per row
+    * ([[graft.functions.MediaBodyStats]]), counters-only shuffle. The
+    * oracle recomputes the same samples from the documents' text via
+    * DuckDB `code_point` (the fixture body IS the text's ASCII bytes), so
+    * Spark must recover the amplitudes from the bytes it actually wrote.
+    */
+  def bodyPipeline(s: SparkSession, dir: String): DataFrame =
+    bodyOn(mediaFixture(Tables.documents(s, dir)))
+
+  /** [[bodyPipeline]] over an arbitrary (lang, payload: binary) frame. */
+  def bodyOn(media: DataFrame, stride: Int = 7): DataFrame = {
+    val st = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MediaBodyStats(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("payload")),
+        stride))
+    media
+      .select(col("lang"), st.as("s"))
+      .groupBy("lang")
+      .agg(
+        count(when(col("s.ok"), 1)).as("cnt_ok"),
+        count(when(!col("s.ok"), 1)).as("cnt_bad"),
+        sum(when(col("s.ok"), col("s.n_samples"))).as("n_samples"),
+        Norm.r4(sum(when(col("s.ok"), col("s.sum_amp"))) /
+          sum(when(col("s.ok"), col("s.n_samples")))).as("mean_amp"),
+        max(when(col("s.ok"), col("s.max_amp"))).as("max_amp"))
+      .orderBy("lang")
+  }
+
   /** Parsed per-payload record, the batched parser's typed output. */
   case class ParsedRow(doc_id: Long, lang: String, ok: Boolean,
     channels: Int, width: Int, height: Int, frames: Int, body_bytes: Int)

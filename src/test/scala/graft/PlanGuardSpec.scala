@@ -427,4 +427,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Expand"),
       s"parse pipeline must not join or expand:\n$plan")
   }
+
+  test("q_multimodal_body: pruned scan, one-pass codegen body fold, " +
+      "counters-only shuffles") {
+    val plan = formatted("q_multimodal_body")
+    val read = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema line in plan:\n$plan"))
+    val fields = read.substring(read.indexOf("struct<") + "struct<".length)
+      .stripSuffix(">").split(",").map(_.split(":")(0).trim).toSet
+    assert(fields == Set("doc_id", "text", "lang", "n_chars"),
+      s"scan must prune to the fixture columns, got $fields")
+    // the sampled-amplitude fold runs as the codegen expression, once,
+    // map-side — body bytes never leave the scan stage
+    assert(plan.contains("media_body_stats"),
+      s"plan must run the codegen body fold:\n$plan")
+    assert("media_body_stats".r.findAllMatchIn(
+      plan.linesIterator.filter(_.contains("partial_")).mkString).isEmpty,
+      "the fold must happen in the Project, not re-run per aggregate")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges == 2,
+      s"expected agg + contract-sort exchanges only, got $exchanges:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Expand"),
+      s"body pipeline must not join or expand:\n$plan")
+  }
 }

@@ -18,8 +18,14 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from compare import canon_hash, PINS_PATH
 
+# A NARROWED Verify dump (SPARK_GRAFT_VERIFY_ONLY) contains only a few
+# query dirs; running the pinner on one would mark every other pin stale
+# and silently drop the committed regression surface. Refuse to drop more
+# than this many pins in one run unless --force is passed.
+MAX_SILENT_DROPS = 2
 
-def main(sf_dir, out_dir):
+
+def main(sf_dir, out_dir, force=False):
     sf = os.path.basename(os.path.normpath(sf_dir))
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     pins = json.load(open(PINS_PATH)) if os.path.exists(PINS_PATH) else {}
@@ -37,6 +43,10 @@ def main(sf_dir, out_dir):
         stale.discard(name)
         print(f"{'UPDATED' if changed else 'same   '} {sf} {name}: "
               f"{entry['rows']} rows {entry['hash'][:16]}…")
+    if len(stale) > MAX_SILENT_DROPS and not force:
+        sys.exit(f"refusing to drop {len(stale)} pins ({sorted(stale)}) — "
+                 "this looks like a NARROWED Verify dump. Re-run the full "
+                 "Verify, or pass --force if the queries really went away.")
     for name in sorted(stale):
         del cur[name]
         print(f"DROPPED {sf} {name}: no longer produced (or gained an oracle)")
@@ -46,4 +56,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    main(args[0], args[1], force="--force" in sys.argv)

@@ -101,7 +101,9 @@ object DedupBench {
       (i, mutated)
     }
 
-    val isEmbed = banding == graft.streaming.StreamingNearDedup.BandingEmbed
+    // covers the parameterized embed-<bands>x<bits> names too
+    val isEmbed =
+      graft.streaming.StreamingNearDedup.embedBanding(banding).isDefined
     val dir = java.nio.file.Files.createTempDirectory("graft_dedupbench").toString
     // vector payloads need the columnar landing (jsonl is scalar-only)
     val sinkOpts =

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType}
 
 /** `pq_encode(v)` — product-quantization encoder: split an `array<double>`
   * vector into `m` contiguous subvectors of `dsub` dims each and emit, per
@@ -36,7 +36,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 case class PqEncode(child: Expression, m: Int, ksub: Int,
     codebook: Seq[Double]) extends UnaryExpression {
 
-  require(m > 0 && ksub > 0, s"pq_encode needs m > 0, ksub > 0; got m=$m ksub=$ksub")
+  require(m > 0 && ksub > 0 && ksub <= 256,
+    s"pq_encode needs m > 0, 0 < ksub <= 256 (codes are stored as one " +
+      s"byte per subspace — the faiss production layout); got m=$m ksub=$ksub")
   require(codebook.nonEmpty && codebook.length % (m * ksub) == 0,
     s"pq_encode codebook length ${codebook.length} is not a multiple of " +
       s"m*ksub = ${m * ksub} — expected a flat m × ksub × dsub array")
@@ -60,15 +62,14 @@ case class PqEncode(child: Expression, m: Int, ksub: Int,
           s"pq_encode requires array<double>, got ${other.simpleString}")
     }
 
-  override def dataType: DataType =
-    ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
 
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     if (xs.numElements() != m * dsub) return null
-    val codes = new Array[Int](m)
+    val codes = new Array[Byte](m)
     var j = 0
     while (j < m) {
       var best = 0
@@ -86,10 +87,10 @@ case class PqEncode(child: Expression, m: Int, ksub: Int,
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      codes(j) = best
+      codes(j) = best.toByte
       j += 1
     }
-    new GenericArrayData(codes)
+    codes
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -104,12 +105,11 @@ case class PqEncode(child: Expression, m: Int, ksub: Int,
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
       val base = ctx.freshName("base")
-      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
       s"""
          |if ($a.numElements() != ${m * dsub}) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int[] $codes = new int[$m];
+         |  byte[] $codes = new byte[$m];
          |  for (int $j = 0; $j < $m; $j++) {
          |    int $best = 0;
          |    double $bestD = Double.POSITIVE_INFINITY;
@@ -122,9 +122,9 @@ case class PqEncode(child: Expression, m: Int, ksub: Int,
          |      }
          |      if ($d < $bestD) { $bestD = $d; $best = $c; }
          |    }
-         |    $codes[$j] = $best;
+         |    $codes[$j] = (byte) $best;
          |  }
-         |  ${ev.value} = new $gad($codes);
+         |  ${ev.value} = $codes;
          |}
        """.stripMargin
     })
@@ -159,7 +159,8 @@ case class PqEncodeResidual(vec: Expression, cell: Expression,
     coarse: Seq[Double], m: Int, ksub: Int, codebook: Seq[Double])
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
-  require(m > 0 && ksub > 0, s"pq_encode_res needs m > 0, ksub > 0; got m=$m ksub=$ksub")
+  require(m > 0 && ksub > 0 && ksub <= 256,
+    s"pq_encode_res needs m > 0, 0 < ksub <= 256 (byte codes); got m=$m ksub=$ksub")
   require(codebook.nonEmpty && codebook.length % (m * ksub) == 0,
     s"pq_encode_res codebook length ${codebook.length} is not a multiple " +
       s"of m*ksub = ${m * ksub}")
@@ -191,8 +192,7 @@ case class PqEncodeResidual(vec: Expression, cell: Expression,
             s"${l.simpleString} and ${r.simpleString}")
     }
 
-  override def dataType: DataType =
-    ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
 
   override def nullable: Boolean = true
 
@@ -202,7 +202,7 @@ case class PqEncodeResidual(vec: Expression, cell: Expression,
     val dim = m * dsub
     if (xs.numElements() != dim || ci < 0 || ci >= cells) return null
     val off0 = ci * dim
-    val codes = new Array[Int](m)
+    val codes = new Array[Byte](m)
     var j = 0
     while (j < m) {
       var best = 0
@@ -221,10 +221,10 @@ case class PqEncodeResidual(vec: Expression, cell: Expression,
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      codes(j) = best
+      codes(j) = best.toByte
       j += 1
     }
-    new GenericArrayData(codes)
+    codes
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -241,13 +241,12 @@ case class PqEncodeResidual(vec: Expression, cell: Expression,
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
       val base = ctx.freshName("base")
-      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
       s"""
          |if ($a.numElements() != ${m * dsub} || $b < 0 || $b >= $cells) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $off0 = $b * ${m * dsub};
-         |  int[] $codes = new int[$m];
+         |  byte[] $codes = new byte[$m];
          |  for (int $j = 0; $j < $m; $j++) {
          |    int $best = 0;
          |    double $bestD = Double.POSITIVE_INFINITY;
@@ -261,9 +260,9 @@ case class PqEncodeResidual(vec: Expression, cell: Expression,
          |      }
          |      if ($d < $bestD) { $bestD = $d; $best = $c; }
          |    }
-         |    $codes[$j] = $best;
+         |    $codes[$j] = (byte) $best;
          |  }
-         |  ${ev.value} = new $gad($codes);
+         |  ${ev.value} = $codes;
          |}
        """.stripMargin
     })
@@ -273,4 +272,79 @@ case class PqEncodeResidual(vec: Expression, cell: Expression,
     copy(vec = newLeft, cell = newRight)
 
   override def prettyName: String = "pq_encode_res"
+}
+
+/** `pq_adc(codes)` — asymmetric-distance-computation scorer over byte
+  * codes: `sum_j lut[j · ksub + (codes[j] & 0xFF)]`, where `lut` is the
+  * probe's flat `m × ksub` lookup table of subspace dot products,
+  * computed once per probe on the driver and held as a referenced plan
+  * object. One codegen loop per candidate row — the search-side half of
+  * IVF-PQ: zero vector bytes, zero shuffle, and (unlike an
+  * `element_at`-per-subspace formulation) one expression node regardless
+  * of `m`, so the candidate scan stays compact at production `m`/`ksub`.
+  *
+  * Sum order is ascending `j` — the same left fold as the former
+  * per-subspace `element_at` chain, so ADC doubles are bit-identical
+  * across the representation change. NULL codes null the score (standard
+  * unary propagation); a codes value whose length ≠ `m` yields NULL
+  * rather than a misaligned sum.
+  */
+case class PqAdc(child: Expression, m: Int, ksub: Int, lut: Seq[Double])
+  extends UnaryExpression {
+
+  require(m > 0 && ksub > 0 && ksub <= 256,
+    s"pq_adc needs m > 0, 0 < ksub <= 256; got m=$m ksub=$ksub")
+  require(lut.length == m * ksub,
+    s"pq_adc lut length ${lut.length} != m*ksub = ${m * ksub}")
+
+  @transient private lazy val lt: Array[Double] = lut.toArray
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc requires binary codes, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val b = a.asInstanceOf[Array[Byte]]
+    if (b.length != m) return null
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += lt(j * ksub + (b(j) & 0xFF))
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val lutRef = ctx.addReferenceObj("pqAdcLut", lt, "double[]")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      s"""
+         |if ($a.length != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $s += $lutRef[$j * $ksub + ($a[$j] & 0xFF)];
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdc =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_adc"
 }

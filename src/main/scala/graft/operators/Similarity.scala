@@ -1040,20 +1040,23 @@ object Similarity {
     // the INNER-PRODUCT metric <p, v> = <p, C_cell> + <p, residual> — the
     // SAME shared tables plus one per-list constant (faiss's IP
     // by_residual decomposition; only L2 needs per-list tables).
-    val lut: Array[Array[Double]] = Array.tabulate(pq.m) { j =>
-      Array.tabulate(pq.ksub) { c =>
-        var s = 0.0
-        val base = (j * pq.ksub + c) * pq.dsub
-        var i = 0
-        while (i < pq.dsub) { s += p(j * pq.dsub + i) * pq.codebook(base + i); i += 1 }
-        s
-      }
+    val lutFlat: Array[Double] = Array.tabulate(pq.m * pq.ksub) { jc =>
+      val j = jc / pq.ksub
+      val c = jc % pq.ksub
+      var s = 0.0
+      val base = (j * pq.ksub + c) * pq.dsub
+      var i = 0
+      while (i < pq.dsub) { s += p(j * pq.dsub + i) * pq.codebook(base + i); i += 1 }
+      s
     }
-    // m element_at's on literal ksub-arrays: codegen-friendly (the 64-term
-    // unroll that hurt vec_dot is not at play at m=8), zero vector bytes
-    val sumLut = (0 until pq.m).map { j =>
-      element_at(litVec(lut(j).toSeq), col("codes")(j) + lit(1))
-    }.reduce(_ + _)
+    // one codegen loop over the m BYTE codes against the probe's flat
+    // lookup table (r19 — replaces m element_at's over literal arrays):
+    // a single expression node regardless of m/ksub, same ascending-j sum
+    // order so ADC doubles are bit-identical; zero vector bytes
+    val sumLut = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PqAdc(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("codes")),
+        pq.m, pq.ksub, lutFlat.toSeq))
     val adcDot = if (!pq.residual) sumLut else {
       val flat = requireResidualPairing(pq, coarse)
       val dim = pq.m * pq.dsub

@@ -1235,12 +1235,13 @@ class OperatorPropertiesSpec extends SparkSpec {
         nullable = true), 2, 3, cb)
     val proj = GenerateUnsafeProjection.generate(Seq(expr0))
     def codesOf(v: Array[Double]): Seq[Int] = {
-      val gen = proj(InternalRow(new GenericArrayData(v))).getArray(0)
-      val genCodes = (0 until gen.numElements()).map(gen.getInt)
+      // codes are BYTES (r19, the faiss production layout); read unsigned
+      val gen = proj(InternalRow(new GenericArrayData(v))).getBinary(0)
+      val genCodes = gen.map(_ & 0xFF).toSeq
       // interpreted eval must agree bit-for-bit with the generated code
       val interp = expr0.eval(InternalRow(new GenericArrayData(v)))
-        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      assert((0 until interp.numElements()).map(interp.getInt) === genCodes,
+        .asInstanceOf[Array[Byte]]
+      assert(interp.map(_ & 0xFF).toSeq === genCodes,
         "interpreted and generated encodings must be identical")
       genCodes
     }
@@ -1284,11 +1285,10 @@ class OperatorPropertiesSpec extends SparkSpec {
     val proj = GenerateUnsafeProjection.generate(Seq(e))
     def codesOf(v: Array[Double], cell: Int): Seq[Int] = {
       val row = InternalRow(new GenericArrayData(v), cell)
-      val gen = proj(row).getArray(0)
-      val genCodes = (0 until gen.numElements()).map(gen.getInt)
-      val interp = e.eval(row)
-        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      assert((0 until interp.numElements()).map(interp.getInt) === genCodes,
+      val gen = proj(row).getBinary(0)
+      val genCodes = gen.map(_ & 0xFF).toSeq
+      val interp = e.eval(row).asInstanceOf[Array[Byte]]
+      assert(interp.map(_ & 0xFF).toSeq === genCodes,
         "interpreted and generated residual encodings must be identical")
       genCodes
     }
@@ -1301,11 +1301,8 @@ class OperatorPropertiesSpec extends SparkSpec {
       BoundReference(0, ArrayType(DoubleType, containsNull = false),
         nullable = true), 2, 2, pqCb)
     val v2 = Array(0.9, 0.9, -0.2, -0.2)
-    val plainCodes = {
-      val r = plain.eval(InternalRow(new GenericArrayData(v2)))
-        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      (0 until r.numElements()).map(r.getInt)
-    }
+    val plainCodes = plain.eval(InternalRow(new GenericArrayData(v2)))
+      .asInstanceOf[Array[Byte]].map(_ & 0xFF).toSeq
     assert(codesOf(v2, 1) === plainCodes,
       "origin-cell residual encoding must equal plain encoding")
     // out-of-range cell and ragged vector → null, both paths
@@ -1440,6 +1437,64 @@ class OperatorPropertiesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.trainPqLocal(vecs, m = 7) } // 64 % 7 != 0
     spark.catalog.clearCache()
+  }
+
+  test("pq_adc: codegen/interpreted bit-identity; unsigned byte reads; " +
+      "length guard") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.BinaryType
+    // m=2, ksub=256: lut[j*256 + c]; code byte 0xFF must read as 255,
+    // not -1 — the unsigned contract the byte layout depends on
+    val lut = Array.tabulate(2 * 256)(i => i * 0.5)
+    val e = graft.functions.PqAdc(
+      BoundReference(0, BinaryType, nullable = true), 2, 256, lut.toSeq)
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    def score(codes: Array[Byte]): Double = {
+      val row = InternalRow(codes)
+      val gen = proj(row).getDouble(0)
+      assert(e.eval(row).asInstanceOf[Double] === gen,
+        "interpreted and generated ADC must be identical")
+      gen
+    }
+    assert(score(Array(0x00.toByte, 0x00.toByte)) ===
+      lut(0) + lut(256))
+    assert(score(Array(0xFF.toByte, 0x01.toByte)) ===
+      lut(255) + lut(256 + 1), "0xFF must index 255, not -1")
+    // wrong code length → null, both paths
+    val bad = InternalRow(Array[Byte](1))
+    assert(proj(bad).isNullAt(0) && e.eval(bad) === null)
+    intercept[IllegalArgumentException] {
+      graft.functions.PqAdc(e.child, 2, 256, Seq(1.0)) } // lut size
+    intercept[IllegalArgumentException] {
+      graft.functions.PqAdc(e.child, 2, 257, lut.toSeq) } // ksub > 256
+  }
+
+  test("IVF-PQ at production ksub=256: byte codes hold the exactness " +
+      "identity") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf0001).filter(col("vec_id") =!= 0)
+    val probe = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toSeq
+    val exact = Similarity.cosineTopKOn(vecs, 10, probe)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // ksub=256 needs >= 256 sampled vectors per subspace — the sf0.001
+    // corpus (499 usable) covers it; one byte per subspace still encodes
+    val full = Similarity.ivfPqOn(vecs, k = 10,
+        nprobe = Similarity.IvfTrainedCells, probeVec = probe,
+        ksub = 256, rerank = 500)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full === exact,
+      s"ksub=256: nprobe=all + rerank=corpus must equal brute force")
+    // ksub > 256 cannot fit a byte — loud, at the encoder constructor
+    intercept[IllegalArgumentException] {
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("embedding")),
+        8, 300, Array.fill(8 * 300 * 8)(0.0).toSeq)
+    }
   }
 
   test("k-means rejects ragged embeddings loudly (no silent centroid bias)") {

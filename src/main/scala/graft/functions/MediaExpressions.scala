@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerType, StructField, StructType}
 
@@ -220,4 +220,40 @@ case class MediaBodyStats(child: Expression, stride: Int)
     copy(child = newChild)
 
   override def prettyName: String = "media_body_stats"
+}
+
+object MediaHeaderParse {
+  def builder(children: Seq[Expression]): Expression = {
+    if (children.length != 1) {
+      throw new IllegalArgumentException(
+        s"media_header_parse requires exactly 1 argument, got ${children.length}")
+    }
+    MediaHeaderParse(children.head)
+  }
+
+  def info: ExpressionInfo =
+    new ExpressionInfo(classOf[MediaHeaderParse].getName, "media_header_parse")
+}
+
+object MediaBodyStats {
+  /** SQL form: `media_body_stats(payload, stride)` — stride must be a
+    * foldable positive integer literal (it is baked into the generated
+    * loop).
+    */
+  def builder(children: Seq[Expression]): Expression = {
+    if (children.length != 2) {
+      throw new IllegalArgumentException(
+        s"media_body_stats requires (payload, stride), got ${children.length} args")
+    }
+    val strideExpr = children(1)
+    if (!strideExpr.foldable || strideExpr.dataType != IntegerType) {
+      throw new IllegalArgumentException(
+        "media_body_stats: stride must be an integer literal")
+    }
+    val stride = strideExpr.eval().asInstanceOf[Int]
+    MediaBodyStats(children.head, stride)
+  }
+
+  def info: ExpressionInfo =
+    new ExpressionInfo(classOf[MediaBodyStats].getName, "media_body_stats")
 }

@@ -653,5 +653,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("freq_items_sketch"), FreqItemsSketch.info,
       FreqItemsSketch.builder _))
+    ext.injectFunction((
+      new FunctionIdentifier("media_header_parse"), MediaHeaderParse.info,
+      MediaHeaderParse.builder _))
+    ext.injectFunction((
+      new FunctionIdentifier("media_body_stats"), MediaBodyStats.info,
+      MediaBodyStats.builder _))
   }
 }

@@ -1497,6 +1497,46 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("media functions register on the SQL surface (GraftExtensions)") {
+    import org.apache.spark.sql.functions.col
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("media_header_parse"),
+      graft.functions.MediaHeaderParse.info,
+      graft.functions.MediaHeaderParse.builder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("media_body_stats"),
+      graft.functions.MediaBodyStats.info,
+      graft.functions.MediaBodyStats.builder _)
+    graft.operators.Multimodal.mediaFixture(Tables.documents(spark, sf0001))
+      .createOrReplaceTempView("media_t")
+    val r = spark.sql(
+      """SELECT media_header_parse(payload).width AS w,
+        |       media_body_stats(payload, 7).n_samples AS n
+        |FROM media_t WHERE doc_id % 97 <> 0 LIMIT 1""".stripMargin).head
+    assert(r.getInt(0) >= 64 && r.getInt(1) > 0)
+    // SQL and the column API run the SAME expression — per-doc identity
+    val viaSql = spark.sql(
+      """SELECT doc_id, media_body_stats(payload, 7).sum_amp AS s
+        |FROM media_t WHERE doc_id <= 20 ORDER BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = graft.operators.Multimodal
+      .mediaFixture(Tables.documents(spark, sf0001)
+        .filter(col("doc_id") <= 20))
+      .select(col("doc_id"), org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.MediaBodyStats(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("payload")),
+          7)).getField("sum_amp").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === viaApi, "SQL and column-API body stats must agree")
+    // a non-literal stride is a clear analysis-time error
+    val e = intercept[Exception] {
+      spark.sql("SELECT media_body_stats(payload, CAST(doc_id AS INT)) " +
+        "FROM media_t").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("k-means rejects ragged embeddings loudly (no silent centroid bias)") {
     // sum(v[i]) skips a short vector's null dims while count() still counts
     // the row — without the guard a ragged corpus silently skews the

@@ -83,6 +83,23 @@ object AnnIndexIO {
       s.read.parquet(s"$basePath/$CodesDir"))
   }
 
+  /** Append NEW vectors to a saved index without retraining: encode them
+    * against the STORED model (the same coarse + product quantizers every
+    * existing code was produced by — using any other model would corrupt
+    * ADC comparability) and add the resulting codes to the partitioned
+    * table. This is the incremental-ingest half of the lifecycle: train
+    * once, then append batches forever; only a quantizer RETRAIN (a
+    * deliberate, rare event) rewrites the index. Duplicate `vec_id`s are
+    * the caller's contract, as in any append-only table.
+    */
+  def append(basePath: String, vecs: DataFrame): Unit = {
+    val (coarse, pq, _) = load(vecs.sparkSession, basePath)
+    Similarity.pqEncodeOn(vecs, coarse, pq)
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$basePath/$CodesDir")
+  }
+
   /** Serve one probe from a saved index: codes-only ADC over the probed
     * (pruned) lists, exact rerank against `rerankVecs` — the only stage
     * that reads float vectors, via broadcast point-fetch of ≤ `rerank`

@@ -85,6 +85,31 @@ class AnnIndexIOSpec extends SparkSpec {
     assert(df.collect().length == 10)
   }
 
+  test("append encodes against the stored model: half+append == full save") {
+    val (corpus, probe, coarse, pq) = fixture(byResidual = true)
+    // split the corpus; save an index over the first half, append the rest
+    val first = corpus.filter(col("vec_id") % 2 === 0)
+    val rest = corpus.filter(col("vec_id") % 2 =!= 0)
+    val incBase = tmpBase("inc")
+    AnnIndexIO.save(incBase, coarse, pq,
+      Similarity.pqEncodeOn(first, coarse, pq))
+    AnnIndexIO.append(incBase, rest)
+    // reference: one save over the full corpus with the SAME model
+    val fullBase = tmpBase("full")
+    AnnIndexIO.save(fullBase, coarse, pq,
+      Similarity.pqEncodeOn(corpus, coarse, pq))
+    val inc = AnnIndexIO.searchStored(spark, incBase, corpus, probe,
+      k = 10, nprobe = 3, rerank = 64).collect()
+    val full = AnnIndexIO.searchStored(spark, fullBase, corpus, probe,
+      k = 10, nprobe = 3, rerank = 64).collect()
+    assert(inc.toSeq == full.toSeq,
+      "appending the second half must answer like a full one-shot save")
+    // and the incremental table really holds the whole corpus's codes
+    val (_, _, codes) = AnnIndexIO.load(spark, incBase)
+    assert(codes.count() ==
+      Similarity.pqEncodeOn(corpus, coarse, pq).count())
+  }
+
   test("format-version guard fails loudly on a foreign layout") {
     val s = spark
     import s.implicits._

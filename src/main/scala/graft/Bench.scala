@@ -534,10 +534,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)
       val (coarse, pq) = Sim.ivfPqTrain(vecs)
-      val codesDir = java.nio.file.Files
-        .createTempDirectory("graft_pq_codes").toString
+      // the DEPLOYMENT shape (AnnIndexIO.save): codes co-partitioned and
+      // PARTITIONED BY list_id, so the probe's list filter prunes — an
+      // unpartitioned copy would scan every row group and overstate the
+      // stored-scan cost this split exists to isolate (r19 review)
+      val codesDir = graft.TempDirs.scratch("graft_pq_codes")
       Sim.pqEncodeOn(vecs, coarse, pq)
-        .write.mode("overwrite").parquet(codesDir)
+        .repartition(org.apache.spark.sql.functions.col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(codesDir)
       val stored = spark.read.parquet(codesDir)
       val searchSec = (1 to 3).map { _ =>
         reclaim()

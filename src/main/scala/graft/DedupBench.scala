@@ -110,15 +110,25 @@ object DedupBench {
       if (isEmbed) Map(graft.sink.GraftSinkOptions.FORMAT ->
         graft.sink.GraftSinkOptions.FORMAT_PARQUET)
       else Map.empty[String, String]
-    val (docsDF, addEpoch) =
+    // prepare(lo) builds the fixture batch OUTSIDE the timed window (the
+    // r19 review caught generation drifting inside it, which pads every
+    // epoch with a constant and biases the flatness ratio toward 1) and
+    // returns a thunk that only enqueues
+    val (docsDF, prepare) =
       if (isEmbed) {
         val in = MemoryStream[(Long, Seq[Double])]
         (in.toDF().toDF("doc_id", "embedding"),
-          (lo: Long) => { in.addData((lo until lo + docsPerEpoch).map(vec): _*); () })
+          (lo: Long) => {
+            val batch = (lo until lo + docsPerEpoch).map(vec)
+            () => { in.addData(batch: _*); () }
+          })
       } else {
         val in = MemoryStream[(Long, String)]
         (in.toDF().toDF("doc_id", "text"),
-          (lo: Long) => { in.addData((lo until lo + docsPerEpoch).map(doc): _*); () })
+          (lo: Long) => {
+            val batch = (lo until lo + docsPerEpoch).map(doc)
+            () => { in.addData(batch: _*); () }
+          })
       }
     val q = graft.streaming.StreamingNearDedup.start(
       docsDF,
@@ -127,9 +137,9 @@ object DedupBench {
       sinkOptions = sinkOpts)
 
     val epochSecs = (0 until epochs).map { e =>
-      val lo = e.toLong * docsPerEpoch
+      val enqueue = prepare(e.toLong * docsPerEpoch)
       val t0 = System.nanoTime()
-      addEpoch(lo)
+      enqueue()
       q.processAllAvailable()
       (System.nanoTime() - t0) / 1e9
     }

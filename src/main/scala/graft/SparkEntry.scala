@@ -1181,6 +1181,10 @@ object SparkEntry {
         |  CAST(SUM(strlen(text)) FILTER (WHERE doc_id % 97 <> 0) AS BIGINT) AS sum_body_bytes
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // NOTE: ascii(substr(text, ...)) samples CHARACTERS while Spark
+    // samples body BYTES — equivalent ONLY because the documents fixture
+    // is pure ASCII (asserted: strlen == length at every SF). A non-ASCII
+    // fixture would fail this gate loudly rather than silently diverge.
     "q_multimodal_body" ->
       """WITH amps AS (
         |  SELECT lang, doc_id % 97 = 0 AS bad,

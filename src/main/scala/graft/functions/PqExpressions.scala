@@ -319,7 +319,9 @@ case class PqAdc(child: Expression, m: Int, ksub: Int, lut: Seq[Double])
     var s = 0.0
     var j = 0
     while (j < m) {
-      s += lt(j * ksub + (b(j) & 0xFF))
+      val c = b(j) & 0xFF
+      if (c >= ksub) throw PqAdc.codeRangeError(c, ksub)
+      s += lt(j * ksub + c)
       j += 1
     }
     s
@@ -330,13 +332,21 @@ case class PqAdc(child: Expression, m: Int, ksub: Int, lut: Seq[Double])
       val lutRef = ctx.addReferenceObj("pqAdcLut", lt, "double[]")
       val s = ctx.freshName("s")
       val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val helper = "graft.functions.PqAdc"
+      // a code >= ksub means the codes frame was produced by a DIFFERENT
+      // quantizer than the serving model (the pairing the residual guard
+      // covers for the coarse array, extended to the PQ codebook) — fail
+      // loudly, never a raw AIOOBE from generated code
       s"""
          |if ($a.length != $m) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $s = 0.0;
          |  for (int $j = 0; $j < $m; $j++) {
-         |    $s += $lutRef[$j * $ksub + ($a[$j] & 0xFF)];
+         |    int $c = $a[$j] & 0xFF;
+         |    if ($c >= $ksub) { throw $helper.codeRangeError($c, $ksub); }
+         |    $s += $lutRef[$j * $ksub + $c];
          |  }
          |  ${ev.value} = $s;
          |}
@@ -347,4 +357,13 @@ case class PqAdc(child: Expression, m: Int, ksub: Int, lut: Seq[Double])
     copy(child = newChild)
 
   override def prettyName: String = "pq_adc"
+}
+
+object PqAdc {
+  /** Shared by eval and generated code (codegen calls it by name). */
+  def codeRangeError(code: Int, ksub: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"pq_adc: code $code >= ksub $ksub — the codes frame was encoded by " +
+        "a DIFFERENT quantizer than the serving model; re-encode or load " +
+        "the matching model")
 }

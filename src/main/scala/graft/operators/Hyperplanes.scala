@@ -66,11 +66,19 @@ object Hyperplanes {
       graft.functions.VecClean(
         org.apache.spark.sql.GraftSqlBridge.expression(v)))
 
-  /** 8-bit key of band `b` for vector column `v`. */
-  def bandKey(v: Column, b: Int): Column =
-    (0 until BitsPerBand).map { i =>
-      when(planeDot(v, b * BitsPerBand + i) >= 0.0, lit(1 << i)).otherwise(lit(0))
+  /** Key of band `b` over a `bitsPerBand`-wide banding — THE band-key
+    * construction, shared by the batch generators below and the streaming
+    * embed scheme (`StreamingNearDedup.withEmbedBands`), so an edit to
+    * the plane family or sign convention can never de-synchronize batch
+    * and stream dedup semantics.
+    */
+  def bandKeyWide(v: Column, b: Int, bitsPerBand: Int): Column =
+    (0 until bitsPerBand).map { i =>
+      when(planeDot(v, b * bitsPerBand + i) >= 0.0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** 8-bit key of band `b` for vector column `v`. */
+  def bandKey(v: Column, b: Int): Column = bandKeyWide(v, b, BitsPerBand)
 
   /** array of all band keys (index = band). */
   def bandKeys(v: Column): Column =
@@ -91,11 +99,7 @@ object Hyperplanes {
     require(numBands * bitsPerBand <= MaxPlanes,
       s"banding $numBands x $bitsPerBand needs ${numBands * bitsPerBand} " +
         s"planes; the fixed family has $MaxPlanes")
-    array((0 until numBands).map { b =>
-      (0 until bitsPerBand).map { i =>
-        when(planeDot(v, b * bitsPerBand + i) >= 0.0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
+    array((0 until numBands).map(b => bandKeyWide(v, b, bitsPerBand)): _*)
   }
 
   /** DuckDB CTE fragment `(VALUES (0, [..]), ...) AS w(h, wv)` with the

@@ -1212,8 +1212,7 @@ object Similarity {
       .select(asDouble(col("embedding"))).head.getSeq[Double](0).toSeq
     val corpus = vecs.filter(col("vec_id") =!= 0)
     val (coarse, pq) = ivfPqTrain(corpus, byResidual = true)
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_ann_index").toString
+    val base = graft.TempDirs.scratch("graft_ann_index")
     AnnIndexIO.save(base, coarse, pq, pqEncodeOn(corpus, coarse, pq))
     withExactTopkFlag(s, dir, k,
       AnnIndexIO.searchStored(s, base, corpus, probe, k, nprobe,

@@ -171,10 +171,9 @@ object StreamingNearDedup {
       .withColumn("_v", Hyperplanes.vecClean(col("embedding").cast("array<double>")))
       .withColumn("_nrm", Hyperplanes.dot64(col("_v"), col("_v")))
     (0 until numBands).foldLeft(withV) { (d, b) =>
-      val key = (0 until bitsPerBand).map { i =>
-        when(Hyperplanes.planeDot(col("_v"), b * bitsPerBand + i) >= 0.0,
-          lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
+      // THE shared construction — see Hyperplanes.bandKeyWide: batch and
+      // stream banding must come from one definition
+      val key = Hyperplanes.bandKeyWide(col("_v"), b, bitsPerBand)
       d.withColumn(s"band_$b",
         when(col("_v").isNotNull && col("_nrm") > 0,
           key.cast("long") + lit(b.toLong << bitsPerBand)))

@@ -1465,6 +1465,19 @@ class OperatorPropertiesSpec extends SparkSpec {
     // wrong code length → null, both paths
     val bad = InternalRow(Array[Byte](1))
     assert(proj(bad).isNullAt(0) && e.eval(bad) === null)
+    // a code >= ksub means the codes were produced by a DIFFERENT
+    // quantizer than the serving model — loud, not a raw AIOOBE
+    val small = graft.functions.PqAdc(
+      BoundReference(0, BinaryType, nullable = true), 2, 32,
+      Array.fill(64)(0.0).toSeq)
+    val smallProj = GenerateUnsafeProjection.generate(Seq(small))
+    val mismatch = InternalRow(Array(0xFF.toByte, 0x00.toByte))
+    for (run <- Seq(() => smallProj(mismatch), () => small.eval(mismatch))) {
+      val ex = intercept[Exception] { run() }
+      val msg = Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("DIFFERENT quantizer"), s"got: $ex")
+    }
     intercept[IllegalArgumentException] {
       graft.functions.PqAdc(e.child, 2, 256, Seq(1.0)) } // lut size
     intercept[IllegalArgumentException] {

@@ -39,6 +39,7 @@ object SparkEntry {
     "q_agg_gsets"      -> (Relational.aggGroupingSets _),
     "q_agg_pivot"      -> (Relational.aggPivot _),
     "q_agg_corr"       -> (Relational.corrProfile _),
+    "q_agg_moments"    -> (Relational.momentsProfile _),
     "q_agg_hist"       -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
     "q_agg_hist_eq"    -> ((s: SparkSession, d: String) => Quantiles.histogramEqDepth(s, d)),
     "q_agg_zscore"     -> ((s: SparkSession, d: String) => Relational.zscoreOutliers(s, d)),
@@ -797,6 +798,29 @@ object SparkEntry {
         |  ROUND(var_samp(l_discount) * 10000) / 10000 AS var_disc,
         |  ROUND(avg(l_extendedprice) * 10000) / 10000 AS avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // raw power sums: l_quantity is integral <= 50, so s1..s4 are exact
+    // integers below 2^53 in both engines — the moment arithmetic below
+    // is bit-identical, not merely close. `+ 0` normalizes DuckDB's -0.0
+    // on the possibly-negative moments (Spark renders 0.0).
+    "q_agg_moments" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(1) AS n,
+        |    SUM(l_quantity) AS s1,
+        |    SUM(l_quantity*l_quantity) AS s2,
+        |    SUM(l_quantity*l_quantity*l_quantity) AS s3,
+        |    SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ROUND((s1/n) * 10000) / 10000 AS avg_qty,
+        |  ROUND(sqrt(s2/n - (s1/n)*(s1/n)) * 10000) / 10000 AS stddev_pop,
+        |  ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+        |    / pow(s2/n - (s1/n)*(s1/n), 1.5) * 10000) / 10000 + 0 AS skewness,
+        |  ROUND(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+        |      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3)
+        |    * 10000) / 10000 + 0 AS kurtosis_ex
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_hist" ->
       // bucket = floor(x / width): fixture prices carry 2 decimals, so the

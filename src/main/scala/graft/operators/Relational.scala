@@ -141,6 +141,45 @@ object Relational {
         Norm.r4(avg(col("l_extendedprice"))).as("avg_price"))
       .orderBy("l_returnflag")
 
+  /** Per-group higher-moment profile (registry `q_agg_moments`, r19):
+    * population stddev, skewness (g1), and excess kurtosis (g2) per
+    * return flag — the distribution-shape statistics a data-profiling
+    * pass reports beyond mean/variance. Computed from RAW POWER SUMS
+    * (n, Σx, Σx², Σx³, Σx⁴) with the central-moment arithmetic spelled
+    * out identically in the DuckDB oracle: built-in `skewness`/
+    * `kurtosis` differ in bias convention across engines (Spark is
+    * population g1, DuckDB applies the sample correction), so the raw
+    * formulation is the only oracle-stable one. l_quantity is integral
+    * ≤ 50, so every power sum is an exact integer below 2⁵³ in BOTH
+    * engines regardless of accumulation order — the downstream
+    * arithmetic is bit-identical, not merely close.
+    *
+    * Scale shape: one map-side partial aggregate of 5 doubles per
+    * group per task; the moment arithmetic runs on the k-row result.
+    */
+  def momentsProfile(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val nD = col("n").cast("double")
+    val m = col("s1") / nD
+    val m2 = col("s2") / nD - m * m
+    val m3 = col("s3") / nD - lit(3) * m * (col("s2") / nD) +
+      lit(2) * m * m * m
+    val m4 = col("s4") / nD - lit(4) * m * (col("s3") / nD) +
+      lit(6) * m * m * (col("s2") / nD) - lit(3) * m * m * m * m
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        Norm.r4(m).as("avg_qty"),
+        Norm.r4(sqrt(m2)).as("stddev_pop"),
+        Norm.r4(m3 / pow(m2, 1.5)).as("skewness"),
+        Norm.r4(m4 / (m2 * m2) - lit(3)).as("kurtosis_ex"))
+      .orderBy("l_returnflag")
+  }
+
   /** Per-group z-score outlier detection: events whose `value` deviates
     * more than `k` sample standard deviations from their event type's
     * mean, with the standardized score — the streaming-data quality

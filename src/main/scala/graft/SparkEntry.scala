@@ -1218,7 +1218,7 @@ object SparkEntry {
         |  COUNT(1) FILTER (WHERE NOT bad) AS cnt_ok,
         |  COUNT(1) FILTER (WHERE bad) AS cnt_bad,
         |  CAST(SUM(len(a)) FILTER (WHERE NOT bad) AS BIGINT) AS n_samples,
-        |  ROUND(SUM(list_sum(a)) FILTER (WHERE NOT bad) / SUM(len(a)) FILTER (WHERE NOT bad), 4) AS mean_amp,
+        |  ROUND(SUM(list_sum(a)) FILTER (WHERE NOT bad) / SUM(len(a)) FILTER (WHERE NOT bad) * 10000) / 10000 AS mean_amp,
         |  CAST(MAX(list_max(a)) FILTER (WHERE NOT bad) AS INT) AS max_amp
         |FROM amps GROUP BY lang ORDER BY lang""".stripMargin,
   )

@@ -9,9 +9,26 @@ package graft
   */
 object TempDirs {
 
+  // ONE shutdown hook draining a concurrent list, installed lazily on the
+  // first scratch() call — a long-lived session looping over
+  // q_sim_ivf_pq_stored previously accumulated one hook thread per call.
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = pending.poll()
+      while (p != null) { delete(p.toFile); p = pending.poll() }
+    }))
+  }
+  // one live dir per prefix: re-requesting a prefix deletes the previous
+  // scratch dir eagerly so looping sessions don't accumulate corpus copies
+  private val live = new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def scratch(prefix: String): String = {
+    hook
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(p.toFile)))
+    pending.add(p)
+    val prev = live.put(prefix, p)
+    if (prev != null) { pending.remove(prev); delete(prev.toFile) }
     p.toString
   }
 

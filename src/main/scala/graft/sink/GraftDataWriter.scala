@@ -61,6 +61,11 @@ final class GraftDataWriter(
   // e.g. the embed-banded dedup stream lands its `embedding` array — so
   // the scalar check must not fire for formats that never use the encoder.
   private lazy val encoder = new JsonRowEncoder(schema, dataIdx)
+  // jsonl is the one format that uses the encoder, and its scalar-only
+  // schema contract must fail at WRITER CONSTRUCTION (as the reference's
+  // does), not at the first written row — an all-empty-partition epoch on
+  // a nested-schema jsonl stream would otherwise commit silently.
+  if (!opts.isParquet && !opts.isOrc) { encoder; () }
 
   private val tablePath = new Path(opts.tableDir)
   // with Kerberos options configured, obtain the filesystem under the

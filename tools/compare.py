@@ -16,6 +16,7 @@ Usage: python3 tools/compare.py /root/testdata/sf0.01 /tmp/verify_out
 """
 import json, math, sys, glob, os, hashlib
 import duckdb
+import numpy as np
 
 PINS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "golden_pins.json")
@@ -25,6 +26,19 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm_cell(v):
     if v is None:
         return "NULL"
+    # numpy scalars -> python scalars so the float/bool branches apply
+    # identically whichever engine produced the frame
+    if isinstance(v, np.generic):
+        v = v.item()
+    # list-typed parquet columns come back as numpy arrays / lists; the old
+    # str(v) fallback truncated long arrays ('...') and depended on numpy's
+    # repr — normalize recursively per element instead (ADVICE r19)
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(norm_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(v[k])}" for k in sorted(v)) + "}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -259,6 +259,11 @@ object Quantiles {
         Norm.r4(col("b.cnt") / col("n")).as("share"),
         Norm.r4(col("b.hi")).as("hi"))
       .filter(col("cnt") > 0)
-      .orderBy("grp", "bin")
+      // the frame here is |groups|×bins METADATA rows; a global orderBy
+      // would pay a range-partitioning SAMPLING job on it (the 10th job of
+      // the chain, r19 weak-line letter) — one partition + in-partition
+      // sort gives the identical total order for one job less
+      .coalesce(1)
+      .sortWithinPartitions("grp", "bin")
   }
 }

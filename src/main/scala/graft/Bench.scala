@@ -414,7 +414,8 @@ object Bench {
         val base = graft.TempDirs.scratch("graft_ann_board")
         val t0 = System.nanoTime()
         val (coarse, pq) = Sim.ivfPqTrain(corpus, byResidual = true)
-        Io.save(base, coarse, pq, Sim.pqEncodeOn(corpus, coarse, pq))
+        Io.save(base, coarse, pq, Sim.pqEncodeOn(corpus, coarse, pq),
+          fitSource = Some(corpus))
         val trainSaveSec = (System.nanoTime() - t0) / 1e9
         val reopenSec = (1 to 3).map { _ =>
           val t = System.nanoTime(); Io.load(spark, base)

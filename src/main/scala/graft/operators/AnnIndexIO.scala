@@ -27,12 +27,53 @@ import org.apache.spark.sql.functions._
   * wants transactional appends; the layout contract here is only the three
   * directory names and the partition column.
   */
-object AnnIndexIO {
+object AnnIndexIO extends org.apache.spark.internal.Logging {
 
   val FormatVersion = 1
   val ModelDir = "pq_model"
   val CoarseDir = "coarse"
   val CodesDir = "codes"
+  val StatsDir = "fit_stats"
+
+  /** Appended-batch drift threshold (r19 verdict #5): an append whose mean
+    * coarse residual norm ([[Similarity.coarseFitStats]]) exceeds
+    * the TRAIN-time baseline by this ratio is flagged — the frozen
+    * quantizers were trained on a different distribution and recall over
+    * the new rows degrades silently otherwise. 1.5× is calibrated against
+    * the fixture: in-distribution appends land within a few percent of
+    * 1.0 (the stat is an average over the batch), while a genuinely
+    * shifted batch (off-manifold direction) reads several-fold higher.
+    * The flag is a RE-TRAIN SIGNAL, not a refusal: the append still
+    * lands (the codes are still ADC-comparable — same model), and the
+    * operator decides when to pay the retrain.
+    */
+  val DriftRatioThreshold = 1.5
+
+  /** What [[append]] observed about the batch it encoded: the batch's fit
+    * stat, the stored train-time baseline (absent for indexes saved by a
+    * pre-stats build), their ratio, and the threshold verdict.
+    */
+  final case class DriftReport(batchRows: Long, batchMeanDist: Double,
+      trainMeanDist: Option[Double], ratio: Option[Double],
+      drifted: Boolean)
+
+  private def writeStats(s: SparkSession, basePath: String, kind: String,
+      seq: Long, n: Long, meanDist: Double): Unit = {
+    import s.implicits._
+    Seq((seq, kind, n, meanDist))
+      .toDF("seq", "kind", "n", "mean_dist")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$basePath/$StatsDir")
+  }
+
+  private def readStats(s: SparkSession, basePath: String): Array[(Long, String, Long, Double)] =
+    try {
+      s.read.parquet(s"$basePath/$StatsDir")
+        .collect()
+        .map(r => (r.getAs[Long]("seq"), r.getAs[String]("kind"),
+          r.getAs[Long]("n"), r.getAs[Double]("mean_dist")))
+        .sortBy(_._1)
+    } catch { case _: org.apache.spark.sql.AnalysisException => Array.empty }
 
   /** Persist a trained index: `coarse`/`pq` from
     * [[Similarity.ivfPqTrain]], `encoded` from [[Similarity.pqEncodeOn]].
@@ -41,7 +82,7 @@ object AnnIndexIO {
     * pointer, the same publish discipline as the sink's manifests).
     */
   def save(basePath: String, coarse: DataFrame, pq: PqModel,
-      encoded: DataFrame): Unit = {
+      encoded: DataFrame, fitSource: Option[DataFrame] = None): Unit = {
     val s = coarse.sparkSession
     import s.implicits._
     Seq((FormatVersion, pq.m, pq.ksub, pq.codebook.toSeq,
@@ -58,6 +99,17 @@ object AnnIndexIO {
     encoded.repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$basePath/$CodesDir")
+    // train-time fit baseline for append-drift detection: the encoded
+    // frame is codes-only (the raw vectors are gone), so the caller passes
+    // the corpus it encoded as `fitSource` — one extra map-side aggregate
+    // at save time is the price of a loud drift signal on every later
+    // append. Indexes saved without it still load and serve; appends then
+    // report `trainMeanDist = None` rather than a ratio.
+    fitSource.foreach { src =>
+      val (n, meanDist) = Similarity.coarseFitStats(src, coarse)
+      if (n > 0)
+        writeStats(coarse.sparkSession, basePath, "train", 0L, n, meanDist)
+    }
   }
 
   /** Reopen a saved index: (coarse codebook, PQ model, encoded codes).
@@ -92,12 +144,33 @@ object AnnIndexIO {
     * deliberate, rare event) rewrites the index. Duplicate `vec_id`s are
     * the caller's contract, as in any append-only table.
     */
-  def append(basePath: String, vecs: DataFrame): Unit = {
-    val (coarse, pq, _) = load(vecs.sparkSession, basePath)
+  def append(basePath: String, vecs: DataFrame): DriftReport = {
+    val s = vecs.sparkSession
+    val (coarse, pq, _) = load(s, basePath)
     Similarity.pqEncodeOn(vecs, coarse, pq)
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$basePath/$CodesDir")
+    // drift check (r19 verdict #5): encoding against the frozen model is
+    // correct by construction, but a batch drawn from a SHIFTED
+    // distribution is quantized with silently larger error — recall over
+    // those rows degrades with no failing operation anywhere. Fold the
+    // batch's coarse-fit stat, persist it beside the train baseline, and
+    // make the comparison the append's RETURN VALUE (plus a warning log)
+    // so a 100 TB ingest loop has a retrain signal it can alert on.
+    val stats = readStats(s, basePath)
+    val (bn, bDist) = Similarity.coarseFitStats(vecs, coarse)
+    val nextSeq = if (stats.isEmpty) 1L else stats.map(_._1).max + 1L
+    if (bn > 0) writeStats(s, basePath, "append", nextSeq, bn, bDist)
+    val train = stats.find(_._2 == "train").map(_._4)
+    val ratio = train.filter(_ > 0).map(bDist / _)
+    val drifted = ratio.exists(_ > DriftRatioThreshold)
+    if (drifted) logWarning(
+      s"ann index at $basePath: appended batch mean coarse residual norm " +
+        f"$bDist%.4f is ${ratio.get}%.2f× the train baseline " +
+        f"${train.get}%.4f (threshold $DriftRatioThreshold) — recall over " +
+        "the new rows is degraded; schedule a quantizer retrain")
+    DriftReport(bn, bDist, train, ratio, drifted)
   }
 
   /** Serve one probe from a saved index: codes-only ADC over the probed

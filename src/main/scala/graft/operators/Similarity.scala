@@ -961,6 +961,40 @@ object Similarity {
     flat
   }
 
+  /** Cheap distribution-fit statistic for index-lifecycle drift detection
+    * (r19 verdict #5): count and mean RESIDUAL NORM ‖v − c_best‖ over a
+    * batch, where c_best is the encoder's own coarse assignment (argmax
+    * cosine). The residual is exactly what residual PQ quantizes, so its
+    * magnitude is the direct driver of quantization error: a batch whose
+    * mean residual norm is far off the training corpus's is served with
+    * silently degraded recall unless something makes it loud. (A pure
+    * angle stat — mean 1 − best cos sim — was measured first and has no
+    * contrast on weakly-clustered corpora: an off-manifold batch reads
+    * ~1.05× baseline because arbitrary directions are already ~orthogonal
+    * to every centroid; the residual norm reads ~8× on the same batch.)
+    * One map-side aggregate over the same literal-centroid arithmetic the
+    * encoder uses; no shuffle beyond the scalar fold, no vector collect.
+    */
+  def coarseFitStats(vecs: DataFrame, coarseCb: DataFrame): (Long, Double) = {
+    val coarse = collectCoarse(coarseCb)
+    val dots = array(coarse.map { case (_, cv, _) =>
+      dot(col("v"), litVec(cv.toSeq)) }.toIndexedSeq: _*)
+    val cns = array(coarse.map(c => lit(c._3)).toIndexedSeq: _*)
+    val csims = coarse.zipWithIndex.map { case ((_, cv, cn), i) =>
+      element_at(col("dots"), i + 1) / (sqrt(col("nrm")) * lit(math.sqrt(cn)))
+    }
+    val row = cleanedWithNrm(vecs)
+      .withColumn("dots", dots)
+      .withColumn("cidx",
+        array_position(array(csims.toIndexedSeq: _*),
+          array_max(array(csims.toIndexedSeq: _*))).cast("int"))
+      .withColumn("residsq",
+        greatest(col("nrm") - lit(2.0) * element_at(col("dots"), col("cidx"))
+          + element_at(cns, col("cidx")), lit(0.0)))
+      .agg(count(lit(1)), avg(sqrt(col("residsq")))).head
+    (row.getLong(0), if (row.isNullAt(1)) 0.0 else row.getDouble(1))
+  }
+
   def pqEncodeOn(vecs: DataFrame, coarseCb: DataFrame, pq: PqModel): DataFrame = {
     val coarse = collectCoarse(coarseCb)
     val csims = coarse.map { case (_, cv, cn) =>
@@ -1213,7 +1247,8 @@ object Similarity {
     val corpus = vecs.filter(col("vec_id") =!= 0)
     val (coarse, pq) = ivfPqTrain(corpus, byResidual = true)
     val base = graft.TempDirs.scratch("graft_ann_index")
-    AnnIndexIO.save(base, coarse, pq, pqEncodeOn(corpus, coarse, pq))
+    AnnIndexIO.save(base, coarse, pq, pqEncodeOn(corpus, coarse, pq),
+      fitSource = Some(corpus))
     withExactTopkFlag(s, dir, k,
       AnnIndexIO.searchStored(s, base, corpus, probe, k, nprobe,
         IvfPqRerank))

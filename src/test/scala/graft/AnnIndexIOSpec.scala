@@ -110,6 +110,58 @@ class AnnIndexIOSpec extends SparkSpec {
       Similarity.pqEncodeOn(corpus, coarse, pq).count())
   }
 
+  test("append drift detection: in-distribution batch is NOT flagged") {
+    val (corpus, _, coarse, pq) = fixture(byResidual = true)
+    val first = corpus.filter(col("vec_id") % 2 === 0)
+    val rest = corpus.filter(col("vec_id") % 2 =!= 0)
+    val base = tmpBase("drift_ok")
+    AnnIndexIO.save(base, coarse, pq,
+      Similarity.pqEncodeOn(first, coarse, pq), fitSource = Some(first))
+    val report = AnnIndexIO.append(base, rest)
+    assert(report.batchRows > 0 && report.trainMeanDist.isDefined)
+    assert(report.ratio.isDefined && !report.drifted,
+      s"an in-distribution append must not flag drift, got $report")
+    assert(report.ratio.get < AnnIndexIO.DriftRatioThreshold)
+  }
+
+  test("append drift detection: distribution-shifted batch IS flagged, " +
+      "and its recall really is degraded") {
+    val (corpus, _, coarse, pq) = fixture(byResidual = true)
+    val base = tmpBase("drift_bad")
+    AnnIndexIO.save(base, coarse, pq,
+      Similarity.pqEncodeOn(corpus, coarse, pq), fitSource = Some(corpus))
+    // the shifted regime: vectors dominated by a direction the quantizers
+    // never saw (fixture embeddings are unit-norm, ~zero-mean — the
+    // all-ones direction is near-orthogonal to every trained centroid)
+    val shifted = corpus
+      .withColumn("embedding",
+        expr("transform(embedding, x -> CAST(0.05 * x + 1.0 AS FLOAT))"))
+      .withColumn("vec_id", col("vec_id") + lit(1000000))
+    val report = AnnIndexIO.append(base, shifted)
+    assert(report.drifted && report.ratio.exists(_ > AnnIndexIO.DriftRatioThreshold),
+      s"a shifted append must flag drift, got $report")
+    // the flag corresponds to REAL degradation: serve a shifted probe and
+    // compare the ANN answer to brute-force cosine over the shifted rows —
+    // with the frozen quantizers the stored search must do strictly worse
+    // on the shifted region than on the training region (where the
+    // round-trip spec already pins in-session-identical answers)
+    val probeShifted = shifted.filter(col("vec_id") === 1000002)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toSeq
+    val all = corpus.select("vec_id", "label", "embedding")
+      .union(shifted.select("vec_id", "label", "embedding"))
+    val got = AnnIndexIO.searchStored(spark, base, all, probeShifted,
+      k = 10, nprobe = 3, rerank = 64)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val exact = Similarity.cosineTopKOn(all, 10, probeShifted)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (got & exact).size / 10.0
+    assert(recall < 1.0,
+      s"shifted-region recall should be degraded under the frozen model " +
+        s"(got $recall); if this ever reads 1.0 the fixture stopped " +
+        "exercising the drift regime and the test needs a harder shift")
+  }
+
   test("format-version guard fails loudly on a foreign layout") {
     val s = spark
     import s.implicits._

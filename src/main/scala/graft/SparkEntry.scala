@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dedup_embed"    -> ((s: SparkSession, d: String) => Dedup.embedCosine(s, d)),
     "q_dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
     "q_span_scrub"     -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
+    "q_dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "q_dedup_cluster"  -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     "q_dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticClusters(s, d)),
     // similarity search
@@ -470,6 +471,31 @@ object SparkEntry {
         |  MIN(doc_id) AS keep_id
         |FROM keyed GROUP BY norm_key HAVING COUNT(1) > 1
         |ORDER BY keep_id""".stripMargin,
+
+    // mirrors Dedup.incrementalDedup's streaming-policy decision from
+    // string shingles: batch doc (doc_id % 3 = 0) dropped iff it shares
+    // ANY distinct 3-gram shingle with a corpus doc (% 3 <> 0) or with a
+    // smaller-id batch doc; sub-3-token docs have no shingles and land
+    "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |           FOR i IN generate_series(1, len(tk) - 2)]) AS shingles
+        |       FROM d WHERE len(tk) >= 3),
+        |g AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |bg AS (SELECT * FROM g WHERE doc_id % 3 = 0),
+        |corpus_hit AS (SELECT DISTINCT b.doc_id FROM bg b
+        |               JOIN (SELECT DISTINCT shingle FROM g WHERE doc_id % 3 <> 0) c
+        |               USING (shingle)),
+        |first_id AS (SELECT shingle, MIN(doc_id) AS fid FROM bg GROUP BY 1),
+        |within_hit AS (SELECT DISTINCT b.doc_id FROM bg b
+        |               JOIN first_id f USING (shingle) WHERE b.doc_id > f.fid),
+        |drops AS (SELECT doc_id FROM corpus_hit
+        |          UNION SELECT doc_id FROM within_hit)
+        |SELECT dd.doc_id, (drops.doc_id IS NULL) AS kept
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) dd
+        |LEFT JOIN drops ON dd.doc_id = drops.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS blk,

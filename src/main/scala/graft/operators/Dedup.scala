@@ -1004,4 +1004,58 @@ object Dedup extends org.apache.spark.internal.Logging {
         coalesce(col("cluster_size"), lit(1)).as("cluster_size"))
       .orderBy("vec_id")
   }
+
+  /** Registry `q_dedup_incremental` (r19 verdict #8): dedupe a NEW batch
+    * against an EXISTING corpus's stored band index — the incremental
+    * corpus-refresh shape every training-data pipeline runs between full
+    * rebuilds. Fixture split: docs with `doc_id % 3 == 0` are the
+    * refresh batch, the rest are the already-landed corpus whose keys
+    * seed a scratch [[graft.streaming.BandIndex]]
+    * ([[graft.streaming.StreamingNearDedup.recordBatch]], epoch 0); the
+    * batch is then deduped against it with the STREAMING policy
+    * ([[graft.streaming.StreamingNearDedup.dedupBatchAgainstIndex]],
+    * epoch 1) under the `ngram` banding — drop on ANY shared 3-gram
+    * shingle with the corpus or with a smaller-id batch doc. The ngram
+    * scheme makes the whole decision text-replayable, so this is the
+    * family's first ORACLED against-index query (minhash/simhash
+    * decisions are sketch-dependent, hence golden-pinned); equivalence
+    * with a live two-epoch stream is pinned in IncrementalDedupSpec for
+    * both schemes. Output: (doc_id, kept) for every batch doc.
+    *
+    * Scale posture: the probe is a left-semi join bounded to touched
+    * index buckets; within-batch dedup is one min-aggregation; nothing
+    * driver-side but the bounded bucket-id set. At 100 TB the corpus
+    * never re-scans — only its index's touched buckets do.
+    */
+  // fixture corpus indexes, one per scale-factor dir, built on first use
+  // and reused for the JVM's lifetime: the DECLARED operator shape is
+  // "dedupe a refresh batch against an EXISTING corpus index", so
+  // rebuilding the index per invocation would make every bench sample
+  // measure fixture seeding instead of the serve path. Sound to memoize:
+  // the probe is read-only (record = false), the index content is a pure
+  // deterministic function of the sf dir, and the scratch prefix embeds
+  // the sf name so two fixtures never reuse (or delete) each other's dir.
+  private val incIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingNearDedup
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val tableDir = incIndexCache.computeIfAbsent(dir, _ => {
+      val td = graft.TempDirs.scratch(
+        "graft_incdedup_" + dir.replaceAll("[^A-Za-z0-9]", "_")) +
+        "/corpus.docs"
+      StreamingNearDedup.recordBatch(corpus, td,
+        StreamingNearDedup.BandingNgram, epochId = 0L)
+      td
+    })
+    val kept = StreamingNearDedup.dedupBatchAgainstIndex(batch, tableDir,
+        StreamingNearDedup.BandingNgram, epochId = 1L)
+      .select(col("doc_id"), lit(true).as("kept"))
+    batch.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
+      .orderBy("doc_id")
+  }
 }

@@ -86,6 +86,12 @@ object BandIndex {
         "banding" -> StreamingNearDedup.BandingSimHash,
         "numBands" -> StreamingNearDedup.SimHashBands.toString,
         "bandSize" -> StreamingNearDedup.SimHashBandBits.toString)
+      case StreamingNearDedup.BandingNgram => Seq(
+        "numBuckets" -> NumBuckets.toString,
+        "banding" -> StreamingNearDedup.BandingNgram,
+        // the key space is xxhash64 over word-level 3-gram shingle
+        // strings; the width is a layout constant like the others
+        "shingle" -> "3")
       case e if StreamingNearDedup.embedBanding(e).isDefined =>
         // embed records the PARAMETERIZED banding (numBands × bitsPerBand
         // — the corpus-size knob), so an `embed-8x24` table rejects an

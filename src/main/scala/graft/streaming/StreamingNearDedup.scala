@@ -60,6 +60,21 @@ object StreamingNearDedup {
     */
   val BandingEmbed = "embed"
 
+  /** Exact-shingle banding (r19 verdict #8): every distinct word-level
+    * 3-gram shingle's xxhash64 fingerprint is its own band key, so the
+    * family's single-collision drop policy becomes "drop an arrival
+    * sharing ANY 3-gram window with any earlier arrival" — the aggressive
+    * exact-overlap regime of the batch n-gram family, and (unlike
+    * minhash/simhash/embed) one an independent engine can replay from the
+    * text alone: `q_dedup_incremental`'s DuckDB oracle recomputes the
+    * whole decision from string shingles. Key count varies per doc (an
+    * `nkeys` array column, exploded by [[bandKeys]]); sub-3-token docs
+    * have no keys and always land. Hot shingles are harmless to the probe
+    * (a left-semi join has no pair expansion), unlike the batch pair
+    * generators that need df caps.
+    */
+  val BandingNgram = "ngram"
+
   val SimHashBands = 4
   val SimHashBandBits = 16
 
@@ -105,7 +120,16 @@ object StreamingNearDedup {
     * identically.
     */
   def withBands(docs: DataFrame): DataFrame = {
-    val tk = split(col("text"), " ")
+    // `_tk` MUST cross a projection boundary before the shingle transform
+    // references it: lambda bodies are evaluated per element OUTSIDE
+    // whole-stage codegen's common-subexpression elimination, so an
+    // inline `split(text)` would re-split the document for every element
+    // access — 3 splits × O(tokens) shingles = O(tokens²) per doc
+    // (measured r20 on the ngram scheme: 174k keys in 6.6 s inline vs
+    // 0.4 s materialized). CollapseProject keeps the boundary because the
+    // alias is referenced more than once and is non-cheap — the same
+    // reasoning as the batch side's Dedup.shingledOf.
+    val tk = col("_tk")
     val shingles = array_distinct(transform(
       sequence(lit(0), greatest(size(tk) - 3, lit(0))),
       i => concat_ws(" ", tk(i), tk(i + 1), tk(i + 2))))
@@ -114,7 +138,8 @@ object StreamingNearDedup {
       graft.functions.MinHashes(
         org.apache.spark.sql.GraftSqlBridge.expression(col("_hs")),
         NumHashes))
-    val withSig = docs.withColumn("_hs", hs).withColumn("_sig", sigCol)
+    val withSig = docs.withColumn("_tk", split(col("text"), " "))
+      .withColumn("_hs", hs).drop("_tk").withColumn("_sig", sigCol)
     (0 until NumBands).foldLeft(withSig) { (d, b) =>
       // guard on _sig: a null signature (short doc) must yield NULL keys,
       // not the constant hash-of-no-columns every short doc would share
@@ -182,10 +207,30 @@ object StreamingNearDedup {
 
   /** [[withBands]] / [[withSimHashBands]] / [[withEmbedBands]] by declared
     * scheme name. */
+  /** Adds the `nkeys` array column for [[BandingNgram]]: xxhash64
+    * fingerprints of the doc's distinct word-level 3-gram shingles (the
+    * same construction as [[withBands]]'s signature input, minus the
+    * MinHash compression — every shingle IS a key). Null for sub-3-token
+    * docs, which therefore always land.
+    */
+  def withNgramBands(docs: DataFrame): DataFrame = {
+    // `_tk` crosses a projection boundary for the same O(tokens²) reason
+    // as [[withBands]] — see the comment there
+    val tk = col("_tk")
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(size(tk) - 3, lit(0))),
+      i => concat_ws(" ", tk(i), tk(i + 1), tk(i + 2))))
+    docs.withColumn("_tk", split(col("text"), " "))
+      .withColumn("nkeys",
+        when(size(tk) >= 3, transform(shingles, x => xxhash64(x))))
+      .drop("_tk")
+  }
+
   def withBandsFor(docs: DataFrame, banding: String): DataFrame =
     banding match {
       case BandingMinHash => withBands(docs)
       case BandingSimHash => withSimHashBands(docs)
+      case BandingNgram => withNgramBands(docs)
       case e if embedBanding(e).isDefined =>
         val (nb, bits) = embedBanding(e).get
         withEmbedBands(docs, nb, bits)
@@ -198,13 +243,28 @@ object StreamingNearDedup {
     * frame carries (8 for minhash, 4 for simhash) — derived from the
     * schema so probe, append, and backfill stay banding-agnostic.
     */
-  private[streaming] def bandKeys(df: DataFrame): DataFrame = {
-    val bandCols = df.columns.filter(_.matches("band_\\d+"))
-      .sortBy(_.stripPrefix("band_").toInt)
-    df.select(col("doc_id"), explode(array(
-        bandCols.map(col(_)).toSeq: _*)).as("bk"))
-      .filter(col("bk").isNotNull)
-  }
+  private[streaming] def bandKeys(df: DataFrame): DataFrame =
+    // the ngram scheme's keys are a VARIABLE-length array (one key per
+    // distinct shingle), carried as `nkeys`; key-less short docs (null
+    // array) contribute no rows, like null band_N keys. explode_OUTER,
+    // not explode: InferFiltersFromGenerate gives plain explode a
+    // `size(nkeys) > 0` pre-filter that filter-pushdown then inlines
+    // BELOW the `_tk` projection boundary with the raw split(text)
+    // substituted back in — re-introducing the exact O(tokens²)
+    // re-split-per-element evaluation the boundary exists to prevent
+    // (measured: ~3 s of the sf0.1 corpus key scan was that one inferred
+    // filter). The outer variant infers nothing; null keys drop in the
+    // cheap attribute filter below.
+    if (df.columns.contains("nkeys"))
+      df.select(col("doc_id"), explode_outer(col("nkeys")).as("bk"))
+        .filter(col("bk").isNotNull)
+    else {
+      val bandCols = df.columns.filter(_.matches("band_\\d+"))
+        .sortBy(_.stripPrefix("band_").toInt)
+      df.select(col("doc_id"), explode(array(
+          bandCols.map(col(_)).toSeq: _*)).as("bk"))
+        .filter(col("bk").isNotNull)
+    }
 
   /** `compactEvery` > 0 folds [[BandIndex.compact]] into the stream loop
     * every that-many epochs (serial with the writer, so the swap is
@@ -230,6 +290,73 @@ object StreamingNearDedup {
     * consolidation watermark unable to replay those epochs individually —
     * the documented log-compaction trade a deployment opts into.
     */
+  /** The single-collision drop decision both the streaming loop and
+    * [[dedupBatchAgainstIndex]] apply to one epoch's arrivals — SHARED
+    * code, so batch-vs-streaming equivalence holds by construction (and
+    * is additionally pinned end-to-end by IncrementalDedupSpec against a
+    * live two-epoch stream). A doc is dropped iff any of its band keys
+    * was recorded by ANY earlier epoch (kept or dropped arrivals alike —
+    * the index records both), or is shared with a smaller-id doc of the
+    * same batch ("collides with any smaller id" ≡ "id > the band's
+    * minimum id": one min-aggregation, not a self-join that would go
+    * quadratic on a duplicate-heavy batch). The ONLY driver-side value is
+    * the set of touched index buckets — bounded by [[BandIndex.NumBuckets]]
+    * (metadata-scale), never by batch or corpus size; the index read is
+    * bounded to those buckets, and the epoch's own files are excluded so
+    * a replayed half-written attempt can never collide with itself.
+    */
+  private[graft] def dropsFor(keys: DataFrame, tableDir: String,
+      epochId: Long): DataFrame = {
+    val spark = keys.sparkSession
+    val touched = keys.select(BandIndex.bucket(col("bk")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val indexHit = keys.join(
+        BandIndex.readKeys(spark, tableDir, touched, epochId),
+        Seq("bk"), "left_semi").select(col("doc_id"))
+    val bandMin = keys.groupBy("bk").agg(min(col("doc_id")).as("first_id"))
+    val withinHit = keys.join(bandMin, "bk")
+      .filter(col("doc_id") > col("first_id"))
+      .select(col("doc_id"))
+    indexHit.union(withinHit).distinct()
+  }
+
+  /** Record a batch's band keys in a table's index WITHOUT a dedup
+    * decision — the seeding half of the incremental-refresh shape: stand
+    * up an index over an already-landed corpus (every row's keys, as
+    * `epochId`), then let later [[dedupBatchAgainstIndex]] calls probe
+    * it. Creates the index (and its `_meta` layout record) when absent;
+    * fails loudly on a banding mismatch with an existing one.
+    */
+  def recordBatch(docs: DataFrame, tableDir: String,
+      banding: String = BandingMinHash, epochId: Long = 0L): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    BandIndex.ensureMeta(fs, tableDir, banding)
+    BandIndex.append(bandKeys(withBandsFor(docs, banding)), tableDir, epochId)
+  }
+
+  /** Batch dedup against a STORED corpus index (r19 verdict #8): the
+    * incremental corpus-refresh shape every training-data pipeline runs —
+    * dedupe a NEW batch of documents against everything an existing
+    * table's [[BandIndex]] has recorded, without running a stream.
+    * Applies EXACTLY the streaming policy ([[dropsFor]]) and returns the
+    * batch's kept rows (banding columns included). Read-only by default;
+    * `record = true` additionally appends the batch's keys — ALL
+    * arrivals, kept and dropped, the policy's bookkeeping invariant — as
+    * `epochId`, making this refresh part of the corpus the next one
+    * probes.
+    */
+  def dedupBatchAgainstIndex(batch: DataFrame, tableDir: String,
+      banding: String = BandingMinHash, epochId: Long,
+      record: Boolean = false): DataFrame = {
+    val banded = withBandsFor(batch, banding)
+    val keys = bandKeys(banded)
+    val kept = banded.join(dropsFor(keys, tableDir, epochId),
+      Seq("doc_id"), "left_anti")
+    if (record) BandIndex.append(keys, tableDir, epochId)
+    kept
+  }
+
   def start(
       docs: DataFrame,
       path: String, db: String, table: String,
@@ -240,9 +367,10 @@ object StreamingNearDedup {
       banding: String = BandingMinHash,
       sinkOptions: Map[String, String] = Map.empty): StreamingQuery = {
     require(banding == BandingMinHash || banding == BandingSimHash ||
-      embedBanding(banding).isDefined,
+      banding == BandingNgram || embedBanding(banding).isDefined,
       s"unknown banding '$banding'; supported: $BandingMinHash, " +
-        s"$BandingSimHash, $BandingEmbed, $BandingEmbed-<bands>x<bits>")
+        s"$BandingSimHash, $BandingNgram, $BandingEmbed, " +
+        s"$BandingEmbed-<bands>x<bits>")
     val tableDir = s"$path/$db.$table"
     val owner = java.util.UUID.randomUUID.toString
     // consecutive in-loop table-compaction failures: transient FS faults
@@ -280,30 +408,7 @@ object StreamingNearDedup {
         // the batch's keys feed four consumers (touched-bucket listing,
         // index probe, within-batch minima, index append) — persist once
         val keys = bandKeys(banded).persist(MEMORY_AND_DISK)
-        // the ONLY driver-side value is the set of index buckets this
-        // batch's keys hash into — bounded by BandIndex.NumBuckets
-        // (metadata-scale, like the sink's own per-epoch manifest
-        // listing), never by batch or corpus size
-        val touched = keys.select(BandIndex.bucket(col("bk")).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        // dropped if any band key was seen in ANY earlier epoch (kept or
-        // dropped arrivals alike — the index records both); the read is
-        // bounded to the touched buckets, and the batch's own epoch is
-        // excluded so a replayed half-written attempt can never make the
-        // batch collide with itself
-        val indexHit = keys.join(
-            BandIndex.readKeys(spark, tableDir, touched, epochId),
-            Seq("bk"), "left_semi").select(col("doc_id"))
-        // ...or shared with an earlier (smaller-id) doc of this batch:
-        // "collides with any smaller id" ≡ "id > the band's minimum id",
-        // so one min-aggregation replaces a band self-join that would go
-        // quadratic in a duplicate-heavy batch (same hazard the batch
-        // family's bucket caps guard against)
-        val bandMin = keys.groupBy("bk").agg(min(col("doc_id")).as("first_id"))
-        val withinHit = keys.join(bandMin, "bk")
-          .filter(col("doc_id") > col("first_id"))
-          .select(col("doc_id"))
-        val drops = indexHit.union(withinHit).distinct()
+        val drops = dropsFor(keys, tableDir, epochId)
         banded.join(drops, Seq("doc_id"), "left_anti")
           .write.format("graft-streaming").mode("append")
           // passthrough first: the routing/epoch options below are the

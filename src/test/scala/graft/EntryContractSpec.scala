@@ -29,8 +29,8 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared inventory") {
-    assert(SparkEntry.queries.size === 102)
-    assert(SparkEntry.oracleSql.size === 91)
+    assert(SparkEntry.queries.size === 103)
+    assert(SparkEntry.oracleSql.size === 92)
   }
 
   test("bench re-sampling policy: healthy host-side outliers only, bounded") {

@@ -51,6 +51,28 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_incremental: index probe is a semi-join, no cartesian, " +
+      "single split of each document") {
+    val plan = formatted("q_dedup_incremental")
+    assert(plan.contains("LeftSemi"),
+      s"the stored-index probe must stay a left-semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no pair-expansion join shapes:\n$plan")
+    // the O(tokens²) guard (r20): every shingle consumer must read the
+    // materialized `_tk` projection. A raw split(text) re-inlined per
+    // element access (the InferFiltersFromGenerate + filter-pushdown
+    // regression) substitutes the split into EVERY tk reference of one
+    // expression — 3+ `split(` occurrences on a single plan line. A
+    // healthy plan has at most one per line (the `_tk` projection
+    // itself, once per scan branch).
+    val badLine = plan.linesIterator.find(l =>
+      "split\\(".r.findAllMatchIn(l).size > 1)
+    assert(badLine.isEmpty,
+      s"a plan line re-splits the document per element — the _tk " +
+        s"materialization boundary regressed:\n${badLine.getOrElse("")}")
+  }
+
   test("q_join_full joins pre-aggregated sides on their own partitioning") {
     val plan = formatted("q_join_full")
     assert(plan.contains("FullOuter"), s"join must be full outer:\n$plan")

@@ -122,7 +122,15 @@ object PqBench {
         f""""float_bytes":$fb,"codes_bytes":$cb,""" +
         f""""bytes_ratio":${fb.toDouble / math.max(1L, cb)}%.2f}"""
     }
-    println(s"""{"metric":"pq_scale","dim":64,"m":8,"ksub":32,"rerank":64,"scales":[${rows.mkString(",")}]}""")
+    // r19 verdict #7: the production rerank policy lives IN the artifact,
+    // where the numbers are read — the fixed-64 recall10 column decays
+    // with corpus size BY DESIGN (it exists to motivate the policy), and
+    // without this sentence it reads as an engine defect.
+    val policy = "recall at fixed rerank decays with corpus size by " +
+      "design; production should scale the exact-rerank window with the " +
+      "corpus, rerank ~= n/50 (the wide_rerank column), which holds " +
+      "recall10 in the 5.9-7.3 band across this sweep at flat search wall"
+    println(s"""{"metric":"pq_scale","dim":64,"m":8,"ksub":32,"rerank":64,"rerank_policy":"$policy","recommended_rerank":"n/50","scales":[${rows.mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -105,10 +105,13 @@ object DedupBench {
     val isEmbed =
       graft.streaming.StreamingNearDedup.embedBanding(banding).isDefined
     val dir = java.nio.file.Files.createTempDirectory("graft_dedupbench").toString
-    // vector payloads need the columnar landing (jsonl is scalar-only)
+    // vector payloads and the ngram scheme's variable `nkeys` key array
+    // need the columnar landing (jsonl is scalar-only)
     val sinkOpts =
-      if (isEmbed) Map(graft.sink.GraftSinkOptions.FORMAT ->
-        graft.sink.GraftSinkOptions.FORMAT_PARQUET)
+      if (isEmbed ||
+          banding == graft.streaming.StreamingNearDedup.BandingNgram)
+        Map(graft.sink.GraftSinkOptions.FORMAT ->
+          graft.sink.GraftSinkOptions.FORMAT_PARQUET)
       else Map.empty[String, String]
     // prepare(lo) builds the fixture batch OUTSIDE the timed window (the
     // r19 review caught generation drifting inside it, which pads every

@@ -82,6 +82,43 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("recordBatch on a table created under a DIFFERENT banding fails " +
+      "loudly instead of mixing key spaces") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_mixed")
+      .toString + "/corpus.docs"
+    StreamingNearDedup.recordBatch(Seq(1L -> base).toDF("doc_id", "text"),
+      dir, StreamingNearDedup.BandingMinHash, epochId = 0L)
+    val e = intercept[IllegalStateException] {
+      StreamingNearDedup.recordBatch(Seq(2L -> uniqueA).toDF("doc_id", "text"),
+        dir, StreamingNearDedup.BandingNgram, epochId = 1L)
+    }
+    assert(e.getMessage.contains("banding") ||
+      e.getMessage.contains("_meta"),
+      s"expected the layout-meta validation to name the mismatch: $e")
+  }
+
+  test("empty and key-less batches are safe no-ops for the decision") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_empty")
+      .toString + "/corpus.docs"
+    StreamingNearDedup.recordBatch(Seq(1L -> base).toDF("doc_id", "text"),
+      dir, StreamingNearDedup.BandingNgram, epochId = 0L)
+    // a batch of ONLY key-less (sub-3-token) docs: everything lands
+    val kept = StreamingNearDedup.dedupBatchAgainstIndex(
+      Seq(10L -> "a b", 11L -> "").toDF("doc_id", "text"), dir,
+      StreamingNearDedup.BandingNgram, epochId = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 11L))
+    // a fully empty batch: empty result, no crash on the touched collect
+    val kept2 = StreamingNearDedup.dedupBatchAgainstIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), dir,
+      StreamingNearDedup.BandingNgram, epochId = 2L)
+    assert(kept2.count() === 0L)
+  }
+
   test("record=true makes the refresh part of the corpus for the next batch") {
     val s = spark
     import s.implicits._

@@ -396,8 +396,10 @@ object Bench {
     // (timed, named), reopen (timed), one UNTIMED warm search (populates
     // the FileStatusCache and compiles the search plan — the r19 builder
     // note's listing-noise fix), then the search median-of-3. search_sec
-    // becomes the BOARD value for both lines below; the full-lifecycle
-    // medians are preserved under ann_lifecycle.
+    // rides the board as the ADDED q_sim_ivf_pq_stored_serve key (r20
+    // advice: never substituted into the lifecycle lines' own values);
+    // the full-lifecycle medians stay on their own board lines and under
+    // ann_lifecycle.
     val annStored: Option[(String, Double)] = {
       val wanted = Seq("q_sim_ivf_pq_res", "q_sim_ivf_pq_stored")
         .filter(q => scored.exists(_._1 == q))
@@ -441,31 +443,36 @@ object Bench {
       }
     }
     val storedSplitJson = annStored.map(_._1).getOrElse("")
-    // the board (queries map, total, families, slowest) prices the two
-    // lifecycle-demo lines at their measured serve-path search_sec; every
-    // raw artifact (samples, telemetry, ann_lifecycle) keeps the full
-    // lifecycle walls
-    val boardSec: Map[String, Double] = annStored.map { case (_, s) =>
-      Seq("q_sim_ivf_pq_res", "q_sim_ivf_pq_stored")
-        .filter(q => scored.exists(_._1 == q)).map(_ -> s).toMap
-    }.getOrElse(Map.empty)
-    val scoredBoard = scored.map { case t @ (k, _, _, _, _, _, _) =>
-      boardSec.get(k).map(s => t.copy(_2 = s)).getOrElse(t)
-    }
-    val qs = scoredBoard.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + v }
+    // r20 advice (medium): the former board SUBSTITUTED stored_split's
+    // single search_sec into BOTH lifecycle lines' queries/total/families
+    // values, making them inconsistent with their own samples arrays and
+    // with what the query names execute. Now every registered line's
+    // board value is its own median (always consistent with `samples`),
+    // and the measured serve path rides under its OWN ADDED key —
+    // q_sim_ivf_pq_stored_serve, the stored-index probe a 100 TB
+    // deployment pays per batch (train/save/reopen stay named in
+    // stored_split). Additive per the driver contract; the two lifecycle
+    // lines therefore read ~4.7/6.1 s on the board again BY DESIGN — the
+    // full train+save+reopen+search lifecycle each invocation performs.
+    val serveEntries: Seq[(String, Double)] =
+      annStored.map { case (_, s) =>
+        Seq("q_sim_ivf_pq_stored_serve" -> s) }.getOrElse(Nil)
+    val board: Seq[(String, Double)] =
+      scored.map { case (k, v, _, _, _, _, _) => (k, v) } ++ serveEntries
+    val qs = board.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sampleJson = scored.map { case (k, _, ss, _, _, _, _) =>
       s"\"" + k + "\":" + ss.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, true, _, _, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = scoredBoard.map(_._2).sum
+    val total = board.map(_._2).sum
     // Per-family normalization summary so a reader can separate host noise
     // from regressions without cross-referencing local artifacts: for each
     // query family (the token after "q_"), the summed median, the query
     // count, and the floor-adjusted plan cost (sum - n*floor_sec — what the
     // family costs beyond the irreducible per-query scheduling price).
-    val famJson = scoredBoard.map { case (k, v, _, _, _, _, _) => (k.split("_")(1), v) }
+    val famJson = board.map { case (k, v) => (k.split("_")(1), v) }
       .groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, rs) =>
         val s = rs.map(_._2).sum
         val adj = math.max(0.0, s - rs.size * floorSec)
@@ -478,7 +485,7 @@ object Bench {
     // driver-vs-local residual analysis needs (the heavy lines are where
     // host effects concentrate): wall up + gc/spill up = in-JVM memory
     // pressure; wall up + gc/spill/heap flat = host-side slowness.
-    val slowest = scoredBoard.sortBy(-_._2).take(5)
+    val slowest = scored.sortBy(-_._2).take(5)
     val slowSamples = slowest.map { case (k, _, ss, _, _, _, _) =>
       s"\"" + k + "\":" + ss.map(s => f"$s%.2f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -640,11 +647,15 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val pinName = "\"pin\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
           .map(_.group(1)).getOrElse("unknown")
-        val deltas = scoredBoard
-          .collect { case (k, v, _, _, _, _, _)
-            if pinQ.contains(k) && math.abs(v - pinQ(k)) >= 0.25 =>
+        // r20 verdict #7: emit EVERY mover past the threshold, not the
+        // top-10 — a regression in mover #11 was invisible from the
+        // driver artifact alone. Threshold 0.3 s keeps the map small
+        // enough for the driver's preserved ~2 KiB tail on a normal run.
+        val deltas = board
+          .collect { case (k, v)
+            if pinQ.contains(k) && math.abs(v - pinQ(k)) >= 0.3 =>
               (k, v, pinQ(k)) }
-          .sortBy { case (_, v, pv) => -math.abs(v - pv) }.take(10)
+          .sortBy { case (_, v, pv) => -math.abs(v - pv) }
         val m = deltas.map { case (k, v, pv) =>
           f""""$k":[$v%.2f,$pv%.2f]""" }.mkString("{", ",", "}")
         s""","pin":"$pinName","pin_deltas":$m"""
@@ -664,7 +675,7 @@ object Bench {
         val baseQ = "\"(q_\\w+)\":\\s*([0-9.]+)".r
           .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
           .filter(_._2 > 0).toMap
-        val mine = scoredBoard.collect { case (k, v, _, _, _, _, _) if baseQ.contains(k) => k -> v }.toMap
+        val mine = board.collect { case (k, v) if baseQ.contains(k) => k -> v }.toMap
         val (s1, s2) = (mine.values.sum, mine.keys.map(baseQ).sum)
         // r16 verdict #5: the artifact self-identifies each intersection
         // query's own ratio plus a `weak_lines` list — ratio > 2 with

@@ -23,6 +23,14 @@ object TempDirs {
   // scratch dir eagerly so looping sessions don't accumulate corpus copies
   private val live = new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** SINGLE-LIVE-CONSUMER CONTRACT (r20 advice): requesting a prefix
+    * eagerly deletes the previous same-prefix dir, so any still-lazy plan
+    * reading the old dir (e.g. a held stored-index search DataFrame) must
+    * be fully consumed before the same prefix is requested again. Callers
+    * that memoize a scratch path across invocations must make the prefix
+    * injective for the content it backs (hash the identity into the
+    * prefix — see Dedup.incrementalDedup).
+    */
   def scratch(prefix: String): String = {
     hook
     val p = java.nio.file.Files.createTempDirectory(prefix)

@@ -1044,8 +1044,15 @@ object Dedup extends org.apache.spark.internal.Logging {
     val corpus = docs.filter(col("doc_id") % 3 =!= 0)
     val batch = docs.filter(col("doc_id") % 3 === 0)
     val tableDir = incIndexCache.computeIfAbsent(dir, _ => {
+      // the sanitized prefix alone can collide across dataset dirs that
+      // differ only in punctuation (r20 advice): TempDirs' one-live-dir-
+      // per-prefix eviction would then delete an index a cached entry
+      // still points at — a short hash of the RAW dir makes the prefix
+      // injective per dataset
       val td = graft.TempDirs.scratch(
-        "graft_incdedup_" + dir.replaceAll("[^A-Za-z0-9]", "_")) +
+        "graft_incdedup_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          java.lang.Integer.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(dir))) +
         "/corpus.docs"
       StreamingNearDedup.recordBatch(corpus, td,
         StreamingNearDedup.BandingNgram, epochId = 0L)

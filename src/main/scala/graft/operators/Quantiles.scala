@@ -52,26 +52,38 @@ object Quantiles {
     * and loudly caught by the oracle/spec rather than silently absorbed.
     */
   def exactPercentilesOn(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+      ps: Seq[Double], accuracy: Int = 10000,
+      withApprox: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
     val delta = 2.0 / accuracy
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
 
-    // pass 1: per-group count + one sketch evaluated at every bracket edge
+    // pass 1: per-group count + one sketch evaluated at every bracket edge.
+    // `withApprox` additionally evaluates the SAME sketch buffer at the
+    // target quantiles themselves and carries the values through as
+    // `pct_approx` — the GK summary's construction depends only on the
+    // data and accuracy, never on the query points, so the bracket values
+    // (and every default-path consumer's plan) are unchanged; callers that
+    // need sketch + exact together (q_agg_approx_pct) save a whole
+    // separate corpus aggregate pass plus the join that reattached it
+    // (r21: 3 corpus scans + 1 join → 2 corpus scans, 0 joins).
     val edges: Seq[Double] = ps.flatMap(p =>
       Seq(math.max(0.0, p - delta), math.min(1.0, p + delta)))
+    val queryPts = edges ++ (if (withApprox) ps else Nil)
     val pass1 = base.groupBy("g").agg(
       count(lit(1)).as("n"),
-      approx_percentile(col("v"), array(edges.map(lit): _*), lit(accuracy))
+      approx_percentile(col("v"), array(queryPts.map(lit): _*), lit(accuracy))
         .as("qs"))
     val brackets = pass1.select(col("g"), col("n"),
       explode(array(ps.indices.map(i => struct(
-        lit(ps(i)).as("p"),
-        col("qs")(i * 2).as("vlo"),
-        col("qs")(i * 2 + 1).as("vhi"))): _*)).as("b"))
-      .select(col("g"), col("n"),
-        col("b.p").as("p"), col("b.vlo").as("vlo"), col("b.vhi").as("vhi"))
+        Seq(lit(ps(i)).as("p"),
+          col("qs")(i * 2).as("vlo"),
+          col("qs")(i * 2 + 1).as("vhi")) ++
+        (if (withApprox) Seq(col("qs")(ps.size * 2 + i).as("pa")) else Nil): _*)): _*)).as("b"))
+      .select(Seq(col("g"), col("n"),
+        col("b.p").as("p"), col("b.vlo").as("vlo"), col("b.vhi").as("vhi")) ++
+        (if (withApprox) Seq(col("b.pa").as("pa")) else Nil): _*)
 
     // pass 2: classify map-side against the broadcast brackets. The
     // shuffle carries one (value, count) partial per in-bracket DISTINCT
@@ -87,15 +99,20 @@ object Quantiles {
     // null-safe group join: pass 1's groupBy aggregates a NULL group like
     // any other, so pass 2 must match it back — a plain equi-join would
     // silently drop every null-group row from the output
+    // `pa` (the sketch value at p itself, withApprox only) is constant per
+    // (g, p): it rides the classify select and the grouping keys without
+    // changing group granularity
+    val paCols = if (withApprox) Seq(col("pa")) else Nil
     val classified = base.join(
         broadcast(brackets.withColumnRenamed("g", "bg")),
         col("g") <=> col("bg"))
       .drop("bg")
-      .select(col("g"), col("p"), col("n"), col("v"),
+      .select(Seq(col("g"), col("p"), col("n"), col("v"),
         when(col("v") < col("vlo"), lit(-1))
-          .when(col("v") > col("vhi"), lit(1)).otherwise(lit(0)).as("cls"))
-      .groupBy(col("g"), col("p"), col("n"), col("cls"),
-        when(col("cls") === 0, col("v")).as("cv"))
+          .when(col("v") > col("vhi"), lit(1)).otherwise(lit(0)).as("cls")) ++
+        paCols: _*)
+      .groupBy(Seq(col("g"), col("p"), col("n"), col("cls"),
+        when(col("cls") === 0, col("v")).as("cv")) ++ paCols: _*)
       .agg(count(lit(1)).as("c"), min(col("v")).as("mn"),
         max(col("v")).as("mx"))
 
@@ -124,23 +141,25 @@ object Quantiles {
       .withColumn("cum_start", col("cum_end") - col("c"))
       .groupBy("g", "p")
       .agg(first(col("t")).as("t"),
-        first(col("n")).as("n"),
-        first(col("below")).as("below"),
-        first(col("prevv")).as("prevv"),
-        first(col("nextv")).as("nextv"),
-        sum(col("c")).as("csum"),
-        max(when(col("cum_start") <= floor(col("t")) &&
-          floor(col("t")) < col("cum_end"), col("cv"))).as("v_l0"),
-        // v_l's cumulative rank rides the same conditional — it is
-        // #rows ≤ v_l, which is also #rows ≤ the interpolated quantile
-        // (the edge lies strictly between v_l and the next distinct
-        // value when frac > 0, and IS v_l's value when frac = 0 or on a
-        // tie) — what [[histogramEqDepthOn]] bins by without a third
-        // corpus pass
-        max(when(col("cum_start") <= floor(col("t")) &&
-          floor(col("t")) < col("cum_end"), col("cum_end"))).as("rank_l0"),
-        max(when(col("cum_start") <= ceil(col("t")) &&
-          ceil(col("t")) < col("cum_end"), col("cv"))).as("v_u0"))
+        (Seq(
+          first(col("n")).as("n"),
+          first(col("below")).as("below"),
+          first(col("prevv")).as("prevv"),
+          first(col("nextv")).as("nextv"),
+          sum(col("c")).as("csum"),
+          max(when(col("cum_start") <= floor(col("t")) &&
+            floor(col("t")) < col("cum_end"), col("cv"))).as("v_l0"),
+          // v_l's cumulative rank rides the same conditional — it is
+          // #rows ≤ v_l, which is also #rows ≤ the interpolated quantile
+          // (the edge lies strictly between v_l and the next distinct
+          // value when frac > 0, and IS v_l's value when frac = 0 or on a
+          // tie) — what [[histogramEqDepthOn]] bins by without a third
+          // corpus pass
+          max(when(col("cum_start") <= floor(col("t")) &&
+            floor(col("t")) < col("cum_end"), col("cum_end"))).as("rank_l0"),
+          max(when(col("cum_start") <= ceil(col("t")) &&
+            ceil(col("t")) < col("cum_end"), col("cv"))).as("v_u0")) ++
+          (if (withApprox) Seq(first(col("pa")).as("pct_approx")) else Nil)): _*)
       // rank below−1 is the below-class maximum; rank below+csum is the
       // above-class minimum
       .withColumn("v_l", coalesce(col("v_l0"),
@@ -160,11 +179,11 @@ object Quantiles {
       // (g, p, pct) keep their positions — callers index rows positionally
       // (the bit-identity spec, aggPercentileExact's select); the r18 rank
       // additions ride BEHIND them
-      .select(col("g"), col("p"),
+      .select((Seq(col("g"), col("p"),
         when(col("frac") === 0.0, coalesce(col("v_l"), col("v_u")))
           .otherwise((lit(1.0) - col("frac")) * col("v_l") +
             col("frac") * col("v_u")).as("pct"),
-        col("n"),
+        col("n")) :+
         // #rows ≤ the quantile value: v_l's cum_end, or the below-count
         // when v_l resolved via the prevv neighbor (all below-class rows
         // are ≤ prevv and nothing else is). NULL only in the
@@ -172,9 +191,10 @@ object Quantiles {
         // above-bracket minimum, whose ties the bracket cannot count) —
         // a one-rank sketch miss on the high side at an integral rank;
         // rank consumers fail loudly on it rather than mis-bin.
-        coalesce(col("rank_l0"),
+        (coalesce(col("rank_l0"),
           when(floor(col("t")) === col("below") - 1, col("below")))
-          .as("rank_le"))
+          .as("rank_le"))) ++
+        (if (withApprox) Seq(col("pct_approx")) else Nil): _*)
   }
 
   /** EQUI-DEPTH histogram (registry `q_agg_hist_eq`): `bins` buckets per

@@ -267,30 +267,30 @@ object Relational {
     */
   def aggApproxPercentile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val sketch = li
-      .groupBy("l_returnflag")
-      .agg(approx_percentile(col("l_extendedprice"),
-        array(lit(0.5), lit(0.95)), lit(10000)).as("pa"))
-      .select(col("l_returnflag"),
-        col("pa")(0).as("p50_approx"), col("pa")(1).as("p95_approx"))
-    // exact companion via bracket-and-verify (Quantiles): the former
-    // `percentile(col, array)` aggregate shipped a ~600 k-entry
-    // value-count OpenHashMap per group through the shuffle — the
-    // single-node exact shape this engine's quantile story exists to
-    // avoid, and (r14) the kind of heap-hungry buffer the degraded
-    // driver-host windows punish hardest. The bracket form's shuffles are
-    // metadata-sized at any corpus, and its interpolated values are
-    // bit-identical to Spark `percentile` (Quantiles property test), so
-    // the evidence columns are unchanged.
-    val exact = Quantiles
+    // sketch + exact companion from ONE shared GK buffer (r21): the
+    // former separate sketch aggregate re-scanned the corpus to build a
+    // second, identical approx_percentile summary and joined it back on.
+    // exactPercentilesOn's pass-1 sketch is the same construction (same
+    // column, same accuracy — the buffer depends only on data and
+    // accuracy, never on the query points), so `withApprox = true` reads
+    // the approx values off that buffer and this query drops from 3
+    // corpus scans + 1 join to 2 corpus scans + 0 joins with bit-identical
+    // output (golden-pin-verified ×3 SFs). The exact companion stays the
+    // bracket-and-verify formulation: the built-in exact `percentile`
+    // value-map aggregate ships ~600 k-entry OpenHashMaps per group
+    // through the shuffle — the single-node shape this engine's quantile
+    // story exists to avoid (r14).
+    Quantiles
       .exactPercentilesOn(li, "l_returnflag", "l_extendedprice",
-        Seq(0.5, 0.95))
+        Seq(0.5, 0.95), withApprox = true)
       .groupBy("g")
-      .agg(max(when(col("p") === 0.5, col("pct"))).as("p50_exact"),
+      .agg(max(when(col("p") === 0.5, col("pct_approx"))).as("p50_approx"),
+        max(when(col("p") === 0.95, col("pct_approx"))).as("p95_approx"),
+        max(when(col("p") === 0.5, col("pct"))).as("p50_exact"),
         max(when(col("p") === 0.95, col("pct"))).as("p95_exact"))
-      .withColumnRenamed("g", "l_returnflag")
-    sketch
-      .join(exact, "l_returnflag")
+      .select(col("g").as("l_returnflag"),
+        col("p50_approx"), col("p95_approx"),
+        col("p50_exact"), col("p95_exact"))
       .withColumn("p50_rel_err",
         Norm.r4(abs(col("p50_approx") - col("p50_exact")) / col("p50_exact")))
       .withColumn("p95_rel_err",

@@ -349,8 +349,22 @@ object StreamingNearDedup {
   def dedupBatchAgainstIndex(batch: DataFrame, tableDir: String,
       banding: String = BandingMinHash, epochId: Long,
       record: Boolean = false): DataFrame = {
-    val banded = withBandsFor(batch, banding)
-    val keys = bandKeys(banded)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the banding (split + shingle + xxhash64 over every document) feeds
+    // four consumers — dropsFor's touched-bucket collect, its index probe
+    // and within-batch min-agg, and the final left-anti join (five with
+    // record's index append) — the same fan-out the streaming epoch loop
+    // persists for (see start()); unpersisted, a 100 TB refresh batch
+    // re-scans and re-hashes the banding 4-5× (r20 verdict #1).
+    // dropsFor's touched-bucket collect materializes both caches eagerly,
+    // so every later consumer reads the cache. CACHE LIFETIME IS
+    // CALLER-MANAGED: the caches back the RETURNED (lazy) kept frame, so
+    // they cannot be released here — unpersist the session's persistent
+    // RDDs (the bench's reclaim() does) or let session teardown reclaim
+    // them once the kept rows are consumed. The streaming loop is
+    // unaffected: it persists/unpersists its own frames per epoch.
+    val banded = withBandsFor(batch, banding).persist(MEMORY_AND_DISK)
+    val keys = bandKeys(banded).persist(MEMORY_AND_DISK)
     val kept = banded.join(dropsFor(keys, tableDir, epochId),
       Seq("doc_id"), "left_anti")
     if (record) BandIndex.append(keys, tableDir, epochId)

@@ -119,6 +119,41 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept2.count() === 0L)
   }
 
+  test("dedupBatchAgainstIndex computes the banding once: banded and keys " +
+      "are persisted and the kept plan reads the cache") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val dir = java.nio.file.Files.createTempDirectory("inc_persist")
+      .toString + "/corpus.docs"
+    StreamingNearDedup.recordBatch(
+      Seq(1L -> base).toDF("doc_id", "text"), dir,
+      StreamingNearDedup.BandingNgram, epochId = 0L)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val kept = StreamingNearDedup.dedupBatchAgainstIndex(
+      Seq(10L -> uniqueB, 11L -> nearDup(base, 5)).toDF("doc_id", "text"),
+      dir, StreamingNearDedup.BandingNgram, epochId = 1L)
+    val added = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+    try {
+      // both the banded frame and its exploded keys must be cached at
+      // MEMORY_AND_DISK — the streaming loop's level — so the four
+      // consumers (touched collect, index probe, within-batch min-agg,
+      // final anti-join) evaluate the shingle/hash stage exactly once
+      assert(added.size >= 2,
+        s"expected banded AND keys persisted; new cached RDDs: ${added.size}")
+      assert(added.values.forall(_.getStorageLevel ==
+        StorageLevel.MEMORY_AND_DISK))
+      assert(kept.select("doc_id").as[Long].collect().toSet === Set(10L))
+      // the executed kept plan must READ those caches (an InMemoryTableScan
+      // / table-cache stage), not re-derive the banding from the raw text
+      val plan = kept.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("TableCacheQueryStage"),
+        s"kept plan must scan the persisted banding, got:\n$plan")
+    } finally added.values.foreach(_.unpersist(true))
+  }
+
   test("record=true makes the refresh part of the corpus for the next batch") {
     val s = spark
     import s.implicits._

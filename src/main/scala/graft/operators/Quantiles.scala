@@ -42,7 +42,12 @@ object Quantiles {
       "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
       .select(col("g").as("l_returnflag"), col("p"),
         Norm.r4(col("pct")).as("pct"))
-      .orderBy("l_returnflag", "p")
+      // |groups|×|ps| METADATA rows: a global orderBy would pay a
+      // range-partitioning sampling job on them — one partition +
+      // in-partition sort is the identical total order for one job less
+      // (the r20 q_agg_hist_eq fold, applied to its sibling lines r21)
+      .coalesce(1)
+      .sortWithinPartitions("l_returnflag", "p")
 
   /** Exact interpolated quantiles `ps` of `valueCol` per `groupCol`,
     * returned long-form as (g, p, pct). `accuracy` trades bracket size

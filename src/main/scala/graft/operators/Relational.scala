@@ -295,7 +295,11 @@ object Relational {
         Norm.r4(abs(col("p50_approx") - col("p50_exact")) / col("p50_exact")))
       .withColumn("p95_rel_err",
         Norm.r4(abs(col("p95_approx") - col("p95_exact")) / col("p95_exact")))
-      .orderBy("l_returnflag")
+      // |groups| metadata rows — same one-partition sort as
+      // q_agg_hist_eq/q_agg_pct_exact: identical total order, one
+      // range-sampling job less
+      .coalesce(1)
+      .sortWithinPartitions("l_returnflag")
   }
 
   /** Exact per-(flag, status) partials for the grouping-set family: sums

@@ -861,6 +861,41 @@ class OperatorPropertiesSpec extends SparkSpec {
       "bracket-and-verify must reproduce the value-map aggregate exactly")
   }
 
+  test("withApprox rides the SAME GK buffer: pct_approx is bit-identical " +
+      "to a standalone approx_percentile and the default path is unchanged") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val ps = Seq(0.5, 0.95)
+    val fused = graft.operators.Quantiles.exactPercentilesOn(
+      li, "l_returnflag", "l_extendedprice", ps, withApprox = true)
+      .collect()
+    // the sketch values off the shared pass-1 buffer must equal a
+    // dedicated approx_percentile aggregate's (the r21 q_agg_approx_pct
+    // fusion's correctness claim: the GK summary's construction depends
+    // only on data + accuracy, never on the query points)
+    val approxFused = fused
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getDouble(r.fieldIndex("pct_approx"))).toMap
+    val approxRef = li.groupBy(col("l_returnflag").as("g"))
+      .agg(approx_percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95)), lit(10000)).as("pa"))
+      .collect().flatMap { r =>
+        val pa = r.getSeq[Double](1)
+        Seq((r.getString(0), 0.5) -> pa(0), (r.getString(0), 0.95) -> pa(1))
+      }.toMap
+    assert(approxFused === approxRef,
+      "pct_approx must be the standalone sketch's values, bit-for-bit")
+    // adding the approx query points must not perturb the exact columns:
+    // the withApprox=true rows minus pct_approx == the default path's rows
+    val defaults = graft.operators.Quantiles.exactPercentilesOn(
+      li, "l_returnflag", "l_extendedprice", ps)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exactFused = fused
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(exactFused === defaults,
+      "withApprox must leave the exact pct values untouched")
+  }
+
   test("shingle_stats expression is bit-identical to the window 5-gram " +
       "formulation, including empty tokens and multi-byte UTF-8") {
     import spark.implicits._

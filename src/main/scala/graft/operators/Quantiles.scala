@@ -80,46 +80,77 @@ object Quantiles {
       count(lit(1)).as("n"),
       approx_percentile(col("v"), array(queryPts.map(lit): _*), lit(accuracy))
         .as("qs"))
-    val brackets = pass1.select(col("g"), col("n"),
-      explode(array(ps.indices.map(i => struct(
-        Seq(lit(ps(i)).as("p"),
-          col("qs")(i * 2).as("vlo"),
-          col("qs")(i * 2 + 1).as("vhi")) ++
-        (if (withApprox) Seq(col("qs")(ps.size * 2 + i).as("pa")) else Nil): _*)): _*)).as("b"))
-      .select(Seq(col("g"), col("n"),
-        col("b.p").as("p"), col("b.vlo").as("vlo"), col("b.vhi").as("vhi")) ++
-        (if (withApprox) Seq(col("b.pa").as("pa")) else Nil): _*)
+    // ONE wide bracket row per group: the former per-(g, p) exploded
+    // bracket rows made the classify join fan every corpus row out ×|ps|
+    // before the aggregate — |ps|× the hash-aggregate work and |ps|× the
+    // shuffled partial rows (q_agg_hist_eq runs this at |ps| = 7). The
+    // arrays keep the join 1:1; the per-p expansion happens AFTER the
+    // corpus aggregate, at metadata scale (r21).
+    val bracketsWide = pass1.select(Seq(col("g"), col("n"),
+        array(ps.indices.map(i => col("qs")(i * 2)): _*).as("vlos"),
+        array(ps.indices.map(i => col("qs")(i * 2 + 1)): _*).as("vhis")) ++
+      (if (withApprox)
+        Seq(array(ps.indices.map(i =>
+          col("qs")(ps.size * 2 + i)): _*).as("pas"))
+      else Nil): _*)
 
-    // pass 2: classify map-side against the broadcast brackets. The
-    // shuffle carries one (value, count) partial per in-bracket DISTINCT
-    // value plus one below / one above row per map partition — the
-    // below-count and the bracket's immediate NEIGHBOR values (min above,
-    // max below) ride the same aggregate. The neighbors matter at small n
-    // or duplicate-heavy boundaries, where the sketch's returned value
-    // can sit one rank short of an interpolation endpoint (measured at
-    // sf0.001: all three p95 brackets excluded one endpoint); carrying
-    // them makes the assembly exact whenever the bracket misses by at
-    // most one distinct value — a miss of two or more (impossible within
-    // the sketch's rank guarantee) surfaces loudly as a null.
+    // pass 2: classify map-side against the broadcast brackets — per row
+    // ONE cls vector (the exact same per-p when-chain as the old exploded
+    // form, so null-bracket semantics are untouched). The shuffle carries
+    // one partial per (in-any-bracket DISTINCT value, cls-vector) plus a
+    // handful of outside-pattern rows per map partition (the cls vector of
+    // an outside value is monotone over the ordered brackets, so ≤ 2|ps|+1
+    // distinct patterns exist) — the below-counts and the brackets'
+    // immediate NEIGHBOR values (min above, max below) still ride the same
+    // aggregate via mn/mx per pattern group; the window assembly's
+    // conditional sums/maxes fold the split pattern rows to exactly the
+    // values the old single collapsed ±1 rows carried. The neighbors
+    // matter at small n or duplicate-heavy boundaries, where the sketch's
+    // returned value can sit one rank short of an interpolation endpoint
+    // (measured at sf0.001: all three p95 brackets excluded one endpoint);
+    // carrying them makes the assembly exact whenever the bracket misses
+    // by at most one distinct value — a miss of two or more (impossible
+    // within the sketch's rank guarantee) surfaces loudly as a null.
     // null-safe group join: pass 1's groupBy aggregates a NULL group like
     // any other, so pass 2 must match it back — a plain equi-join would
-    // silently drop every null-group row from the output
-    // `pa` (the sketch value at p itself, withApprox only) is constant per
-    // (g, p): it rides the classify select and the grouping keys without
-    // changing group granularity
-    val paCols = if (withApprox) Seq(col("pa")) else Nil
-    val classified = base.join(
-        broadcast(brackets.withColumnRenamed("g", "bg")),
+    // silently drop every null-group row from the output.
+    val clsArr = array(ps.indices.map(i =>
+      when(col("v") < col("vlos")(i), lit(-1))
+        .when(col("v") > col("vhis")(i), lit(1)).otherwise(lit(0))): _*)
+    // `pas` (the sketch values at the ps themselves, withApprox only) is
+    // constant per group: it rides the grouping keys without changing
+    // group granularity
+    val paArrCols = if (withApprox) Seq(col("pas")) else Nil
+    val compact = base.join(
+        broadcast(bracketsWide.withColumnRenamed("g", "bg")),
         col("g") <=> col("bg"))
       .drop("bg")
-      .select(Seq(col("g"), col("p"), col("n"), col("v"),
-        when(col("v") < col("vlo"), lit(-1))
-          .when(col("v") > col("vhi"), lit(1)).otherwise(lit(0)).as("cls")) ++
-        paCols: _*)
-      .groupBy(Seq(col("g"), col("p"), col("n"), col("cls"),
-        when(col("cls") === 0, col("v")).as("cv")) ++ paCols: _*)
+      .select(Seq(col("g"), col("n"), col("v"),
+        clsArr.as("cls_arr")) ++ paArrCols: _*)
+      .groupBy(Seq(col("g"), col("n"), col("cls_arr"),
+        when(array_contains(col("cls_arr"), 0), col("v")).as("bv")) ++
+        paArrCols: _*)
       .agg(count(lit(1)).as("c"), min(col("v")).as("mn"),
         max(col("v")).as("mx"))
+
+    // metadata-scale re-expansion to the per-(g, p) row shape the window
+    // assembly below consumes: cls decodes positionally from the vector,
+    // cv is the value only where THIS p's bracket contains it (±1 rows
+    // carry a null cv exactly like the old collapsed form — the cum-rank
+    // ordering and every conditional below depend on that)
+    val pArr = array(ps.map(lit): _*)
+    val classified = compact
+      .select(Seq(col("g"), col("n"), col("bv"), col("c"), col("mn"),
+        col("mx")) ++ paArrCols :+
+        posexplode(col("cls_arr")).as(Seq("pi", "cls")): _*)
+      .select(Seq(col("g"),
+        element_at(pArr, col("pi") + 1).as("p"),
+        col("n"), col("cls"),
+        when(col("cls") === 0, col("bv")).as("cv"),
+        col("c"), col("mn"), col("mx")) ++
+        (if (withApprox)
+          Seq(element_at(col("pas"), col("pi") + 1).as("pa"))
+        else Nil): _*)
 
     // Per-(g, p) metadata (below-count, bracket neighbors) and the
     // in-bracket cumulative ranks both come from WINDOWS over the same

@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver json-parses the LAST stdout line of
+// `sbt "runMain graft.Bench"`. Two default sbt behaviors broke that parse
+// in every round through r21 (BENCH_r{01..21}.json all read parsed:null):
+// the forked process's stdout was routed through sbt's logger, giving
+// every line an "[info] " prefix that fails json.loads, and sbt printed
+// its own "[success] Total time" line after the program's output,
+// displacing the JSON from last position. StdoutOutput passes the child's
+// stdout through verbatim; showSuccess drops the trailing banner.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

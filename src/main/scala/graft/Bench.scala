@@ -639,29 +639,45 @@ object Bench {
     // artifact alone). Threshold + cap keep the map small enough to
     // survive the driver's ~2 KiB preserved tail; each entry is
     // [current_sec, pin_sec], largest |delta| first.
-    val pinDeltasJson = {
+    // r21 verdict #1/#7: the pin-delta map now comes in TWO forms. The
+    // stdout form is CAPPED at the top 12 |delta| movers plus a
+    // `suppressed_movers` count — the r21 driver run emitted 58 movers on
+    // a slow host window and the uncapped map pushed vs_baseline/total out
+    // of the driver's preserved ~2 KiB stdout tail. The FULL map (every
+    // mover ≥ 0.3 s, the r20 #7 coverage) goes into the BENCH_SELF file.
+    // Each entry is [now_sec, pin_sec, now_normalized] where the third
+    // value reprices `now` to the pin's host window (× ref_pin/ref_now),
+    // so a slow window's broad family-agnostic movers self-classify as
+    // pricing in the artifact instead of needing a reconstruction.
+    val (pinDeltasStdout, pinDeltasFull) = {
       val p = java.nio.file.Paths.get(s"$baseDir/tools/bench_pin_seconds.json")
-      if (!java.nio.file.Files.exists(p)) "" else {
+      if (!java.nio.file.Files.exists(p)) ("", "") else {
         val txt = java.nio.file.Files.readString(p)
         val pinQ = "\"(q_\\w+)\":\\s*([0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val pinName = "\"pin\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
           .map(_.group(1)).getOrElse("unknown")
-        // r20 verdict #7: emit EVERY mover past the threshold, not the
-        // top-10 — a regression in mover #11 was invisible from the
-        // driver artifact alone. Threshold 0.3 s keeps the map small
-        // enough for the driver's preserved ~2 KiB tail on a normal run.
+        val pinRef = "\"ref_sec\":\\s*([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).filter(_ > 0)
+        val norm: Double => Double = v =>
+          pinRef.filter(_ => refSec > 0).map(rp => v * rp / refSec)
+            .getOrElse(v)
         val deltas = board
           .collect { case (k, v)
             if pinQ.contains(k) && math.abs(v - pinQ(k)) >= 0.3 =>
               (k, v, pinQ(k)) }
           .sortBy { case (_, v, pv) => -math.abs(v - pv) }
-        val m = deltas.map { case (k, v, pv) =>
-          f""""$k":[$v%.2f,$pv%.2f]""" }.mkString("{", ",", "}")
-        s""","pin":"$pinName","pin_deltas":$m"""
+        def mk(ds: Seq[(String, Double, Double)]): String =
+          ds.map { case (k, v, pv) =>
+            f""""$k":[$v%.2f,$pv%.2f,${norm(v)}%.2f]""" }
+            .mkString("{", ",", "}")
+        val top = deltas.take(12)
+        (s""","pin":"$pinName","pin_deltas":${mk(top)}""" +
+           s""","suppressed_movers":${math.max(0, deltas.size - top.size)}""",
+         s""","pin":"$pinName","pin_deltas":${mk(deltas)}""")
       }
     }
-    var vsBaselineCompact = ""
+    var vsBaselineScalar = ""
     val vsBaseline = {
       val sf = sfDir.replaceAll("/+$", "").split("/").last
       val p = java.nio.file.Paths.get(s"$baseDir/BASELINE_duckdb_$sf.json")
@@ -709,22 +725,59 @@ object Bench {
           }
           .mkString("{", ",", "}")
         if (s2 > 0) {
-          vsBaselineCompact =
-            f""","vs_baseline":${s1 / s2}%.4f,"baseline_queries":${mine.size},"weak_lines":$weak"""
+          vsBaselineScalar =
+            f""","vs_baseline":${s1 / s2}%.4f,"baseline_queries":${mine.size}"""
           s""","baseline_total":$s2,"baseline_queries":${mine.size},"per_query_ratio":$ratios,"weak_lines":$weak,"vs_baseline":${s1 / s2}"""
         }
         else ""
       } else ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"queries":$qs,"samples":$sampleJson,"families":$famJson,"stages_jobs":$stageJson,"slow_samples":$slowSamples,"slow_telemetry":$slowTele,"spread_violations":$spreadViolations,"resampled":$resampledJson,"cold_first":$coldFirstJson,"heavy_stats":$heavyStats,"failed":$failed,"codegen_fallbacks":${codegenFailures.count.get},"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$ivfSplit$pqSplit$storedSplitJson$vsBaseline$pinDeltasJson}""")
-    // r18 verdict #6: the driver wrapper keeps only the TAIL of stdout, so
-    // the full line above loses its head in BENCH_r{N}.json and the
-    // wrapper's `parsed` comes back null. Print a compact summary line
-    // LAST — vs_baseline, weak_lines, ref/floor, counts, the splits —
-    // small enough (≲1 KiB) to survive whole inside the preserved tail.
-    // The per-query medians stay on the full line and in the committed
-    // BENCH_local_r{N}*.json pins.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${scored.size},"repeats":$Repeats,"failed":$failed,"spread_violations":$spreadViolations,"slow_samples":$slowSamples,"codegen_fallbacks":${codegenFailures.count.get},"ref_sec":$refSec,"floor_sec":$floorSec$ivfSplit$pqSplit$storedSplitJson$vsBaselineCompact$pinDeltasJson}""")
+    def fullLine(pinDeltas: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$Repeats,"cpus":"$cpus","queries":$qs,"samples":$sampleJson,"families":$famJson,"stages_jobs":$stageJson,"slow_samples":$slowSamples,"slow_telemetry":$slowTele,"spread_violations":$spreadViolations,"resampled":$resampledJson,"cold_first":$coldFirstJson,"heavy_stats":$heavyStats,"failed":$failed,"codegen_fallbacks":${codegenFailures.count.get},"ref_sec":$refSec,"floor_sec":$floorSec,"sf":"$sfDir"$ivfSplit$pqSplit$storedSplitJson$vsBaseline$pinDeltas}"""
+    println(fullLine(pinDeltasStdout))
+    // r21 verdict #1: the FULL summary — uncapped pin_deltas included —
+    // is also written to a file in the working directory, so no stdout
+    // truncation can ever lose the per-query evidence again. The name
+    // carries the core count because the driver benches at two counts
+    // from the same checkout.
+    val selfName = s"BENCH_SELF_${cpus}cpu.json"
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(selfName), fullLine(pinDeltasFull) + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $selfName: ${e.getMessage}")
+    }
+    // r21 verdict #1 (the round's highest-severity finding): the driver
+    // json-parses the LAST stdout line, and for 21 rounds running that
+    // parse returned null — every program line carried sbt's "[info] "
+    // prefix (breaks json.loads) and sbt's "[success] Total time" line
+    // printed after ours anyway. build.sbt now sets
+    // `run / outputStrategy := StdoutOutput` (no prefix) and
+    // `Global / showSuccess := false` (no trailing line), and THIS line is
+    // the program's last write: the bare driver contract
+    // ({metric,value,unit,queries,sf}) plus the summary scalars. Query
+    // values at 2 dp keep it compact; the scalars sit at the END of the
+    // line so the driver's preserved ~2 KiB stdout tail retains them even
+    // when the head is cut. Everything else (samples, telemetry, splits,
+    // weak_lines, full pin_deltas) lives on the full line above and in
+    // the BENCH_SELF file.
+    println(finalContractLine(sfDir, Repeats, cpus, selfName, board,
+      failed, codegenFailures.count.get, refSec, floorSec,
+      vsBaselineScalar, total))
     spark.stop()
+  }
+
+  /** The bare, driver-parseable LAST stdout line (r21 verdict #1): the
+    * declared contract ({metric,value,unit,queries,sf}) with query medians
+    * at 2 dp and the summary scalars placed at the END of the line so the
+    * driver's preserved ~2 KiB stdout tail keeps them even when the head
+    * is cut. Pure so the contract is spec-testable.
+    */
+  private[graft] def finalContractLine(sfDir: String, repeats: Int,
+      cpus: String, selfName: String, board: Seq[(String, Double)],
+      failedJson: String, codegenFallbacks: Long, refSec: Double,
+      floorSec: Double, vsBaselineScalar: String, total: Double): String = {
+    val qsCompact = board.map { case (k, v) => f""""$k":$v%.2f""" }
+      .mkString("{", ",", "}")
+    f"""{"metric":"total","unit":"sec","sf":"$sfDir","repeats":$repeats,"cpus":"$cpus","self":"$selfName","queries":$qsCompact,"n_queries":${board.size},"failed":$failedJson,"codegen_fallbacks":$codegenFallbacks,"ref_sec":$refSec%.3f,"floor_sec":$floorSec%.3f$vsBaselineScalar,"value":$total%.3f}"""
   }
 }

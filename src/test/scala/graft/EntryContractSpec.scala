@@ -48,4 +48,30 @@ class EntryContractSpec extends AnyFunSuite {
     // GC threshold scales with wall: 600ms GC on a 10s sample is healthy
     assert(Bench.shouldResample(10.0, 2.0, 0L, 600L, 1))
   }
+
+  test("bench final stdout line: bare JSON carrying the driver contract") {
+    // r21 verdict #1: the driver json-parses the LAST stdout line; every
+    // round through r21 failed that parse. The line must be bare JSON
+    // (no prefix), carry {metric,value,unit,queries,sf}, and keep the
+    // summary scalars at the END so a ~2 KiB stdout-tail truncation from
+    // the head never loses them.
+    val board = SparkEntry.queries.keys.toSeq.sorted.map(q => q -> 1.234)
+    val line = Bench.finalContractLine("/data/sf0.1", 3, "32",
+      "BENCH_SELF_32cpu.json", board, "[]", 0L, 0.731, 0.162,
+      ""","vs_baseline":1.0438,"baseline_queries":92""", 72.284)
+    assert(line.startsWith("{") && line.endsWith("}") && !line.contains("\n"))
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    assert((parsed \ "metric").extract[String] === "total")
+    assert((parsed \ "unit").extract[String] === "sec")
+    assert((parsed \ "sf").extract[String] === "/data/sf0.1")
+    assert((parsed \ "value").extract[Double] === 72.284)
+    assert((parsed \ "vs_baseline").extract[Double] === 1.0438)
+    val qs = (parsed \ "queries").extract[Map[String, Double]]
+    assert(qs.keySet === SparkEntry.queries.keySet)
+    // the scalars (vs_baseline, value) sit INSIDE the last 2000 chars
+    assert(line.length - line.indexOf("\"vs_baseline\"") < 2000)
+    assert(line.lastIndexOf("\"value\"") > line.indexOf("\"queries\""))
+  }
 }

@@ -604,6 +604,26 @@ object Bench {
         Sim.pqEncodeOn(vecs, coarse, pq).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)
+      // r22 (r21 verdict #4): decompose the former `evidence_overhead_sec`
+      // residual DIRECTLY — time the probe point-fetch (the 1-row .head
+      // the PQ queries pay) and the brute-force exact-topk evidence pass
+      // (what withExactTopkFlag adds) as their own medians, so the
+      // artifact separates real evidence work from the fused plan's
+      // stage-scheduling residual instead of lumping them.
+      val probeFetchSec = (1 to 3).map { _ =>
+        reclaim()
+        val t0 = System.nanoTime()
+        vecsAll.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+      val evidenceSec = (1 to 3).map { _ =>
+        reclaim()
+        val t0 = System.nanoTime()
+        Sim.cosineTopKOn(vecs, Sim.IvfPqK, probe)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
       val (coarse, pq) = Sim.ivfPqTrain(vecs)
       // the DEPLOYMENT shape (AnnIndexIO.save): codes co-partitioned and
       // PARTITIONED BY list_id, so the probe's list filter prunes — an
@@ -622,7 +642,7 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)
-      f""","pq_split":{"train_encode_sec":$prepSec%.3f,"search_sec":$searchSec%.3f,"evidence_overhead_sec":${math.max(0.0, med - prepSec - searchSec)}%.3f}"""
+      f""","pq_split":{"train_encode_sec":$prepSec%.3f,"search_sec":$searchSec%.3f,"probe_fetch_sec":$probeFetchSec%.3f,"evidence_topk_sec":$evidenceSec%.3f,"evidence_overhead_sec":${math.max(0.0, med - prepSec - searchSec)}%.3f}"""
     }.getOrElse("")
     // self-report the declared-baseline ratio (BASELINE.md convention: sum
     // over the intersection of query names vs the pinned DuckDB totals)

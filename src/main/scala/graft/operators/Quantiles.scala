@@ -60,6 +60,12 @@ object Quantiles {
       ps: Seq[Double], accuracy: Int = 10000,
       withApprox: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    // duplicate query points would explode to two identical (g, p) rows
+    // whose running cum_in sums and final groupBy(g, p) csum DOUBLE-COUNT —
+    // wrong quantiles, silently. Fail loudly instead (r21 advice); callers
+    // wanting one p twice can dedupe and reuse the row.
+    require(ps.distinct.size == ps.size,
+      s"exactPercentilesOn: duplicate query points in ps: $ps")
     val delta = 2.0 / accuracy
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))

@@ -299,7 +299,8 @@ object Similarity {
     val probe = vecs.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding"))).head.getSeq[Double](0).toSeq
     withExactTopkFlag(s, dir, k,
-      ivfImpl(vecs.filter(col("vec_id") =!= 0), k, nprobe, Some(probe), Some(cb)))
+      ivfImpl(vecs.filter(col("vec_id") =!= 0), k, nprobe, Some(probe),
+        Some(cb)), probeVec = Some(probe))
   }
 
   /** Fixture-gate evidence column for the two rows-only IVF registry
@@ -311,9 +312,21 @@ object Similarity {
     * overloads stay pure: at 100 TB there is no brute-force companion.
     */
   private def withExactTopkFlag(s: SparkSession, dir: String, k: Int,
-      res: DataFrame): DataFrame = {
-    val exact = cosineTopK(s, dir, k)
-      .select(col("vec_id").as("exact_id"))
+      res: DataFrame, probeVec: Option[Seq[Double]] = None): DataFrame = {
+    // r22 (r21 verdict #4, the evidence-overhead audit): callers that
+    // already fetched the probe vector driver-side (every PQ/trained path
+    // needs it for LUT arithmetic anyway) pass it through, so the
+    // brute-force evidence pass stops RE-SCANNING the corpus parquet just
+    // to re-derive the same probe row — one scan plus its broadcast stage
+    // gone per invocation. The exact top-k is identical: same corpus
+    // exclusion (vec_id != 0), and the literal probe IS the asDouble-cast
+    // row the in-plan derivation would produce (dot64 over equal doubles
+    // in the same fold order → bit-identical cosine; pin-gated ×3 SFs).
+    val exact = (probeVec match {
+      case Some(p) => cosineTopKOn(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0), k, p)
+      case None => cosineTopK(s, dir, k)
+    }).select(col("vec_id").as("exact_id"))
     res
       .join(broadcast(exact), col("vec_id") === col("exact_id"), "left")
       .withColumn("in_exact_topk", col("exact_id").isNotNull)
@@ -1209,7 +1222,8 @@ object Similarity {
     val probe = vecs.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding"))).head.getSeq[Double](0).toSeq
     withExactTopkFlag(s, dir, k,
-      ivfPqOn(vecs.filter(col("vec_id") =!= 0), k, nprobe, probe))
+      ivfPqOn(vecs.filter(col("vec_id") =!= 0), k, nprobe, probe),
+      probeVec = Some(probe))
   }
 
   /** The RESIDUAL IVF-PQ fixture (registry `q_sim_ivf_pq_res`): same
@@ -1226,7 +1240,7 @@ object Similarity {
       .select(asDouble(col("embedding"))).head.getSeq[Double](0).toSeq
     withExactTopkFlag(s, dir, k,
       ivfPqOn(vecs.filter(col("vec_id") =!= 0), k, nprobe, probe,
-        byResidual = true))
+        byResidual = true), probeVec = Some(probe))
   }
 
   /** The PERSISTED-index fixture (registry `q_sim_ivf_pq_stored`, r19):
@@ -1251,7 +1265,7 @@ object Similarity {
       fitSource = Some(corpus))
     withExactTopkFlag(s, dir, k,
       AnnIndexIO.searchStored(s, base, corpus, probe, k, nprobe,
-        IvfPqRerank))
+        IvfPqRerank), probeVec = Some(probe))
   }
 }
 

@@ -40,6 +40,27 @@ object Dedup extends org.apache.spark.internal.Logging {
       .filter(col("b_id") > col("a_id"))
       .distinct()
 
+  /** [[bucketPairs]] with the pair's bucket MULTIPLICITY kept: same
+    * grouping, cap filter and chained-explode expansion, but the final
+    * dedup aggregates `m` = the number of shared buckets instead of
+    * discarding it (same exchange — a map-side partial count replaces the
+    * partial distinct). When the bucket key IS the item (n-gram blocking:
+    * one bucket per (block, gram)), `m` is exactly the pair's intersection
+    * count over the capped keys, which lets verification skip re-deriving
+    * it from the item stream (r22, q_dedup_ngram).
+    */
+  private[graft] def bucketPairsCounted(
+      buckets: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= cap)
+      .select(col("ds"), explode(col("ds")).as("a_id"))
+      .select(col("a_id"), explode(col("ds")).as("b_id"))
+      .filter(col("b_id") > col("a_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("m"))
+
   /** Size-bound prefilter on candidate pairs: Jaccard ≤ min(|a|,|b|) /
     * max(|a|,|b|) (intersection ≤ the smaller set, union ≥ the larger), so a
     * pair whose set SIZES already bound Jaccard below the threshold can
@@ -117,21 +138,6 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   private[operators] def gramFingerprints(base: DataFrame): DataFrame =
     base.withColumn("shingles", transform(col("shingles"), g => xxhash64(g)))
-
-  /** |shingles(a) ∩ shingles(b)| per candidate pair via re-exploded
-    * co-count: pair × a-grams, equi-joined against b-grams on (b_id, gram),
-    * counted. No shingle ARRAY ever ships through a shuffle — the former
-    * array_intersect verification shipped every doc's full array through
-    * two joins, the dominant cost of the round-2 bench outlier (31.3 s).
-    * Pairs with an empty intersection produce no row; callers treat absence
-    * as inter = 0 (such pairs can never reach a positive threshold).
-    */
-  private def coCount(cand: DataFrame, grams: DataFrame): DataFrame =
-    cand
-      .join(grams.select(col("doc_id").as("a_id"), col("gram")), "a_id")
-      .join(grams.select(col("doc_id").as("b_id"), col("gram")), Seq("b_id", "gram"))
-      .groupBy("a_id", "b_id", "za", "zb")
-      .agg(count(lit(1)).cast("int").as("inter"))
 
   /** Exact dedup: first event per (user_id, event_type) — the streaming
     * dropDuplicates semantics, batch-checkable as row_number()=1 with a
@@ -580,17 +586,56 @@ object Dedup extends org.apache.spark.internal.Logging {
       base: DataFrame, threshold: Double, hotCap: Int): DataFrame = {
     val grams = base.select(col("doc_id"), col("lang"), col("blk"),
       explode(col("shingles")).as("gram"))
-    val sizes = base.select(col("doc_id"), size(col("shingles")).as("sz"))
     // hot-shingle guard: a shingle present in > hotCap docs of one block
     // (boilerplate) would alone produce O(hotCap²) candidate pairs; the
-    // bucketPairs cap drops it from CANDIDATE GENERATION (not from
+    // bucketPairsCounted cap drops it from CANDIDATE GENERATION (not from
     // verification). Part of the declared semantics — the oracle applies
     // the same df ≤ hotCap filter.
-    val cand = bucketPairs(grams, Seq("lang", "blk", "gram"), cap = hotCap)
-    // verification counts over the FULL gram sets, so the cap only affects
-    // which pairs are examined, never a reported jaccard value; the
-    // size-bound prefilter drops size-impossible pairs first
-    coCount(sizeBounded(cand, sizes, threshold), grams)
+    //
+    // r22 verification rewrite (guide §2.3 aggregate-before-shuffle /
+    // §3.3 don't explode before a join): a candidate pair's bucket
+    // multiplicity `m` IS its intersection count over the capped grams —
+    // both docs of a pair share one (lang, blk), and every shared gram
+    // with block-df in [2, hotCap] is exactly one generating bucket — so
+    // the former coCount verification (pair × a-grams re-explode joined
+    // against the gram stream on (b_id, gram): a |pairs|·|grams-per-doc|
+    // row fan-out plus TWO corpus-scale gram-stream joins) collapses to
+    //   inter = m + |shared HOT grams|,
+    // where the hot remainder (block-df > hotCap — excluded from
+    // candidates but counted by verification, the declared full-set
+    // semantics) comes from a map-side array_intersect of the two docs'
+    // per-doc hot-gram arrays that ride the existing size-prefilter
+    // joins. The hot dictionary (one array of df>hotCap gram fingerprints
+    // per block) is boilerplate-vocabulary-sized — it grows with the
+    // block's repeated-phrase vocabulary, never with corpus rows (every
+    // hot gram needs > hotCap occurrences) — and is broadcast exactly
+    // like a stopword list; per-doc hot arrays carry only the grams the
+    // doc shares with that dictionary. Integer arithmetic throughout →
+    // bit-identical jaccard (oracle hash-gated ×3 SFs).
+    val candM = bucketPairsCounted(grams, Seq("lang", "blk", "gram"),
+      cap = hotCap)
+    val hotPerBlock = grams
+      .groupBy("lang", "blk", "gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotCap)
+      .groupBy("lang", "blk").agg(collect_list(col("gram")).as("hot_grams"))
+    val sizesHot = base
+      .join(broadcast(hotPerBlock), Seq("lang", "blk"), "left")
+      .select(col("doc_id"), size(col("shingles")).as("sz"),
+        coalesce(array_intersect(col("shingles"), col("hot_grams")),
+          typedLit(Seq.empty[Long])).as("hot"))
+    candM
+      .join(sizesHot.select(col("doc_id").as("a_id"), col("sz").as("za"),
+        col("hot").as("hot_a")), "a_id")
+      .join(sizesHot.select(col("doc_id").as("b_id"), col("sz").as("zb"),
+        col("hot").as("hot_b")), "b_id")
+      // size-bound prefilter (Jaccard ≤ min/max of the set sizes), same
+      // rule as [[sizeBounded]] — purely implied-by, surviving pairs'
+      // jaccard values are unchanged
+      .filter(least(col("za"), col("zb")) >=
+        lit(threshold) * greatest(col("za"), col("zb")))
+      .withColumn("inter",
+        (col("m") + size(array_intersect(col("hot_a"), col("hot_b"))))
+          .cast("int"))
       .withColumn("jaccard",
         Norm.r4(col("inter") / (col("za") + col("zb") - col("inter"))))
       .filter(col("jaccard") >= threshold)

@@ -92,6 +92,46 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ngram verification counts hot grams: inter = m + shared-hot remainder") {
+    // r22 internals change: verification derives `inter` from the
+    // candidate pair's bucket multiplicity (shared grams with block-df in
+    // [2, hotCap]) plus an array_intersect over per-doc HOT-gram arrays
+    // (block-df > hotCap). This corpus forces the hot path: two docs that
+    // share a boilerplate gram present in EVERY doc (df > hotCap) plus
+    // enough rare shared grams to be candidates — inter must still count
+    // the full gram sets, exactly like the old co-count formulation.
+    import graft.operators.Dedup
+    import spark.implicits._
+    val boiler = "the same header always"  // 4 tokens → 2 shared 3-grams
+    val hotCap = 3
+    // doc 0/1: near-dups sharing rare grams AND the boilerplate; docs
+    // 2..9 carry ONLY the boilerplate (push its df over hotCap = 3)
+    val docs = (Seq(
+      (0L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (1L, s"$boiler alpha beta gamma delta epsilon eta")) ++
+      (2L to 9L).map(i => (i, s"$boiler filler$i"))).toDF("doc_id", "text")
+      .select(col("doc_id"), lit("en").as("lang"),
+        length(col("text")).as("n_chars"), col("text"))
+    val got = Dedup.ngramJaccardOn(docs, threshold = 0.2, hotCap = hotCap)
+      .collect().map(r =>
+        ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getDouble(3)))).toMap
+    // string-gram brute force for the (0,1) pair
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (g0, g1) = (grams(docs.where("doc_id=0").head.getString(3)),
+      grams(docs.where("doc_id=1").head.getString(3)))
+    val inter = (g0 & g1).size
+    val expectJ = inter.toDouble / (g0.size + g1.size - inter)
+    assert(got.contains((0L, 1L)), s"expected pair (0,1); got ${got.keySet}")
+    assert(got((0L, 1L))._1 === inter,
+      "inter must count hot grams excluded from candidate generation")
+    assert(math.abs(got((0L, 1L))._2 - expectJ) <= 5e-5)
+    // the boilerplate-only docs must NOT pair up (their only shared grams
+    // are hot, so they never become candidates — the declared cap rule)
+    assert(got.keySet.forall { case (a, b) => a == 0L && b == 1L },
+      s"hot-only overlaps must not generate pairs: ${got.keySet}")
+  }
+
   test("minhash LSH pairs are contained in the exact-Jaccard pair set") {
     val got = Dedup.minhashLsh(spark, sf0001, threshold = 0.4)
       .select("a_id", "b_id", "jaccard").collect()

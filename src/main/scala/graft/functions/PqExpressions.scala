@@ -367,3 +367,229 @@ object PqAdc {
         "a DIFFERENT quantizer than the serving model; re-encode or load " +
         "the matching model")
 }
+
+/** `coarse_argmax(v, nrm)` — 0-based index of the cosine-nearest coarse
+  * centroid, as ONE codegen loop over a flat referenced `cells × dim`
+  * centroid array (plus the cells' precomputed sqrt-norms).
+  *
+  * Replaces the literal-array argmax `array_position(sims,
+  * array_max(sims))` where `sims` was `cells` × `vec_dot(v, <64-literal
+  * CreateArray>)` expression trees. That shape was measured as the
+  * board's single hottest per-row cost (r22): Catalyst inlines the
+  * argmax tree into EVERY consumer (list_id, the residual encoder's cell
+  * argument), whole-stage codegen then materializes each literal
+  * centroid as a fresh boxed GenericArrayData per dot PER ROW — the
+  * residual encode stage ran ~2 ms/row of pure allocation/boxing CPU
+  * (thread dumps + debug codegen: ~64 GenericArrayData constructions per
+  * row), 10× the non-residual path. One reference-object loop has zero
+  * per-row allocation and is a single expression node however many cells
+  * the codebook holds.
+  *
+  * Bit-identical semantics to the replaced tree: per cell,
+  * `sim = leftfold(v[i]·C[c][i]) / (sqrt(nrm) · sqrtNorm[c])` (the same
+  * fold order as [[graft.functions.DotProduct]], the same driver-side
+  * `math.sqrt(c_nrm)` constant), strict `>` keeps the FIRST maximum —
+  * exactly `array_position`'s first-match rule on the c_idx-ordered sims
+  * array. Ragged `v` (length ≠ dim) yields NULL like the vec_clean'd
+  * family convention; input must be containsNull=false (vec_clean).
+  */
+case class CoarseArgmax(vec: Expression, nrm: Expression,
+    centroids: Seq[Double], sqrtNorms: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(sqrtNorms.nonEmpty && centroids.nonEmpty &&
+    centroids.length % sqrtNorms.length == 0,
+    s"coarse_argmax: centroid array length ${centroids.length} is not a " +
+      s"multiple of the ${sqrtNorms.length} cells")
+  val cells: Int = sqrtNorms.length
+  val dim: Int = centroids.length / cells
+
+  @transient private lazy val cc: Array[Double] = centroids.toArray
+  @transient private lazy val sn: Array[Double] = sqrtNorms.toArray
+
+  override def left: Expression = vec
+  override def right: Expression = nrm
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, nrm.dataType) match {
+      case (ArrayType(DoubleType, false), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, true), _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "coarse_argmax requires containsNull=false input — wrap the " +
+            "column in vec_clean(...) first")
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"coarse_argmax requires (array<double>, double), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    if (xs.numElements() != dim) return null
+    val sqrtNrm = java.lang.Math.sqrt(b.asInstanceOf[Double])
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cells) {
+      var dp = 0.0
+      var i = 0
+      while (i < dim) { dp += xs.getDouble(i) * cc(c * dim + i); i += 1 }
+      val sim = dp / (sqrtNrm * sn(c))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ccRef = ctx.addReferenceObj("coarseArgmaxCents", cc, "double[]")
+      val snRef = ctx.addReferenceObj("coarseArgmaxSqrtNorms", sn, "double[]")
+      val sqrtNrm = ctx.freshName("sqrtNrm")
+      val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val dp = ctx.freshName("dp")
+      val sim = ctx.freshName("sim")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sqrtNrm = java.lang.Math.sqrt($b);
+         |  int $best = 0;
+         |  double $bestSim = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $cells; $c++) {
+         |    double $dp = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dp += $a.getDouble($i) * $ccRef[$c * $dim + $i];
+         |    }
+         |    double $sim = $dp / ($sqrtNrm * $snRef[$c]);
+         |    if ($sim > $bestSim) { $bestSim = $sim; $best = $c; }
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CoarseArgmax =
+    copy(vec = newLeft, nrm = newRight)
+
+  override def prettyName: String = "coarse_argmax"
+}
+
+/** `coarse_resid_sq(v, nrm)` — squared norm of the residual against the
+  * cosine-nearest coarse centroid (the [[CoarseArgmax]] assignment),
+  * clamped at 0: `max(nrm − 2·<v, C[best]> + ‖C[best]‖², 0)`. One loop,
+  * zero per-row allocation — replaces coarseFitStats' dots-array +
+  * element_at formulation, whose `dots` CreateArray (cells × literal-
+  * centroid vec_dots) was re-inlined and re-evaluated per element_at
+  * reference (same measured pathology as [[CoarseArgmax]]'s docstring).
+  * Arithmetic, fold order, first-max tiebreak, and the 0-clamp replicate
+  * the replaced expressions exactly.
+  */
+case class CoarseResidSq(vec: Expression, nrm: Expression,
+    centroids: Seq[Double], norms: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(norms.nonEmpty && centroids.nonEmpty &&
+    centroids.length % norms.length == 0,
+    s"coarse_resid_sq: centroid array length ${centroids.length} is not a " +
+      s"multiple of the ${norms.length} cells")
+  val cells: Int = norms.length
+  val dim: Int = centroids.length / cells
+
+  @transient private lazy val cc: Array[Double] = centroids.toArray
+  @transient private lazy val cn: Array[Double] = norms.toArray
+  @transient private lazy val sn: Array[Double] = norms.map(math.sqrt).toArray
+
+  override def left: Expression = vec
+  override def right: Expression = nrm
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, nrm.dataType) match {
+      case (ArrayType(DoubleType, false), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, true), _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "coarse_resid_sq requires containsNull=false input — wrap the " +
+            "column in vec_clean(...) first")
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"coarse_resid_sq requires (array<double>, double), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    if (xs.numElements() != dim) return null
+    val nrmV = b.asInstanceOf[Double]
+    val sqrtNrm = java.lang.Math.sqrt(nrmV)
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var bestDp = 0.0
+    var c = 0
+    while (c < cells) {
+      var dp = 0.0
+      var i = 0
+      while (i < dim) { dp += xs.getDouble(i) * cc(c * dim + i); i += 1 }
+      val sim = dp / (sqrtNrm * sn(c))
+      if (sim > bestSim) { bestSim = sim; best = c; bestDp = dp }
+      c += 1
+    }
+    val r = nrmV - 2.0 * bestDp + cn(best)
+    if (r < 0.0) 0.0 else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ccRef = ctx.addReferenceObj("coarseResidCents", cc, "double[]")
+      val cnRef = ctx.addReferenceObj("coarseResidNorms", cn, "double[]")
+      val snRef = ctx.addReferenceObj("coarseResidSqrtNorms", sn, "double[]")
+      val sqrtNrm = ctx.freshName("sqrtNrm")
+      val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim")
+      val bestDp = ctx.freshName("bestDp")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val dp = ctx.freshName("dp")
+      val sim = ctx.freshName("sim")
+      val r = ctx.freshName("r")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sqrtNrm = java.lang.Math.sqrt($b);
+         |  int $best = 0;
+         |  double $bestSim = Double.NEGATIVE_INFINITY;
+         |  double $bestDp = 0.0;
+         |  for (int $c = 0; $c < $cells; $c++) {
+         |    double $dp = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dp += $a.getDouble($i) * $ccRef[$c * $dim + $i];
+         |    }
+         |    double $sim = $dp / ($sqrtNrm * $snRef[$c]);
+         |    if ($sim > $bestSim) { $bestSim = $sim; $best = $c; $bestDp = $dp; }
+         |  }
+         |  double $r = $b - 2.0 * $bestDp + $cnRef[$best];
+         |  ${ev.value} = ($r < 0.0) ? 0.0 : $r;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CoarseResidSq =
+    copy(vec = newLeft, nrm = newRight)
+
+  override def prettyName: String = "coarse_resid_sq"
+}

@@ -658,18 +658,25 @@ object Similarity {
         "the codebook overload")
     require(cb.nonEmpty,
       "ivf: no usable (non-zero-norm) centroid — nothing to assign against")
-    val csims = cb.map { case (_, cv, cn) =>
-      dot(col("v"), litVec(cv)) / (sqrt(col("nrm")) * lit(math.sqrt(cn)))
-    }
     val listIds = array(cb.map(c => lit(c._1)): _*)
-    val sims = array(csims.toIndexedSeq: _*)
+    // r22: argmax as ONE codegen loop over referenced centroid arrays
+    // ([[graft.functions.CoarseArgmax]]) — the former
+    // array_position-over-literal-sims tree rebuilt every literal
+    // centroid as a boxed GenericArrayData per dot per row (see
+    // pqEncodeOn); tiebreak and arithmetic are bit-identical (first max
+    // over the c_idx-ordered cells). +1: element_at is 1-based.
     // NOT persisted: assignment is now a pure map-side projection over the
     // pruned scan, and the vector family's cache A/Bs have lost twice
     // (Similarity/Dedup round-5/round-10 notes) — two codegen'd scans beat
     // materializing full-vector rows
+    val argmax = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CoarseArgmax(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("nrm")),
+        cb.toSeq.flatMap(_._2),
+        cb.toSeq.map(c => math.sqrt(c._3))))
     val assigned = e.withColumn("list_id",
-      element_at(listIds,
-        array_position(sims, array_max(sims)).cast("int")))
+      element_at(listIds, argmax + 1))
     // probe: its nprobe nearest centroids select the inverted lists to
     // scan; the probe row needs only (v, nrm) — never its own assignment
     val probeRow = probeVec match {
@@ -990,32 +997,43 @@ object Similarity {
     */
   def coarseFitStats(vecs: DataFrame, coarseCb: DataFrame): (Long, Double) = {
     val coarse = collectCoarse(coarseCb)
-    val dots = array(coarse.map { case (_, cv, _) =>
-      dot(col("v"), litVec(cv.toSeq)) }.toIndexedSeq: _*)
-    val cns = array(coarse.map(c => lit(c._3)).toIndexedSeq: _*)
-    val csims = coarse.zipWithIndex.map { case ((_, cv, cn), i) =>
-      element_at(col("dots"), i + 1) / (sqrt(col("nrm")) * lit(math.sqrt(cn)))
-    }
+    // r22: one codegen loop ([[graft.functions.CoarseResidSq]]) — the
+    // former dots-array + element_at formulation re-inlined the full
+    // cells × literal-centroid dots CreateArray into every element_at
+    // reference (the same per-row boxing pathology as pqEncodeOn's old
+    // argmax; see CoarseArgmax's docstring). Arithmetic, fold order,
+    // first-max tiebreak and the 0-clamp are replicated exactly.
+    val residsq = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CoarseResidSq(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("nrm")),
+        coarse.flatMap(_._2.toSeq).toSeq,
+        coarse.map(_._3).toSeq))
     val row = cleanedWithNrm(vecs)
-      .withColumn("dots", dots)
-      .withColumn("cidx",
-        array_position(array(csims.toIndexedSeq: _*),
-          array_max(array(csims.toIndexedSeq: _*))).cast("int"))
-      .withColumn("residsq",
-        greatest(col("nrm") - lit(2.0) * element_at(col("dots"), col("cidx"))
-          + element_at(cns, col("cidx")), lit(0.0)))
+      .withColumn("residsq", residsq)
       .agg(count(lit(1)), avg(sqrt(col("residsq")))).head
     (row.getLong(0), if (row.isNullAt(1)) 0.0 else row.getDouble(1))
   }
 
   def pqEncodeOn(vecs: DataFrame, coarseCb: DataFrame, pq: PqModel): DataFrame = {
     val coarse = collectCoarse(coarseCb)
-    val csims = coarse.map { case (_, cv, cn) =>
-      dot(col("v"), litVec(cv.toSeq)) /
-        (sqrt(col("nrm")) * lit(math.sqrt(cn)))
-    }
     val listIds = array(coarse.map(c => lit(c._1)).toIndexedSeq: _*)
-    val sims = array(csims.toIndexedSeq: _*)
+    // r22: the coarse assignment is ONE codegen loop over referenced
+    // arrays ([[graft.functions.CoarseArgmax]]) instead of the
+    // array_position-over-literal-sims tree — Catalyst inlined that tree
+    // into every consumer (list_id AND the residual encoder's cell
+    // argument) and codegen rebuilt each literal centroid as a boxed
+    // GenericArrayData per dot per row; the residual encode stage
+    // measured ~10× the non-residual one from exactly this (thread-dump
+    // + debug-codegen evidence, OPTIMIZATION_r22.md). Semantics are
+    // bit-identical (same fold order, same sqrt constants, first-max
+    // tiebreak = array_position's first-match rule; pin-gated ×3 SFs).
+    val argmax = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CoarseArgmax(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("nrm")),
+        coarse.flatMap(_._2.toSeq).toSeq,
+        coarse.map(c => math.sqrt(c._3)).toSeq))
     val enc = if (pq.residual) {
       val flat = requireResidualPairing(pq, coarse)
       org.apache.spark.sql.GraftSqlBridge.column(
@@ -1030,8 +1048,7 @@ object Similarity {
     cleanedWithNrm(vecs)
       // 0-based coarse index once; list_id derives from it so the residual
       // encoder and the emitted list agree by construction
-      .withColumn("cidx",
-        (array_position(sims, array_max(sims)) - 1).cast("int"))
+      .withColumn("cidx", argmax)
       .withColumn("list_id", element_at(listIds, col("cidx") + 1))
       .select(col("vec_id"), col("label"), col("list_id"), col("nrm"),
         enc.as("codes"))

@@ -132,6 +132,69 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"hot-only overlaps must not generate pairs: ${got.keySet}")
   }
 
+  test("CoarseArgmax/CoarseResidSq are bit-identical to the literal-sims trees they replaced") {
+    // r22 internals change: the coarse assignment / fit statistic are one
+    // codegen loop over referenced arrays instead of array_position over
+    // cells × vec_dot(v, <literal array>) expression trees (the measured
+    // per-row boxing pathology — OPTIMIZATION_r22.md). This pins the new
+    // expressions to the EXACT replaced formulations, including the
+    // first-max tiebreak and the residual 0-clamp, on the real fixture
+    // corpus against a deliberately awkward codebook (duplicated
+    // centroid → tie; near-orthogonal cells).
+    import org.apache.spark.sql.GraftSqlBridge.{column => gcol, expression => gexp}
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        graft.operators.Hyperplanes.vecClean(
+          col("embedding").cast("array<double>")).as("v"))
+      .withColumn("nrm", gcol(graft.functions.DotProduct(
+        gexp(col("v")), gexp(col("v")))))
+      .filter(col("nrm") > 0)
+    val dim = 64
+    // 4 cells; cells 0 and 1 IDENTICAL to force the lowest-index tiebreak
+    val cents: Seq[Seq[Double]] = Seq(
+      (0 until dim).map(i => math.sin(i * 0.7) * 0.3),
+      (0 until dim).map(i => math.sin(i * 0.7) * 0.3),
+      (0 until dim).map(i => if (i % 2 == 0) 0.5 else -0.25),
+      (0 until dim).map(i => math.cos(i * 1.3)))
+    val norms = cents.map(c => c.map(x => x * x).sum)
+    def litVec(p: Seq[Double]) = array(p.map(lit): _*)
+    val csims = cents.zip(norms).map { case (cv, cn) =>
+      gcol(graft.functions.DotProduct(gexp(col("v")), gexp(litVec(cv)))) /
+        (sqrt(col("nrm")) * lit(math.sqrt(cn)))
+    }
+    val sims = array(csims: _*)
+    val dots = array(cents.map(cv => gcol(graft.functions.DotProduct(
+      gexp(col("v")), gexp(litVec(cv))))): _*)
+    val cnsArr = array(norms.map(lit): _*)
+    val oldStyle = e
+      .withColumn("cidx_old",
+        (array_position(sims, array_max(sims)) - 1).cast("int"))
+      .withColumn("dots", dots)
+      .withColumn("residsq_old",
+        greatest(col("nrm") - lit(2.0) *
+          element_at(col("dots"), col("cidx_old") + 1)
+          + element_at(cnsArr, col("cidx_old") + 1), lit(0.0)))
+    val flat = cents.flatten
+    val both = oldStyle
+      .withColumn("cidx_new", gcol(graft.functions.CoarseArgmax(
+        gexp(col("v")), gexp(col("nrm")), flat, norms.map(math.sqrt))))
+      .withColumn("residsq_new", gcol(graft.functions.CoarseResidSq(
+        gexp(col("v")), gexp(col("nrm")), flat, norms)))
+      .select("vec_id", "cidx_old", "cidx_new", "residsq_old", "residsq_new")
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"cidx mismatch at vec ${r.getLong(0)}")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(3)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(4)),
+        s"residsq not bit-identical at vec ${r.getLong(0)}: " +
+          s"${r.getDouble(3)} vs ${r.getDouble(4)}")
+    }
+    // the duplicated-centroid tie really exercised the first-max rule
+    assert(both.exists(_.getInt(2) == 0) || both.forall(_.getInt(2) != 1),
+      "tie cells 0/1: index 1 must never win over identical index 0")
+  }
+
   test("minhash LSH pairs are contained in the exact-Jaccard pair set") {
     val got = Dedup.minhashLsh(spark, sf0001, threshold = 0.4)
       .select("a_id", "b_id", "jaccard").collect()

@@ -400,7 +400,7 @@ object Bench {
     // advice: never substituted into the lifecycle lines' own values);
     // the full-lifecycle medians stay on their own board lines and under
     // ann_lifecycle.
-    val annStored: Option[(String, Double)] = {
+    val annStored: Option[(String, Double, Seq[Double])] = {
       val wanted = Seq("q_sim_ivf_pq_res", "q_sim_ivf_pq_stored")
         .filter(q => scored.exists(_._1 == q))
       if (wanted.isEmpty) None else {
@@ -429,17 +429,18 @@ object Bench {
               Sim.IvfPqK, Sim.IvfPqNprobe, Sim.IvfPqRerank)
             .write.format("noop").mode("overwrite").save()
         search() // untimed warm
-        val searchSec = (1 to 3).map { _ =>
+        val serveSamples = (1 to 3).map { _ =>
           reclaim()
           val t = System.nanoTime(); search()
           (System.nanoTime() - t) / 1e9
-        }.sorted.apply(1)
+        }
+        val searchSec = serveSamples.sorted.apply(1)
         val lifecycle = wanted.flatMap(q =>
           scored.find(_._1 == q).map { case (_, med, _, _, _, _, _) =>
             f""""$q":$med%.3f""" }).mkString("{", ",", "}")
         Some((f""","stored_split":{"train_save_sec":$trainSaveSec%.3f,""" +
           f""""reopen_sec":$reopenSec%.3f,"search_sec":$searchSec%.3f},""" +
-          s""""ann_lifecycle":$lifecycle""", searchSec))
+          s""""ann_lifecycle":$lifecycle""", searchSec, serveSamples))
       }
     }
     val storedSplitJson = annStored.map(_._1).getOrElse("")
@@ -455,15 +456,19 @@ object Bench {
     // lines therefore read ~4.7/6.1 s on the board again BY DESIGN — the
     // full train+save+reopen+search lifecycle each invocation performs.
     val serveEntries: Seq[(String, Double)] =
-      annStored.map { case (_, s) =>
+      annStored.map { case (_, s, _) =>
         Seq("q_sim_ivf_pq_stored_serve" -> s) }.getOrElse(Nil)
     val board: Seq[(String, Double)] =
       scored.map { case (k, v, _, _, _, _, _) => (k, v) } ++ serveEntries
     val qs = board.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sampleJson = scored.map { case (k, _, ss, _, _, _, _) =>
+    // r21 advice (low): the additive serve key's 3 search samples ride in
+    // the samples map too, so every board key is samples-cross-referable
+    val sampleJson = (scored.map { case (k, _, ss, _, _, _, _) =>
       s"\"" + k + "\":" + ss.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    } ++ annStored.toSeq.map { case (_, _, ss) =>
+      "\"q_sim_ivf_pq_stored_serve\":" + ss.mkString("[", ",", "]")
+    }).mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, true, _, _, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = board.map(_._2).sum

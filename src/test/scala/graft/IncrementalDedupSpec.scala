@@ -154,6 +154,34 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally added.values.foreach(_.unpersist(true))
   }
 
+  test("dedupBatchAgainstIndexManaged: release() frees the caches, kept stays correct") {
+    // r21 advice: repeated-refresh pipelines need a cache-lifetime handle —
+    // without one, every call accumulates two batch-sized caches until
+    // session teardown. The managed overload's release() must unpersist
+    // BOTH frames, and the kept frame must remain correct (lazily
+    // recomputable) afterwards.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_managed")
+      .toString + "/corpus.docs"
+    StreamingNearDedup.recordBatch(
+      Seq(1L -> base).toDF("doc_id", "text"), dir,
+      StreamingNearDedup.BandingNgram, epochId = 0L)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (kept, release) = StreamingNearDedup.dedupBatchAgainstIndexManaged(
+      Seq(10L -> uniqueB, 11L -> nearDup(base, 5)).toDF("doc_id", "text"),
+      dir, StreamingNearDedup.BandingNgram, epochId = 1L)
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(10L))
+    release()
+    // non-blocking unpersist: poll briefly for the async removal
+    val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"release() must unpersist both caches; left: $leaked")
+    // still correct after release — the plan recomputes the banding
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(10L))
+  }
+
   test("record=true makes the refresh part of the corpus for the next batch") {
     val s = spark
     import s.implicits._

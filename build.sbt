@@ -21,6 +21,10 @@ run / fork := true
 // stdout through verbatim; showSuccess drops the trailing banner.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by a task — exclude
+// it from the unused-key lint so every batch invocation doesn't lead with
+// a spurious warning block
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -369,32 +369,35 @@ class PlanGuardSpec extends SparkSpec {
     // codebook and collapsed the ×k expansion through a max_by(struct(
     // label, v, nrm, c_id)) partial aggregate — the bench's top GC line
     // (task GC 23.7 s) and, at 100 TB, one full-vector shuffle row per
-    // corpus vector. The fixed shape embeds the collected codebook as
-    // plan literals and assigns via array_position(sims, array_max(sims))
-    // — pure map-side projection, nothing aggregated, nothing shuffled.
+    // corpus vector. The fixed shape keeps assignment a pure map-side
+    // projection; since r22 it is ONE coarse_argmax codegen loop over
+    // referenced centroid arrays (the former array_position-over-
+    // literal-sims tree re-evaluated boxed literal centroids per
+    // consumer per row — OPTIMIZATION_r22.md §2).
     for (q <- Seq("q_sim_ivf", "q_sim_ivf_trained")) {
       val plan = formatted(q)
       assert(!plan.contains("max_by"),
         s"$q: assignment regressed to the ×codebook max_by expansion")
-      assert(plan.contains("array_position"),
-        s"$q: literal-argmax assignment shape missing")
+      assert(plan.contains("coarse_argmax"),
+        s"$q: single-loop coarse_argmax assignment shape missing")
     }
   }
 
   test("ivf_pq scores candidates map-side through literal lookup tables") {
-    // the IVF-PQ pins: coarse assignment stays literal-argmax (no
-    // ×codebook expansion), ADC is element_at lookups on plan-literal
-    // tables (never a per-row join against a codebook relation), and the
+    // the IVF-PQ pins: coarse assignment stays a map-side single-loop
+    // coarse_argmax (no ×codebook expansion; r22 — see the ivf pin
+    // above), ADC is the pq_adc codegen loop over a referenced lookup
+    // table (never a per-row join against a codebook relation), and the
     // exact rerank joins via BROADCAST of the ≤ rerank candidate ids —
     // no shuffle anywhere on the corpus side
     for (q <- Seq("q_sim_ivf_pq", "q_sim_ivf_pq_res")) {
       val plan = formatted(q)
       assert(!plan.contains("max_by"),
         s"$q: coarse assignment regressed to the ×codebook max_by expansion")
-      assert(plan.contains("array_position"),
-        s"$q: literal-argmax coarse assignment shape missing")
-      assert(plan.contains("element_at"),
-        s"$q: ADC literal-lookup-table scoring shape missing")
+      assert(plan.contains("coarse_argmax"),
+        s"$q: single-loop coarse_argmax assignment shape missing")
+      assert(plan.contains("pq_adc"),
+        s"$q: ADC lookup-table scoring shape missing")
       assert(plan.contains("pq_encode"),
         s"$q: codegen pq_encode expression missing from the encode projection")
       assert(!plan.contains("CartesianProduct"),
